@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog: resolves logical table names to parquet paths under a
+  * data root and registers them as temp views.
+  *
+  * Mirrors the reference connector's config-driven mount — a volume root
+  * plus path resolution (reference `CubefsFileSystem.java:62-117`,
+  * `formatPath` at `154-156`) — re-expressed as Spark's
+  * `DataFrameReader` over a directory of parquet tables. No custom I/O
+  * layer: Spark's Hadoop-FS substrate is the same API surface the
+  * reference plugs into (`fs.<scheme>.impl`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Load one table as a DataFrame (schema from parquet footer).
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's parquet
+    * reader rejects; we read it as a long (legacy conf) and convert to
+    * TimestampType at µs precision with integer division — nanos since
+    * epoch (~1.7e18) exceed a double's 2^53 mantissa, so `ts div 1000`,
+    * never `/ 1000.0`. DuckDB truncates ns→µs the same way, keeping the
+    * oracle comparable.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(all.contains(name), s"unknown table: $name")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view so SQL queries can run. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Aggregators
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY §2.B.4): hash aggregates, distinct aggs,
+  * percentiles, order-sensitive aggs, rollup/cube/grouping sets,
+  * typed UDAF. All partial+final (map-side combine) via
+  * HashAggregateExec — no driver-side loops.
+  */
+object Aggregates {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: the flagship scan+hash-agg.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Distinct aggregates.
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Exact interpolated percentiles (DuckDB quantile_cont twin).
+    "q_agg_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Approx aggregates — no SQL oracle (rows-only check); compared to
+    // exact counterparts in the scalatest suite within tolerance.
+    "q_agg_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_med_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Order-sensitive: min_by/max_by with unique tiebreak.
+    "q_agg_minmax_by" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("top_price_order"),
+          min_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("bot_price_order"))
+        .orderBy("l_returnflag")
+    }),
+
+    // collect_list canonicalized with array_sort; collect_set distinct.
+    "q_agg_collect" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_sort(collect_list(col("n_name"))).as("nations"),
+          size(collect_set(col("n_name"))).as("n_distinct"))
+        .orderBy("r_name")
+    }),
+
+    // Rollup with grouping_id.
+    "q_agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Cube.
+    "q_agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // GROUPING SETS via SQL surface.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, grouping_id() AS gid
+          |FROM lineitem
+          |GROUP BY l_returnflag, l_linestatus
+          |GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+          |ORDER BY gid, l_returnflag, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // Typed UDAF: qty-weighted average price per return flag.
+    "q_udaf_weighted_avg" -> ((s, dir) => {
+      val wavg = udaf(Aggregators.WeightedAvg)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT l_returnflag,
+        |  (SELECT l2.l_orderkey FROM lineitem l2 WHERE l2.l_returnflag = l.l_returnflag
+        |   ORDER BY l2.l_extendedprice DESC, l2.l_orderkey DESC, l2.l_linenumber DESC LIMIT 1) AS top_price_order,
+        |  (SELECT l2.l_orderkey FROM lineitem l2 WHERE l2.l_returnflag = l.l_returnflag
+        |   ORDER BY l2.l_extendedprice ASC, l2.l_orderkey ASC, l2.l_linenumber ASC LIMIT 1) AS bot_price_order
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) l
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT r_name,
+        |  list_sort(list(n_name)) AS nations,
+        |  count(DISTINCT n_name) AS n_distinct
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        |ORDER BY gid, l_returnflag, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core: scans, projection, filters, conditionals, casts,
+  * distinct, sorts, limits, set ops (SURVEY §2.B.1, B.2, B.6).
+  *
+  * Every query ends with an explicit ORDER BY over a unique key set and
+  * aliases every computed column identically to its oracle SQL twin
+  * (driver compares column-name-sorted hashed rows).
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Projection + computed column; filter pushed to parquet scan.
+    "q_scan_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 40)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Predicate zoo: BETWEEN, IN, LIKE, boolean algebra, null test.
+    "q_filter_predicates" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(10000, 200000) &&
+          col("o_orderpriority").like("%URGENT%") &&
+          col("o_custkey").isNotNull &&
+          !(col("o_orderkey") % 10 === 7))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // when/otherwise, coalesce, nullif, greatest/least.
+    "q_conditional" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band"),
+          greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+          least(col("c_acctbal"), lit(1000.0)).as("capped_bal"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"))
+        .orderBy("c_custkey")
+    }),
+
+    // Decimal money math: exact, deterministic aggregation anchor.
+    "q_cast_decimal" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) *
+            col("l_discount").cast(DecimalType(12, 2))).as("disc_amt"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum("price_dec").cast(DecimalType(18, 2)).as("sum_price"),
+          sum("disc_amt").cast(DecimalType(18, 2)).as("sum_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // distinct / dropDuplicates on keys.
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Multi-key global sort, mixed direction.
+    "q_sort_multi" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy(col("c_nationkey").asc, col("c_acctbal").desc, col("c_custkey").asc)
+    }),
+
+    // Top-k via orderBy+limit → TakeOrderedAndProjectExec.
+    "q_limit_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // union all then aggregate.
+    "q_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.unionAll(sup).groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    }),
+
+    // intersect (nations having both customers and suppliers).
+    "q_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersect(sup).orderBy("nk")
+    }),
+
+    // except (nations with customers but no suppliers).
+    "q_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.except(sup).orderBy("nk")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem WHERE l_quantity > 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_predicates" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |  AND o_totalprice BETWEEN 10000 AND 200000
+        |  AND o_orderpriority LIKE '%URGENT%'
+        |  AND o_custkey IS NOT NULL
+        |  AND NOT (o_orderkey % 10 = 7)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_conditional" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_acctbal < 0 THEN 'neg'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bal_band,
+        |       greatest(c_acctbal, 0.0) AS pos_bal,
+        |       least(c_acctbal, 1000.0) AS capped_bal,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_cast_decimal" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC""".stripMargin,
+
+    "q_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_union" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin
+  )
+}

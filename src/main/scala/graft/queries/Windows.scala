@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2.B.5): ranking, analytic, aggregate-over-
+  * window frames, top-k per group. Every window's ORDER BY includes a
+  * unique tiebreak so results are deterministic.
+  */
+object Windows {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ranking family.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    // Analytic: lag/lead.
+    "q_window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Running sum + moving average frames.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_sum"),
+          avg("o_totalprice").over(w.rowsBetween(-2, 0)).as("mov_avg3"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n_orders"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ntile / percent_rank / cume_dist.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // Top-3 orders per customer (row_number + filter).
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+        |  avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3,
+        |  count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  )
+}
