@@ -14,7 +14,9 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracle),
       (Aggregates.queries, Aggregates.oracle),
-      (Windows.queries, Windows.oracle)
+      (Windows.queries, Windows.oracle),
+      (Joins.queries, Joins.oracle),
+      (Scalars.queries, Scalars.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

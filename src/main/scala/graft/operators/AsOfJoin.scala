@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY §2.B.3): for each left row, the latest right row
+  * whose timestamp is <= the left timestamp, within a key group.
+  *
+  * Formulated as an equi-join on the key (hash-shuffled, never a
+  * nested-loop) with the time bound as a residual condition, followed by
+  * a `max_by` hash aggregation over the left row identity. Both stages
+  * are partial/final-aggregating shuffles on bounded key groups, so the
+  * plan scales linearly; per-key density (orders per user) bounds the
+  * join fan-out, not table size.
+  */
+object AsOfJoin {
+
+  /** Left as-of join.
+    *
+    * @param leftId   unique left row key (group identity after the join)
+    * @param pickCols right columns to carry (null when no match)
+    * @param tieBreak right column making the max_by pick deterministic
+    *                 when right timestamps tie
+    */
+  def latestBefore(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      leftId: String, pickCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    val joined = left.join(
+      right,
+      left(leftKey) === right(rightKey) && right(rightTs) <= left(leftTs),
+      "left_outer")
+    val leftCols = left.columns.map(c => left(c))
+    val ord = struct(right(rightTs), right(tieBreak))
+    val picks = pickCols.map(c => max_by(right(c), ord).as(c))
+    joined.groupBy(leftCols: _*).agg(picks.head, picks.tail: _*)
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY §2.B.3): inner/broadcast/outer/semi/anti/cross plus the
+  * custom-formulated range join (bucketed equi-join, not BNLJ) and as-of
+  * join (equi-join + max_by). Small dims are explicitly broadcast; big
+  * joins shuffle on their keys and AQE handles skew.
+  */
+object Joins {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lineitem ⋈ orders: the big shuffled (SMJ/SHJ) join.
+    "q_join_inner" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Star join through two explicitly broadcast dims.
+    "q_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    // Left outer: every customer with order count (zeros kept).
+    "q_join_left" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // Full outer of two aggregates on the nation key.
+    "q_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
+
+    // Left semi: orders having at least one high-quantity line (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val hot = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      t(s, dir, "orders")
+        .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Left anti: customers with no orders (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Cross join (tiny × tiny) + theta filter.
+    "q_join_cross" -> ((s, dir) => {
+      val statuses = t(s, dir, "orders").select("o_orderstatus").distinct()
+      t(s, dir, "region").crossJoin(statuses)
+        .filter(col("r_regionkey") =!= 0 || col("o_orderstatus") =!= "F")
+        .select("r_regionkey", "r_name", "o_orderstatus")
+        .orderBy("r_regionkey", "o_orderstatus")
+    }),
+
+    // Range join: events that occur within 5 minutes after another event,
+    // via the bucketed rewrite (equi-join on time buckets — no BNLJ).
+    "q_join_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.select(col("event_id").as("eid_a"), col("ts").as("ts_a"),
+        col("event_type").as("et_a"))
+      val b = ev.select(col("event_id").as("eid_b"), col("ts").as("ts_b"))
+      RangeJoin.timeWindowExact(a, b, "ts_a", "ts_b", 300L)
+        .groupBy("et_a")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("et_a")
+    }),
+
+    // As-of join: latest order at-or-before each event per user.
+    "q_join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      AsOfJoin.latestBefore(
+        ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        leftId = "event_id",
+        pickCols = Seq("o_orderkey", "o_totalprice"),
+        tieBreak = "o_orderkey")
+        .select("event_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderpriority,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust, sum(c_acctbal) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(nk_c, nk_s) AS nk,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |ON nk_c = nk_s
+        |ORDER BY nk""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |WHERE r_regionkey <> 0 OR o_orderstatus <> 'F'
+        |ORDER BY r_regionkey, o_orderstatus""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT a.event_type AS et_a, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.event_type ORDER BY et_a""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT event_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 OR rn IS NULL ORDER BY event_id""".stripMargin
+  )
+}
