@@ -16,7 +16,8 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracle),
       (Windows.queries, Windows.oracle),
       (Joins.queries, Joins.oracle),
-      (Scalars.queries, Scalars.oracle)
+      (Scalars.queries, Scalars.oracle),
+      (LlmPipeline.queries, LlmPipeline.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels called from both interpreted eval and generated
+  * code (one static call per row keeps whole-stage codegen intact while
+  * the tight loops stay in pre-compiled bytecode).
+  *
+  * MinHash per Broder '97 (resemblance estimation); SimHash per Charikar
+  * '02; winnowing fingerprint per Schleimer/Wilkerson/Aiken '03. All
+  * public algorithms; hashing built on Spark's own XXH64.
+  */
+object GraftHash {
+  final val Seed = 42L
+
+  /** Deterministic universal-hash parameters (spec-stable PRNG). */
+  private def params(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(Seed)
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = rnd.nextLong() | 1L // odd multiplier
+      b(i) = rnd.nextLong()
+      i += 1
+    }
+    (a, b)
+  }
+  private val MaxK = 256
+  private val (hashA, hashB) = params(MaxK)
+
+  private def xx(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+
+  /** MinHash signature of a token array: k minima of k universal hashes
+    * of each token's 64-bit base hash. O(k·|tokens|) per row.
+    */
+  def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
+    require(k <= MaxK, s"k=$k exceeds $MaxK")
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val base = xx(tokens.getUTF8String(t))
+        var i = 0
+        while (i < k) {
+          val h = hashA(i) * base + hashB(i)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each band of
+    * `rowsPerBand` consecutive signature slots. Docs sharing any band
+    * key are candidate near-duplicates.
+    */
+  def lshBands(sig: ArrayData, rowsPerBand: Int): ArrayData = {
+    val k = sig.numElements()
+    val nBands = k / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = Seed
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), acc)
+        r += 1
+      }
+      // mix band index so identical band values in different bands differ
+      out(b) = XXH64.hashLong(b.toLong, acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash of a token array (sign of per-bit weight sums). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = xx(tokens.getUTF8String(t))
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** Winnowing document fingerprint: k-gram rolling hashes over the
+    * character stream, minimum per window of w, distinct minima kept.
+    * Robust to small edits — shared fingerprints indicate overlap.
+    */
+  def fingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    // polynomial rolling hash base 257 over chars (unsigned wrap)
+    val B = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = XXH64.hashLong(h, Seed)
+    i = 1
+    while (i < nGrams) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = XXH64.hashLong(h, Seed)
+      i += 1
+    }
+    if (nGrams <= w) {
+      var min = Long.MaxValue
+      i = 0
+      while (i < nGrams) { if (hashes(i) < min) min = hashes(i); i += 1 }
+      return new GenericArrayData(Array(min))
+    }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= nGrams) {
+      var min = Long.MaxValue
+      i = start
+      while (i < start + w) { if (hashes(i) < min) min = hashes(i); i += 1 }
+      picked.add(min)
+      start += 1
+    }
+    val out = new Array[Long](picked.size())
+    val it = picked.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Dense float-vector kernels (double accumulation). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dp / denom
+  }
+
+  def l2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Random-hyperplane LSH bucket (Charikar '02): sign bits of `nBits`
+    * deterministic pseudo-random projections packed into a long.
+    * Vectors with high cosine land in the same bucket w.h.p.
+    */
+  def hyperplaneBucket(v: ArrayData, nBits: Int): Long = {
+    val dim = v.numElements()
+    var out = 0L
+    var bit = 0
+    while (bit < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        // deterministic N(0,1)-ish weight from (bit, i) via hash → uniform
+        val h = XXH64.hashLong(bit.toLong * 1000003L + i, Seed)
+        // map to [-1, 1) uniform — sufficient for sign-projection LSH
+        val w = (h >> 11).toDouble / (1L << 52).toDouble
+        s += w * v.getFloat(i)
+        i += 1
+      }
+      if (s > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.{array_distinct, col, lit}
+
+/** Native Catalyst expressions for vector similarity and content
+  * hashing (SURVEY §4.3). Each generates a single static call into
+  * `GraftHash` so the row loop stays inside whole-stage codegen — no
+  * UDF boxing/serialization on the 100 TB hot path.
+  */
+object VectorExpressions {
+  private val FloatArray = ArrayType(FloatType)
+
+  abstract class VecBinary extends BinaryExpression {
+    protected def kernel: String // static method on GraftHash
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = kernelEval(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    protected def kernelEval(a: ArrayData, b: ArrayData): Double
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.GraftHash.$kernel($a, $b);")
+  }
+
+  case class CosineSim(left: Expression, right: Expression) extends VecBinary {
+    override protected def kernel = "cosine"
+    override protected def kernelEval(a: ArrayData, b: ArrayData): Double = GraftHash.cosine(a, b)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  case class DotProduct(left: Expression, right: Expression) extends VecBinary {
+    override protected def kernel = "dot"
+    override protected def kernelEval(a: ArrayData, b: ArrayData): Double = GraftHash.dot(a, b)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  case class L2Dist(left: Expression, right: Expression) extends VecBinary {
+    override protected def kernel = "l2"
+    override protected def kernelEval(a: ArrayData, b: ArrayData): Double = GraftHash.l2(a, b)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** MinHash signature: array<string> tokens → array<long> of k minima. */
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.minhashSig(v.asInstanceOf[ArrayData], k)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.minhashSig($c, $k);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** LSH band keys from a minhash signature. */
+  case class LshBands(child: Expression, rowsPerBand: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.lshBands(v.asInstanceOf[ArrayData], rowsPerBand)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.lshBands($c, $rowsPerBand);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash of a token array. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.simhash64(v.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.simhash64($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Winnowing fingerprint of raw text → array<long>. */
+  case class Fingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.fingerprint(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.fingerprint($c, $k, $w);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Random-hyperplane LSH bucket id for a float vector. */
+  case class HyperplaneBucket(child: Expression, nBits: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.hyperplaneBucket(v.asInstanceOf[ArrayData], nBits)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.hyperplaneBucket($c, $nBits);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column API (Spark 4: Column no longer wraps Expression; use the
+  // classic bridge) ----
+  import org.apache.spark.sql.graft.bridge.{toColumn => toCol, toExpression => toExpr}
+  def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
+  def dot_product(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+  def l2_dist(a: Column, b: Column): Column = toCol(L2Dist(toExpr(a), toExpr(b)))
+  def minhash_sig(tokens: Column, k: Int): Column = toCol(MinHashSig(toExpr(tokens), k))
+  def lsh_bands(sig: Column, rowsPerBand: Int): Column = toCol(LshBands(toExpr(sig), rowsPerBand))
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def fingerprint(text: Column, k: Int = 7, w: Int = 10): Column = toCol(Fingerprint(toExpr(text), k, w))
+  def hyperplane_bucket(v: Column, nBits: Int): Column = toCol(HyperplaneBucket(toExpr(v), nBits))
+
+  /** Exact jaccard over token sets, composed from codegen'd built-ins. */
+  def jaccard_tokens(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{array_intersect, array_union, size, when}
+    val da = array_distinct(a); val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = size(array_union(da, db)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+}

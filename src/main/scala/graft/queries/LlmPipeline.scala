@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Aggregators, TextFunctions, VectorExpressions}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY §2.B.9): dedup (exact, MinHash-
+  * LSH, SimHash, embedding), similarity search (brute-force + LSH ANN),
+  * text analysis (lang-ID, quality, tokens, fingerprints), vector
+  * centroid UDAF, multimodal binary plumbing.
+  */
+object LlmPipeline {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** DuckDB twin of GraftHash.cosine: double accumulation (the builtin
+    * list_cosine_similarity runs in float32 — off by ~1e-8).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"(list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), 'sum')" +
+      s" / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))" +
+      s" * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))))"
+
+  /** DuckDB twin of Dedup.tokens: lowercase, split \W+, drop empties. */
+  private val duckToks =
+    "list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact content-hash dedup: keeper id + copy count per distinct text.
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH near-dup pairs, exact-jaccard-verified at 0.8.
+    // Oracle is the full O(n²) exact jaccard — this checks LSH recall too.
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dups (hamming ≤ 3 over 64-bit signatures) — custom
+    // signature values, rows-only check.
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding near-dup pairs at cosine ≥ 0.85 via hyperplane LSH.
+    "q_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.85)
+        .orderBy("vid_a", "vid_b")
+    }),
+
+    // n-gram (bigram-shingle) jaccard between documents of one source.
+    "q_text_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("source") === "src0")
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 2)).as("grams"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard", VectorExpressions.jaccard_tokens(col("g_a"), col("g_b")))
+        .filter(col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Brute-force exact cosine top-5 for 10 probe vectors.
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // LSH-bucketed ANN top-5 (approximate — rows-only; recall vs exact
+    // is asserted in the scalatest suite).
+    "q_sim_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Vector centroid per label via typed UDAF, exploded per dimension.
+    "q_embed_centroid" -> ((s, dir) => {
+      val centroid = udaf(Aggregators.VectorCentroid)
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(centroid(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+        .orderBy("label", "pos")
+    }),
+
+    // Language-ID heuristic (stopword/CJK based).
+    "q_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/punct/word-shape composite.
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace words + BPE-ish subword estimate.
+    "q_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("n_words"),
+          TextFunctions.tokenEstimate(col("text")).as("n_tokens_est"),
+          (col("n_chars") === length(col("text"))).as("chars_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprints (rolling-hash document sketch) — custom
+    // hash values, rows-only; overlap behavior tested in scalatest.
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          VectorExpressions.fingerprint(col("text"), 7, 10).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          try_element_at(col("fp"), lit(1)).as("fp0"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: binary payload → per-partition batched feature
+    // extraction (stub codec, real plumbing).
+    "q_multimodal_features" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(payloads)
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, min(doc_id) AS doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+         |FROM (SELECT doc_id, $duckToks AS toks FROM documents) a,
+         |     (SELECT doc_id, $duckToks AS toks FROM documents) b
+         |WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+         |  ${duckCos("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${duckCos("a.embedding", "b.embedding")} >= 0.85
+         |ORDER BY vid_a, vid_b""".stripMargin,
+
+    "q_text_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM documents WHERE source = 'src0'))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_sim_topk" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_embed_centroid" ->
+      """SELECT label, unnest(range(len(embedding))) AS pos, unnest(embedding) AS v0
+        |FROM embeddings WHERE 1=0""".stripMargin, // placeholder — replaced below
+
+    "q_text_langid" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(lower(text), '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+        |    WHEN en = greatest(en, es, fr, de) THEN 'en'
+        |    WHEN de = greatest(en, es, fr, de) THEN 'de'
+        |    WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+        |    ELSE 'es' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('the','and','of','is','to'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('el','la','los','que','y'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('le','la','les','et','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('der','die','das','und','ist'))) AS de
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_actual,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE) / len(toks) END AS stop_ratio,
+        |  round((
+        |    CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+        |         WHEN length(text) < 100 THEN CAST(length(text) AS DOUBLE) / 100.0
+        |         ELSE 0.5 END
+        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0)
+        |    + CASE WHEN nw = 0 THEN 0.3
+        |           WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / nw BETWEEN 2.0 AND 12.0 THEN 1.0
+        |           ELSE 0.3 END
+        |  ) / 3.0, 6) AS quality
+        |FROM (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS nw
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_words,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
+        |  n_chars = length(text) AS chars_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  ) ++ Map(
+    // centroid: per-dimension mean, positional unnest (lockstep)
+    "q_embed_centroid" ->
+      """SELECT label, pos, avg(v) AS v
+        |FROM (SELECT label,
+        |        unnest(range(len(embedding))) AS pos,
+        |        CAST(unnest(embedding) AS DOUBLE) AS v
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+  )
+}
