@@ -17,7 +17,8 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (Joins.queries, Joins.oracle),
       (Scalars.queries, Scalars.oracle),
-      (LlmPipeline.queries, LlmPipeline.oracle)
+      (LlmPipeline.queries, LlmPipeline.oracle),
+      (StreamingQueries.queries, StreamingQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

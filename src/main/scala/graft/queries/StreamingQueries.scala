@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{Sessionize, StreamOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators (SURVEY §2.B.8), each drained through
+  * a memory sink with AvailableNow so the final table is directly
+  * comparable to its batch/DuckDB twin. Tumbling/sliding/session
+  * windows, watermarked append, streaming dedup, stream-static and
+  * stream-stream joins, arbitrary stateful sessionization.
+  */
+object StreamingQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 5-minute window per event type (complete mode).
+    "q_stream_tumbling" -> ((s, dir) => {
+      val agg = StreamOps.eventsStream(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      StreamOps.runToMemory(agg, "complete")
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // Sliding 10-minute window every 5 minutes.
+    "q_stream_sliding" -> ((s, dir) => {
+      val agg = StreamOps.eventsStream(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      StreamOps.runToMemory(agg, "complete")
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy("w_start")
+    }),
+
+    // Session windows (10-minute gap) per user.
+    "q_stream_session" -> ((s, dir) => {
+      val agg = StreamOps.eventsStream(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      StreamOps.runToMemory(agg, "complete")
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
+    // Watermarked tumbling agg in append mode: only windows finalized
+    // by the watermark (max ts - 10 min) are emitted.
+    "q_stream_watermark" -> ((s, dir) => {
+      val agg = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      StreamOps.runToMemory(agg, "append")
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // Streaming dedup on a key pair (first-seen semantics; output keys
+    // only so the result is order-independent).
+    "q_stream_dedup" -> ((s, dir) => {
+      val dd = StreamOps.eventsStream(s, dir)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+      StreamOps.runToMemory(dd, "append")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Stream-static join: events stream against the customer dim.
+    "q_stream_static_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val joined = StreamOps.eventsStream(s, dir)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      StreamOps.runToMemory(joined, "complete")
+        .orderBy("c_mktsegment")
+    }),
+
+    // Stream-stream join with watermarks + time bound: views followed by
+    // an error within 10 minutes for the same user.
+    "q_stream_stream_join" -> ((s, dir) => {
+      val views = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+      val errors = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "30 minutes")
+      val joined = views.join(errors,
+        col("v_user") === col("e_user") &&
+        col("e_ts") > col("v_ts") &&
+        col("e_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      val out = StreamOps.runToMemory(joined, "append")
+      out.groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // Arbitrary stateful op: flatMapGroupsWithState sessionization.
+    "q_stream_sessionize" -> ((s, dir) => {
+      val sessions = Sessionize.run(s, StreamOps.eventsStream(s, dir))
+      StreamOps.runToMemory(sessions, "append")
+        .orderBy("user_id", "s_start")
+    })
+  )
+
+  /** Shared SQL fragment: gap-based sessionization twin. */
+  private val sessionSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
+      |       user_id, count(*) AS n, sum(value) AS sum_value
+      |FROM sessions GROUP BY user_id, sid""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+        |  time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS w_end,
+        |  event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """SELECT w_start, count(*) AS n, sum(value) AS sum_value FROM (
+        |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE AS w_start, value FROM events)
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q_stream_session" ->
+      (sessionSql + " ORDER BY user_id, s_start"),
+
+    "q_stream_watermark" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+        |       event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+        |       <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n, sum(value) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """SELECT v.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        |  ON v.user_id = e.user_id
+        | AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    "q_stream_sessionize" ->
+      (sessionSql + " ORDER BY user_id, s_start")
+  )
+}
