@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.VectorExpressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine extension point (SURVEY §4.3): registers the custom
+  * expressions as SQL functions so `spark.sql("... cosine_sim(a,b)")`
+  * works. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<float>, array<float>) - dot product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("l2_dist"),
+      info("l2_dist", "l2_dist(array<float>, array<float>) - euclidean distance"),
+      (es: Seq[Expression]) => L2Dist(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<string>, k) - k-minima MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0), intArg(es(1), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("lsh_bands"),
+      info("lsh_bands", "lsh_bands(array<long>, rowsPerBand) - LSH band keys"),
+      (es: Seq[Expression]) => LshBands(es(0), intArg(es(1), "rowsPerBand"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(text, k, w) - winnowing fingerprint"),
+      (es: Seq[Expression]) => Fingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))))
+
+    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket", "hyperplane_bucket(array<float>, nBits) - LSH bucket id"),
+      (es: Seq[Expression]) => HyperplaneBucket(es(0), intArg(es(1), "nBits"))))
+  }
+}

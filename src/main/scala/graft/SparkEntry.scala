@@ -18,7 +18,8 @@ object SparkEntry {
       (Joins.queries, Joins.oracle),
       (Scalars.queries, Scalars.oracle),
       (LlmPipeline.queries, LlmPipeline.oracle),
-      (StreamingQueries.queries, StreamingQueries.oracle)
+      (StreamingQueries.queries, StreamingQueries.oracle),
+      (Sources.queries, Sources.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

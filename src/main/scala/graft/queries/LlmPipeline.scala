@@ -138,6 +138,16 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // SQL surface of the custom expressions (registered functions).
+    "q_sql_cosine" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT a.vec_id AS vid, cosine_sim(a.embedding, b.embedding) AS cos
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+          |ORDER BY vid""".stripMargin)
+    }),
+
     // Multimodal: binary payload → per-partition batched feature
     // extraction (stub codec, real plumbing).
     "q_multimodal_features" -> ((s, dir) => {
@@ -250,6 +260,11 @@ object LlmPipeline {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
         |  n_chars = length(text) AS chars_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sql_cosine" ->
+      s"""SELECT a.vec_id AS vid, ${duckCos("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+         |ORDER BY vid""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id,

@@ -1,0 +1,127 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks (SURVEY §2.B.1): SaveMode semantics (the
+  * reference's create-flag dance, `CubefsFileSystem.java:167-191`),
+  * partitioned sinks (mkdirs analog), CSV/JSON interchange, and the
+  * file-metadata scan (listStatus analog,
+  * `CubefsFileSystem.java:280-336`).
+  */
+object Sources {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private def tmp(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_sinks", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Parquet sink round-trip with Overwrite (truncate-on-exists flag
+    // semantics), read back and aggregate.
+    "q_sink_roundtrip" -> ((s, dir) => {
+      val out = tmp("roundtrip")
+      t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // All four SaveModes in sequence: overwrite, append (doubles the
+    // rows), ignore (no-op), errorIfExists (throws — swallowed).
+    "q_sink_savemodes" -> ((s, dir) => {
+      val out = tmp("savemodes")
+      val src = t(s, dir, "region")
+      src.write.mode(SaveMode.Overwrite).parquet(out)
+      src.write.mode(SaveMode.Append).parquet(out)
+      src.write.mode(SaveMode.Ignore).parquet(out)
+      val threw =
+        try { src.write.mode(SaveMode.ErrorIfExists).parquet(out); false }
+        catch { case _: Throwable => true }
+      s.read.parquet(out)
+        .groupBy("r_regionkey", "r_name")
+        .agg(count(lit(1)).as("n_copies"))
+        .withColumn("error_mode_threw", lit(threw))
+        .orderBy("r_regionkey")
+    }),
+
+    // Partitioned sink: dir-per-key layout; read back and verify both
+    // partition pruning columns and data columns survive.
+    "q_sink_partitioned" -> ((s, dir) => {
+      val out = tmp("partitioned")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+        .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_returnflag") === "R") // prunes to one partition dir
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_linestatus")
+    }),
+
+    // CSV interchange round-trip (header + explicit schema on read).
+    "q_sink_csv" -> ((s, dir) => {
+      val out = tmp("csv")
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      src.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+      s.read.schema(src.schema).option("header", "true").csv(out)
+        .orderBy("c_custkey")
+    }),
+
+    // JSON interchange round-trip.
+    "q_sink_json" -> ((s, dir) => {
+      val out = tmp("json")
+      val src = t(s, dir, "supplier")
+      src.write.mode(SaveMode.Overwrite).json(out)
+      s.read.schema(src.schema).json(out)
+        .orderBy("s_suppkey")
+    }),
+
+    // File-metadata scan: listStatus/stat surface via _metadata.
+    "q_file_metadata" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("_metadata.file_size").as("fsize"),
+          col("_metadata.file_path").as("fpath"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("fpath")).as("n_files"),
+          (min(col("fsize")) > 0).as("has_size"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sink_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sink_savemodes" ->
+      """SELECT r_regionkey, r_name, 2 AS n_copies, true AS error_mode_threw
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_sink_partitioned" ->
+      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_sink_csv" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sink_json" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_file_metadata" ->
+      """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size
+        |FROM lineitem""".stripMargin
+  )
+}
