@@ -17,7 +17,7 @@ object Sessionize {
   val GapMicros: Long = 10L * 60 * 1000000
 
   /** Split a user's (sorted) events into gap-separated sessions. */
-  private[streaming] def sessionsOf(
+  private[graft] def sessionsOf(
       userId: Long, evs: Seq[(Long, Double)]): Iterator[SessionOut] = {
     if (evs.isEmpty) return Iterator.empty
     val sorted = evs.sortBy(_._1)

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+/** Operator-level behavior on planted duplicates. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "spark engines and shuffles are completely different content about") // token-set dup of 4
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byId(1L) == 2) // docs 1+2 collapse
+    assert(byId(3L) == 1)
+  }
+
+  test("minhash near-dups finds planted near-duplicates, not unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs.contains((4L, 5L))) // same token set, different order
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 })
+  }
+
+  test("simhash near-dups finds exact and near duplicates") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((4L, 5L)))
+  }
+
+  test("duplicate clusters merge transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("embedding near-dups: identical vectors collide and verify") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.8f, 0.1f)),
+      (2L, Array(0.5f, -0.25f, 0.8f, 0.1f)),
+      (3L, Array(-0.9f, 0.4f, 0.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("vid_a", "vid_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("ann lsh finds identical-vector neighbors (perfect recall at cos=1)") {
+    val base = (0L until 50L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val withDup = base :+ (99L, base.head._2.clone)
+    val df = withDup.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") === 99L)
+    val ann = SimilaritySearch.lshTopK(df, probes, "vec_id", "embedding", k = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(ann.headOption.contains(0L))
+  }
+
+  test("brute force topk matches manual ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") === 0L)
+    val got = SimilaritySearch.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.GraftHash
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel-level properties of the hash/vector primitives. */
+class GraftHashSpec extends AnyFunSuite {
+
+  private def strArr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+  private def floatArr(xs: Seq[Float]) =
+    new GenericArrayData(xs.toArray[Any].map(_.asInstanceOf[Any]))
+
+  test("minhash: identical token sets give identical signatures") {
+    val a = GraftHash.minhashSig(strArr(Seq("x", "y", "z")), 64)
+    val b = GraftHash.minhashSig(strArr(Seq("z", "y", "x")), 64) // order-free
+    assert(a.toLongArray().toSeq == b.toLongArray().toSeq)
+  }
+
+  test("minhash: signature agreement estimates jaccard") {
+    val base = (0 until 100).map(i => s"tok$i")
+    val other = (0 until 80).map(i => s"tok$i") ++ (100 until 120).map(i => s"tok$i")
+    // true jaccard = 80 / 120
+    val k = 256
+    val sa = GraftHash.minhashSig(strArr(base), k).toLongArray()
+    val sb = GraftHash.minhashSig(strArr(other), k).toLongArray()
+    val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+    assert(math.abs(agree - 80.0 / 120.0) < 0.12, s"estimate $agree")
+  }
+
+  test("simhash: near-identical token lists have small hamming distance") {
+    val base = (0 until 200).map(i => s"w$i")
+    val tweaked = base.drop(3) ++ Seq("other1", "other2")
+    val h1 = GraftHash.simhash64(strArr(base))
+    val h2 = GraftHash.simhash64(strArr(tweaked))
+    val hamming = java.lang.Long.bitCount(h1 ^ h2)
+    assert(hamming <= 12, s"hamming $hamming")
+    val unrelated = GraftHash.simhash64(strArr((0 until 200).map(i => s"q$i")))
+    assert(java.lang.Long.bitCount(h1 ^ unrelated) > 12)
+  }
+
+  test("fingerprint: shared long substring shares fingerprints") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val a = GraftHash.fingerprint(UTF8String.fromString("AAA " + shared + " BBB"), 7, 10).toLongArray().toSet
+    val b = GraftHash.fingerprint(UTF8String.fromString("CCC " + shared + " DDD"), 7, 10).toLongArray().toSet
+    assert((a & b).nonEmpty)
+    val c = GraftHash.fingerprint(UTF8String.fromString("totally unrelated content here xyz"), 7, 10).toLongArray().toSet
+    assert((a & c).isEmpty)
+  }
+
+  test("cosine/dot/l2 kernels match scalar math") {
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-1.0f, 0.5f, 2.0f)
+    val dot = GraftHash.dot(floatArr(a), floatArr(b))
+    assert(math.abs(dot - (1 * -1 + 2 * 0.5 + 3 * 2.0)) < 1e-12)
+    val cos = GraftHash.cosine(floatArr(a), floatArr(b))
+    val na = math.sqrt(a.map(x => x * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x * x.toDouble).sum)
+    assert(math.abs(cos - dot / (na * nb)) < 1e-12)
+    val l2 = GraftHash.l2(floatArr(a), floatArr(b))
+    assert(math.abs(l2 - math.sqrt(4 + 2.25 + 1)) < 1e-12)
+  }
+
+  test("cosine: zero vector yields 0, identical vectors yield 1") {
+    val z = Seq(0.0f, 0.0f)
+    assert(GraftHash.cosine(floatArr(z), floatArr(z)) == 0.0)
+    val v = Seq(0.3f, -0.7f, 0.2f)
+    assert(math.abs(GraftHash.cosine(floatArr(v), floatArr(v)) - 1.0) < 1e-12)
+  }
+
+  test("hyperplane bucket: scale-invariant (cosine-LSH property)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val xs = Seq.fill(16)(rnd.nextFloat() * 10f - 5f)
+      val b1 = GraftHash.hyperplaneBucket(floatArr(xs), 12)
+      val b2 = GraftHash.hyperplaneBucket(floatArr(xs.map(_ * 2.5f)), 12)
+      assert(b1 == b2)
+    }
+  }
+
+  test("lsh bands: equal signatures collide in every band") {
+    val sig = GraftHash.minhashSig(strArr(Seq("a", "b", "c")), 128)
+    val b1 = GraftHash.lshBands(sig, 4).toLongArray().toSeq
+    val b2 = GraftHash.lshBands(sig, 4).toLongArray().toSeq
+    assert(b1 == b2 && b1.length == 32)
+  }
+}

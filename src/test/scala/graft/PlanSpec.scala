@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (SURVEY §4.2): the optimizations we rely on
+  * at 100 TB must actually appear in the plan — pushdown, pruning,
+  * broadcast choice, no nested-loop joins on the range-join path,
+  * whole-stage codegen around the custom expressions.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity"),
+      s"no pushed filter in: $scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_extendedprice"),
+      "column pruning failed — scan reads unused columns")
+  }
+
+  test("small dimension joins broadcast") {
+    val plan = planOf(SparkEntry.queries("q_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("range join plans as a shuffled equi-join, not BNLJ") {
+    val ev = Tables(spark, sf, "events")
+    val a = ev.select(col("event_id").as("eid_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("event_id").as("eid_b"), col("ts").as("ts_b"))
+    val plan = planOf(RangeJoin.timeWindowExact(a, b, "ts_a", "ts_b", 300L))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the naive formulation would be BNLJ:
+    val naive = planOf(a.join(b, col("ts_b") > col("ts_a") &&
+      col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES")))
+    assert(naive.contains("BroadcastNestedLoopJoin"),
+      "control: naive interval join should be BNLJ")
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    val df = Tables(spark, sf, "embeddings")
+      .withColumn("c", graft.functions.VectorExpressions.cosine_sim(
+        col("embedding"), col("embedding")))
+    val plan = planOf(df)
+    // "*(n)" is the WholeStageCodegen marker in plan strings; the
+    // cosinesim projection must sit inside a codegen'd stage
+    assert(plan.contains("*(1) Project") && plan.contains("cosinesim"), plan.take(2000))
+    // and codegen actually produces rows
+    assert(df.filter(col("c") > 0.99).count() > 0)
+  }
+
+  test("q1 aggregation is a two-phase hash aggregate") {
+    val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "expected partial+final")
+  }
+
+  test("top-k limit uses TakeOrderedAndProject") {
+    val plan = planOf(SparkEntry.queries("q_limit_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multi-batch streaming semantics that the single-batch oracle queries
+  * can't exercise: watermark late-data drops and cross-batch dedup.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("watermark drops late rows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData((ts(0), "a"), (ts(3), "a"))   // window [0,5)
+    q.processAllAvailable()
+    input.addData((ts(60), "a"))                 // watermark → 50min
+    q.processAllAvailable()
+    input.addData((ts(2), "a"))                  // LATE: before watermark
+    q.processAllAvailable()
+    input.addData((ts(120), "a"))                // advance further
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_test")
+      .select(col("window.start").cast("long").as("w"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows(0L) == 2, s"late row must be dropped, got $rows")
+  }
+
+  test("streaming dedup is first-seen across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dd = input.toDF().toDF("id", "v").dropDuplicates("id")
+    val q = dd.writeStream.format("memory").queryName("dd_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData((1L, "first"), (2L, "x"))
+    q.processAllAvailable()
+    input.addData((1L, "second"), (3L, "y"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dd_test").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "first", 2L -> "x", 3L -> "y"))
+  }
+
+  test("sessionsOf splits on gap and aggregates") {
+    import graft.streaming.Sessionize
+    val m = 60L * 1000000
+    val evs = Seq((0L * m, 1.0), (5L * m, 2.0), (30L * m, 4.0))
+    val out = Sessionize.sessionsOf(7L, evs).toSeq
+    assert(out.length == 2)
+    assert(out.head.n == 2 && out.head.sum_value == 3.0)
+    assert(out.head.s_end_us == 15L * m) // last + 10min gap
+    assert(out(1).n == 1 && out(1).s_start_us == 30L * m)
+  }
+}
