@@ -19,10 +19,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // one warm-up pass to JIT/codegen-cache, then the timed pass
+    // optional args: restrict to the named queries (debug/targeted runs)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
+    // warm-up pass at the smallest sf (JIT + codegen caches) so the
+    // timed pass at the target sf measures steady-state execution
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     val results = names.map { name =>

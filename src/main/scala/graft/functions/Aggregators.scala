@@ -55,9 +55,36 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] = ExprEnc.doubleSeq
   }
 
+  /** Bounded top-k by score (SURVEY §4.3): keeps only k (score, id)
+    * pairs per group through partial aggregation — an O(n·log k)
+    * alternative to a full window sort for top-k-per-group at scale.
+    * Deterministic: ties broken by ascending id.
+    */
+  class TopKByScore(k: Int)
+      extends Aggregator[(Long, Double), List[(Double, Long)], Seq[TopKHit]] {
+    private def insert(buf: List[(Double, Long)], e: (Double, Long)): List[(Double, Long)] = {
+      // sorted desc by (score, then id asc via negated comparison)
+      val merged = (e :: buf).sortBy { case (s, id) => (-s, id) }
+      merged.take(k)
+    }
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(b: List[(Double, Long)], in: (Long, Double)): List[(Double, Long)] =
+      insert(b, (in._2, in._1))
+    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      (a ++ b).sortBy { case (s, id) => (-s, id) }.take(k)
+    override def finish(b: List[(Double, Long)]): Seq[TopKHit] =
+      b.map { case (s, id) => TopKHit(id, s) }
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      Encoders.kryo[List[(Double, Long)]]
+    override def outputEncoder: Encoder[Seq[TopKHit]] = ExprEnc.topkSeq
+  }
+
+  case class TopKHit(id: Long, score: Double)
+
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
     val doubleSeq: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+    val topkSeq: Encoder[Seq[TopKHit]] = ExpressionEncoder[Seq[TopKHit]]()
   }
 }

@@ -54,8 +54,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, rowsPerBand: Int = 4,
       shingleSize: Int = 1, maxBucket: Int = 1000): DataFrame = {
-    val toks = array_distinct(shingles(tokens(col(textCol)), shingleSize))
-    val sigs = df.select(col(idCol).as("doc"), toks.as("toks"))
+    // materialize the token array BEFORE shingling: higher-order
+    // functions re-evaluate captured expressions per element (no CSE
+    // inside lambdas), so shingling directly over tokens(text) would
+    // re-tokenize the full text O(|tokens|) times per row
+    val words = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("words"))
+    val sigs = words
+      .select(col("doc"), array_distinct(shingles(col("words"), shingleSize)).as("toks"))
       .withColumn("sig", minhash_sig(col("toks"), numHashes))
       .withColumn("band", explode(lsh_bands(col("sig"), rowsPerBand)))
     val banded = sigs.select(col("doc"), col("toks"), col("band"))

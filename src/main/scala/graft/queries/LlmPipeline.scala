@@ -33,11 +33,15 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
-    // MinHash-LSH near-dup pairs, exact-jaccard-verified at 0.8.
-    // Oracle is the full O(n²) exact jaccard — this checks LSH recall too.
+    // MinHash-LSH near-dup pairs over bigram shingles, exact-jaccard-
+    // verified at 0.8. Oracle is the full O(n²) exact jaccard — this
+    // checks LSH recall too. Bigram shingles (not unigram token sets)
+    // keep the candidate set collision-driven: this corpus is
+    // pathologically self-similar at token level (most pairs share 60%
+    // of tokens), which would make unigram LSH degenerate to all-pairs.
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.8)
+        threshold = 0.8, shingleSize = 2)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -59,8 +63,9 @@ object LlmPipeline {
     "q_text_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(col("source") === "src0")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("words"))
         .select(col("doc_id"),
-          array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 2)).as("grams"))
+          array_distinct(Dedup.shingles(col("words"), 2)).as("grams"))
       val a = docs.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
       a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -75,6 +80,24 @@ object LlmPipeline {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.bruteForceTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Same top-k via the bounded-heap typed aggregator (no window sort;
+    // O(n log k) with partial aggregation — the 100 TB top-k path).
+    "q_sim_topk_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val topk = udaf(new Aggregators.TopKByScore(5))
+      val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+        .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", VectorExpressions.cosine_sim(col("probe_vec"), col("nv")))
+      scored.groupBy("probe_id")
+        .agg(topk(col("neighbor_id"), col("cos")).as("hits"))
+        .select(col("probe_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("probe_id"), (col("pos") + 1).as("rank"),
+          col("hit.id").as("neighbor_id"), col("hit.score").as("cos"))
         .orderBy("probe_id", "rank")
     }),
 
@@ -164,15 +187,20 @@ object LlmPipeline {
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-         |FROM (SELECT doc_id, $duckToks AS toks FROM documents) a,
-         |     (SELECT doc_id, $duckToks AS toks FROM documents) b
-         |WHERE a.doc_id < b.doc_id
-         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
@@ -208,9 +236,15 @@ object LlmPipeline {
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
-    "q_embed_centroid" ->
-      """SELECT label, unnest(range(len(embedding))) AS pos, unnest(embedding) AS v0
-        |FROM embeddings WHERE 1=0""".stripMargin, // placeholder — replaced below
+    "q_sim_topk_agg" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q_text_langid" ->
       """SELECT doc_id,

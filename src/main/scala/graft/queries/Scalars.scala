@@ -139,6 +139,21 @@ object Scalars {
         .orderBy("c_custkey")
     }),
 
+    // Date/string functions with Spark-specific semantics (no clean
+    // DuckDB twin — rows-only; values asserted in scalatest).
+    "q_scalar_misc" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        initcap(lower(col("o_orderpriority"))).as("pri_title"),
+        months_between(lit("1998-01-01").cast("timestamp"), col("o_orderdate")).as("mb"),
+        next_day(col("o_orderdate").cast("date"), "Mon").as("next_mon"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        sequence(lit(1), col("o_orderkey") % 4 + 1).as("seq"))
+        .orderBy("o_orderkey")
+    }),
+
     // Spark-only hashes — deterministic but no DuckDB twin (rows-only).
     "q_hash_spark" -> ((s, dir) => {
       t(s, dir, "customer").select(

@@ -64,6 +64,20 @@ object Windows {
         .orderBy("c_mktsegment", "c_custkey")
     }),
 
+    // first/last/nth value over explicit frames.
+    "q_window_analytic" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(w).as("first_ok"),
+          last("o_orderkey").over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Top-3 orders per customer (row_number + filter).
     "q_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -111,6 +125,16 @@ object Windows {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
