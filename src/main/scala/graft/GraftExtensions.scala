@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+    // naive interval theta-join → bucketed equi-join (never BNLJ)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))

@@ -130,6 +130,35 @@ object Scalars {
         .orderBy("p_partkey", "pos")
     }),
 
+    // explode_outer: rows with empty arrays survive as nulls.
+    "q_explode_outer" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("swords", filter(split(col("p_type"), " "), w => w.startsWith("S")))
+        .select(col("p_partkey"), explode_outer(col("swords")).as("sword"))
+        .groupBy("p_partkey")
+        .agg(count(col("sword")).as("n_s"), count(lit(1)).as("n_rows"))
+        .orderBy("p_partkey")
+    }),
+
+    // stack generator: pivot literal column groups into rows.
+    "q_stack" -> ((s, dir) => {
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          expr("stack(2, 'name', r_name, 'key', CAST(r_regionkey AS STRING))")
+            .as(Seq("attr", "val")))
+        .orderBy("r_regionkey", "attr")
+    }),
+
+    // inline generator: explode an array of structs into columns.
+    "q_inline" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          inline(array(
+            struct(lit("name").as("attr"), col("n_name").as("v")),
+            struct(lit("region").as("attr"), col("n_regionkey").cast("string").as("v")))))
+        .orderBy("n_nationkey", "attr")
+    }),
+
     // Hash functions with DuckDB twins.
     "q_hash_funcs" -> ((s, dir) => {
       t(s, dir, "customer").select(
@@ -252,6 +281,26 @@ object Scalars {
       """SELECT p_partkey, unnest(range(len(words))) AS pos, unnest(words) AS word
         |FROM (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part)
         |ORDER BY p_partkey, pos""".stripMargin,
+
+    "q_explode_outer" ->
+      """SELECT p_partkey,
+        |  len(list_filter(string_split(p_type, ' '), w -> w LIKE 'S%')) AS n_s,
+        |  greatest(len(list_filter(string_split(p_type, ' '), w -> w LIKE 'S%')), 1) AS n_rows
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_stack" ->
+      """SELECT r_regionkey, attr, val FROM (
+        |  SELECT r_regionkey, 'name' AS attr, r_name AS val FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey, 'key' AS attr, CAST(r_regionkey AS VARCHAR) AS val FROM region)
+        |ORDER BY r_regionkey, attr""".stripMargin,
+
+    "q_inline" ->
+      """SELECT n_nationkey, attr, v FROM (
+        |  SELECT n_nationkey, 'name' AS attr, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'region' AS attr, CAST(n_regionkey AS VARCHAR) AS v FROM nation)
+        |ORDER BY n_nationkey, attr""".stripMargin,
 
     "q_hash_funcs" ->
       """SELECT c_custkey,

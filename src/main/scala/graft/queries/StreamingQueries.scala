@@ -102,6 +102,16 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // Update output mode: only changed groups are emitted per batch
+    // (single drain batch → one row per group, equal to batch agg).
+    "q_stream_update" -> ((s, dir) => {
+      val agg = StreamOps.eventsStream(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      StreamOps.runToMemory(agg, "update")
+        .orderBy("event_type")
+    }),
+
     // Arbitrary stateful op: flatMapGroupsWithState sessionization.
     "q_stream_sessionize" -> ((s, dir) => {
       val sessions = Sessionize.run(s, StreamOps.eventsStream(s, dir))
@@ -170,6 +180,10 @@ object StreamingQueries {
         |  ON v.user_id = e.user_id
         | AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    "q_stream_update" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_sessionize" ->
       (sessionSql + " ORDER BY user_id, s_start")

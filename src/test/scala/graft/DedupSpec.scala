@@ -70,6 +70,19 @@ class DedupSpec extends SparkSuite {
     assert(ann.headOption.contains(0L))
   }
 
+  test("approx aggregates are within tolerance of exact (SURVEY §5.2.2)") {
+    val li = Tables(spark, sf, "lineitem")
+    val row = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("apx"),
+      countDistinct(col("l_orderkey")).as("exact"),
+      expr("percentile_approx(l_quantity, 0.5, 10000)").as("apx_med"),
+      expr("percentile(l_quantity, 0.5)").as("med")).collect().head
+    val (apx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(apx - exact) / exact < 0.05, s"approx_count_distinct $apx vs $exact")
+    assert(math.abs(row.getDouble(2) - row.getDouble(3)) <= 1.0,
+      s"percentile_approx ${row.getDouble(2)} vs ${row.getDouble(3)}")
+  }
+
   test("brute force topk matches manual ranking") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),

@@ -35,11 +35,20 @@ class PlanSpec extends SparkSuite {
     val b = ev.select(col("event_id").as("eid_b"), col("ts").as("ts_b"))
     val plan = planOf(RangeJoin.timeWindowExact(a, b, "ts_a", "ts_b", 300L))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    // the naive formulation would be BNLJ:
-    val naive = planOf(a.join(b, col("ts_b") > col("ts_a") &&
-      col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES")))
-    assert(naive.contains("BroadcastNestedLoopJoin"),
-      "control: naive interval join should be BNLJ")
+  }
+
+  test("RangeJoinRewrite turns the naive interval join into an equi-join") {
+    val ev = Tables(spark, sf, "events")
+    val a = ev.select(col("event_id").as("eid_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("event_id").as("eid_b"), col("ts").as("ts_b"))
+    val naive = a.join(b, col("ts_b") > col("ts_a") &&
+      col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+    val plan = planOf(naive)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rewrite did not fire:\n${plan.take(3000)}")
+    // semantics preserved: same row count as the explicit operator
+    val explicit = RangeJoin.timeWindowExact(a, b, "ts_a", "ts_b", 300L).count()
+    assert(naive.count() == explicit)
   }
 
   test("custom expressions stay inside whole-stage codegen") {
