@@ -44,6 +44,15 @@ object Joins {
         .orderBy("c_custkey")
     }),
 
+    // Right outer: orders against the customer dim (dim side preserved).
+    "q_join_right" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"), max("o_totalprice").as("max_price"))
+        .orderBy("c_custkey")
+    }),
+
     // Full outer of two aggregates on the nation key.
     "q_join_full" -> ((s, dir) => {
       val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
@@ -133,6 +142,11 @@ object Joins {
     "q_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders, max(o_totalprice) AS max_price
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_join_full" ->

@@ -45,6 +45,17 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Duplicate clusters: connected components over the verified
+    // near-dup pairs (label = min doc_id of the component). Oracle is a
+    // recursive-CTE transitive closure over the same exact-jaccard
+    // pairs, so the iterative label propagation is value-checked.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleSize = 2)
+      Dedup.duplicateClusters(pairs)
+        .orderBy("doc")
+    }),
+
     // SimHash near-dups (hamming ≤ 3 over 64-bit signatures) — custom
     // signature values, rows-only check.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -201,6 +212,30 @@ object LlmPipeline {
         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a, g b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT doc_a, doc_a FROM pairs
+        |  UNION SELECT doc_b, doc_b FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc, min(v) AS label FROM reach GROUP BY u ORDER BY doc""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,

@@ -105,6 +105,23 @@ object Scalars {
         .orderBy("event_id")
     }),
 
+    // Map construction/transform family: map_concat, transform_values,
+    // map_from_entries, map_keys — scalar outputs for oracle parity.
+    "q_map_transform" -> ((s, dir) => {
+      val mc = map_concat(
+        map(lit("a"), col("value")),
+        map(lit("b"), col("value") * 2))
+      val tv = transform_values(mc, (_, v) => v + 1)
+      val mfe = map_from_entries(array(struct(lit("x").as("k"), col("value").as("v"))))
+      t(s, dir, "events").select(
+        col("event_id"),
+        element_at(tv, "a").as("a_plus"),
+        element_at(tv, "b").as("b_plus"),
+        array_join(array_sort(map_keys(tv)), ",").as("keys_cat"),
+        element_at(mfe, "x").as("x_val"))
+        .orderBy("event_id")
+    }),
+
     // JSON functions on the raw props string.
     "q_json_funcs" -> ((s, dir) => {
       t(s, dir, "events").select(
@@ -264,6 +281,14 @@ object Scalars {
         |  [json_extract_string(props, '$.' || k) FOR k IN json_keys(props)] AS vs,
         |  json_extract_string(props, '$.k') AS k_val,
         |  len(json_keys(props)) AS m_size
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_map_transform" ->
+      """SELECT event_id,
+        |  value + 1 AS a_plus,
+        |  value * 2 + 1 AS b_plus,
+        |  'a,b' AS keys_cat,
+        |  value AS x_val
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_json_funcs" ->
