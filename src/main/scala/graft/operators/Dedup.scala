@@ -127,13 +127,15 @@ object Dedup {
     * representative per duplicate cluster.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // edges both directions + self loops; label = min neighbor label
-    var labels = pairs.select(col("doc_a").as("doc"))
-      .union(pairs.select(col("doc_b").as("doc")))
-      .distinct()
-      .withColumn("label", col("doc"))
+    // cache the (usually expensive) pair lineage once: every iteration
+    // below re-reads edges, and labels would otherwise re-derive the
+    // full candidate-generation pipeline per step
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .cache()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -142,9 +144,10 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("doc") === col("doc2"), "left_outer")
         .select(col("doc"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      updated.cache()
+        .cache()
       val changed = updated.join(labels.withColumnRenamed("label", "old"), "doc")
         .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1
