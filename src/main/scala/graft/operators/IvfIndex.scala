@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.VectorExpressions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor (SURVEY §2.B.9 "scale path"):
+  * a k-means coarse quantizer partitions the corpus into nCentroids
+  * inverted lists; a probe searches only its nProbes nearest lists and
+  * re-ranks candidates by exact cosine. Candidate count scales with
+  * corpus/nCentroids · nProbes — independent of total corpus size when
+  * nCentroids grows with the data.
+  *
+  * The quantizer is Spark ML k-means (seeded, deterministic); list
+  * assignment and search are plain DataFrame ops, so the whole index
+  * is a pair of columns (`cluster`) and survives as parquet.
+  */
+object IvfIndex {
+
+  /** Fit the quantizer and return (corpus with cluster col, centroids
+    * as (centroid_id, centroid_vec float-array) frame).
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setFeaturesCol("__v").setPredictionCol("cluster")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__v")
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("centroid_id", "centroid_vec")
+    (assigned, centroids)
+  }
+
+  /** Approximate top-k: search the nProbes nearest inverted lists. */
+  def topK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+    val (assigned, centroids) = fit(corpus, idCol, vecCol, nCentroids)
+    // probe → its nProbes nearest centroids (tiny crossJoin)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val wC = Window.partitionBy("probe_id").orderBy(col("cdist").asc, col("centroid_id").asc)
+    val probeLists = p.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2_dist(col("probe_vec"), col("centroid_vec")))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= nProbes)
+      .select(col("probe_id"), col("probe_vec"), col("centroid_id").as("cluster"))
+    // candidates: corpus rows in any probed list; exact re-rank
+    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      col("cluster"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(probeLists), Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+  }
+}

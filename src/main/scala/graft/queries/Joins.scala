@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, Partitioning, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,33 @@ object Joins {
         .orderBy("et_a")
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed on the key —
+    // the join itself plans with no Exchange (shuffle paid at write).
+    "q_join_bucketed" -> ((s, dir) => {
+      val left = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity").as("qty"))
+      val right = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority").as("pri"))
+      Partitioning.bucketedJoin(s, left, right, "okey", 8,
+        "graft_bkt_lineitem", "graft_bkt_orders")
+        .groupBy("pri")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("pri")
+    }),
+
+    // Salted join: explicit skew mitigation (hot keys spread over
+    // saltFactor reducers; result identical to the plain join).
+    "q_join_salted" -> ((s, dir) => {
+      val large = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("skey"), col("l_extendedprice").as("price"))
+      val small = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("skey"), col("s_name"))
+      Partitioning.saltedJoin(large, small, "skey", saltFactor = 8)
+        .groupBy("s_name")
+        .agg(sum("price").as("sum_price"), count(lit(1)).as("n"))
+        .orderBy("s_name")
+    }),
+
     // As-of join: latest order at-or-before each event per user.
     "q_join_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -180,6 +207,16 @@ object Joins {
         |FROM events a JOIN events b
         |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |GROUP BY a.event_type ORDER BY et_a""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority AS pri, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY pri""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT s_name, sum(l_extendedprice) AS sum_price, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "q_join_asof" ->
       """SELECT event_id, o_orderkey, o_totalprice FROM (

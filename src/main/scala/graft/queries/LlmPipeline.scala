@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Aggregators, TextFunctions, VectorExpressions}
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, IvfIndex, Multimodal, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,16 @@ object LlmPipeline {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF ANN: k-means coarse quantizer, nProbes inverted lists
+    // searched, exact cosine re-rank (approximate — rows-only; recall
+    // asserted in scalatest).
+    "q_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbes = 8)
         .orderBy("probe_id", "rank")
     }),
 

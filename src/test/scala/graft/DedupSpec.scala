@@ -83,6 +83,34 @@ class DedupSpec extends SparkSuite {
       s"percentile_approx ${row.getDouble(2)} vs ${row.getDouble(3)}")
   }
 
+  test("ivf ann finds identical-vector neighbors (same inverted list)") {
+    import graft.operators.IvfIndex
+    val base = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val withDup = base :+ (99L, base.head._2.clone)
+    val df = withDup.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") === 99L)
+    val hits = IvfIndex.topK(df, probes, "vec_id", "embedding", k = 1,
+      nCentroids = 4, nProbes = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(hits.headOption.contains(0L))
+  }
+
+  test("salted join equals plain join") {
+    import graft.operators.Partitioning
+    val large = Tables(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("skey"), col("l_extendedprice").as("price"))
+    val small = Tables(spark, sf, "supplier")
+      .select(col("s_suppkey").as("skey"), col("s_name"))
+    val salted = Partitioning.saltedJoin(large, small, "skey", 4)
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+    val plain = large.join(small, "skey")
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("brute force topk matches manual ranking") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),

@@ -63,6 +63,26 @@ class PlanSpec extends SparkSuite {
     assert(df.filter(col("c") > 0.99).count() > 0)
   }
 
+  test("bucketed join plans with no shuffle exchange") {
+    import graft.operators.Partitioning
+    val left = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity").as("qty"))
+    val right = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority").as("pri"))
+    // disable broadcast so the planner uses the bucketed SMJ path
+    // (at scale both sides exceed the broadcast threshold anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Partitioning.bucketedJoin(spark, left, right, "okey", 4,
+        "graft_test_bkt_l", "graft_test_bkt_r")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+        plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q1 aggregation is a two-phase hash aggregate") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
     assert(plan.contains("HashAggregate"), plan.take(2000))
