@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.{Sessionize, StreamOps}
+import graft.streaming.{Sessionize, StreamOps, UserStatsProcessor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,14 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // Spark 4 transformWithState: per-user running stats with explicit
+    // ValueState (RocksDB state store).
+    "q_stream_transform_state" -> ((s, dir) => {
+      val out = UserStatsProcessor.run(s, StreamOps.eventsStream(s, dir))
+      StreamOps.runToMemory(out, "update")
+        .orderBy("user_id")
+    }),
+
     // Arbitrary stateful op: flatMapGroupsWithState sessionization.
     "q_stream_sessionize" -> ((s, dir) => {
       val sessions = Sessionize.run(s, StreamOps.eventsStream(s, dir))
@@ -184,6 +192,11 @@ object StreamingQueries {
     "q_stream_update" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_transform_state" ->
+      """SELECT user_id, count(*) AS n, sum(value) AS sum_value,
+        |       max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_sessionize" ->
       (sessionSql + " ORDER BY user_id, s_start")
