@@ -134,6 +134,42 @@ object Joins {
         .orderBy("s_name")
     }),
 
+    // TPC-H Q3 shape through the SQL surface (S2 lifecycle): priced
+    // unshipped orders for one market segment, top 10 by revenue.
+    "q_sql_tpch_q3" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_orderkey,
+          |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+          |  o_orderdate, o_orderpriority
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, o_orderdate, l_orderkey
+          |LIMIT 10""".stripMargin)
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue per nation (6-table join).
+    "q_sql_tpch_q5" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+          |  count(*) AS n_items
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
+
     // As-of join: latest order at-or-before each event per user.
     "q_join_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -217,6 +253,33 @@ object Joins {
       """SELECT s_name, sum(l_extendedprice) AS sum_price, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_join_asof" ->
       """SELECT event_id, o_orderkey, o_totalprice FROM (
