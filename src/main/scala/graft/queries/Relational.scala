@@ -23,7 +23,9 @@ object Relational {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) has duplicates in this data — add
+        // revenue so tied rows are identical
+        .orderBy("l_orderkey", "l_linenumber", "revenue")
     }),
 
     // Predicate zoo: BETWEEN, IN, LIKE, boolean algebra, null test.
@@ -113,6 +115,16 @@ object Relational {
       c.except(sup).orderBy("nk")
     }),
 
+    // null ordering: computed nullable key, explicit NULLS FIRST/LAST.
+    "q_sort_nulls" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("band",
+          when(col("c_acctbal") < 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")))
+        .select("c_custkey", "band", "c_acctbal")
+        .orderBy(col("band").desc_nulls_last, col("c_custkey").asc)
+    }),
+
     // multiset variants: INTERSECT ALL / EXCEPT ALL keep duplicates.
     "q_intersect_all" -> ((s, dir) => {
       val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
@@ -153,7 +165,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice * (1 - l_discount) AS revenue
         |FROM lineitem WHERE l_quantity > 40
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
 
     "q_filter_predicates" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
@@ -211,6 +223,13 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
+
+    "q_sort_nulls" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS band,
+        |  c_acctbal
+        |FROM customer
+        |ORDER BY band DESC NULLS LAST, c_custkey ASC""".stripMargin,
 
     "q_intersect_all" ->
       """SELECT k, count(*) AS n FROM (

@@ -62,7 +62,9 @@ object Scalars {
         log10(col("l_extendedprice")).as("log10_p"),
         signum(col("l_discount") - 0.05).as("sg"),
         pmod(col("l_orderkey") - lit(3L), lit(7L)).as("pm"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // dup (l_orderkey, l_linenumber) pairs exist: extend the sort so
+        // ties are identical rows (sq/qty_sq/ab pin price/qty/discount)
+        .orderBy("l_orderkey", "l_linenumber", "sq", "qty_sq", "ab")
     }),
 
     // Array family over split strings.
@@ -253,7 +255,7 @@ object Scalars {
         |  log10(l_extendedprice) AS log10_p,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
         |  ((l_orderkey - 3) % 7 + 7) % 7 AS pm
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, qty_sq, ab""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT p_partkey,

@@ -51,6 +51,21 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE frame on a numeric order key: peers within a value band.
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").asc)
+        .rangeBetween(-5L, 0L)
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          count(lit(1)).over(w).as("n_within_5"),
+          sum("l_quantity").over(w).as("qty_within_5"))
+        // (l_orderkey, l_linenumber) is NOT unique in this data — order
+        // by every projected dimension so ties are identical rows
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    }),
+
     // ntile / percent_rank / cume_dist.
     "q_window_ntile" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment")
@@ -116,6 +131,15 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  count(*) OVER w AS n_within_5,
+        |  sum(l_quantity) OVER w AS qty_within_5
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC
+        |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
 
     "q_window_ntile" ->
       """SELECT c_mktsegment, c_custkey,
