@@ -34,7 +34,9 @@ def canon_val(v):
     if isinstance(v, decimal.Decimal):
         return f"{v:f}"
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.") + f"{v.microsecond//1000:03d}"
+        # full microsecond precision — the events table is µs-native;
+        # truncating to ms would hide sub-ms divergence
+        return v.strftime("%Y-%m-%d %H:%M:%S.") + f"{v.microsecond:06d}"
     if isinstance(v, (list, tuple)):
         return tuple(canon_val(x) for x in v)
     return v

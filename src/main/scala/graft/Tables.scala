@@ -19,6 +19,17 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Per-JVM-unique scratch path for sink/index queries — two graft
+    * processes (e.g. the test suite and a Verify run) must never race
+    * on the same sink directory.
+    */
+  def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}", name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   /** Load one table as a DataFrame (schema from parquet footer).
     *
     * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's parquet

@@ -41,5 +41,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // streaming/state-store pools leave non-daemon threads behind;
+    // exit explicitly so the driver's harness isn't left waiting
+    sys.exit(0)
   }
 }

@@ -188,23 +188,57 @@ object GraftHash {
     math.sqrt(s)
   }
 
+  /** Precomputed hyperplane matrices, keyed by (table, dim). Weights are
+    * deterministic functions of (bit, i, table-seed) — the cache only
+    * avoids re-deriving O(nBits·dim) hashes per ROW (they were previously
+    * recomputed inside the hot loop). Table 0 reproduces the original
+    * round-1 weights exactly; tables > 0 reseed so each LSH table uses an
+    * independent plane set (independent collisions → real recall gain).
+    */
+  private val MaxBits = 64
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+  private def planeMatrix(table: Int, dim: Int): Array[Double] = {
+    val key = (table.toLong << 32) | dim.toLong
+    var m = planeCache.get(key)
+    if (m == null) {
+      val seed = if (table == 0) Seed else XXH64.hashLong(table.toLong, Seed)
+      m = new Array[Double](MaxBits * dim)
+      var bit = 0
+      while (bit < MaxBits) {
+        var i = 0
+        while (i < dim) {
+          // deterministic N(0,1)-ish weight from (bit, i) via hash → uniform
+          val h = XXH64.hashLong(bit.toLong * 1000003L + i, seed)
+          // map to [-1, 1) uniform — sufficient for sign-projection LSH
+          m(bit * dim + i) = (h >> 11).toDouble / (1L << 52).toDouble
+          i += 1
+        }
+        bit += 1
+      }
+      planeCache.putIfAbsent(key, m)
+    }
+    m
+  }
+
   /** Random-hyperplane LSH bucket (Charikar '02): sign bits of `nBits`
     * deterministic pseudo-random projections packed into a long.
     * Vectors with high cosine land in the same bucket w.h.p.
+    * `table` selects an independent plane set (multi-table LSH).
     */
-  def hyperplaneBucket(v: ArrayData, nBits: Int): Long = {
+  def hyperplaneBucket(v: ArrayData, nBits: Int): Long =
+    hyperplaneBucket(v, nBits, 0)
+
+  def hyperplaneBucket(v: ArrayData, nBits: Int, table: Int): Long = {
     val dim = v.numElements()
+    val m = planeMatrix(table, dim)
     var out = 0L
     var bit = 0
     while (bit < nBits) {
       var s = 0.0
       var i = 0
+      val off = bit * dim
       while (i < dim) {
-        // deterministic N(0,1)-ish weight from (bit, i) via hash → uniform
-        val h = XXH64.hashLong(bit.toLong * 1000003L + i, Seed)
-        // map to [-1, 1) uniform — sufficient for sign-projection LSH
-        val w = (h >> 11).toDouble / (1L << 52).toDouble
-        s += w * v.getFloat(i)
+        s += m(off + i) * v.getFloat(i)
         i += 1
       }
       if (s > 0) out |= (1L << bit)

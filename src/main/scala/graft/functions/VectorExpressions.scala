@@ -88,14 +88,16 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** Random-hyperplane LSH bucket id for a float vector. */
-  case class HyperplaneBucket(child: Expression, nBits: Int) extends UnaryExpression {
+  /** Random-hyperplane LSH bucket id for a float vector; `table`
+    * selects an independent plane set (multi-table LSH).
+    */
+  case class HyperplaneBucket(child: Expression, nBits: Int, table: Int = 0) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      GraftHash.hyperplaneBucket(v.asInstanceOf[ArrayData], nBits)
+      GraftHash.hyperplaneBucket(v.asInstanceOf[ArrayData], nBits, table)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.GraftHash.hyperplaneBucket($c, $nBits);")
+        s"${ev.value} = graft.functions.GraftHash.hyperplaneBucket($c, $nBits, $table);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -109,7 +111,8 @@ object VectorExpressions {
   def lsh_bands(sig: Column, rowsPerBand: Int): Column = toCol(LshBands(toExpr(sig), rowsPerBand))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def fingerprint(text: Column, k: Int = 7, w: Int = 10): Column = toCol(Fingerprint(toExpr(text), k, w))
-  def hyperplane_bucket(v: Column, nBits: Int): Column = toCol(HyperplaneBucket(toExpr(v), nBits))
+  def hyperplane_bucket(v: Column, nBits: Int, table: Int = 0): Column =
+    toCol(HyperplaneBucket(toExpr(v), nBits, table))
 
   /** Exact jaccard over token sets, composed from codegen'd built-ins. */
   def jaccard_tokens(a: Column, b: Column): Column = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorExpressions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus cleaning
@@ -63,7 +64,16 @@ object Dedup {
       .select(col("doc"), array_distinct(shingles(col("words"), shingleSize)).as("toks"))
       .withColumn("sig", minhash_sig(col("toks"), numHashes))
       .withColumn("band", explode(lsh_bands(col("sig"), rowsPerBand)))
-    val banded = sigs.select(col("doc"), col("toks"), col("band"))
+    // skew guard: drop band buckets larger than maxBucket BEFORE the
+    // self-join — a degenerate bucket (giant all-dup cluster, common in
+    // web crawls) would otherwise produce O(bucket²) candidate pairs.
+    // Such clusters are exact-dup-findable; near-dup LSH loses nothing.
+    val bandCounts = sigs.groupBy("band")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucket)
+      .select("band")
+    val banded = sigs.join(bandCounts, Seq("band"))
+      .select(col("doc"), col("toks"), col("band"))
     val a = banded.select(col("band"), col("doc").as("doc_a"), col("toks").as("toks_a"))
     val b = banded.select(col("band"), col("doc").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, Seq("band"))
@@ -78,9 +88,53 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128,
-      rowsPerBand: Int = 4, shingleSize: Int = 1): DataFrame =
-    minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleSize)
+      rowsPerBand: Int = 4, shingleSize: Int = 1,
+      maxBucket: Int = 1000): DataFrame =
+    minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleSize, maxBucket)
       .filter(col("jaccard") >= threshold)
+
+  /** Exact set-similarity join via prefix filtering (the SSJoin /
+    * PPJoin family — Chaudhuri et al. '06, Xiao et al. '08; public
+    * algorithms). For each doc, grams are ordered by ascending global
+    * document frequency (rarest first); any pair with
+    * jaccard ≥ threshold MUST share a gram within the first
+    * |g| − ⌈threshold·|g|⌉ + 1 grams of that order, so joining on
+    * prefix grams is a COMPLETE candidate generator — unlike LSH there
+    * is no probabilistic recall loss, which keeps results oracle-exact.
+    *
+    * Scale: shuffles are (1) gram document-frequency count, (2) df
+    * lookup join on gram, (3) per-doc window sort (tiny partitions),
+    * (4) prefix-gram equi-join, (5) candidate distinct. Rarest-first
+    * ordering keeps hot grams out of prefixes, so the candidate count
+    * is collision-driven, never O(n²).
+    */
+  def prefixJaccardJoin(
+      df: DataFrame, idCol: String, gramsCol: String,
+      threshold: Double): DataFrame = {
+    val d = df.select(col(idCol).as("doc"), array_distinct(col(gramsCol)).as("grams"))
+    val exploded = d.select(col("doc"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val dfCounts = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    // total order (gram_df asc, gram asc) — any total order preserves
+    // completeness; rarest-first minimizes candidates. No global rank
+    // needed (a global row_number would single-partition the dictionary).
+    val w = Window.partitionBy("doc").orderBy(col("gram_df").asc, col("gram").asc)
+    val prefixes = exploded.join(dfCounts, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc"), col("gram"))
+    val cands = prefixes.select(col("gram"), col("doc").as("doc_a"))
+      .join(prefixes.select(col("gram"), col("doc").as("doc_b")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(d.select(col("doc").as("doc_a"), col("grams").as("g_a")), Seq("doc_a"))
+      .join(d.select(col("doc").as("doc_b"), col("grams").as("g_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard_tokens(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** SimHash near-dup: 64-bit simhash, banded into 4×16-bit chunks
     * (pigeonhole: hamming distance ≤3 ⇒ at least one chunk equal),
@@ -88,13 +142,19 @@ object Dedup {
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
       simhash64(tokens(col(textCol))).as("sh"))
-    val chunked = sh.select(col("doc"), col("sh"),
+    val chunkedAll = sh.select(col("doc"), col("sh"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("key", concat_ws(":", col("chunk"),
         expr("shiftrightunsigned(sh, chunk * 16)").bitwiseAND(lit(0xFFFFL))))
+    // same skew guard as minhash: bound chunk-key buckets pre-self-join
+    val keyCounts = chunkedAll.groupBy("key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucket)
+      .select("key")
+    val chunked = chunkedAll.join(keyCounts, Seq("key"))
     val a = chunked.select(col("key"), col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("key"), col("doc").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("key"))
@@ -126,32 +186,44 @@ object Dedup {
     * fixed point with a bounded iteration count). Used to pick one
     * representative per duplicate cluster.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // cache the (usually expensive) pair lineage once: every iteration
-    // below re-reads edges, and labels would otherwise re-derive the
-    // full candidate-generation pipeline per step
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) materializes the usually-expensive pair
+    // lineage once AND truncates the logical plan — without it each
+    // iteration nests one more level of plan, and a cache() recompute
+    // after executor loss replays the full candidate pipeline per step
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .cache()
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      // (1) min-label propagation over neighbors
       val neighborMin = edges.join(labels, edges("v") === labels("doc"))
         .groupBy(col("u").as("doc2")).agg(min("label").as("nbr_label"))
-      val updated = labels.join(neighborMin, labels("doc") === col("doc2"), "left_outer")
-        .select(col("doc"),
+      val prop = labels.join(neighborMin, labels("doc") === col("doc2"), "left_outer")
+        .select(col("doc"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "doc")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = updated
+      // (2) pointer jump (path halving): label ← label(label). Plain
+      // min-propagation needs O(graph diameter) rounds — fatal on a
+      // chain-shaped 100 TB cluster; halving brings it to O(log d).
+      val parent = prop.select(col("doc").as("pdoc"), col("label").as("plabel"))
+      val updated = prop.join(parent, prop("label") === col("pdoc"), "left_outer")
+        .select(prop("doc"), col("old"),
+          least(prop("label"), coalesce(col("plabel"), prop("label"))).as("label"))
+        .localCheckpoint() // eager: one materializing job per iteration
+      // convergence probe runs over the checkpointed blocks — no plan replay
+      val changed = updated.filter(col("label") =!= col("old")).count()
+      labels = updated.select("doc", "label")
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] duplicateClusters did NOT converge in $maxIter iterations; labels may span components")
+    edges.unpersist()
     labels
   }
 }

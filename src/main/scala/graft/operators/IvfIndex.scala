@@ -38,12 +38,27 @@ object IvfIndex {
     (assigned, centroids)
   }
 
-  /** Approximate top-k: search the nProbes nearest inverted lists. */
-  def topK(
-      corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
-    val (assigned, centroids) = fit(corpus, idCol, vecCol, nCentroids)
+  /** Persist a fitted index: cluster-assigned corpus + centroids as
+    * parquet under `path`. Fit ONCE, search many — at scale a k-means
+    * refit per lookup is the difference between an index and a scan.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, path: String, seed: Long = 42L): Unit = {
+    val (assigned, centroids) = fit(corpus, idCol, vecCol, nCentroids, seed)
+    assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index: (assigned corpus, centroids). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/assigned"), spark.read.parquet(s"$path/centroids"))
+
+  /** Approximate top-k over a prebuilt index (no refit): search the
+    * nProbes nearest inverted lists, exact cosine re-rank.
+    */
+  def searchTopK(
+      assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbes: Int): DataFrame = {
     // probe → its nProbes nearest centroids (tiny crossJoin)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val wC = Window.partitionBy("probe_id").orderBy(col("cdist").asc, col("centroid_id").asc)
@@ -62,5 +77,14 @@ object IvfIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Convenience fit+search in one call (small corpora / tests). */
+  def topK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+    val (assigned, centroids) = fit(corpus, idCol, vecCol, nCentroids)
+    searchTopK(assigned, centroids, probes, idCol, vecCol, k, nProbes)
   }
 }

@@ -44,12 +44,13 @@ object SimilaritySearch {
       nBits: Int = 8, nTables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String) = {
       val tables = (0 until nTables).map { t =>
-        // table-specific signature: shift the plane set by offsetting bits
+        // per-table plane seed → genuinely independent signatures; a
+        // shared-prefix scheme (nBits + t planes from one set) makes
+        // every table-t collision imply a table-0 collision, adding
+        // cost but zero recall
         df.select(col(idCol).as(id), col(vecCol).as(vec))
           .withColumn("table", lit(t))
-          .withColumn("bucket",
-            hyperplane_bucket(col(vec), nBits + t) // different plane count per table
-          )
+          .withColumn("bucket", hyperplane_bucket(col(vec), nBits, t))
       }
       tables.reduce(_ unionAll _)
     }

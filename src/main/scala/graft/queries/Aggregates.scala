@@ -78,13 +78,15 @@ object Aggregates {
     }),
 
     // collect_list canonicalized with array_sort; collect_set distinct.
+    // Output scalar-canonicalized (array_join) so the driver's pandas
+    // checker can sort/hash it — array cells are unhashable there.
     "q_agg_collect" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region")
       nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          array_sort(collect_list(col("n_name"))).as("nations"),
+          array_join(array_sort(collect_list(col("n_name"))), "|").as("nations"),
           size(collect_set(col("n_name"))).as("n_distinct"))
         .orderBy("r_name")
     }),
@@ -168,7 +170,7 @@ object Aggregates {
 
     "q_agg_collect" ->
       """SELECT r_name,
-        |  list_sort(list(n_name)) AS nations,
+        |  array_to_string(list_sort(list(n_name)), '|') AS nations,
         |  count(DISTINCT n_name) AS n_distinct
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,

@@ -70,19 +70,17 @@ object LlmPipeline {
         .orderBy("vid_a", "vid_b")
     }),
 
-    // n-gram (bigram-shingle) jaccard between documents of one source.
+    // n-gram (bigram-shingle) jaccard between documents of one source,
+    // via the exact prefix-filtering similarity join — candidate pairs
+    // come from a rarest-first prefix-gram equi-join (complete at the
+    // threshold, no LSH recall loss), never a cartesian product.
     "q_text_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(col("source") === "src0")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("words"))
         .select(col("doc_id"),
           array_distinct(Dedup.shingles(col("words"), 2)).as("grams"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
-      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-        .withColumn("jaccard", VectorExpressions.jaccard_tokens(col("g_a"), col("g_b")))
-        .filter(col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b", "jaccard")
+      Dedup.prefixJaccardJoin(docs, "doc_id", "grams", threshold = 0.3)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -121,13 +119,17 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
-    // IVF ANN: k-means coarse quantizer, nProbes inverted lists
-    // searched, exact cosine re-rank (approximate — rows-only; recall
-    // asserted in scalatest).
+    // IVF ANN: k-means coarse quantizer fitted ONCE and persisted as
+    // parquet; the search reads the prebuilt index (no per-query refit
+    // — the 100 TB fit-once/search-many discipline). Approximate —
+    // rows-only; recall asserted in scalatest.
     "q_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbes = 8)
+      val idx = graft.Tables.scratch("ivf_index")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 16, path = idx)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      IvfIndex.searchTopK(assigned, centroids, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbes = 8)
         .orderBy("probe_id", "rank")
     }),
 
@@ -197,6 +199,24 @@ object LlmPipeline {
     "q_multimodal_features" -> ((s, dir) => {
       val payloads = Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(payloads)
+        .orderBy("doc_id")
+    }),
+
+    // TRUE BinaryType round-trip: raw digest bytes (full 0–255 range,
+    // not UTF-8-safe text) written to parquet as BinaryType, read back,
+    // fed through the codec plumbing; payload_hex proves byte-exact
+    // survival (DuckDB's md5 is VARCHAR-only, so equality is checked on
+    // the hex image rather than a blob digest).
+    "q_multimodal_roundtrip" -> ((s, dir) => {
+      val out = graft.Tables.scratch("multimodal_bin")
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"),
+          unhex(sha2(col("text").cast("binary"), 256)).as("payload"))
+      bin.write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+      Multimodal.extractFeatures(back)
+        .join(back.select(col("doc_id"), lower(hex(col("payload"))).as("payload_hex")), "doc_id")
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("payload_hex"))
         .orderBy("doc_id")
     })
   )
@@ -350,6 +370,11 @@ object LlmPipeline {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
         |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_roundtrip" ->
+      """SELECT doc_id, 32 AS n_bytes, 1 AS n_frames,
+        |       sha256(text) AS payload_hex
         |FROM documents ORDER BY doc_id""".stripMargin
   ) ++ Map(
     // centroid: per-dimension mean, positional unnest (lockstep)

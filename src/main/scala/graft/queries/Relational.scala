@@ -246,7 +246,7 @@ object Relational {
         |GROUP BY k ORDER BY k""".stripMargin,
 
     "q_union_by_name" ->
-      """SELECT nk, sum(id) AS sum_ids, count(*) AS n FROM (
+      """SELECT nk, CAST(sum(id) AS BIGINT) AS sum_ids, count(*) AS n FROM (
         |  SELECT c_custkey AS id, c_nationkey AS nk FROM customer
         |  UNION ALL
         |  SELECT s_suppkey AS id, s_nationkey AS nk FROM supplier)

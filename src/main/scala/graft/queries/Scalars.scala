@@ -67,7 +67,9 @@ object Scalars {
         .orderBy("l_orderkey", "l_linenumber", "sq", "qty_sq", "ab")
     }),
 
-    // Array family over split strings.
+    // Array family over split strings. Array-typed outputs are
+    // scalar-canonicalized (array_join) — the driver's pandas checker
+    // cannot sort/hash array cells; semantics unchanged.
     "q_array_funcs" -> ((s, dir) => {
       t(s, dir, "part")
         .withColumn("words", split(col("p_type"), " "))
@@ -75,11 +77,11 @@ object Scalars {
           col("p_partkey"),
           size(col("words")).as("n_words"),
           array_contains(col("words"), "brushed").as("has_brushed"),
-          array_sort(col("words")).as("sorted_words"),
-          array_distinct(col("words")).as("dwords"),
-          slice(col("words"), 1, 2).as("first2"),
+          array_join(array_sort(col("words")), "_").as("sorted_words"),
+          array_join(array_distinct(col("words")), "_").as("dwords"),
+          array_join(slice(col("words"), 1, 2), "_").as("first2"),
           array_join(col("words"), "_").as("joined"),
-          reverse(col("words")).as("rwords"))
+          array_join(reverse(col("words")), "_").as("rwords"))
         .orderBy("p_partkey")
     }),
 
@@ -94,14 +96,16 @@ object Scalars {
         .orderBy("vec_id")
     }),
 
-    // Map functions over parsed JSON props.
+    // Map functions over parsed JSON props. Key/value arrays are
+    // key-sorted then array_join'd so the driver checker sees scalars.
     "q_map_funcs" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+        .withColumn("sks", array_sort(map_keys(col("m"))))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          array_join(col("sks"), ",").as("ks"),
+          array_join(transform(col("sks"), k => element_at(col("m"), k)), ",").as("vs"),
           element_at(col("m"), "k").as("k_val"),
           size(col("m")).as("m_size"))
         .orderBy("event_id")
@@ -131,6 +135,44 @@ object Scalars {
         get_json_object(col("props"), "$.k").as("k_val"),
         to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("as_json"))
         .orderBy("event_id")
+    }),
+
+    // json_tuple generator: multi-field extraction in one pass over a
+    // constructed JSON document (props itself has a single key).
+    "q_json_tuple" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("j", to_json(struct(
+          col("event_id").as("id"), col("event_type").as("t"), col("value").as("v"))))
+        .select(col("event_id"), json_tuple(col("j"), "id", "t", "v").as(Seq("jid", "jt", "jv")))
+        .orderBy("event_id")
+    }),
+
+    // from_json with an explicit StructType schema + schema_of_json.
+    "q_json_schema" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", LongType)))
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          from_json(col("props"), schema).getField("k").as("k_num"),
+          schema_of_json(lit("""{"k": 42}""")).as("inferred"))
+        .orderBy("event_id")
+    }),
+
+    // arrays_zip / zip_with / flatten / sort_array over embeddings.
+    // e and er are materialized columns (select barrier) so lambdas
+    // don't re-evaluate them per element; scalar fold outputs keep the
+    // driver checker happy.
+    "q_array_zip" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("e", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("er", reverse(col("e")))
+        .select(
+          col("vec_id"),
+          expr("aggregate(zip_with(e, er, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("dot_rev"),
+          expr("aggregate(transform(arrays_zip(e, er), s -> s.e * s.er), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("dot_zip"),
+          expr("aggregate(flatten(array(slice(e, 1, 2), slice(e, 3, 2))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("sum_head4"),
+          expr("aggregate(slice(sort_array(e, false), 1, 3), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("top3_sum"))
+        .orderBy("vec_id")
     }),
 
     // Generator: explode word tokens, global top-40 by frequency.
@@ -187,8 +229,9 @@ object Scalars {
         .orderBy("c_custkey")
     }),
 
-    // Date/string functions with Spark-specific semantics (no clean
-    // DuckDB twin — rows-only; values asserted in scalatest).
+    // Date/string functions with Spark-specific semantics, each
+    // re-derived in the DuckDB oracle (initcap word-splitting,
+    // months_between's 31-day convention, next_day via isodow).
     "q_scalar_misc" -> ((s, dir) => {
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -198,7 +241,7 @@ object Scalars {
         weekofyear(col("o_orderdate")).as("woy"),
         quarter(col("o_orderdate")).as("q"),
         dayofweek(col("o_orderdate")).as("dow"),
-        sequence(lit(1), col("o_orderkey") % 4 + 1).as("seq"))
+        array_join(sequence(lit(1), col("o_orderkey") % 4 + 1), ",").as("seq"))
         .orderBy("o_orderkey")
     }),
 
@@ -261,11 +304,11 @@ object Scalars {
       """SELECT p_partkey,
         |  len(words) AS n_words,
         |  list_contains(words, 'brushed') AS has_brushed,
-        |  list_sort(words) AS sorted_words,
-        |  list_distinct(words) AS dwords,
-        |  words[1:2] AS first2,
+        |  array_to_string(list_sort(words), '_') AS sorted_words,
+        |  array_to_string(list_distinct(words), '_') AS dwords,
+        |  array_to_string(words[1:2], '_') AS first2,
         |  array_to_string(words, '_') AS joined,
-        |  list_reverse(words) AS rwords
+        |  array_to_string(list_reverse(words), '_') AS rwords
         |FROM (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part)
         |ORDER BY p_partkey""".stripMargin,
 
@@ -279,8 +322,8 @@ object Scalars {
 
     "q_map_funcs" ->
       """SELECT event_id,
-        |  json_keys(props) AS ks,
-        |  [json_extract_string(props, '$.' || k) FOR k IN json_keys(props)] AS vs,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
+        |  array_to_string([json_extract_string(props, '$.' || k) FOR k IN list_sort(json_keys(props))], ',') AS vs,
         |  json_extract_string(props, '$.k') AS k_val,
         |  len(json_keys(props)) AS m_size
         |FROM events ORDER BY event_id""".stripMargin,
@@ -298,6 +341,32 @@ object Scalars {
         |  json_extract_string(props, '$.k') AS k_val,
         |  to_json(struct_pack(id := event_id, t := event_type)) AS as_json
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_tuple" ->
+      """SELECT event_id,
+        |  json_extract_string(j, '$.id') AS jid,
+        |  json_extract_string(j, '$.t') AS jt,
+        |  json_extract_string(j, '$.v') AS jv
+        |FROM (SELECT event_id,
+        |        to_json(struct_pack(id := event_id, t := event_type, v := value)) AS j
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_json_schema" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+        |  'STRUCT<k: BIGINT>' AS inferred
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_array_zip" ->
+      """WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  list_aggregate(list_transform(list_zip(e, list_reverse(e)), s -> s[1] * s[2]), 'sum') AS dot_rev,
+        |  list_aggregate(list_transform(list_zip(e, list_reverse(e)), s -> s[1] * s[2]), 'sum') AS dot_zip,
+        |  list_aggregate(flatten([e[1:2], e[3:4]]), 'sum') AS sum_head4,
+        |  list_aggregate(list_sort(e, 'DESC')[1:3], 'sum') AS top3_sum
+        |FROM t ORDER BY vec_id""".stripMargin,
 
     "q_explode_tokens" ->
       """SELECT word, count(*) AS n
@@ -333,6 +402,23 @@ object Scalars {
       """SELECT c_custkey,
         |  md5(c_name) AS name_md5,
         |  sha256(c_name) AS name_sha256
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Spark-specific semantics re-derived: initcap = capitalize each
+    // space-separated word; months_between = months + (day delta incl.
+    // time-of-day)/31 rounded to 8, integer when days equal; next_day =
+    // next strictly-later Monday; Spark dayofweek is 1=Sunday (DuckDB 0).
+    "q_scalar_misc" ->
+      """SELECT o_orderkey,
+        |  array_to_string(list_transform(string_split(lower(o_orderpriority), ' '), w -> upper(w[1]) || w[2:]), ' ') AS pri_title,
+        |  round((1998 - year(o_orderdate))*12 + (1 - month(o_orderdate)) +
+        |    CASE WHEN day(o_orderdate) = 1 THEN 0
+        |         ELSE (1 - day(o_orderdate) - (epoch(o_orderdate) - epoch(date_trunc('day', o_orderdate)))/86400.0)/31.0 END, 8) AS mb,
+        |  CAST(o_orderdate + ((CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7 ELSE (8 - isodow(o_orderdate)) % 7 END) * INTERVAL 1 DAY) AS DATE) AS next_mon,
+        |  weekofyear(o_orderdate) AS woy,
+        |  quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  array_to_string(range(1, CAST(o_orderkey % 4 + 2 AS BIGINT)), ',') AS seq
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
-
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,11 +13,7 @@ import org.apache.spark.sql.functions._
 object Sources {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  private def tmp(name: String): String = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_sinks", name)
-    Files.createDirectories(p.getParent)
-    p.toString
-  }
+  private def tmp(name: String): String = Tables.scratch(name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Parquet sink round-trip with Overwrite (truncate-on-exists flag
@@ -85,15 +79,19 @@ object Sources {
         .orderBy("s_suppkey")
     }),
 
-    // File-metadata scan: listStatus/stat surface via _metadata.
+    // File-metadata scan: listStatus/stat surface via _metadata and
+    // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("_metadata.file_size").as("fsize"),
-          col("_metadata.file_path").as("fpath"))
+          col("_metadata.file_path").as("fpath"),
+          input_file_name().as("ifn"))
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("fpath")).as("n_files"),
-          (min(col("fsize")) > 0).as("has_size"))
+          (min(col("fsize")) > 0).as("has_size"),
+          countDistinct(col("ifn")).as("n_files_ifn"),
+          min(col("ifn").endsWith(".parquet")).as("ifn_parquet"))
     })
   )
 
@@ -121,7 +119,8 @@ object Sources {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "q_file_metadata" ->
-      """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size
+      """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size,
+        |       1 AS n_files_ifn, true AS ifn_parquet
         |FROM lineitem""".stripMargin
   )
 }

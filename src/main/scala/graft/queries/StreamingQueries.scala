@@ -70,6 +70,20 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    // evicts key state once the watermark passes — the form that
+    // survives 100 TB (unbounded dropDuplicates state-OOMs). Single
+    // AvailableNow drain ⇒ output = DISTINCT keys.
+    "q_stream_dedup_watermark" -> ((s, dir) => {
+      val dd = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      StreamOps.runToMemory(dd, "append")
+        .orderBy("user_id", "event_type")
+    }),
+
     // Stream-static join: events stream against the customer dim.
     "q_stream_static_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -173,6 +187,10 @@ object StreamingQueries {
         |ORDER BY w_start, event_type""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 

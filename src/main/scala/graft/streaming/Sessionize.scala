@@ -9,7 +9,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * and event counts per open session across micro-batches).
   */
 object Sessionize {
-  case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  // `ts` carries the watermarked event-time attribute through to the
+  // stateful operator (event-time timeout requires it in the input);
+  // tsMicros is the same instant pre-converted for the session math
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, tsMicros: Long, value: Double)
   case class SessionState(events: List[(Long, Double)])
   case class SessionOut(user_id: Long, s_start_us: Long, s_end_us: Long,
       n: Long, sum_value: Double)
@@ -39,10 +42,19 @@ object Sessionize {
 
   /** Streaming sessionization: state holds the open tail of events per
     * user; closed sessions (gap exceeded within the batch) are emitted
-    * immediately. With a single AvailableNow batch this emits every
-    * session, matching the batch/SQL formulation exactly.
+    * immediately.
+    *
+    * `emitOpen = true` (default): the open session is also emitted each
+    * invocation — correct ONLY for a single AvailableNow drain batch
+    * (matches the batch/SQL formulation exactly).
+    *
+    * `emitOpen = false`: multi-batch-safe. The open session stays in
+    * state and is flushed exactly once via EVENT-TIME TIMEOUT when the
+    * watermark passes its gap deadline — callers must set a watermark
+    * on `events` upstream.
     */
-  def run(spark: SparkSession, events: DataFrame): DataFrame = {
+  def run(spark: SparkSession, events: DataFrame,
+      emitOpen: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     implicit val evEnc = Encoders.product[Ev]
     implicit val outEnc = Encoders.product[SessionOut]
@@ -50,27 +62,45 @@ object Sessionize {
     implicit val keyEnc = Encoders.scalaLong
 
     val typed = events
-      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
       .as[Ev]
 
+    val timeoutConf =
+      if (emitOpen) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.EventTimeTimeout()
     val sessions = typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          val prev = if (state.exists) state.get.events else Nil
-          val all = prev ++ rows.map(e => (e.tsMicros, e.value)).toList
-          if (all.isEmpty) Iterator.empty
-          else {
-            val sorted = all.sortBy(_._1)
-            // keep the open tail (last gap-run) in state; emit the rest
-            val sessions = sessionsOf(userId, sorted).toVector
-            val closed = sessions.dropRight(1)
-            val openStart = sessions.last.s_start_us
-            state.update(SessionState(sorted.filter(_._1 >= openStart)))
-            // single-batch drain: emit the open session too (AvailableNow
-            // final batch — no more data will arrive)
-            closed.iterator ++ Iterator(sessions.last)
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap deadline: flush it
+            // exactly once and clear state
+            val evs = state.get.events
+            state.remove()
+            sessionsOf(userId, evs)
+          } else {
+            val prev = if (state.exists) state.get.events else Nil
+            val all = prev ++ rows.map(e => (e.tsMicros, e.value)).toList
+            if (all.isEmpty) Iterator.empty
+            else {
+              val sorted = all.sortBy(_._1)
+              // keep the open tail (last gap-run) in state; emit the rest
+              val sessions = sessionsOf(userId, sorted).toVector
+              val closed = sessions.dropRight(1)
+              val openStart = sessions.last.s_start_us
+              state.update(SessionState(sorted.filter(_._1 >= openStart)))
+              if (emitOpen) {
+                // single-batch drain: emit the open session too
+                // (AvailableNow final batch — no more data will arrive)
+                closed.iterator ++ Iterator(sessions.last)
+              } else {
+                // flush when the watermark clears last event + gap
+                state.setTimeoutTimestamp(sorted.last._1 / 1000 + GapMicros / 1000)
+                closed.iterator
+              }
+            }
           }
       }
     sessions.toDF()

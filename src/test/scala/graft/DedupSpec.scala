@@ -39,11 +39,53 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((4L, 5L)))
   }
 
+  test("maxBucket guard bounds degenerate band buckets (giant all-dup cluster)") {
+    // 30 identical docs: every band bucket they share has 30 members —
+    // over maxBucket=10, so they are dropped pre-self-join (no O(30²)
+    // pair blow-up); the small near-dup pair is still found.
+    val giant = (100L until 130L).map(i => (i, "same giant duplicate cluster text repeated everywhere"))
+    val all = (docs.as[(Long, String)].collect().toSeq ++ giant).toDF("doc_id", "text")
+    val guarded = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.7, maxBucket = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!guarded.exists { case (a, b) => a >= 100L || b >= 100L },
+      "giant-cluster pairs must be excluded by the bucket guard")
+    assert(guarded.contains((1L, 2L)) && guarded.contains((4L, 5L)))
+    // without the guard the giant cluster produces all 435 pairs
+    val unguarded = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.7)
+      .filter(col("doc_a") >= 100L).count()
+    assert(unguarded == 30L * 29 / 2)
+  }
+
+  test("prefix jaccard join equals brute-force all-pairs jaccard") {
+    import graft.functions.VectorExpressions
+    val grams = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 2)).as("grams"))
+    val got = Dedup.prefixJaccardJoin(grams, "doc_id", "grams", threshold = 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", VectorExpressions.jaccard_tokens(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == brute, s"prefix join must be complete: $got vs $brute")
+    assert(brute.nonEmpty) // sanity: the planted near-dups are above 0.3
+  }
+
   test("duplicate clusters merge transitively") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val labels = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
     assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
     assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("duplicate clusters converge on a long chain (pointer jumping)") {
+    // diameter 200 ≫ maxIter=20: plain per-round min propagation would
+    // silently stop short; the path-halving step makes it O(log d)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_._2 == 0L), "all chain nodes must share the min label")
   }
 
   test("embedding near-dups: identical vectors collide and verify") {

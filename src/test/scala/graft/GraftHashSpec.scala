@@ -80,6 +80,22 @@ class GraftHashSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane tables use independent plane sets") {
+    // per-table seeds: some vector must land in different buckets across
+    // tables (a shared-prefix scheme would make table t's collisions a
+    // subset of table 0's — zero recall gain for nTables× the cost)
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(40)(Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val differs = vecs.count { xs =>
+      GraftHash.hyperplaneBucket(floatArr(xs), 8, 0) !=
+        GraftHash.hyperplaneBucket(floatArr(xs), 8, 1)
+    }
+    assert(differs > 10, s"tables 0 and 1 agree on ${40 - differs}/40 vectors — planes not independent")
+    // and each table is itself deterministic
+    val v = floatArr(vecs.head)
+    assert(GraftHash.hyperplaneBucket(v, 8, 1) == GraftHash.hyperplaneBucket(v, 8, 1))
+  }
+
   test("lsh bands: equal signatures collide in every band") {
     val sig = GraftHash.minhashSig(strArr(Seq("a", "b", "c")), 128)
     val b1 = GraftHash.lshBands(sig, 4).toLongArray().toSeq

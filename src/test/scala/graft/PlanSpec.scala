@@ -83,6 +83,12 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ngram jaccard join is candidate-driven — no cartesian product") {
+    val plan = planOf(SparkEntry.queries("q_text_ngram_jaccard")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into the similarity join:\n${plan.take(3000)}")
+  }
+
   test("q1 aggregation is a two-phase hash aggregate") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
     assert(plan.contains("HashAggregate"), plan.take(2000))

@@ -55,6 +55,52 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Map(1L -> "first", 2L -> "x", 3L -> "y"))
   }
 
+  test("dropDuplicatesWithinWatermark re-admits keys after watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dd = input.toDF().toDF("ts", "id")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dd.writeStream.format("memory").queryName("ddw_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData((ts(0), 1L), (ts(1), 1L))      // in-window dup suppressed
+    q.processAllAvailable()
+    input.addData((ts(60), 2L))                  // watermark → 55min, id=1 state evicted
+    q.processAllAvailable()
+    input.addData((ts(61), 1L))                  // same key AFTER eviction: re-emitted
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddw_test").select("id").as[Long].collect().toSeq.sorted
+    // bounded state: id=1 appears twice (before and after eviction) —
+    // exactly the behavior that keeps state finite at 100 TB
+    assert(ids == Seq(1L, 1L, 2L), s"got $ids")
+  }
+
+  test("sessionize (emitOpen=false) flushes the open session exactly once via event-time timeout") {
+    import graft.streaming.Sessionize
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val sessions = Sessionize.run(spark, events, emitOpen = false)
+    val q = sessions.writeStream.format("memory").queryName("sess_mb_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData((7L, ts(10), 1.0), (7L, ts(15), 2.0)) // open session
+    q.processAllAvailable()
+    input.addData((7L, ts(14), 1.5))                  // same open session, second batch (within delay)
+    q.processAllAvailable()
+    input.addData((9L, ts(120), 9.0))                 // watermark far past 7's gap deadline
+    q.processAllAvailable()
+    input.addData((9L, ts(121), 1.0))                 // extra batch: must NOT re-emit user 7
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_mb_test")
+      .filter(col("user_id") === 7L)
+      .select(col("n"), col("sum_value")).as[(Long, Double)].collect().toSeq
+    // exactly ONE session for user 7, containing all three events
+    assert(out == Seq((3L, 4.5)), s"got $out")
+  }
+
   test("sessionsOf splits on gap and aggregates") {
     import graft.streaming.Sessionize
     val m = 60L * 1000000
