@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // streaming state partitions sized to bench data volume (see
+      // StreamOps.runToMemory) — 8 state stores instead of 32 cuts
+      // per-micro-batch commit overhead without changing results
+      .config("spark.graft.streaming.shufflePartitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

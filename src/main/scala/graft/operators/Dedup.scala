@@ -111,7 +111,12 @@ object Dedup {
   def prefixJaccardJoin(
       df: DataFrame, idCol: String, gramsCol: String,
       threshold: Double): DataFrame = {
+    // materialize the gram arrays ONCE: this plan is consumed four ways
+    // (df counts, prefix build, and both sides of verification) — without
+    // the checkpoint the upstream tokenize/shingle pipeline re-runs per
+    // consumer (at scale you'd persist this table anyway)
     val d = df.select(col(idCol).as("doc"), array_distinct(col(gramsCol)).as("grams"))
+      .localCheckpoint()
     val exploded = d.select(col("doc"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val dfCounts = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
@@ -122,10 +127,13 @@ object Dedup {
     val prefixes = exploded.join(dfCounts, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc"), col("gram"))
-    val cands = prefixes.select(col("gram"), col("doc").as("doc_a"))
-      .join(prefixes.select(col("gram"), col("doc").as("doc_b")), Seq("gram"))
+      .select(col("doc"), col("sz"), col("gram"))
+    // length-ratio filter: jaccard ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|)
+    // — prunes candidates before the (array-carrying) verification join
+    val cands = prefixes.select(col("gram"), col("doc").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefixes.select(col("gram"), col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     cands

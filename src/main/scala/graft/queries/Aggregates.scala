@@ -118,6 +118,30 @@ object Aggregates {
           |ORDER BY gid, l_returnflag, l_linestatus NULLS FIRST""".stripMargin)
     }),
 
+    // Pivot: status values → columns (explicit value list keeps the
+    // plan a single pass; no distinct-values pre-query).
+    "q_agg_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    }),
+
+    // Unpivot/melt: measure columns → rows, then re-aggregate.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "v")
+        .groupBy("measure")
+        .agg(sum("v").as("total"), count(lit(1)).as("n"))
+        .orderBy("measure")
+    }),
+
     // Typed UDAF: qty-weighted average price per return flag.
     "q_udaf_weighted_avg" -> ((s, dir) => {
       val wavg = udaf(Aggregators.WeightedAvg)
@@ -193,6 +217,20 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
         |ORDER BY gid, l_returnflag, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT measure, sum(v) AS total, count(*) AS n FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
 
     "q_udaf_weighted_avg" ->
       """SELECT l_returnflag,

@@ -41,13 +41,27 @@ object StreamOps {
     */
   def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
     val name = s"graft_sink_${counter.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // a streaming query creates one state-store instance per shuffle
+    // partition; at small scale 32 stores of per-batch commit machinery
+    // dominate wall-clock. The override lets callers (Bench) size state
+    // partitions to the data volume — exactly what you'd tune on a
+    // cluster — without touching correctness (results are partition-
+    // count-independent).
+    val partsOverride = spark.conf.getOption("spark.graft.streaming.shufflePartitions")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    partsOverride.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      partsOverride.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", prev))
+    }
+    spark.table(name)
   }
 }
