@@ -170,6 +170,46 @@ object Joins {
           |ORDER BY revenue DESC, n_name""".stripMargin)
     }),
 
+    // Correlated EXISTS / NOT EXISTS — Catalyst rewrites these to
+    // left-semi / left-anti joins (RewritePredicateSubquery).
+    "q_sql_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // IN / NOT IN subqueries (semi/anti with null-safe handling).
+    "q_sql_in_subq" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+          |                         WHERE l_quantity > 49)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Scalar subqueries: correlated (per-customer average) in SELECT,
+    // uncorrelated in WHERE.
+    "q_sql_scalar_subq" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders o2
+          |                  WHERE o2.o_custkey = o.o_custkey) AS diff_from_cust_avg
+          |FROM orders o
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // As-of join: latest order at-or-before each event per user.
     "q_join_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
@@ -280,6 +320,32 @@ object Joins {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_in_subq" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+        |                         WHERE l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sql_scalar_subq" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                  WHERE o2.o_custkey = o.o_custkey) AS diff_from_cust_avg
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_asof" ->
       """SELECT event_id, o_orderkey, o_totalprice FROM (

@@ -173,6 +173,53 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: greedy offset-bucketing of documents into
+    // fixed token-budget training sequences per source (window cumsum
+    // → bucket id → per-sequence stats). The per-source window keeps
+    // partitions independent — the 100 TB form shards by source shard.
+    "q_text_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 256
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.wordCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tok")) / budget))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "seq_id")
+    }),
+
+    // Intra-document segment dedup (C4-style repetition removal):
+    // first-occurrence-preserving distinct over ' | '-separated
+    // segments. Duplicate segments are injected so the op is exercised.
+    "q_text_line_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("segs", concat_ws(" | ",
+          col("text"), substring(col("text"), 1, 50), substring(col("text"), 1, 50)))
+        .select(col("doc_id"),
+          array_join(array_distinct(split(col("segs"), " \\| ")), " | ").as("dedup_text"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: regex scrubbing of emails and phone numbers
+    // (patterns injected so the redaction paths are exercised).
+    "q_text_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("txt", concat(
+          lit("contact john.doe+spam@example-mail.com then "),
+          substring(col("text"), 1, 60),
+          lit(" or call 555-123-4567 x"), col("doc_id")))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("txt"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+            "\\d{3}-\\d{3}-\\d{4}", "[PHONE]").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (rolling-hash document sketch) — custom
     // hash values, rows-only; overlap behavior tested in scalatest.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -358,6 +405,44 @@ object LlmPipeline {
         |  len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_words,
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
         |  n_chars = length(text) AS chars_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks)
+        |SELECT source, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
+        |FROM cum GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
+
+    "q_text_line_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(s, ' | ')) AS seg,
+        |    unnest(range(len(string_split(s, ' | ')))) AS pos
+        |  FROM (SELECT doc_id,
+        |          text || ' | ' || substring(text, 1, 50) || ' | ' || substring(text, 1, 50) AS s
+        |        FROM documents))
+        |SELECT doc_id, string_agg(seg, ' | ' ORDER BY pos) AS dedup_text
+        |FROM (SELECT doc_id, seg, pos,
+        |        row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+        |      FROM segs)
+        |WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      'contact john.doe+spam@example-mail.com then ' || substring(text, 1, 60)
+        |        || ' or call 555-123-4567 x' || doc_id,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sql_cosine" ->

@@ -26,6 +26,23 @@ object Windows {
         .orderBy("c_nationkey", "rn")
     }),
 
+    // Distribution family: percent_rank / cume_dist; first/last value
+    // over an explicit full frame (last_value needs it — the default
+    // frame ends at CURRENT ROW).
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_nationkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("c_custkey")).over(w).as("poorest"),
+          last(col("c_custkey")).over(wFull).as("richest"))
+        .orderBy("c_custkey")
+    }),
+
     // Analytic: lag/lead.
     "q_window_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -140,6 +157,18 @@ object Windows {
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC
         |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT c_custkey, c_nationkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(c_custkey) OVER w AS poorest,
+        |  last_value(c_custkey) OVER wf AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC),
+        |       wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_window_ntile" ->
       """SELECT c_mktsegment, c_custkey,
