@@ -58,12 +58,21 @@ object Dedup {
     // materialize the token array BEFORE shingling: higher-order
     // functions re-evaluate captured expressions per element (no CSE
     // inside lambdas), so shingling directly over tokens(text) would
-    // re-tokenize the full text O(|tokens|) times per row
+    // re-tokenize the full text O(|tokens|) times per row.
+    // localCheckpoint: the shingle table feeds the signature build AND
+    // both verification sides — without it the tokenize+shingle
+    // pipeline re-runs per consumer.
     val words = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("words"))
-    val sigs = words
+    val toks = words
       .select(col("doc"), array_distinct(shingles(col("words"), shingleSize)).as("toks"))
+      .localCheckpoint()
+    // the band shuffle carries ONLY (doc, band): shipping ~KB token
+    // arrays through a numBands× explode would multiply shuffle volume
+    // by the band count; verification re-joins tokens by doc id instead
+    val sigs = toks
       .withColumn("sig", minhash_sig(col("toks"), numHashes))
       .withColumn("band", explode(lsh_bands(col("sig"), rowsPerBand)))
+      .select("doc", "band")
     // skew guard: drop band buckets larger than maxBucket BEFORE the
     // self-join — a degenerate bucket (giant all-dup cluster, common in
     // web crawls) would otherwise produce O(bucket²) candidate pairs.
@@ -73,13 +82,14 @@ object Dedup {
       .filter(col("__bucket_n") <= maxBucket)
       .select("band")
     val banded = sigs.join(bandCounts, Seq("band"))
-      .select(col("doc"), col("toks"), col("band"))
-    val a = banded.select(col("band"), col("doc").as("doc_a"), col("toks").as("toks_a"))
-    val b = banded.select(col("band"), col("doc").as("doc_b"), col("toks").as("toks_b"))
+    val a = banded.select(col("band"), col("doc").as("doc_a"))
+    val b = banded.select(col("band"), col("doc").as("doc_b"))
     a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "toks_a", "toks_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+      .join(toks.select(col("doc").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard_tokens(col("toks_a"), col("toks_b")))
       .select("doc_a", "doc_b", "jaccard")
   }
