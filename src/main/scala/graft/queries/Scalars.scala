@@ -31,6 +31,22 @@ object Scalars {
         .orderBy("p_partkey")
     }),
 
+    // Advanced string family: edit distance, base64, left/right,
+    // repeat, ascii/chr, split_part.
+    "q_str_advanced" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(substring(col("p_name"), 1, 12), col("p_brand")).as("lev"),
+        base64(col("p_brand").cast("binary")).as("b64"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("right(p_name, 4)").as("r4"),
+        repeat(col("p_brand"), 2).as("rep2"),
+        ascii(col("p_name")).as("first_code"),
+        expr("chr(65 + p_partkey % 26)").as("cyc"),
+        expr("split_part(p_type, ' ', 2)").as("type2"))
+        .orderBy("p_partkey")
+    }),
+
     // Date/time family on orders + events.
     "q_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -270,6 +286,18 @@ object Scalars {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
         |  strpos(p_name, 'a') AS a_pos,
         |  translate(p_brand, '#', 'N') AS brand_tr
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_advanced" ->
+      """SELECT p_partkey,
+        |  levenshtein(substring(p_name, 1, 12), p_brand) AS lev,
+        |  to_base64(encode(p_brand)) AS b64,
+        |  left(p_name, 5) AS l5,
+        |  right(p_name, 4) AS r4,
+        |  repeat(p_brand, 2) AS rep2,
+        |  ascii(p_name) AS first_code,
+        |  chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS cyc,
+        |  split_part(p_type, ' ', 2) AS type2
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_date_funcs" ->

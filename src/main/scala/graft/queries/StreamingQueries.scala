@@ -126,6 +126,26 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // foreachBatch sink: the production pattern for arbitrary
+    // (transactional/idempotent-by-batch-id) sinks — each micro-batch
+    // lands in parquet, result read back from the files.
+    "q_stream_foreach_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = graft.Tables.scratch("stream_foreach_batch")
+      val agg = StreamOps.eventsStream(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy("event_type")
+    }),
+
     // Spark 4 transformWithState: per-user running stats with explicit
     // ValueState (RocksDB state store).
     "q_stream_transform_state" -> ((s, dir) => {
@@ -208,6 +228,10 @@ object StreamingQueries {
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
 
     "q_stream_update" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_foreach_batch" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
