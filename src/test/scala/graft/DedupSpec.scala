@@ -140,6 +140,26 @@ class DedupSpec extends SparkSuite {
     assert(hits.headOption.contains(0L))
   }
 
+  test("ivf persisted index: build once, load, search without refit") {
+    import graft.operators.IvfIndex
+    val base = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val withDup = base :+ (99L, base.head._2.clone)
+    val df = withDup.toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_test_index")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, path)
+    assert(centroids.count() == 4)
+    assert(assigned.columns.contains("cluster"))
+    val probes = df.filter(col("vec_id") === 99L)
+    val hits = IvfIndex.searchTopK(assigned, centroids, probes,
+      "vec_id", "embedding", k = 1, nProbes = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(hits.headOption.contains(0L), s"expected planted dup, got ${hits.toSeq}")
+  }
+
   test("salted join equals plain join") {
     import graft.operators.Partitioning
     val large = Tables(spark, sf, "lineitem")
