@@ -133,7 +133,7 @@ object Baseline {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
+      .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
       // NO GraftExtensions: the control session is stock Spark
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

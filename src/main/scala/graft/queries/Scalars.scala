@@ -191,6 +191,19 @@ object Scalars {
         .orderBy("vec_id")
     }),
 
+    // ANSI-mode safety valves: Spark 4 runs with ANSI ON, so try_*
+    // functions are the user-facing null-instead-of-error forms.
+    "q_try_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        try_divide(col("o_totalprice"), (col("o_orderkey") % 10).cast("double")).as("td"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        try_add(col("o_orderkey"), lit(Long.MaxValue)).as("ta"),
+        try_element_at(split(col("o_orderpriority"), "-"), lit(5)).as("te"))
+        .orderBy("o_orderkey")
+    }),
+
     // Generator: explode word tokens, global top-40 by frequency.
     "q_explode_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -395,6 +408,18 @@ object Scalars {
         |  list_aggregate(flatten([e[1:2], e[3:4]]), 'sum') AS sum_head4,
         |  list_aggregate(list_sort(e, 'DESC')[1:3], 'sum') AS top3_sum
         |FROM t ORDER BY vec_id""".stripMargin,
+
+    // DuckDB: x/0 is NULL natively; BIGINT overflow errors, so the
+    // overflow twin is the value-level CASE (try_add(k, MAX) is MAX for
+    // k = 0 and NULL for every k > 0); out-of-bounds list index is NULL.
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+        |  o_totalprice / CAST(o_orderkey % 10 AS DOUBLE) AS td,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807 ELSE NULL END AS ta,
+        |  string_split(o_orderpriority, '-')[5] AS te
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_explode_tokens" ->
       """SELECT word, count(*) AS n

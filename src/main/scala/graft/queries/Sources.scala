@@ -79,6 +79,25 @@ object Sources {
         .orderBy("s_suppkey")
     }),
 
+    // Range source: the synthetic generator relation (no files at all).
+    "q_source_range" -> ((s, dir) => {
+      s.range(0L, 100000L).toDF("id")
+        .filter(col("id") % 7 === 0)
+        .agg(count(lit(1)).as("n"), sum("id").as("total"))
+    }),
+
+    // Managed-table lifecycle: saveAsTable (create/overwrite) +
+    // insertInto (append) + catalog read-back — the warehouse-catalog
+    // surface on top of the file sinks.
+    "q_table_lifecycle" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_nation_managed")
+      t(s, dir, "nation").write.mode(SaveMode.Overwrite).saveAsTable("graft_nation_managed")
+      t(s, dir, "nation").write.insertInto("graft_nation_managed")
+      s.table("graft_nation_managed")
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    }),
+
     // File-metadata scan: listStatus/stat surface via _metadata and
     // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
@@ -117,6 +136,14 @@ object Sources {
     "q_sink_json" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_source_range" ->
+      """SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total
+        |FROM (SELECT unnest(range(0, 100000)) AS x) WHERE x % 7 = 0""".stripMargin,
+
+    "q_table_lifecycle" ->
+      """SELECT n_regionkey, CAST(count(*) * 2 AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_file_metadata" ->
       """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size,
