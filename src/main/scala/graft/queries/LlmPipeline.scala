@@ -220,6 +220,26 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: flag training docs sharing any 8-token
+    // gram with the benchmark set (doc_id % 50 == 0 stands in for the
+    // eval corpus). Gram equi-join + left-semi — at 100 TB the bench
+    // gram set is small and broadcastable; never an all-pairs compare.
+    "q_text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("words"))
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("words"), 8))).as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0).select("gram").distinct()
+      val contaminated = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (rolling-hash document sketch) — custom
     // hash values, rows-only; overlap behavior tested in scalatest.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -444,6 +464,20 @@ object LlmPipeline {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)])) AS gram
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM g
+        |         WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench))
+        |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+        |FROM documents d WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     "q_sql_cosine" ->
       s"""SELECT a.vec_id AS vid, ${duckCos("a.embedding", "b.embedding")} AS cos
