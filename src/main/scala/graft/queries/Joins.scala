@@ -20,7 +20,10 @@ object Joins {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          // rounded to cents: at growing SF the raw double sum's
+          // accumulated ulp error (order-dependent) exceeds the 6-dp
+          // comparison window once revenue reaches ~1e9
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     }),
@@ -140,7 +143,7 @@ object Joins {
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT l_orderkey,
-          |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
           |  o_orderdate, o_orderpriority
           |FROM customer JOIN orders ON c_custkey = o_custkey
           |JOIN lineitem ON l_orderkey = o_orderkey
@@ -157,7 +160,7 @@ object Joins {
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT n_name,
-          |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
           |  count(*) AS n_items
           |FROM customer
           |JOIN orders ON c_custkey = o_custkey
@@ -230,7 +233,7 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "q_join_inner" ->
       """SELECT o_orderpriority,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -296,7 +299,7 @@ object Joins {
 
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -309,7 +312,7 @@ object Joins {
 
     "q_sql_tpch_q5" ->
       """SELECT n_name,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey

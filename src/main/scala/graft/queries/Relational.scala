@@ -66,7 +66,10 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(
           sum("price_dec").cast(DecimalType(18, 2)).as("sum_price"),
-          sum("disc_amt").cast(DecimalType(18, 2)).as("sum_disc"))
+          // keep the product's native scale 4: the sum is exact there,
+          // while a scale-2 recast can land on a .xx50 tie where Spark
+          // (HALF_UP) and DuckDB (HALF_EVEN) round apart
+          sum("disc_amt").cast(DecimalType(30, 4)).as("sum_disc"))
         .orderBy("l_returnflag")
     }),
 
@@ -190,7 +193,7 @@ object Relational {
     "q_cast_decimal" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_disc
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS sum_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_distinct" ->
