@@ -37,6 +37,19 @@ object Partitioning {
     spark.table(leftTable).join(spark.table(rightTable), key)
   }
 
+  /** Cluster-sorted write: range-partition on the cluster keys and
+    * sort within partitions before writing, so every output file covers
+    * a narrow, non-overlapping key range. Parquet min/max statistics
+    * then prune whole files/row groups for selective filters — at
+    * 100 TB, layout is the dominant scan-cost lever (a filter on an
+    * unclustered table reads every file; on a clustered one it reads
+    * the few files whose range intersects the predicate).
+    */
+  def clusteredWrite(df: DataFrame, path: String, numFiles: Int, keys: String*): Unit =
+    df.repartitionByRange(numFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Salted join for skewed keys: the skewed (large) side gets a random
     * salt in [0, saltFactor); the small side is replicated saltFactor
     * times; the join key becomes (key, salt), spreading a hot key over

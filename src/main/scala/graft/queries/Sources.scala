@@ -79,6 +79,21 @@ object Sources {
         .orderBy("s_suppkey")
     }),
 
+    // Cluster-sorted sink: range-partitioned + sorted layout so parquet
+    // min/max stats prune files on the clustered key; read back with a
+    // selective filter.
+    "q_sink_clustered" -> ((s, dir) => {
+      val out = tmp("clustered")
+      graft.operators.Partitioning.clusteredWrite(
+        t(s, dir, "lineitem"), out, numFiles = 8, "l_shipdate")
+      s.read.parquet(out)
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Range source: the synthetic generator relation (no files at all).
     "q_source_range" -> ((s, dir) => {
       s.range(0L, 100000L).toDF("id")
@@ -136,6 +151,13 @@ object Sources {
     "q_sink_json" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_sink_clustered" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_source_range" ->
       """SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total

@@ -89,6 +89,25 @@ class PlanSpec extends SparkSuite {
       s"all-pairs join leaked into the similarity join:\n${plan.take(3000)}")
   }
 
+  test("clustered write produces non-overlapping per-file key ranges") {
+    import graft.operators.Partitioning
+    val out = Tables.scratch("clustered_test")
+    Partitioning.clusteredWrite(Tables(spark, sf, "orders"), out, 6, "o_totalprice")
+    val ranges = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .orderBy("mn")
+      .collect()
+    assert(ranges.length >= 2, "expected multiple files")
+    // disjoint ranges ⇒ parquet min/max stats can prune whole files
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(2) <= b.getDouble(1),
+          s"file ranges overlap: [${a.getDouble(1)}, ${a.getDouble(2)}] vs [${b.getDouble(1)}, ${b.getDouble(2)}]")
+      case _ =>
+    }
+  }
+
   test("q1 aggregation is a two-phase hash aggregate") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
     assert(plan.contains("HashAggregate"), plan.take(2000))
