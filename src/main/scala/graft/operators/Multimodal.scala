@@ -42,6 +42,23 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"),
       encode(col(contentCol), "UTF-8").as("payload"))
 
+  /** Deterministic frame sampling over binary payloads: split into
+    * FrameSize-byte frames and keep every `every`-th. A real decoder
+    * swaps the substring for codec frame extraction; the explode/batch
+    * shape (one row per sampled frame, binary column preserved) is the
+    * production-identical part.
+    */
+  def sampleFrames(payloads: DataFrame, every: Int): DataFrame = {
+    val fs = FakeCodec.FrameSize
+    payloads
+      .withColumn("n_frames", ceil(length(col("payload")) / lit(fs.toDouble)).cast("long"))
+      .filter(col("n_frames") > 0) // sequence(0, -1) would run backwards
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(n_frames - 1 AS INT)), i -> substring(payload, i * $fs + 1, $fs))"))
+        .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % every === 0)
+  }
+
   /** Per-partition batched feature extraction over binary payloads.
     * One codec instance per partition (the expensive init a real
     * decoder would amortize), streaming rows through it.

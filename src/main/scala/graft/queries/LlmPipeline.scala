@@ -269,6 +269,18 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling: binary payload → FrameSize-byte frames → every
+    // 2nd frame kept; per-doc sampled counts/bytes are oracle-derivable
+    // from payload length, so the explode plumbing is value-checked.
+    "q_multimodal_frames" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(payloads, every = 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame"))).as("sampled_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // TRUE BinaryType round-trip: raw digest bytes (full 0–255 range,
     // not UTF-8-safe text) written to parquet as BinaryType, read back,
     // fed through the codec plumbing; payload_hex proves byte-exact
@@ -490,6 +502,21 @@ object LlmPipeline {
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sampled frames = indices 0,2,4,…; each 256 bytes except a partial
+    // last frame (index n_frames-1), which is sampled iff its index is
+    // even — subtract the shortfall in exactly that case
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb,
+        |    CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ceil(n_frames / 2.0) AS BIGINT) AS n_sampled,
+        |  CAST(ceil(n_frames / 2.0) * 256
+        |    - CASE WHEN (n_frames - 1) % 2 = 0 AND nb % 256 <> 0
+        |           THEN 256 - nb % 256 ELSE 0 END AS BIGINT) AS sampled_bytes
+        |FROM f WHERE n_frames > 0 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_roundtrip" ->
       """SELECT doc_id, 32 AS n_bytes, 1 AS n_frames,
