@@ -83,10 +83,12 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("ngram jaccard join is candidate-driven — no cartesian product") {
-    val plan = planOf(SparkEntry.queries("q_text_ngram_jaccard")(spark, sf))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"all-pairs join leaked into the similarity join:\n${plan.take(3000)}")
+  test("similarity/overlap joins are candidate-driven — no cartesian product") {
+    for (q <- Seq("q_text_ngram_jaccard", "q_text_decontaminate", "q_dedup_minhash")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join leaked into $q:\n${plan.take(3000)}")
+    }
   }
 
   test("clustered write produces non-overlapping per-file key ranges") {
