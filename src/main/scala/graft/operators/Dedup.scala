@@ -241,7 +241,8 @@ object Dedup {
     if (!converged)
       System.err.println(
         s"[graft] duplicateClusters did NOT converge in $maxIter iterations; labels may span components")
-    edges.unpersist()
+    // localCheckpoint blocks (edges + per-iteration states) are released
+    // by the ContextCleaner once the returned plan stops referencing them
     labels
   }
 }
