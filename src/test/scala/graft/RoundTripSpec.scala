@@ -76,4 +76,25 @@ class RoundTripSpec extends SparkSuite {
     assert(joined <= a.count() * b.count())
     assert(a.join(b, Seq("k"), "left_semi").count() <= a.count())
   }
+
+  test("frame split is lossless: concatenating every frame rebuilds the payload") {
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (1L, "x" * 600),          // 3 frames, partial tail
+      (2L, "y" * 256),          // exactly one frame
+      (3L, "short"),            // sub-frame payload
+      (4L, "z" * 512)           // exact multiple
+    ).toDF("doc_id", "text")
+    val payloads = Multimodal.withPayload(docs, "doc_id", "text")
+    val rebuilt = Multimodal.sampleFrames(payloads, every = 1)
+      .groupBy("doc_id")
+      .agg(expr(
+        """aggregate(
+          |  transform(sort_array(collect_list(struct(frame_idx, frame))), s -> s.frame),
+          |  CAST('' AS BINARY), (acc, f) -> concat(acc, f))""".stripMargin).as("rebuilt"))
+    val diffs = payloads.join(rebuilt, "doc_id")
+      .filter(col("payload") =!= col("rebuilt"))
+      .count()
+    assert(diffs == 0, "frame split/concat must be byte-lossless")
+  }
 }
