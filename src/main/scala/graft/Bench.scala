@@ -35,7 +35,17 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // drop storage blocks a finished query leaves behind (localCheckpoint
+    // blocks from the dedup/clustering operators persist until the GC +
+    // ContextCleaner cycle notices them) — across ~120 sequential queries
+    // on one heap the accumulation evicts later queries' working set and
+    // skews their timings
+    def releaseLeakedBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     val results = names.map { name =>
+      releaseLeakedBlocks()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

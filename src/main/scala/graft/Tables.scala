@@ -27,8 +27,25 @@ object Tables {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_scratch_${ProcessHandle.current().pid()}", name)
     java.nio.file.Files.createDirectories(p.getParent)
+    registerScratchCleanup(p.getParent)
     p.toString
   }
+
+  // delete the per-PID scratch root on JVM exit — repeated Bench/Verify/
+  // test runs would otherwise steadily fill /tmp with sink output
+  // (q_sink_clustered alone rewrites lineitem). One hook per JVM.
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerScratchCleanup(root: java.nio.file.Path): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(root.toFile) catch { case _: Throwable => () }
+      }, "graft-scratch-cleanup"))
+    }
 
   /** Load one table as a DataFrame (schema from parquet footer).
     *

@@ -229,6 +229,10 @@ object GraftHash {
     hyperplaneBucket(v, nBits, 0)
 
   def hyperplaneBucket(v: ArrayData, nBits: Int, table: Int): Long = {
+    // 63, not 64: the plane matrix holds MaxBits rows, and 1L << 63 would
+    // flip the sign bit — callers treat buckets as non-negative keys
+    require(nBits > 0 && nBits <= 63 && nBits <= MaxBits,
+      s"hyperplaneBucket: nBits must be in [1, 63], got $nBits")
     val dim = v.numElements()
     val m = planeMatrix(table, dim)
     var out = 0L

@@ -55,6 +55,47 @@ object TextFunctions {
     round((lenScore + punctScore + wordScore) / 3.0, 6)
   }
 
+  /** Structural-CSE quality report: every text scan (punct strip,
+    * tokenize, whitespace split, space strip) runs EXACTLY once in a
+    * lower projection, and all ratios/scores derive from the
+    * materialized counts. Semantically identical to composing
+    * punctRatio/stopwordRatio/qualityScore in one projection, but the
+    * composite form re-evaluates the regexp scans per reference —
+    * subexpression elimination does not reach across when/HOF branches,
+    * so on a wide corpus the single-projection form costs ~4× more.
+    */
+  def qualityReport(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    df.select(
+        col(idCol),
+        length(text).as("n_chars_actual"),
+        length(regexp_replace(text, "[^\\w\\s]", "")).as("__n_keep"),
+        filter(split(lower(text), "\\W+"), t => length(t) > 0).as("__toks"),
+        size(filter(split(text, "\\s+"), t => length(t) > 0)).as("__n_words"),
+        length(regexp_replace(text, "\\s+", "")).as("__n_nospace"))
+      .withColumn("punct_ratio",
+        when(col("n_chars_actual") === 0, 0.0)
+          .otherwise((col("n_chars_actual") - col("__n_keep")).cast("double")
+            / col("n_chars_actual").cast("double")))
+      .withColumn("stop_ratio",
+        when(size(col("__toks")) === 0, 0.0)
+          .otherwise(
+            size(filter(col("__toks"), t => t.isin(EnStopwords.map(lit): _*))).cast("double")
+              / size(col("__toks")).cast("double")))
+      .withColumn("quality", {
+        val lenScore = when(col("n_chars_actual").between(100, 10000), 1.0)
+          .when(col("n_chars_actual") < 100, col("n_chars_actual").cast("double") / 100.0)
+          .otherwise(0.5)
+        val punctScore = greatest(lit(0.0), lit(1.0) - col("punct_ratio") * 5.0)
+        val meanWordLen = when(col("__n_words") === 0, 0.0)
+          .otherwise(col("__n_nospace").cast("double") / col("__n_words").cast("double"))
+        val wordScore = when(meanWordLen.between(2.0, 12.0), 1.0).otherwise(0.3)
+        round((lenScore + punctScore + wordScore) / 3.0, 6)
+      })
+      .select(idCol, "n_chars_actual", "punct_ratio", "stop_ratio", "quality")
+  }
+
   /** Heuristic language ID: CJK codepoints → zh; else highest stopword
     * hit count among small per-language function-word lists; 'und' when
     * nothing matches. Deliberately simple and deterministic.

@@ -28,13 +28,19 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       leftId: String, pickCols: Seq[String],
       tieBreak: String): DataFrame = {
-    val joined = left.join(
+    // only (id, key, ts) rides through the fan-out join + aggregate;
+    // grouping by every left column would shuffle full-width rows
+    // multiplied by the per-key join fan-out. The remaining left columns
+    // re-join 1:1 on the unique id afterwards — one extra narrow shuffle
+    // of |left| rows instead of a wide shuffle of |left|·fanout rows.
+    val probe = left.select(leftId, leftKey, leftTs)
+    val joined = probe.join(
       right,
-      left(leftKey) === right(rightKey) && right(rightTs) <= left(leftTs),
+      probe(leftKey) === right(rightKey) && right(rightTs) <= probe(leftTs),
       "left_outer")
-    val leftCols = left.columns.map(c => left(c))
     val ord = struct(right(rightTs), right(tieBreak))
     val picks = pickCols.map(c => max_by(right(c), ord).as(c))
-    joined.groupBy(leftCols: _*).agg(picks.head, picks.tail: _*)
+    val picked = joined.groupBy(probe(leftId)).agg(picks.head, picks.tail: _*)
+    left.join(picked, Seq(leftId), "left_outer")
   }
 }

@@ -48,8 +48,10 @@ object Dedup {
     *
     * Scale: the only shuffles are the band-key groupBy and the pair
     * distinct; skewed bands (giant clusters) are bounded upstream by
-    * dropping band buckets larger than `maxBucket` (a standard guard —
-    * such buckets are all-duplicates clusters findable by exact dedup).
+    * `maxBucket` — buckets above it skip the quadratic self-join and
+    * fall back to linear star pairing against the bucket's min-doc
+    * representative, so a 1M-doc templated-page cluster costs O(1M)
+    * candidate edges, not O(10¹²), and still clusters as one component.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -73,20 +75,30 @@ object Dedup {
       .withColumn("sig", minhash_sig(col("toks"), numHashes))
       .withColumn("band", explode(lsh_bands(col("sig"), rowsPerBand)))
       .select("doc", "band")
-    // skew guard: drop band buckets larger than maxBucket BEFORE the
+    // skew guard: band buckets larger than maxBucket never enter the
     // self-join — a degenerate bucket (giant all-dup cluster, common in
     // web crawls) would otherwise produce O(bucket²) candidate pairs.
-    // Such clusters are exact-dup-findable; near-dup LSH loses nothing.
-    val bandCounts = sigs.groupBy("band")
-      .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= maxBucket)
-      .select("band")
-    val banded = sigs.join(bandCounts, Seq("band"))
+    // Oversized buckets are NOT silently dropped: they fall back to
+    // star pairing (every member vs the bucket's min-doc representative,
+    // linear in bucket size). Verified star edges chain the cluster
+    // together under duplicateClusters; only member↔member pairs whose
+    // similarity to the representative falls below the threshold are
+    // lost — documented partial recall instead of total loss.
+    val bandStats = sigs.groupBy("band").agg(count(lit(1)).as("__bucket_n"))
+    val okBands = bandStats.filter(col("__bucket_n") <= maxBucket).select("band")
+    val bigBands = bandStats.filter(col("__bucket_n") > maxBucket).select("band")
+    val banded = sigs.join(okBands, Seq("band"))
     val a = banded.select(col("band"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("doc").as("doc_b"))
-    a.join(b, Seq("band"))
+    val bucketPairs = a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+    val bigMembers = sigs.join(bigBands, Seq("band"))
+    val starPairs = bigMembers
+      .join(bigMembers.groupBy("band").agg(min("doc").as("rep")), Seq("band"))
+      .filter(col("doc") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc").as("doc_b"))
+    bucketPairs.union(starPairs)
       .dropDuplicates("doc_a", "doc_b")
       .join(toks.select(col("doc").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(toks.select(col("doc").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
@@ -167,16 +179,26 @@ object Dedup {
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("key", concat_ws(":", col("chunk"),
         expr("shiftrightunsigned(sh, chunk * 16)").bitwiseAND(lit(0xFFFFL))))
-    // same skew guard as minhash: bound chunk-key buckets pre-self-join
-    val keyCounts = chunkedAll.groupBy("key")
-      .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= maxBucket)
-      .select("key")
-    val chunked = chunkedAll.join(keyCounts, Seq("key"))
+    // same skew guard as minhash: bound chunk-key buckets pre-self-join,
+    // with the same linear star-pairing fallback for oversized buckets
+    // (see minhashCandidatePairs) instead of a silent drop
+    val keyStats = chunkedAll.groupBy("key").agg(count(lit(1)).as("__bucket_n"))
+    val okKeys = keyStats.filter(col("__bucket_n") <= maxBucket).select("key")
+    val bigKeys = keyStats.filter(col("__bucket_n") > maxBucket).select("key")
+    val chunked = chunkedAll.join(okKeys, Seq("key"))
     val a = chunked.select(col("key"), col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("key"), col("doc").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("key"))
+    val bucketPairs = a.join(b, Seq("key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+    val bigMembers = chunkedAll.join(bigKeys, Seq("key"))
+    val starPairs = bigMembers
+      .join(bigMembers.groupBy("key")
+        .agg(min("doc").as("rep"), min_by(col("sh"), col("doc")).as("sh_rep")), Seq("key"))
+      .filter(col("doc") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc").as("doc_b"),
+        col("sh_rep").as("sh_a"), col("sh").as("sh_b"))
+    bucketPairs.union(starPairs)
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)

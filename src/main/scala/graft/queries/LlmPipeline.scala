@@ -150,15 +150,12 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
-    // Quality scoring: length/punct/word-shape composite.
+    // Quality scoring: length/punct/word-shape composite. The report
+    // form materializes each text scan once (see TextFunctions
+    // .qualityReport) — composing punctRatio/qualityScore inline
+    // re-ran the regexp scans per reference.
     "q_text_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          length(col("text")).as("n_chars_actual"),
-          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+      TextFunctions.qualityReport(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 

@@ -56,20 +56,27 @@ object Relational {
     }),
 
     // Decimal money math: exact, deterministic aggregation anchor.
+    // Tie-free formulation: the source doubles carry <= 2 decimal digits,
+    // so round(x*100) lands within 1e-9 of an integer — no .5 ties for
+    // Spark (HALF_UP) vs DuckDB (HALF_EVEN) to round apart. Everything
+    // after that is exact integer/decimal arithmetic: long sums, then a
+    // scale shift via exact decimal multiplication (never a re-round).
     "q_cast_decimal" -> ((s, dir) => {
+      val cents  = round(col("l_extendedprice") * 100).cast(LongType)
+      val discBp = round(col("l_discount") * 100).cast(LongType)
       t(s, dir, "lineitem")
         .select(
           col("l_returnflag"),
-          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
-          (col("l_extendedprice").cast(DecimalType(12, 2)) *
-            col("l_discount").cast(DecimalType(12, 2))).as("disc_amt"))
+          cents.as("price_cents"),
+          (cents * discBp).as("disc_e4"))
         .groupBy("l_returnflag")
         .agg(
-          sum("price_dec").cast(DecimalType(18, 2)).as("sum_price"),
-          // keep the product's native scale 4: the sum is exact there,
-          // while a scale-2 recast can land on a .xx50 tie where Spark
-          // (HALF_UP) and DuckDB (HALF_EVEN) round apart
-          sum("disc_amt").cast(DecimalType(30, 4)).as("sum_disc"))
+          (sum("price_cents").cast(DecimalType(24, 0)) *
+            lit(new java.math.BigDecimal("0.01")))
+            .cast(DecimalType(18, 2)).as("sum_price"),
+          (sum("disc_e4").cast(DecimalType(28, 0)) *
+            lit(new java.math.BigDecimal("0.0001")))
+            .cast(DecimalType(30, 4)).as("sum_disc"))
         .orderBy("l_returnflag")
     }),
 
@@ -192,8 +199,8 @@ object Relational {
 
     "q_cast_decimal" ->
       """SELECT l_returnflag,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS sum_disc
+        |       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(24,0)) * 0.01 AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(28,0)) * 0.0001 AS DECIMAL(30,4)) AS sum_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_distinct" ->

@@ -41,15 +41,23 @@ class DedupSpec extends SparkSuite {
 
   test("maxBucket guard bounds degenerate band buckets (giant all-dup cluster)") {
     // 30 identical docs: every band bucket they share has 30 members —
-    // over maxBucket=10, so they are dropped pre-self-join (no O(30²)
-    // pair blow-up); the small near-dup pair is still found.
+    // over maxBucket=10, so the quadratic self-join is skipped and the
+    // bucket falls back to star pairing: exactly the 29 (rep=100, other)
+    // edges instead of all 435 pairs, and the cluster stays connected.
     val giant = (100L until 130L).map(i => (i, "same giant duplicate cluster text repeated everywhere"))
     val all = (docs.as[(Long, String)].collect().toSeq ++ giant).toDF("doc_id", "text")
     val guarded = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.7, maxBucket = 10)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(!guarded.exists { case (a, b) => a >= 100L || b >= 100L },
-      "giant-cluster pairs must be excluded by the bucket guard")
+    val giantPairs = guarded.filter { case (a, b) => a >= 100L || b >= 100L }
+    assert(giantPairs == (101L until 130L).map(i => (100L, i)).toSet,
+      "oversized buckets must produce exactly the linear star pairs")
     assert(guarded.contains((1L, 2L)) && guarded.contains((4L, 5L)))
+    // star edges keep the giant cluster a single connected component
+    val labels = Dedup.duplicateClusters(
+      Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.7, maxBucket = 10)
+        .select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((100L until 130L).forall(labels(_) == 100L))
     // without the guard the giant cluster produces all 435 pairs
     val unguarded = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.7)
       .filter(col("doc_a") >= 100L).count()
