@@ -39,10 +39,12 @@ object Bench {
     // blocks from the dedup/clustering operators persist until the GC +
     // ContextCleaner cycle notices them) — across ~120 sequential queries
     // on one heap the accumulation evicts later queries' working set and
-    // skews their timings
+    // skews their timings. Blocking removal, and only when blocks exist:
+    // an async unpersist would overlap the next timed query, and an
+    // unconditional sweep costs every query for the few that checkpoint.
     def releaseLeakedBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+      if (leaked.nonEmpty) leaked.foreach(_.unpersist(blocking = true))
     }
     val results = names.map { name =>
       releaseLeakedBlocks()

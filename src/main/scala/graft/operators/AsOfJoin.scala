@@ -17,6 +17,13 @@ object AsOfJoin {
 
   /** Left as-of join.
     *
+    * REQUIRES `leftId` to be unique per left row: the narrow-projection
+    * rewrite groups by leftId alone and re-joins the remaining left
+    * columns 1:1 on it, so duplicate ids would merge distinct rows'
+    * as-of picks and fan out the final join. Callers with a non-unique
+    * natural key must synthesize one (e.g. monotonically_increasing_id
+    * on a checkpointed input). AsOfJoinSpec asserts the contract.
+    *
     * @param leftId   unique left row key (group identity after the join)
     * @param pickCols right columns to carry (null when no match)
     * @param tieBreak right column making the max_by pick deterministic

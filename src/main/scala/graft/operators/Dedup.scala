@@ -51,7 +51,10 @@ object Dedup {
     * `maxBucket` — buckets above it skip the quadratic self-join and
     * fall back to linear star pairing against the bucket's min-doc
     * representative, so a 1M-doc templated-page cluster costs O(1M)
-    * candidate edges, not O(10¹²), and still clusters as one component.
+    * candidate edges, not O(10¹²). Star edges only survive verification
+    * when the member passes the similarity threshold vs the
+    * representative, so connectivity is guaranteed for those members
+    * only — partial recall by design, never a silent drop.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,

@@ -61,6 +61,10 @@ object Relational {
     // Spark (HALF_UP) vs DuckDB (HALF_EVEN) to round apart. Everything
     // after that is exact integer/decimal arithmetic: long sums, then a
     // scale shift via exact decimal multiplication (never a re-round).
+    // The FINAL projection casts to DOUBLE so the comparison is
+    // representation-proof: the values (scale ≤ 4, magnitude ≤ ~1e9)
+    // round-trip through a double exactly, and a DOUBLE column hashes
+    // identically regardless of how the harness formats DECIMALs.
     "q_cast_decimal" -> ((s, dir) => {
       val cents  = round(col("l_extendedprice") * 100).cast(LongType)
       val discBp = round(col("l_discount") * 100).cast(LongType)
@@ -73,10 +77,10 @@ object Relational {
         .agg(
           (sum("price_cents").cast(DecimalType(24, 0)) *
             lit(new java.math.BigDecimal("0.01")))
-            .cast(DecimalType(18, 2)).as("sum_price"),
+            .cast(DecimalType(18, 2)).cast(DoubleType).as("sum_price"),
           (sum("disc_e4").cast(DecimalType(28, 0)) *
             lit(new java.math.BigDecimal("0.0001")))
-            .cast(DecimalType(30, 4)).as("sum_disc"))
+            .cast(DecimalType(30, 4)).cast(DoubleType).as("sum_disc"))
         .orderBy("l_returnflag")
     }),
 
@@ -199,8 +203,8 @@ object Relational {
 
     "q_cast_decimal" ->
       """SELECT l_returnflag,
-        |       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(24,0)) * 0.01 AS DECIMAL(18,2)) AS sum_price,
-        |       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(28,0)) * 0.0001 AS DECIMAL(30,4)) AS sum_disc
+        |       CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(24,0)) * 0.01 AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+        |       CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(28,0)) * 0.0001 AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_distinct" ->
