@@ -152,15 +152,36 @@ object Dedup {
     val prefixes = exploded.join(dfCounts, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc"), col("sz"), col("gram"))
+      .select(col("doc"), col("sz"), col("gram"), col("rn"))
     // length-ratio filter: jaccard ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|)
-    // — prunes candidates before the (array-carrying) verification join
-    val cands = prefixes.select(col("gram"), col("doc").as("doc_a"), col("sz").as("sz_a"))
-      .join(prefixes.select(col("gram"), col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("gram"))
+    // — prunes candidates before the (array-carrying) verification join.
+    // Then PPJoin's positional filter (Xiao et al. '08): per pair,
+    // aggregate the shared-prefix-gram count k and the LAST matched
+    // prefix positions (imax, jmax). Positions are monotone in the
+    // global (gram_df asc, gram asc) order within every doc, so any
+    // common gram NOT matched prefix-to-prefix must sort after the last
+    // matched gram in BOTH docs — hence
+    //   |a ∩ b| ≤ k + min(sz_a − imax, sz_b − jmax)
+    // while jaccard ≥ t needs |a ∩ b| ≥ ⌈t·(sz_a+sz_b)/(1+t)⌉. At low
+    // thresholds (long prefixes, many shared hot grams) this kills most
+    // candidates before the array re-intersection, which is the
+    // dominant verification cost. The groupBy replaces the former
+    // dropDuplicates — same single (doc_a, doc_b) shuffle.
+    val minOverlap =
+      ceil(lit(threshold) * (col("sz_a") + col("sz_b")) / lit(1.0 + threshold))
+    val cands = prefixes
+      .select(col("gram"), col("doc").as("doc_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(prefixes
+        .select(col("gram"), col("doc").as("doc_b"), col("sz").as("sz_b"), col("rn").as("rn_b")),
+        Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("sz_a"), col("sz_b")) >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("k"),
+        max("rn_a").as("imax"), max("rn_b").as("jmax"),
+        max("sz_a").as("sz_a"), max("sz_b").as("sz_b"))
+      .filter(col("k") + least(col("sz_a") - col("imax"), col("sz_b") - col("jmax")) >= minOverlap)
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
     cands
       .join(d.select(col("doc").as("doc_a"), col("grams").as("g_a")), Seq("doc_a"))
       .join(d.select(col("doc").as("doc_b"), col("grams").as("g_b")), Seq("doc_b"))
