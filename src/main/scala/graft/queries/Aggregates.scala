@@ -54,14 +54,25 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
-    // Approx aggregates — no SQL oracle (rows-only check); compared to
-    // exact counterparts in the scalatest suite within tolerance.
+    // Approx aggregates with a DERIVED oracle: the sketch values
+    // themselves have no DuckDB twin, so the output carries the exact
+    // counterparts (oracle-recomputable) plus tolerance-band booleans
+    // the oracle predicts as TRUE — HLL and t-digest are deterministic
+    // on a given dataset, so the bands hash-match reproducibly while
+    // still failing the gate if either sketch drifts out of tolerance.
     "q_agg_approx" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_med_qty"))
+          median(col("l_quantity")).cast("double").as("exact_med_qty"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .cast("double").as("approx_med"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_med_qty"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.05)).as("cnt_in_band"),
+          (abs(col("approx_med") - col("exact_med_qty")) <= lit(1.0)).as("med_in_band"))
         .orderBy("l_returnflag")
     }),
 
@@ -153,6 +164,14 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_approx" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(median(l_quantity) AS DOUBLE) AS exact_med_qty,
+        |  TRUE AS cnt_in_band,
+        |  TRUE AS med_in_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -110,27 +110,64 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
-    // LSH-bucketed ANN top-5 (approximate — rows-only; recall vs exact
-    // is asserted in the scalatest suite).
+    // LSH-bucketed ANN top-5 with a DERIVED oracle: the approximate
+    // pair list is not SQL-predictable, but per-probe quality bounds
+    // are — emit the exact top-1 cosine (DuckDB recomputes it) plus a
+    // boolean asserting the ANN result is complete (5 hits) and every
+    // rank-r hit is within an absolute cosine gap of the exact rank-r
+    // answer. Deterministic planes ⇒ reproducible booleans; a recall
+    // regression flips them and fails the hash gate.
     "q_sim_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      SimilaritySearch.lshTopK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .orderBy("probe_id", "rank")
+      val probes = emb.filter(col("vec_id") < 10)
+      val ann = SimilaritySearch.lshTopK(
+        emb, probes, "vec_id", "embedding", k = 5, nBits = 5, nTables = 12)
+      val exact = SimilaritySearch.bruteForceTopK(
+        emb, probes, "vec_id", "embedding", k = 5)
+      val gaps = ann.join(
+          exact.select(col("probe_id"), col("rank"), col("cos").as("exact_cos")),
+          Seq("probe_id", "rank"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_ret"),
+          max(col("exact_cos") - col("cos")).as("max_gap"))
+      exact.filter(col("rank") === 1)
+        .select(col("probe_id"), col("cos").as("exact_top1_cos"))
+        .join(gaps, Seq("probe_id"), "left_outer")
+        .select(col("probe_id"), col("exact_top1_cos"),
+          (coalesce(col("n_ret"), lit(0L)) === 5 &&
+            coalesce(col("max_gap"), lit(1.0)) <= lit(0.12)).as("ann_ok"))
+        .orderBy("probe_id")
     }),
 
     // IVF ANN: k-means coarse quantizer fitted ONCE and persisted as
     // parquet; the search reads the prebuilt index (no per-query refit
-    // — the 100 TB fit-once/search-many discipline). Approximate —
-    // rows-only; recall asserted in scalatest.
+    // — the 100 TB fit-once/search-many discipline). Same derived
+    // oracle as q_sim_ann: exact top-1 cosine (DuckDB-recomputable)
+    // plus per-probe completeness + cosine-gap bound booleans
+    // (nProbes=8/16 measures max_gap ≈ 0.05 here; bound 0.1).
     "q_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = graft.Tables.scratch("ivf_index")
       IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 16, path = idx)
       val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
-      IvfIndex.searchTopK(assigned, centroids, emb.filter(col("vec_id") < 10),
+      val probes = emb.filter(col("vec_id") < 10)
+      val ivf = IvfIndex.searchTopK(assigned, centroids, probes,
         "vec_id", "embedding", k = 5, nProbes = 8)
-        .orderBy("probe_id", "rank")
+      val exact = SimilaritySearch.bruteForceTopK(
+        emb, probes, "vec_id", "embedding", k = 5)
+      val gaps = ivf.join(
+          exact.select(col("probe_id"), col("rank"), col("cos").as("exact_cos")),
+          Seq("probe_id", "rank"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_ret"),
+          max(col("exact_cos") - col("cos")).as("max_gap"))
+      exact.filter(col("rank") === 1)
+        .select(col("probe_id"), col("cos").as("exact_top1_cos"))
+        .join(gaps, Seq("probe_id"), "left_outer")
+        .select(col("probe_id"), col("exact_top1_cos"),
+          (coalesce(col("n_ret"), lit(0L)) === 5 &&
+            coalesce(col("max_gap"), lit(1.0)) <= lit(0.1)).as("ivf_ok"))
+        .orderBy("probe_id")
     }),
 
     // Vector centroid per label via typed UDAF, exploded per dimension.
@@ -237,14 +274,27 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
-    // Winnowing fingerprints (rolling-hash document sketch) — custom
-    // hash values, rows-only; overlap behavior tested in scalatest.
+    // Winnowing fingerprints (rolling-hash document sketch) with a
+    // DERIVED oracle: hash values are custom, but winnowing's
+    // structural guarantees are length-derivable — with k=7, w=10 a
+    // doc of n chars has n_grams = max(n-6, 0) k-gram hashes, and the
+    // selected-minima count must be 0 when n_grams = 0, exactly 1 when
+    // n_grams ≤ w, else within [⌈windows/w⌉, windows] for
+    // windows = n_grams - w + 1 (each pick survives ≤ w windows; one
+    // pick per window). The oracle recomputes n_grams from len(text)
+    // and predicts the density check TRUE; value overlap behavior
+    // stays covered in scalatest.
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          VectorExpressions.fingerprint(col("text"), 7, 10).as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          try_element_at(col("fp"), lit(1)).as("fp0"))
+          greatest(length(col("text")) - lit(6), lit(0)).cast("bigint").as("n_grams"),
+          size(VectorExpressions.fingerprint(col("text"), 7, 10)).as("n_fp"))
+        .select(col("doc_id"), col("n_grams"),
+          when(col("n_grams") === 0, col("n_fp") === 0)
+            .when(col("n_grams") <= 10, col("n_fp") === 1)
+            .otherwise(
+              col("n_fp") >= ceil((col("n_grams") - lit(9)) / lit(10.0)) &&
+              col("n_fp") <= col("n_grams") - lit(9)).as("density_ok"))
         .orderBy("doc_id")
     }),
 
@@ -366,6 +416,27 @@ object LlmPipeline {
         |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_sim_ann" ->
+      s"""SELECT p.vec_id AS probe_id,
+         |  max(${duckCos("p.embedding", "c.embedding")}) AS exact_top1_cos,
+         |  TRUE AS ann_ok
+         |FROM embeddings p, embeddings c
+         |WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+         |GROUP BY p.vec_id ORDER BY probe_id""".stripMargin,
+
+    "q_sim_ivf" ->
+      s"""SELECT p.vec_id AS probe_id,
+         |  max(${duckCos("p.embedding", "c.embedding")}) AS exact_top1_cos,
+         |  TRUE AS ivf_ok
+         |FROM embeddings p, embeddings c
+         |WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+         |GROUP BY p.vec_id ORDER BY probe_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, greatest(len(text) - 6, 0) AS n_grams,
+        |       TRUE AS density_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (
