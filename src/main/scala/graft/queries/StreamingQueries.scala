@@ -146,6 +146,21 @@ object StreamingQueries {
       s.read.parquet(out).orderBy("event_type")
     }),
 
+    // Checkpoint RECOVERY: watermarked agg → parquet file sink, query
+    // killed after its first committed micro-batch, restarted from the
+    // same checkpoint, drained. Exactly-once sink commits mean the
+    // combined output equals one uninterrupted run — same oracle shape
+    // as q_stream_watermark.
+    "q_stream_recovery" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("ts", "event_type", "value")
+      val (sink, _, _) = StreamOps.runWithRecovery(ev, nSplits = 6, st =>
+        st.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("w_start"), col("event_type"), col("n")))
+      sink.orderBy("w_start", "event_type")
+    }),
+
     // Spark 4 transformWithState: per-user running stats with explicit
     // ValueState (RocksDB state store).
     "q_stream_transform_state" -> ((s, dir) => {
@@ -234,6 +249,15 @@ object StreamingQueries {
     "q_stream_foreach_batch" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_recovery" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+        |       event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+        |       <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "q_stream_transform_state" ->
       """SELECT user_id, count(*) AS n, sum(value) AS sum_value,

@@ -35,6 +35,65 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Exactly-once recovery drill (the reference's hsync durability
+    * contract, `CubefsOutputStream.java:116-141`, exercised end to
+    * end): split `events` into `nSplits` time-range files, stream them
+    * one file per micro-batch through `build` into a parquet FILE sink
+    * with a checkpoint, hard-stop the query after its first committed
+    * batch (simulated crash — stop() can interrupt a batch mid-write),
+    * then restart from the SAME checkpoint and drain. The file sink's
+    * transactional metadata log must dedup any half-committed batch, so
+    * the combined output equals a single uninterrupted run.
+    *
+    * Range splitting (not hash) matters: file i+1's event times all
+    * follow file i's, so the watermark only ever moves past data that
+    * has fully arrived and no row is dropped as late — batch
+    * equivalence stays exact. FileStreamSource picks files oldest
+    * (modification time, path) first and parallel write tasks finish in
+    * random order, so mtimes are pinned to the range order explicitly.
+    *
+    * Returns (sink read-back, run-1 batch count, run-2 batch count).
+    */
+  def runWithRecovery(
+      events: DataFrame, nSplits: Int,
+      build: DataFrame => DataFrame): (DataFrame, Long, Long) = {
+    val spark = events.sparkSession
+    val id = counter.incrementAndGet()
+    val src = Tables.scratch(s"recovery_src_$id")
+    val sink = Tables.scratch(s"recovery_sink_$id")
+    val ckpt = Tables.scratch(s"recovery_ckpt_$id")
+    events.repartitionByRange(nSplits, col("ts"))
+      .write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1755000000000L + i * 1000L)
+    }
+    val schema = spark.read.parquet(src).schema
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      build(stream).writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    val q1 = start()
+    try {
+      while (q1.recentProgress.isEmpty && q1.isActive) Thread.sleep(25)
+    } finally q1.stop()
+    q1.awaitTermination()
+    val b1 = q1.recentProgress.length.toLong
+    val q2 = start()
+    q2.awaitTermination()
+    val b2 = q2.recentProgress.length.toLong
+    (spark.read.parquet(sink), b1, b2)
+  }
+
   /** Drain a streaming DataFrame into a memory sink and return the
     * result table. `outputMode`: complete for aggregations (emits full
     * state), append for stateless/finalized-only operators.

@@ -40,6 +40,28 @@ class StreamingSpec extends SparkSuite {
     assert(rows(0L) == 2, s"late row must be dropped, got $rows")
   }
 
+  test("checkpoint recovery: kill after first batch, restart, output equals batch agg") {
+    val ev = Tables(spark, sf, "events").select("ts", "event_type", "value")
+    val (sink, b1, b2) = graft.streaming.StreamOps.runWithRecovery(ev, nSplits = 8, st =>
+      st.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n")))
+    assert(b1 >= 1, "run 1 must commit at least one batch before the simulated crash")
+    assert(b2 >= 1, s"run 2 must resume from the checkpoint and do work (b1=$b1)")
+    // batch twin: watermark-finalized windows only (end <= max ts - 10min)
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val expected = ev
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window.end") <= lit(maxTs) - expr("INTERVAL 10 MINUTES"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val got = sink.select("w_start", "event_type", "n").collect().toSet
+    val exp = expected.collect().toSet
+    assert(got === exp,
+      s"recovered stream output != batch (got ${got.size} rows, expected ${exp.size})")
+  }
+
   test("streaming dedup is first-seen across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
