@@ -113,6 +113,58 @@ object Sources {
         .orderBy("n_regionkey")
     }),
 
+    // ORC interchange round-trip (the Hive/Presto-ecosystem default
+    // format): write ORC, read back, verify through the base-table
+    // oracle — byte-level format fidelity is what's being checked, so
+    // the oracle never needs an ORC reader.
+    "q_sink_orc" -> ((s, dir) => {
+      val out = tmp("orc")
+      val src = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      src.write.mode(SaveMode.Overwrite).orc(out)
+      s.read.schema(src.schema).orc(out)
+        .orderBy("p_partkey")
+    }),
+
+    // Table statistics / ANALYZE surface (the reference's
+    // getContentSummary analog, `CubefsFileSystem.java:432-436`):
+    // saveAsTable three join sides, ANALYZE ... FOR ALL COLUMNS, then
+    // run a 3-table join under CBO + stats-driven join reorder. The
+    // output carries the catalog's post-ANALYZE rowCount for the fact
+    // table, which the oracle recomputes as count(*) — a wrong or
+    // missing statistic fails the hash gate. localCheckpoint forces
+    // optimization NOW, while CBO is on, so the conf flip can be
+    // restored without leaking session-wide.
+    "q_table_stats" -> ((s, dir) => {
+      for (tbl <- Seq("nation", "customer", "orders")) {
+        s.sql(s"DROP TABLE IF EXISTS graft_stats_$tbl")
+        t(s, dir, tbl).write.mode(SaveMode.Overwrite).saveAsTable(s"graft_stats_$tbl")
+        s.sql(s"ANALYZE TABLE graft_stats_$tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      val statsRows = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("graft_stats_orders"))
+        .stats.flatMap(_.rowCount).map(_.longValue).getOrElse(-1L)
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+      val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try {
+        s.sql(
+          """SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total
+            |FROM graft_stats_orders
+            |JOIN graft_stats_customer ON o_custkey = c_custkey
+            |JOIN graft_stats_nation ON c_nationkey = n_nationkey
+            |WHERE o_orderstatus = 'F'
+            |GROUP BY n_name""".stripMargin)
+          .withColumn("stats_orders_rows", lit(statsRows))
+          .localCheckpoint()
+          .orderBy("n_name")
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", prevCbo)
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+      }
+    }),
+
     // File-metadata scan: listStatus/stat surface via _metadata and
     // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
@@ -166,6 +218,19 @@ object Sources {
     "q_table_lifecycle" ->
       """SELECT n_regionkey, CAST(count(*) * 2 AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_sink_orc" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_table_stats" ->
+      """SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total,
+        |       (SELECT count(*) FROM orders) AS stats_orders_rows
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_file_metadata" ->
       """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size,

@@ -110,6 +110,47 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ANALYZE column stats drive a CBO join reorder") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (tbl <- Seq("nation", "customer", "orders")) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_cbo_$tbl")
+      Tables(spark, sf, tbl).write.mode("overwrite").saveAsTable(s"graft_cbo_$tbl")
+      spark.sql(s"ANALYZE TABLE graft_cbo_$tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    // ANALYZE populated catalog stats (read from the catalog directly —
+    // plan-level rowCount only surfaces when CBO is already on)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_cbo_orders"))
+    assert(meta.stats.flatMap(_.rowCount).isDefined,
+      "ANALYZE left no rowCount in the catalog")
+    // deliberately bad syntactic order: fact ⋈ fact first, the
+    // 1-row-filtered dimension last
+    val sqlText =
+      """SELECT n_name, count(*) AS n
+        |FROM graft_cbo_orders
+        |JOIN graft_cbo_customer ON o_custkey = c_custkey
+        |JOIN graft_cbo_nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'FRANCE' GROUP BY n_name""".stripMargin
+    def innermostJoin(cbo: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      try {
+        val joins = spark.sql(sqlText).queryExecution.optimizedPlan
+          .collect { case j: Join => j }
+        joins.last.toString // pre-order traversal ⇒ last = deepest join
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    }
+    val without = innermostJoin(cbo = false)
+    assert(!without.contains("graft_cbo_nation"),
+      s"baseline already joins the dimension first — test is vacuous:\n$without")
+    val withCbo = innermostJoin(cbo = true)
+    assert(withCbo.contains("graft_cbo_nation"),
+      s"CBO did not reorder the selective dimension into the innermost join:\n$withCbo")
+  }
+
   test("q1 aggregation is a two-phase hash aggregate") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
     assert(plan.contains("HashAggregate"), plan.take(2000))
