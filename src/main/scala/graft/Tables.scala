@@ -34,17 +34,25 @@ object Tables {
   // delete the per-PID scratch root on JVM exit — repeated Bench/Verify/
   // test runs would otherwise steadily fill /tmp with sink output
   // (q_sink_clustered alone rewrites lineitem). One hook per JVM.
+  // Registered through Hadoop's ShutdownHookManager (which Spark's own
+  // shutdown hooks also route through, as one hook at priority 30, all
+  // hooks run sequentially in descending priority): raw JVM hooks run
+  // in parallel with Spark's, so a racing executor flush could
+  // re-create files mid-delete and leave stragglers; priority 10 orders
+  // the delete strictly after SparkContext stop, one pass is enough.
   private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def registerScratchCleanup(root: java.nio.file.Path): Unit =
     if (cleanupRegistered.compareAndSet(false, true)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        try rm(root.toFile) catch { case _: Throwable => () }
-      }, "graft-scratch-cleanup"))
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          override def run(): Unit =
+            try rm(root.toFile) catch { case _: Throwable => () }
+        }, 10)
     }
 
   /** Load one table as a DataFrame (schema from parquet footer).
