@@ -61,14 +61,20 @@ object Aggregates {
     // on a given dataset, so the bands hash-match reproducibly while
     // still failing the gate if either sketch drifts out of tolerance.
     "q_agg_approx" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+      val li = t(s, dir, "lineitem")
+      // two scans joined on the 3-row key, NOT one agg: mixing the
+      // DISTINCT aggregate with the object-buffer aggregates (HLL,
+      // digest) triggers the Expand-based distinct rewrite, which at
+      // sf0.1 is ~10× slower than both plans run separately
+      val exactDistinct = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val sketches = li.groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           median(col("l_quantity")).cast("double").as("exact_med_qty"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
             .cast("double").as("approx_med"))
+      exactDistinct.join(sketches, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_orders"), col("exact_med_qty"),
           (abs(col("approx_orders") - col("exact_orders"))
             <= col("exact_orders") * lit(0.05)).as("cnt_in_band"),

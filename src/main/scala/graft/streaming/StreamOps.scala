@@ -82,16 +82,28 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    val q1 = start()
+    // same state-store sizing override as runToMemory: the per-batch
+    // commit cost is per state partition PER MICRO-BATCH, and this
+    // drill runs nSplits+ batches — the checkpoint pins the partition
+    // count at first start, and both runs share one checkpoint, so the
+    // conf is consistent across the kill/restart
+    val partsOverride = spark.conf.getOption("spark.graft.streaming.shufflePartitions")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    partsOverride.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     try {
-      while (q1.recentProgress.isEmpty && q1.isActive) Thread.sleep(25)
-    } finally q1.stop()
-    q1.awaitTermination()
-    val b1 = q1.recentProgress.length.toLong
-    val q2 = start()
-    q2.awaitTermination()
-    val b2 = q2.recentProgress.length.toLong
-    (spark.read.parquet(sink), b1, b2)
+      val q1 = start()
+      try {
+        while (q1.recentProgress.isEmpty && q1.isActive) Thread.sleep(25)
+      } finally q1.stop()
+      q1.awaitTermination()
+      val b1 = q1.recentProgress.length.toLong
+      val q2 = start()
+      q2.awaitTermination()
+      val b2 = q2.recentProgress.length.toLong
+      (spark.read.parquet(sink), b1, b2)
+    } finally {
+      partsOverride.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", prev))
+    }
   }
 
   /** Drain a streaming DataFrame into a memory sink and return the
