@@ -110,6 +110,36 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join (skew=true in the final plan)") {
+    // the 100 TB skew story: one hot key that would pin a single
+    // reducer gets split by AQE's OptimizeSkewedJoin. Thresholds are
+    // lowered so the property is testable at fixture scale.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of left rows share key 0; pad widens the hot partition
+      val left = spark.range(0, 100000).select(
+        when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 120, "0").as("pad"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), col("id").as("v"))
+      val joined = left.join(right, "k")
+      joined.collect() // materialize so the adaptive plan finalizes
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("ANALYZE column stats drive a CBO join reorder") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     for (tbl <- Seq("nation", "customer", "orders")) {

@@ -62,6 +62,43 @@ class StreamingSpec extends SparkSuite {
       s"recovered stream output != batch (got ${got.size} rows, expected ${exp.size})")
   }
 
+  test("foreachBatch idempotent-by-batchId sink survives kill/restart without duplicates") {
+    // the production pattern for arbitrary sinks: partition output by
+    // batch_id and dynamically overwrite only the partitions in hand —
+    // a replayed batch (same id) rewrites its own partition instead of
+    // appending a duplicate, so kill/restart keeps exactly-once output.
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables(spark, sf, "events").select("ts", "event_type", "value")
+    val src = Tables.scratch("fb_idem_src")
+    val out = Tables.scratch("fb_idem_out")
+    val ckpt = Tables.scratch("fb_idem_ckpt")
+    ev.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    try {
+      while (q1.recentProgress.isEmpty && q1.isActive) Thread.sleep(25)
+    } finally q1.stop()
+    q1.awaitTermination()
+    val q2 = start()
+    q2.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === ev.count(), "row count drifted across kill/restart")
+    val gotSum = got.agg(sum("value")).collect()(0).getDouble(0)
+    val expSum = ev.agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(gotSum - expSum) < 1e-6, s"value sum drifted: $gotSum vs $expSum")
+  }
+
   test("streaming dedup is first-seen across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
