@@ -26,6 +26,33 @@ object LlmPipeline {
   private val duckToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0))"
 
+  /** Shared oracle fragment: bigram jaccard ≥ 0.8 pairs → reachability
+    * closure (connected components). Used by q_dedup_clusters and
+    * q_dedup_corpus.
+    */
+  private val dupClusterCte =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a, g b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs
+      |  UNION SELECT doc_b, doc_b FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact content-hash dedup: keeper id + copy count per distinct text.
     "q_dedup_exact" -> ((s, dir) => {
@@ -54,6 +81,42 @@ object LlmPipeline {
         threshold = 0.8, shingleSize = 2)
       Dedup.duplicateClusters(pairs)
         .orderBy("doc")
+    }),
+
+    // END-TO-END corpus dedup — the operation a pipeline user actually
+    // runs: near-dup pairs → connected components → keep ONE
+    // representative (min doc_id) per cluster plus every unduplicated
+    // doc. `had_dups` marks survivors that represent a multi-doc
+    // cluster. Composes minhashNearDups + duplicateClusters; survivors
+    // re-join the corpus by id so no payload rides the pair shuffles.
+    "q_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 2)
+      val labels = Dedup.duplicateClusters(pairs) // (doc, label=min of cluster)
+      docs.join(labels, docs("doc_id") === labels("doc"), "left_outer")
+        .filter(col("doc").isNull || col("doc") === col("label"))
+        .select(col("doc_id"), col("doc").isNotNull.as("had_dups"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified training-mix sampling: per source, keep the top 20%
+    // of docs by length (word count), deterministic doc_id tiebreak —
+    // the window form runs one shuffle per stratum key and never
+    // collects to the driver.
+    "q_text_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_words"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_words").desc, col("doc_id").asc)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(wc))
+        .filter(col("rn") <= ceil(col("n_src") * lit(0.2)))
+        .select("source", "doc_id", "n_words")
+        .orderBy("source", "doc_id")
     }),
 
     // SimHash near-dups (hamming ≤ 3 over 64-bit signatures) — custom
@@ -370,28 +433,34 @@ object LlmPipeline {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_clusters" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id,
-        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM g a, g b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
-        |edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |  UNION SELECT doc_a, doc_a FROM pairs
-        |  UNION SELECT doc_b, doc_b FROM pairs),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-        |SELECT u AS doc, min(v) AS label FROM reach GROUP BY u ORDER BY doc""".stripMargin,
+      (dupClusterCte +
+        "\nSELECT u AS doc, min(v) AS label FROM reach GROUP BY u ORDER BY doc"),
+
+    "q_dedup_corpus" ->
+      // every doc in `labels` sits in a ≥2-doc cluster (labels come
+      // from pairs), so doc = label ⟺ representative of a real cluster
+      (dupClusterCte + """,
+        |labels AS (SELECT u AS doc, min(v) AS label FROM reach GROUP BY u)
+        |SELECT d.doc_id, (r.doc IS NOT NULL) AS had_dups
+        |FROM documents d
+        |LEFT JOIN (SELECT doc FROM labels WHERE doc = label) r
+        |  ON d.doc_id = r.doc
+        |WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> label)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q_text_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_words
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_words,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_words DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM d)
+        |SELECT source, doc_id, n_words FROM r
+        |WHERE rn <= ceil(n_src * 0.2)
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,

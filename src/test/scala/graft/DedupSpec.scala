@@ -32,6 +32,18 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 })
   }
 
+  test("end-to-end corpus dedup keeps one representative per cluster") {
+    // docs 1,2,3 form one near-dup cluster (rep 1); 4,5 another (rep 4)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+    val labels = Dedup.duplicateClusters(pairs)
+    val survivors = docs
+      .join(labels, docs("doc_id") === labels("doc"), "left_outer")
+      .filter(col("doc").isNull || col("doc") === col("label"))
+      .select(col("doc_id"), col("doc").isNotNull.as("had_dups"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(survivors === Map(1L -> true, 4L -> true))
+  }
+
   test("simhash near-dups finds exact and near duplicates") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
