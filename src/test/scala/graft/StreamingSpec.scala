@@ -62,6 +62,29 @@ class StreamingSpec extends SparkSuite {
       s"recovered stream output != batch (got ${got.size} rows, expected ${exp.size})")
   }
 
+  test("stateful agg under RocksDB state store matches the batch answer") {
+    // the 100 TB state path: HDFS-backed state is heap-bound, RocksDB
+    // spills to disk. Same query, same results, different provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = graft.streaming.StreamOps.eventsStream(spark, sf)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val got = graft.streaming.StreamOps.runToMemory(agg, "complete")
+        .select(col("window.start").as("w"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val exp = Tables(spark, sf, "events")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === exp)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("foreachBatch idempotent-by-batchId sink survives kill/restart without duplicates") {
     // the production pattern for arbitrary sinks: partition output by
     // batch_id and dynamically overwrite only the partitions in hand —
