@@ -100,6 +100,51 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // BM25 retrieval scoring (Robertson/Sparck-Jones; k1=1.2, b=0.75)
+    // for a fixed 3-term query: tf from a token explode, df and the
+    // corpus stats broadcast (3 rows + 1 row), top-20 via orderBy+limit
+    // (TakeOrdered — no global window sort).
+    "q_text_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+        .filter(col("w").isin("hash", "merge", "vector"))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
+      val dfT = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfT), "w")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Document chunking (RAG / training windows): token windows of 50
+    // with stride 40 (10-token overlap). One generator explode per doc
+    // — the chunk list never materializes on the driver, and the token
+    // array is carried once per doc, not per chunk.
+    "q_text_chunk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), t => length(t) > 0).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(40)))
+            .as(Seq("chunk_idx", "chunk_start")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("bigint").as("chunk_idx"),
+          col("chunk_start").cast("bigint").as("chunk_start"),
+          least(lit(50), col("n") - col("chunk_start")).cast("bigint").as("n_chunk_tokens"),
+          element_at(col("toks"), col("chunk_start") + 1).as("head_token"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Stratified training-mix sampling: per source, keep the top 20%
     // of docs by length (word count), deterministic doc_id tiebreak —
     // the window form runs one shuffle per stratum key and never
@@ -447,6 +492,40 @@ object LlmPipeline {
         |  ON d.doc_id = r.doc
         |WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> label)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "q_text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w)
+        |SELECT tf.doc_id,
+        |  sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS score
+        |FROM tf, df, s WHERE tf.w = df.w
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, len(toks), 40)) AS chunk_start
+        |  FROM d WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(chunk_start / 40 AS BIGINT) AS chunk_idx,
+        |  chunk_start,
+        |  least(50, n - chunk_start) AS n_chunk_tokens,
+        |  toks[chunk_start + 1] AS head_token
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_mixture" ->
       """WITH d AS (
