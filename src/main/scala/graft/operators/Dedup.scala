@@ -109,6 +109,74 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Persistable dedup index: one row per doc with its distinct gram
+    * array and minhash band keys. Write this to parquet once per
+    * corpus slice; incremental ingestion then dedups a new batch
+    * against it WITHOUT recomputing the existing corpus — the only
+    * formulation that survives continuous ingestion at 100 TB (a full
+    * recompute per batch is quadratic in total data over time).
+    */
+  def signatureIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, rowsPerBand: Int = 4,
+      shingleSize: Int = 1): DataFrame = {
+    val words = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("words"))
+    // store 64-bit gram hashes, not gram strings: jaccard over hashed
+    // distinct grams equals jaccard over grams up to a ~|g|²/2⁶⁴
+    // collision probability, and the persisted index shrinks by the
+    // average gram length — the difference between an index you can
+    // keep hot and one you can't
+    words
+      .select(col("doc"), array_distinct(shingles(col("words"), shingleSize)).as("grams"))
+      .select(col("doc"),
+        transform(col("grams"), g => xxhash64(g)).as("toks"),
+        lsh_bands(minhash_sig(col("grams"), numHashes), rowsPerBand).as("bands"))
+  }
+
+  /** Near-dup pairs touching the NEW batch only: candidates are
+    * new×old and new×new band collisions — existing-corpus pairs are
+    * never regenerated. Both inputs are `signatureIndex` outputs
+    * (the old one typically read back from parquet). Shares the
+    * maxBucket skew guard: band counts over old ∪ new, oversized
+    * bands fall back to star-pairing each NEW member against the
+    * band's min-doc representative.
+    */
+  def incrementalNearDups(
+      index: DataFrame, newIdx0: DataFrame,
+      threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    // the new batch's plan feeds four consumers (band stats, both
+    // candidate joins, verification) — materialize it once; the OLD
+    // index is already parquet-backed, so re-reads are cheap
+    val newIdx = newIdx0.localCheckpoint()
+    val allB = index.select(col("doc"), explode(col("bands")).as("band"))
+      .union(newIdx.select(col("doc"), explode(col("bands")).as("band")))
+    val newB = newIdx.select(col("doc"), explode(col("bands")).as("band"))
+    val stats = allB.groupBy("band").agg(count(lit(1)).as("__bucket_n"))
+    val ok = stats.filter(col("__bucket_n") <= maxBucket).select("band")
+    val big = stats.filter(col("__bucket_n") > maxBucket).select("band")
+    val pairsOk = newB.join(ok, Seq("band"))
+      .select(col("band"), col("doc").as("doc_n"))
+      .join(allB.join(ok, Seq("band")).select(col("band"), col("doc").as("doc_o")),
+        Seq("band"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+    val pairsBig = newB.join(big, Seq("band"))
+      .join(allB.join(big, Seq("band")).groupBy("band").agg(min("doc").as("rep")),
+        Seq("band"))
+      .filter(col("doc") =!= col("rep"))
+      .select(least(col("doc"), col("rep")).as("doc_a"),
+        greatest(col("doc"), col("rep")).as("doc_b"))
+    val toks = index.select("doc", "toks").union(newIdx.select("doc", "toks"))
+    pairsOk.union(pairsBig)
+      .dropDuplicates("doc_a", "doc_b")
+      .join(toks.select(col("doc").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard_tokens(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Verified near-duplicate pairs at a jaccard threshold. */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,

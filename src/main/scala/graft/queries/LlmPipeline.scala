@@ -83,6 +83,24 @@ object LlmPipeline {
         .orderBy("doc")
     }),
 
+    // INCREMENTAL dedup — the continuous-ingestion pattern: the
+    // existing corpus's signature index (80% of docs) is built once
+    // and persisted as parquet; a new batch (doc_id % 5 == 0) is
+    // deduped against it via new×(old ∪ new) band collisions only.
+    // Existing-corpus pairs are never regenerated.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = graft.Tables.scratch("dedup_index")
+      Dedup.signatureIndex(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleSize = 2)
+        .write.mode("overwrite").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      val newIdx = Dedup.signatureIndex(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleSize = 2)
+      Dedup.incrementalNearDups(index, newIdx, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // END-TO-END corpus dedup — the operation a pipeline user actually
     // runs: near-dup pairs → connected components → keep ONE
     // representative (min doc_id) per cluster plus every unduplicated
@@ -480,6 +498,23 @@ object LlmPipeline {
     "q_dedup_clusters" ->
       (dupClusterCte +
         "\nSELECT u AS doc, min(v) AS label FROM reach GROUP BY u ORDER BY doc"),
+
+    "q_dedup_incremental" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_corpus" ->
       // every doc in `labels` sits in a ≥2-doc cluster (labels come

@@ -32,6 +32,16 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 })
   }
 
+  test("incremental dedup finds new-vs-old and new-vs-new pairs, never old-vs-old") {
+    // old corpus {1, 4}, new batch {2, 3, 5}: expect (1,2) (1,3) new×old,
+    // (2,3) new×new, (4,5) new×old — and nothing between old docs only
+    val index = Dedup.signatureIndex(docs.filter(col("doc_id").isin(1L, 4L)), "doc_id", "text")
+    val newIdx = Dedup.signatureIndex(docs.filter(col("doc_id").isin(2L, 3L, 5L)), "doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(index, newIdx, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
   test("end-to-end corpus dedup keeps one representative per cluster") {
     // docs 1,2,3 form one near-dup cluster (rep 1); 4,5 another (rep 4)
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
