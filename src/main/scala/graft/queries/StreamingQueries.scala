@@ -116,6 +116,34 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // OUTER stream-stream join: matched pairs emit on match; an
+    // unmatched left row emits (with nulls) only once the global
+    // watermark passes v_ts + join bound, i.e. the row provably cannot
+    // match anymore. The oracle encodes exactly that contract: global
+    // watermark = min(max ts per side) − 30 min; unmatched views count
+    // only when v_ts + 10 min < watermark. Users with neither matched
+    // nor expired-unmatched rows are absent on both sides.
+    "q_stream_stream_outer" -> ((s, dir) => {
+      val views = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+      val errors = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "30 minutes")
+      val joined = views.join(errors,
+        col("v_user") === col("e_user") &&
+        col("e_ts") > col("v_ts") &&
+        col("e_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      val out = StreamOps.runToMemory(joined, "append")
+      out.groupBy(col("v_user").as("user_id"))
+        .agg(count(col("e_user")).as("n_matched"),
+          count(when(col("e_user").isNull, 1)).as("n_expired_unmatched"))
+        .orderBy("user_id")
+    }),
+
     // Update output mode: only changed groups are emitted per batch
     // (single drain batch → one row per group, equal to batch agg).
     "q_stream_update" -> ((s, dir) => {
@@ -241,6 +269,27 @@ object StreamingQueries {
         |  ON v.user_id = e.user_id
         | AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    "q_stream_stream_outer" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+        |wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM e))
+        |              - INTERVAL 30 MINUTE AS w),
+        |matched AS (
+        |  SELECT v.user_id FROM v JOIN e
+        |    ON v.user_id = e.user_id
+        |   AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE),
+        |expired AS (
+        |  SELECT v.user_id FROM v
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |          WHERE e.user_id = v.user_id
+        |            AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE)
+        |    AND v.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+        |SELECT user_id,
+        |  (SELECT count(*) FROM matched m WHERE m.user_id = u.user_id) AS n_matched,
+        |  (SELECT count(*) FROM expired x WHERE x.user_id = u.user_id) AS n_expired_unmatched
+        |FROM (SELECT user_id FROM matched UNION SELECT user_id FROM expired) u
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_update" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
