@@ -296,6 +296,28 @@ object LlmPipeline {
         .orderBy("probe_id")
     }),
 
+    // Int8 embedding quantization (the storage format a vector corpus
+    // ships at scale: 4× smaller than float32). Per-vector max-abs
+    // scaling; floor(x + 0.5) rounding — NOT round() — so both engines
+    // round half-up identically and the quantized values are EXACTLY
+    // recomputable by the oracle (qsum is an exact integer check over
+    // all 64 dims, not a tolerance band).
+    "q_embed_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array_max(transform(col("embedding"), x => abs(x)))
+            .cast("double").as("max_abs"),
+          col("embedding"))
+        .filter(col("max_abs") > 0)
+        .withColumn("q", transform(col("embedding"), x =>
+          floor(x.cast("double") * (lit(127.0) / col("max_abs")) + lit(0.5)).cast("long")))
+        .select(col("vec_id"), col("max_abs"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("qsum"),
+          element_at(col("q"), 1).as("q0"),
+          (array_max(col("q")) <= 127 && array_min(col("q")) >= -127).as("in_range"))
+        .orderBy("vec_id")
+    }),
+
     // Vector centroid per label via typed UDAF, exploded per dimension.
     "q_embed_centroid" -> ((s, dir) => {
       val centroid = udaf(Aggregators.VectorCentroid)
@@ -620,6 +642,23 @@ object LlmPipeline {
       """SELECT doc_id, greatest(len(text) - 6, 0) AS n_grams,
         |       TRUE AS density_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs,
+        |    embedding
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, max_abs,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS BIGINT)) AS qv
+        |  FROM q WHERE max_abs > 0)
+        |SELECT vec_id, max_abs,
+        |  list_aggregate(qv, 'sum') AS qsum,
+        |  qv[1] AS q0,
+        |  (list_max(qv) <= 127 AND list_min(qv) >= -127) AS in_range
+        |FROM qq ORDER BY vec_id""".stripMargin,
 
     "q_sim_topk" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (
