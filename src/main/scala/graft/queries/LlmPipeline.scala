@@ -127,9 +127,13 @@ object LlmPipeline {
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
         .withColumn("dl", size(col("toks")))
       val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      // tf feeds both the df count and the scoring join — materialize
+      // it once (tiny: one row per (doc, matched term)) instead of
+      // re-running the explode+filter scan per consumer
       val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
         .filter(col("w").isin("hash", "merge", "vector"))
         .groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
+        .localCheckpoint()
       val dfT = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
       tf.join(broadcast(dfT), "w")
         .crossJoin(broadcast(stats))
