@@ -169,6 +169,23 @@ object Sources {
       }
     }),
 
+    // MERGE INTO (CDC upsert) semantics: 5% of orders re-priced
+    // (matched → update) and a synthetic 6% inserted under fresh keys
+    // (not matched → insert); the merged snapshot is aggregated with
+    // exact-cents sums so the totals are summation-order-proof.
+    "q_table_merge" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val updates = orders.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.operators.Upsert.merge(orders, updates, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // File-metadata scan: listStatus/stat surface via _metadata and
     // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
@@ -236,6 +253,21 @@ object Sources {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_table_merge" ->
+      """WITH updates AS (
+        |  SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_file_metadata" ->
       """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size,

@@ -187,6 +187,31 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, "expected partial+final")
   }
 
+  test("partitioned sink read-back prunes to one partition directory") {
+    val out = Tables.scratch("prune_test")
+    Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val df = spark.read.parquet(out).filter(col("l_returnflag") === "R")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("l_returnflag"),
+      s"partition filter missing from scan:\n$scan")
+    // the filter must land in PartitionFilters (dir pruning), not as a
+    // data filter over all dirs
+    assert(!scan.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      s"partition column leaked into data filters:\n$scan")
+  }
+
+  test("MERGE upsert: matched rows update, unmatched survive, new keys insert") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 25.0), (9L, "new", 90.0)).toDF("k", "name", "v")
+    val merged = graft.operators.Upsert.merge(target, updates, "k")
+      .as[(Long, String, Double)].collect().toSet
+    assert(merged === Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+
   test("top-k limit uses TakeOrderedAndProject") {
     val plan = planOf(SparkEntry.queries("q_limit_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
