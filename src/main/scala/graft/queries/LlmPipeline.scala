@@ -167,6 +167,22 @@ object LlmPipeline {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Deterministic hash-based sampling — the reproducible sampling
+    // method a production pipeline uses instead of rand(): membership
+    // is a pure function of the row key (md5 is bit-identical across
+    // engines, so the oracle recomputes the exact sample). First hex
+    // nibble ∈ {0,1,2} ⇒ an exact 3/16 rate, stable under re-runs,
+    // re-partitioning, and engine changes.
+    "q_sample_hash" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1", "2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Stratified training-mix sampling: per source, keep the top 20%
     // of docs by length (word count), deterministic doc_id tiebreak —
     // the window form runs one shuffle per stratum key and never
@@ -587,6 +603,13 @@ object LlmPipeline {
         |  least(50, n - chunk_start) AS n_chunk_tokens,
         |  toks[chunk_start + 1] AS head_token
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        |FROM events
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_text_mixture" ->
       """WITH d AS (
