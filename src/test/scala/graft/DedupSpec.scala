@@ -42,6 +42,19 @@ class DedupSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
 
+  test("incremental dedup skew guard star-pairs oversized bands") {
+    // 30 identical docs share every band → bucket size 30 > maxBucket
+    // 10 → the quadratic path is skipped; every NEW doc star-pairs the
+    // band's min-doc representative (an OLD doc), nothing is dropped
+    val dup = (100L to 129L).map(i => (i, "same text repeated for bucket overflow test"))
+      .toDF("doc_id", "text")
+    val index = Dedup.signatureIndex(dup.filter(col("doc_id") < 115), "doc_id", "text")
+    val newIdx = Dedup.signatureIndex(dup.filter(col("doc_id") >= 115), "doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(index, newIdx, threshold = 0.9, maxBucket = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === (115L to 129L).map(i => (100L, i)).toSet)
+  }
+
   test("end-to-end corpus dedup keeps one representative per cluster") {
     // docs 1,2,3 form one near-dup cluster (rep 1); 4,5 another (rep 4)
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
