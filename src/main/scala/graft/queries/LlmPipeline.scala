@@ -682,7 +682,7 @@ object LlmPipeline {
         |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS BIGINT)) AS qv
         |  FROM q WHERE max_abs > 0)
         |SELECT vec_id, max_abs,
-        |  list_aggregate(qv, 'sum') AS qsum,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
         |  qv[1] AS q0,
         |  (list_max(qv) <= 127 AND list_min(qv) >= -127) AS in_range
         |FROM qq ORDER BY vec_id""".stripMargin,

@@ -149,12 +149,15 @@ object Sources {
       s.conf.set("spark.sql.cbo.enabled", "true")
       s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       try {
-        // exact-cents sum: a double sum at ~1e9 magnitude diverges from
-        // DuckDB in the 6th decimal under different summation orders;
-        // integer cents make the total order-independent on both sides
+        // exact cents summed as BIGINT (double sums at ~1e9 diverge from
+        // DuckDB in the 6th decimal under different summation orders),
+        // then ONE double division at the end — a DECIMAL output column
+        // would hit the driver's decimal canonicalization divergence
+        // (the q_cast_decimal root cause); CAST(...AS DOUBLE)/100.0 is
+        // representation-proof on both sides
         s.sql(
           """SELECT n_name, count(*) AS n_orders,
-            |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+            |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
             |FROM graft_stats_orders
             |JOIN graft_stats_customer ON o_custkey = c_custkey
             |JOIN graft_stats_nation ON c_nationkey = n_nationkey
@@ -246,7 +249,7 @@ object Sources {
 
     "q_table_stats" ->
       """SELECT n_name, count(*) AS n_orders,
-        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
         |       (SELECT count(*) FROM orders) AS stats_orders_rows
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
