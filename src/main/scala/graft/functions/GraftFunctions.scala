@@ -23,6 +23,7 @@ object GraftFunctions {
     bridge.registerTemp(spark, "minhash_sig", es => MinHashSig(es(0), intArg(es(1))))
     bridge.registerTemp(spark, "lsh_bands", es => LshBands(es(0), intArg(es(1))))
     bridge.registerTemp(spark, "simhash64", es => SimHash64(es(0)))
+    bridge.registerTemp(spark, "simhash_md5", es => SimHashMd5(es(0)))
     bridge.registerTemp(spark, "graft_fingerprint",
       es => Fingerprint(es(0), intArg(es(1)), intArg(es(2))))
     bridge.registerTemp(spark, "hyperplane_bucket",

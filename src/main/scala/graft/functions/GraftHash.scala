@@ -106,6 +106,54 @@ object GraftHash {
     out
   }
 
+  // md5 digester per thread: MessageDigest is stateful and not
+  // thread-safe; executor task threads each get one instance
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit SimHash with md5-derived token hashes. The token hash is
+    * the integer value of the first 15 hex chars of md5(token) — i.e.
+    * the digest's first 60 bits — which a SQL oracle can recompute
+    * verbatim (`CAST('0x' || substr(md5(tok),1,15) AS BIGINT)`), making
+    * the whole near-dup pair set exactly checkable cross-engine. md5 is
+    * ~20× slower per token than the XXH64 kernel in [[simhash64]]; at
+    * production scale prefer that variant — the signature semantics are
+    * identical, only the (arbitrary) hash family differs.
+    */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(t).getBytes)
+        // big-endian first 8 bytes, then drop the low nibble: equals
+        // parseUnsignedLong(hexDigest.substring(0, 15), 16)
+        var h8 = 0L
+        var i = 0
+        while (i < 8) { h8 = (h8 << 8) | (d(i) & 0xFFL); i += 1 }
+        val h = h8 >>> 4
+        var bit = 0
+        while (bit < 60) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
   /** Winnowing document fingerprint: k-gram rolling hashes over the
     * character stream, minimum per window of w, distinct minima kept.
     * Robust to small edits — shared fingerprints indicate overlap.

@@ -77,6 +77,17 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 60-bit SimHash with md5 token hashes (oracle-recomputable). */
+  case class SimHashMd5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.simhashMd5(v.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.simhashMd5($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Winnowing fingerprint of raw text → array<long>. */
   case class Fingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -110,6 +121,7 @@ object VectorExpressions {
   def minhash_sig(tokens: Column, k: Int): Column = toCol(MinHashSig(toExpr(tokens), k))
   def lsh_bands(sig: Column, rowsPerBand: Int): Column = toCol(LshBands(toExpr(sig), rowsPerBand))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def simhash_md5(tokens: Column): Column = toCol(SimHashMd5(toExpr(tokens)))
   def fingerprint(text: Column, k: Int = 7, w: Int = 10): Column = toCol(Fingerprint(toExpr(text), k, w))
   def hyperplane_bucket(v: Column, nBits: Int, table: Int = 0): Column =
     toCol(HyperplaneBucket(toExpr(v), nBits, table))

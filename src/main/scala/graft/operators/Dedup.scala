@@ -261,16 +261,25 @@ object Dedup {
   /** SimHash near-dup: 64-bit simhash, banded into 4×16-bit chunks
     * (pigeonhole: hamming distance ≤3 ⇒ at least one chunk equal),
     * verified with bit_count(xor) ≤ maxHamming.
+    *
+    * `tokenHashMd5` switches the signature to the 60-bit md5-hashed
+    * variant (4×15-bit chunks, same pigeonhole argument) whose values a
+    * SQL oracle recomputes exactly; the default XXH64 kernel is the
+    * faster choice at production scale (GraftHash.simhashMd5 doc).
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      tokenHashMd5: Boolean = false): DataFrame = {
+    val (sigFn, chunkBits) =
+      if (tokenHashMd5) (simhash_md5 _, 15) else (simhash64 _, 16)
+    val chunkMask = (1L << chunkBits) - 1
     val sh = df.select(col(idCol).as("doc"),
-      simhash64(tokens(col(textCol))).as("sh"))
+      sigFn(tokens(col(textCol))).as("sh"))
     val chunkedAll = sh.select(col("doc"), col("sh"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("key", concat_ws(":", col("chunk"),
-        expr("shiftrightunsigned(sh, chunk * 16)").bitwiseAND(lit(0xFFFFL))))
+        expr(s"shiftrightunsigned(sh, chunk * $chunkBits)").bitwiseAND(lit(chunkMask))))
     // same skew guard as minhash: bound chunk-key buckets pre-self-join,
     // with the same linear star-pairing fallback for oversized buckets
     // (see minhashCandidatePairs) instead of a silent drop

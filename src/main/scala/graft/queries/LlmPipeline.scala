@@ -202,10 +202,15 @@ object LlmPipeline {
         .orderBy("source", "doc_id")
     }),
 
-    // SimHash near-dups (hamming ≤ 3 over 64-bit signatures) — custom
-    // signature values, rows-only check.
+    // SimHash near-dups (hamming ≤ 3) over the md5-hashed 60-bit
+    // signature variant: every signature bit is recomputable in SQL
+    // from md5(token), so the oracle re-derives the signatures and the
+    // FULL pair set exactly (all-pairs at oracle scale; the Spark side
+    // still goes through banded candidate generation).
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          tokenHashMd5 = true)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -535,6 +540,34 @@ object LlmPipeline {
         |WHERE a.doc_id < b.doc_id
         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // recomputes the md5-60-bit simhash signatures bit-for-bit (token
+    // hash = first 15 hex chars of md5 = digest's first 60 bits), then
+    // takes ALL pairs at hamming ≤ 3 — the banded Spark plan must agree
+    // exactly because 4-chunk pigeonhole banding is complete at ≤3.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |  FROM th, range(60) t(bit) GROUP BY doc_id, bit),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) END), 0)
+        |         AS BIGINT) AS sh
+        |  FROM documents d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a, sig b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_clusters" ->

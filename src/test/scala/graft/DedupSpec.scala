@@ -74,6 +74,18 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((4L, 5L)))
   }
 
+  test("simhash md5 variant finds all pairs within the pigeonhole bound") {
+    // md5-60bit distances on this fixture: (1,2)=0, (1,3)=(2,3)=3,
+    // (4,5)=9, everything else 27. The 4-chunk banding is COMPLETE only
+    // up to hamming 3 (pigeonhole) — so at maxHamming=3 the output must
+    // be exactly the three guaranteed pairs; (4,5) at 9 is beyond the
+    // recall contract (and indeed needs a lucky chunk collision).
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3,
+        tokenHashMd5 = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("maxBucket guard bounds degenerate band buckets (giant all-dup cluster)") {
     // 30 identical docs: every band bucket they share has 30 members —
     // over maxBucket=10, so the quadratic self-join is skipped and the

@@ -41,6 +41,36 @@ class GraftHashSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h1 ^ unrelated) > 12)
   }
 
+  test("simhashMd5: signature matches an independent md5-hex re-derivation") {
+    val toks = Seq("alpha", "beta", "gamma", "alpha", "delta42")
+    // reference path: hex digest string → first 15 chars → unsigned parse,
+    // exactly what the DuckDB oracle does with substr(md5(tok),1,15)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](60)
+    toks.foreach { t =>
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseUnsignedLong(hex.substring(0, 15), 16)
+      for (bit <- 0 until 60)
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+    }
+    val expected = (0 until 60).foldLeft(0L)((acc, bit) =>
+      if (counts(bit) > 0) acc | (1L << bit) else acc)
+    assert(GraftHash.simhashMd5(strArr(toks)) === expected)
+    // 60-bit variant: nothing above bit 59
+    assert((GraftHash.simhashMd5(strArr(toks)) >>> 60) === 0L)
+  }
+
+  test("simhashMd5: near-identical token lists have small hamming distance") {
+    val base = (0 until 200).map(i => s"w$i")
+    val tweaked = base.drop(3) ++ Seq("other1", "other2")
+    val hamming = java.lang.Long.bitCount(
+      GraftHash.simhashMd5(strArr(base)) ^ GraftHash.simhashMd5(strArr(tweaked)))
+    assert(hamming <= 12, s"hamming $hamming")
+    val unrelated = GraftHash.simhashMd5(strArr((0 until 200).map(i => s"q$i")))
+    assert(java.lang.Long.bitCount(GraftHash.simhashMd5(strArr(base)) ^ unrelated) > 12)
+  }
+
   test("fingerprint: shared long substring shares fingerprints") {
     val shared = "the quick brown fox jumps over the lazy dog again and again"
     val a = GraftHash.fingerprint(UTF8String.fromString("AAA " + shared + " BBB"), 7, 10).toLongArray().toSet
