@@ -155,6 +155,26 @@ object Joins {
           |LIMIT 10""".stripMargin)
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    // Revenue in exact cents (summation-order-proof); ties broken by
+    // c_custkey so the LIMIT is deterministic on both engines.
+    "q_sql_tpch_q10" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name, n_name,
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |       AS DOUBLE) / 100.0 AS revenue,
+          |  count(*) AS n_items
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin)
+    }),
+
     // TPC-H Q5 shape: local-supplier revenue per nation (6-table join).
     "q_sql_tpch_q5" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -211,6 +231,39 @@ object Joins {
           |FROM orders o
           |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    // the selective filter on orders (creation side) builds a bloom
+    // filter over o_orderkey, injected as a might_contain predicate on
+    // the lineitem scan — at 100 TB that prunes the fact table BEFORE
+    // its shuffle instead of after the join. False positives only cost
+    // pruning efficiency; the exact join still applies, so the result
+    // is exact. Thresholds are lowered inside the closure (the fixture
+    // is far below the 10 MB creation / 10 GB scan defaults) and
+    // broadcast is disabled so the join is a shuffle join, the shape
+    // the rule targets; localCheckpoint forces planning inside the
+    // conf window (PlanSpec asserts the might_contain injection).
+    "q_join_runtime_filter" -> ((s, dir) => {
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.get(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+              .as("sum_price"),
+            count(lit(1)).as("n_items"))
+          .localCheckpoint()
+          .orderBy("l_linestatus")
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
     }),
 
     // As-of join: latest order at-or-before each event per user.
@@ -296,6 +349,29 @@ object Joins {
       """SELECT s_name, sum(l_extendedprice) AS sum_price, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |       AS DOUBLE) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_join_runtime_filter" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,

@@ -116,6 +116,32 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // Stream-stream join under RATE LIMITING (maxFilesPerTrigger=1 over
+    // a 6-way time-range split): views buffered in join state in one
+    // micro-batch must still match errors arriving batches later. The
+    // result must equal the batch join exactly — the 30-min watermark
+    // delay exceeds the 10-min join window, so no buffered row can
+    // expire before its last possible match arrives (range-split input
+    // keeps event time monotone across batches). Same oracle shape as
+    // the single-batch variant; what's exercised is cross-batch state.
+    "q_stream_stream_paced" -> ((s, dir) => {
+      val src = StreamOps.eventsStreamPaced(s, dir, 6)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+      val errors = src.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "30 minutes")
+      val joined = views.join(errors,
+        col("v_user") === col("e_user") &&
+        col("e_ts") > col("v_ts") &&
+        col("e_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      val out = StreamOps.runToMemory(joined, "append")
+      out.groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // OUTER stream-stream join: matched pairs emit on match; an
     // unmatched left row emits (with nulls) only once the global
     // watermark passes v_ts + join bound, i.e. the row provably cannot
@@ -263,6 +289,15 @@ object StreamingQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_stream_stream_join" ->
+      """SELECT v.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        |  ON v.user_id = e.user_id
+        | AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // rate-limited multi-batch run must still equal the batch join
+    "q_stream_stream_paced" ->
       """SELECT v.user_id, count(*) AS n_pairs
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e

@@ -35,6 +35,35 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The events table as a rate-limited multi-batch stream: a
+    * range-split copy (nSplits time-ordered files, mtimes pinned to the
+    * range order — FileStreamSource picks oldest (modTime, path) first
+    * while parallel write tasks would randomize mtimes) read with
+    * maxFilesPerTrigger=1, so an AvailableNow run processes nSplits
+    * micro-batches in event-time order. Join/agg state must then
+    * survive across batch boundaries, which the single-batch glob
+    * source never exercises. Time-range splitting keeps watermark
+    * semantics exact: each batch's event times follow the previous
+    * batch's, so the watermark only moves past fully-arrived data.
+    */
+  def eventsStreamPaced(spark: SparkSession, dir: String, nSplits: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(Tables.path(dir, "events"))
+    val src = Tables.scratch(s"paced_src_${counter.incrementAndGet()}")
+    raw.repartitionByRange(nSplits, col("ts")).write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1755000000000L + i * 1000L)
+    }
+    spark.readStream
+      .schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*")
+      .parquet(src)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Exactly-once recovery drill (the reference's hsync durability
     * contract, `CubefsOutputStream.java:116-141`, exercised end to
     * end): split `events` into `nSplits` time-range files, stream them

@@ -181,6 +181,29 @@ class PlanSpec extends SparkSuite {
       s"CBO did not reorder the selective dimension into the innermost join:\n$withCbo")
   }
 
+  test("runtime bloom filter injects might_contain on the fact side") {
+    // same conf window as q_join_runtime_filter (which localCheckpoints,
+    // hiding its plan): thresholds lowered to fixture scale, broadcast
+    // off so the join is the shuffle shape InjectRuntimeFilter targets
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+      val plan = planOf(df)
+      assert(plan.contains("might_contain"),
+        s"InjectRuntimeFilter did not fire:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q1 aggregation is a two-phase hash aggregate") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
     assert(plan.contains("HashAggregate"), plan.take(2000))
