@@ -59,6 +59,36 @@ object Multimodal {
       .filter(col("frame_idx") % every === 0)
   }
 
+  /** Typed output of the resize pass. */
+  case class ResizedMedia(
+      doc_id: Long,
+      n_bytes: Long,
+      n_resized: Long,
+      resized_md5: String)
+
+  /** STUB "resize": keep every `factor`-th byte of the payload — the
+    * deterministic stand-in for a resolution downsample (a real codec
+    * call replaces the byte loop; the mapPartitions batch shape, binary
+    * in/out, and metadata schema are the production-identical part).
+    */
+  def resize(payloads: DataFrame, factor: Int): DataFrame = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          md.reset()
+          val hex = md.digest(out).map("%02x".format(_)).mkString
+          ResizedMedia(id, bytes.length.toLong, out.length.toLong, hex)
+        }
+      }
+      .toDF()
+  }
+
   /** Per-partition batched feature extraction over binary payloads.
     * One codec instance per partition (the expensive init a real
     * decoder would amortize), streaming rows through it.

@@ -82,6 +82,34 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Mergeable HLL sketches (DataSketches): per-event-type user
+    // sketches merged with hll_union_agg — the partial-aggregation
+    // pattern for distinct counts at 100 TB: every shard sketches
+    // locally and the merge is a tiny associative union, no re-scan.
+    // A user active in several event types makes the union genuinely
+    // non-additive. Sketching is deterministic, so the tolerance
+    // booleans the oracle predicts TRUE are stable; exact distincts
+    // ride along for the oracle to recompute. Same two-scan split as
+    // q_agg_approx (countDistinct + object-buffer agg in one agg
+    // triggers the Expand distinct rewrite).
+    "q_agg_hll_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val sk = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val perType = exact.join(sk, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+            <= col("exact_users") * lit(0.05)).as("hll_ok"))
+      val total = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+        .crossJoin(sk.agg(hll_union_agg(col("sk")).as("sku")))
+        .select(lit("ALL").as("event_type"), col("exact_users"),
+          (abs(hll_sketch_estimate(col("sku")) - col("exact_users"))
+            <= col("exact_users") * lit(0.05)).as("hll_ok"))
+      perType.unionByName(total).orderBy("event_type")
+    }),
+
     // Order-sensitive: min_by/max_by with unique tiebreak.
     "q_agg_minmax_by" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -177,6 +205,14 @@ object Aggregates {
         |  TRUE AS cnt_in_band,
         |  TRUE AS med_in_band
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+        |ORDER BY event_type""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

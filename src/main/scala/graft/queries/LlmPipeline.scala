@@ -489,6 +489,16 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Resize/downsample pass: every-4th-byte stub in the per-partition
+    // codec slot; the oracle recomputes the resized content's md5 from
+    // the text (corpus is pure ASCII, so bytes == chars), value-checking
+    // the binary transform end to end, not just its byte counts.
+    "q_multimodal_resize" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resize(payloads, factor = 4)
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: binary payload → FrameSize-byte frames → every
     // 2nd frame kept; per-doc sampled counts/bytes are oracle-derivable
     // from payload length, so the explode plumbing is value-checked.
@@ -851,6 +861,17 @@ object LlmPipeline {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
         |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // resized = bytes at positions 0,4,8,… — the regexp keeps the first
+    // char of each ≤4-char run ('s' so '.' crosses newlines); md5 over
+    // the resampled string equals md5 over the resampled bytes because
+    // the corpus is pure ASCII (verified: 0 multibyte docs at all SFs)
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_resized,
+        |  md5(regexp_replace(text, '(.).{0,3}', '\1', 'gs')) AS resized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // sampled frames = indices 0,2,4,…; each 256 bytes except a partial
