@@ -117,7 +117,7 @@ object StreamingQueries {
     }),
 
     // Stream-stream join under RATE LIMITING (maxFilesPerTrigger=1 over
-    // a 6-way time-range split): views buffered in join state in one
+    // a 3-way time-range split): views buffered in join state in one
     // micro-batch must still match errors arriving batches later. The
     // result must equal the batch join exactly — the 30-min watermark
     // delay exceeds the 10-min join window, so no buffered row can
@@ -125,7 +125,10 @@ object StreamingQueries {
     // keeps event time monotone across batches). Same oracle shape as
     // the single-batch variant; what's exercised is cross-batch state.
     "q_stream_stream_paced" -> ((s, dir) => {
-      val src = StreamOps.eventsStreamPaced(s, dir, 6)
+      // 3 splits = 2 batch boundaries — enough to exercise cross-batch
+      // state; each extra micro-batch costs a full state-commit round
+      // (data-volume-independent), so more splits only burn wall-clock
+      val src = StreamOps.eventsStreamPaced(s, dir, 3)
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "30 minutes")
