@@ -126,6 +126,60 @@ object Sources {
         .orderBy("p_partkey")
     }),
 
+    // Inline data-quality metrics (df.observe / CollectMetrics): the
+    // production pattern for validating a pipeline WITHOUT a second
+    // scan — the metrics aggregate rides along with the main action
+    // and is collected driver-side on completion. The query's output
+    // IS the observed metrics row; the oracle recomputes the same
+    // aggregates with a plain scan, so a metric that under- or
+    // over-counts fails the hash gate.
+    "q_observe" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation()
+      t(s, dir, "orders").observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .write.format("noop").mode(SaveMode.Overwrite).save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+           m("sum_cents").asInstanceOf[Long],
+           m("min_key").asInstanceOf[Long],
+           m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_cents", "min_key", "max_key")
+        .select(col("n_rows"),
+          (col("sum_cents").cast("double") / 100.0).as("total"),
+          col("min_key"), col("max_key"))
+    }),
+
+    // Dynamic partition overwrite: a rewrite of ONE partition's data
+    // must replace only that partition and leave every other partition
+    // untouched (static overwrite mode would wipe the whole table, and
+    // the oracle's expected merge would catch it). This is the
+    // idempotent-backfill contract a partitioned 100 TB table needs.
+    "q_sink_dynamic_overwrite" -> ((s, dir) => {
+      val out = tmp("dynover")
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      orders.write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(out)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        orders.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("o_orderstatus").parquet(out)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Table statistics / ANALYZE surface (the reference's
     // getContentSummary analog, `CubefsFileSystem.java:432-436`):
     // saveAsTable three join sides, ANALYZE ... FOR ALL COLUMNS, then
@@ -246,6 +300,19 @@ object Sources {
     "q_sink_orc" ->
       """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
+
+    "q_sink_dynamic_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |         ELSE o_totalprice END * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_table_stats" ->
       """SELECT n_name, count(*) AS n_orders,
