@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators for shuffle avoidance at scale
@@ -49,6 +49,44 @@ object Partitioning {
     df.repartitionByRange(numFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bit-interleave two 16-bit-scaled int columns into a Z-order key
+    * (Morton code). Pure Catalyst shift/and/or tree — constant-folded
+    * into whole-stage codegen, no custom kernel needed.
+    */
+  def interleave16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-ORDER clustered write: scale both keys into 16-bit rank space
+    * (min/max from one cheap pre-pass — the same stats a warehouse
+    * already has), interleave their bits into a Morton key, and
+    * range-partition + sort on it. Every output file then covers a
+    * narrow range in BOTH dimensions, so parquet min/max pruning works
+    * for a filter on either key — single-key clustering gives one dim
+    * a ~full-range spread per file. The standard multi-dimensional
+    * layout for 100 TB fact tables queried along more than one axis.
+    */
+  def zorderWrite(
+      df: DataFrame, path: String, numFiles: Int,
+      keyA: String, keyB: String): Unit = {
+    val r = df.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    val (aLo, aHi, bLo, bHi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0)
+      else ((col(c).cast("double") - lit(lo)) * lit(65535.0 / (hi - lo)))
+        .cast("int")
+    val z = interleave16(scaled(keyA, aLo, aHi), scaled(keyB, bLo, bHi))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Salted join for skewed keys: the skewed (large) side gets a random
     * salt in [0, saltFactor); the small side is replicated saltFactor

@@ -94,6 +94,23 @@ object Sources {
         .orderBy("l_returnflag")
     }),
 
+    // Z-ORDER clustered sink: Morton-key layout bounds every file's
+    // range in BOTH (l_orderkey, l_suppkey), so a box filter on either
+    // or both keys prunes files — single-key clustering only serves one
+    // axis. PlanSpec measures the per-file range bound and its
+    // single-key contrast; here the oracle checks the box query's
+    // exactness through the layout round-trip.
+    "q_sink_zorder" -> ((s, dir) => {
+      val out = tmp("zorder")
+      graft.operators.Partitioning.zorderWrite(
+        t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity"),
+        out, numFiles = 16, "l_orderkey", "l_suppkey")
+      s.read.parquet(out)
+        .filter(col("l_orderkey") <= 1000 && col("l_suppkey") <= 5)
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          max("l_orderkey").as("max_key"))
+    }),
+
     // Range source: the synthetic generator relation (no files at all).
     "q_source_range" -> ((s, dir) => {
       s.range(0L, 100000L).toDF("id")
@@ -300,6 +317,12 @@ object Sources {
     "q_sink_orc" ->
       """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_sink_zorder" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  max(l_orderkey) AS max_key
+        |FROM lineitem
+        |WHERE l_orderkey <= 1000 AND l_suppkey <= 5""".stripMargin,
 
     "q_observe" ->
       """SELECT count(*) AS n_rows,

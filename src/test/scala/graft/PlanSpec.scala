@@ -181,6 +181,39 @@ class PlanSpec extends SparkSuite {
       s"CBO did not reorder the selective dimension into the innermost join:\n$withCbo")
   }
 
+  test("z-order write bounds per-file ranges in BOTH dimensions") {
+    import graft.operators.Partitioning
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val g = li.agg(
+      (max("l_orderkey") - min("l_orderkey")).cast("double"),
+      (max("l_suppkey") - min("l_suppkey")).cast("double")).head()
+    val (ga, gb) = (g.getDouble(0), g.getDouble(1))
+    assert(ga > 0 && gb > 0, "degenerate fixture — ranges empty")
+    def meanFileRanges(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("l_orderkey") - min("l_orderkey")).cast("double").as("ra"),
+          (max("l_suppkey") - min("l_suppkey")).cast("double").as("rb"))
+        .agg(avg("ra"), avg("rb")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // 16 files = 4 Morton bits = each dimension quartered: expect ~25%
+    // of the global range per file in BOTH dims (0.45 leaves slack for
+    // repartitionByRange's sampled boundaries)
+    val zpath = Tables.scratch("zorder_layout")
+    Partitioning.zorderWrite(li, zpath, 16, "l_orderkey", "l_suppkey")
+    val (za, zb) = meanFileRanges(zpath)
+    assert(za / ga < 0.45, s"z-order dim A per-file range $za vs global $ga")
+    assert(zb / gb < 0.45, s"z-order dim B per-file range $zb vs global $gb")
+    // contrast: single-key clustering leaves the second dimension at
+    // nearly the full range in every file — no pruning on that axis
+    val cpath = Tables.scratch("cluster_layout")
+    Partitioning.clusteredWrite(li, cpath, 16, "l_orderkey")
+    val (_, cb) = meanFileRanges(cpath)
+    assert(cb / gb > 0.8,
+      s"single-key layout unexpectedly bounded dim B ($cb vs $gb) — contrast vacuous")
+  }
+
   test("runtime bloom filter injects might_contain on the fact side") {
     // same conf window as q_join_runtime_filter (which localCheckpoints,
     // hiding its plan): thresholds lowered to fixture scale, broadcast
