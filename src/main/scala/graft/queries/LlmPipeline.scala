@@ -369,6 +369,24 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Repetition scoring (boilerplate/loop detector for corpus
+    // filtering): per-doc bigram repetition ratio (1 − distinct/total)
+    // and the hottest bigram's share. Tokens materialize behind a
+    // select barrier before the shingle transform (the HOF-CSE trap:
+    // a lambda over a non-attribute re-tokenizes per element).
+    "q_text_repetition" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      val grams = toks.select(col("doc_id"),
+        explode(Dedup.shingles(col("toks"), 2)).as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          sum("n").as("n_grams"),
+          (lit(1.0) - count(lit(1)).cast("double") / sum("n")).as("rep_ratio"),
+          (max("n").cast("double") / sum("n")).as("top_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace words + BPE-ish subword estimate.
     "q_text_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -798,6 +816,20 @@ object LlmPipeline {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
         |  n_chars = length(text) AS chars_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM e GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+        |  1.0 - CAST(count(*) AS DOUBLE) / sum(n) AS rep_ratio,
+        |  CAST(max(n) AS DOUBLE) / sum(n) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_pack" ->
       """WITH toks AS (

@@ -60,6 +60,33 @@ object StreamingQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // STATE STORE READER (streaming observability): after the
+    // AvailableNow drain, read the checkpoint's live aggregation state
+    // with spark.read.format("statestore"). Append mode emits+evicts
+    // every window the final watermark (max ts − 10 min) has closed, so
+    // the surviving state is EXACTLY the complement — the still-open
+    // windows — which the oracle predicts with the inverted HAVING of
+    // q_stream_watermark. Schema fields are resolved dynamically (key
+    // struct = grouping keys, value struct = agg buffer).
+    "q_stream_state_reader" -> ((s, dir) => {
+      val ckpt = graft.Tables.scratch("state_reader_ckpt")
+      val agg = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      StreamOps.runToMemory(agg, "append", checkpoint = Some(ckpt))
+      val st = s.read.format("statestore").load(ckpt)
+      val keyFields = st.schema("key").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      val valueField = st.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head
+      st.select(
+          col(s"key.`${keyFields(0)}`.start").as("w_start"),
+          col(s"key.`${keyFields(1)}`").as("event_type"),
+          col(s"value.`$valueField`").cast("long").as("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // Streaming dedup on a key pair (first-seen semantics; output keys
     // only so the result is order-independent).
     "q_stream_dedup" -> ((s, dir) => {
@@ -276,6 +303,17 @@ object StreamingQueries {
         |GROUP BY 1, 2
         |HAVING time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
         |       <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // the complement of q_stream_watermark's emitted set: windows the
+    // final watermark has NOT closed are exactly what stays in state
+    "q_stream_state_reader" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+        |       event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+        |       > (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
         |ORDER BY w_start, event_type""".stripMargin,
 
     "q_stream_dedup" ->

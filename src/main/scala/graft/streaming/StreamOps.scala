@@ -139,7 +139,8 @@ object StreamOps {
     * result table. `outputMode`: complete for aggregations (emits full
     * state), append for stateless/finalized-only operators.
     */
-  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+  def runToMemory(df: DataFrame, outputMode: String,
+      checkpoint: Option[String] = None): DataFrame = {
     val name = s"graft_sink_${counter.incrementAndGet()}"
     val spark = df.sparkSession
     // a streaming query creates one state-store instance per shuffle
@@ -152,12 +153,13 @@ object StreamOps {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     partsOverride.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     try {
-      val q = df.writeStream
+      val writer = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      checkpoint.foreach(writer.option("checkpointLocation", _))
+      val q = writer.start()
       q.awaitTermination()
     } finally {
       partsOverride.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", prev))
