@@ -175,6 +175,25 @@ object Joins {
           |LIMIT 20""".stripMargin)
     }),
 
+    // TPC-H Q18 shape: large-volume orders via an IN + HAVING subquery
+    // (the group-filter pushes a full lineitem aggregation under the
+    // join — the classic "find the heavy hitters first" plan).
+    "q_sql_tpch_q18" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_orderdate,
+          |  sum(l_quantity) AS total_qty
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem
+          |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+          |GROUP BY c_custkey, o_orderkey, o_orderdate
+          |ORDER BY total_qty DESC, o_orderkey
+          |LIMIT 20""".stripMargin)
+    }),
+
     // TPC-H Q5 shape: local-supplier revenue per nation (6-table join).
     "q_sql_tpch_q5" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -362,6 +381,19 @@ object Joins {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_sql_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate
+        |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 20""".stripMargin,
 
     "q_join_runtime_filter" ->
