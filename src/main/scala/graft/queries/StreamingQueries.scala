@@ -69,7 +69,10 @@ object StreamingQueries {
     // q_stream_watermark. Schema fields are resolved dynamically (key
     // struct = grouping keys, value struct = agg buffer).
     "q_stream_state_reader" -> ((s, dir) => {
-      val ckpt = graft.Tables.scratch("state_reader_ckpt")
+      // unique per CALL: the memory sink cannot resume a checkpoint, and
+      // Bench invokes each query twice in one JVM (warm + measured)
+      val ckpt = graft.Tables.scratch(
+        s"state_reader_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
       val agg = StreamOps.eventsStream(s, dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
