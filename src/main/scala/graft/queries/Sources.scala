@@ -143,6 +143,58 @@ object Sources {
         .orderBy("p_partkey")
     }),
 
+    // Malformed-input handling across all three CSV parser modes: a
+    // deterministically dirtied file (every 10th row's numeric field is
+    // garbage) read PERMISSIVE (keeps rows, nulls the bad field,
+    // captures the raw line in _corrupt_record), DROPMALFORMED (drops
+    // exactly the bad rows), FAILFAST (throws on first bad row). The
+    // dirty-data contract a 100 TB ingest actually exercises; all
+    // counts and the good-row sum are oracle-predicted.
+    "q_source_csv_modes" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = tmp("csv_dirty")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, lit("oops"))
+            .otherwise(col("o_totalprice").cast("string")).as("price"))
+        .write.mode(SaveMode.Overwrite).csv(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("price", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      val permissive = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .select(col("price"), col("_corrupt_record")).localCheckpoint()
+      val nAll = permissive.count()
+      val nCorrupt = permissive.filter(col("_corrupt_record").isNotNull).count()
+      val sumCents = permissive.filter(col("price").isNotNull)
+        .agg(sum(round(col("price") * 100).cast("long"))).head().getLong(0)
+      // CSV column pruning (a real production gotcha): a bare count()
+      // parses NO columns, so conversion failures never surface and
+      // DROPMALFORMED/FAILFAST silently see only well-formed rows.
+      // Referencing the typed column in the aggregate forces the parse.
+      val nDropped = s.read
+        .schema(StructType(schema.dropRight(1)))
+        .option("mode", "DROPMALFORMED").csv(out)
+        .agg(count(lit(1)).as("n"), count(col("price")))
+        .head().getLong(0)
+      val failfastThrew =
+        try {
+          s.read.schema(StructType(schema.dropRight(1)))
+            .option("mode", "FAILFAST").csv(out)
+            .agg(count(col("price"))).head()
+          false
+        } catch { case _: Throwable => true }
+      import s.implicits._
+      Seq((nAll, nCorrupt, nDropped, sumCents, failfastThrew))
+        .toDF("n_all", "n_corrupt", "n_dropmalformed", "sum_cents", "failfast_threw")
+        .select(col("n_all"), col("n_corrupt"), col("n_dropmalformed"),
+          (col("sum_cents").cast("double") / 100.0).as("good_total"),
+          col("failfast_threw"))
+    }),
+
     // Inline data-quality metrics (df.observe / CollectMetrics): the
     // production pattern for validating a pipeline WITHOUT a second
     // scan — the metrics aggregate rides along with the main action
@@ -323,6 +375,15 @@ object Sources {
         |  max(l_orderkey) AS max_key
         |FROM lineitem
         |WHERE l_orderkey <= 1000 AND l_suppkey <= 5""".stripMargin,
+
+    "q_source_csv_modes" ->
+      """SELECT count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_orderkey % 10 = 0) AS n_corrupt,
+        |  count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS n_dropmalformed,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       FILTER (WHERE o_orderkey % 10 <> 0) AS DOUBLE) / 100.0 AS good_total,
+        |  TRUE AS failfast_threw
+        |FROM orders""".stripMargin,
 
     "q_observe" ->
       """SELECT count(*) AS n_rows,
