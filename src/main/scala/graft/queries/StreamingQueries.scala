@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Upsert
 import graft.streaming.{Sessionize, StreamOps, UserStatsProcessor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -58,6 +59,43 @@ object StreamingQueries {
       StreamOps.runToMemory(agg, "append")
         .select(col("window.start").as("w_start"), col("event_type"), col("n"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // Streaming CDC apply: every micro-batch of the paced (3-batch)
+    // stream computes its per-user "latest event" delta and MERGEs it
+    // into the running snapshot (Upsert.merge: matched keys replaced,
+    // unmatched survive, new keys insert) — the foreachBatch upsert
+    // loop a lakehouse sink runs in production. Range-split pacing
+    // colocates equal timestamps, so the per-batch (ts, event_id)
+    // tie-break composes to the global one and the final snapshot must
+    // equal the batch-computed latest-event table exactly.
+    "q_stream_cdc_upsert" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      var snap = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("last_event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("last_ts",
+            org.apache.spark.sql.types.TimestampType))))
+      val q = StreamOps.eventsStreamPaced(s, dir, 3)
+        .select("user_id", "event_id", "event_type", "ts")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(col("user_id"), col("event_type").as("last_event_type"),
+              col("ts").as("last_ts"))
+          snap = Upsert.merge(snap, delta, "user_id").localCheckpoint()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      snap.orderBy("user_id")
     }),
 
     // STATE STORE READER (streaming observability): after the
@@ -307,6 +345,15 @@ object StreamingQueries {
         |HAVING time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
         |       <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_stream_cdc_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_event_type, ts AS last_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the complement of q_stream_watermark's emitted set: windows the
     // final watermark has NOT closed are exactly what stays in state
