@@ -188,6 +188,35 @@ object Aggregates {
     }),
 
     // Typed UDAF: qty-weighted average price per return flag.
+    // Typed Dataset API (KeyValueGroupedDataset.mapGroups): per-user
+    // ordered scan computing the maximum gap between consecutive
+    // events — genuine per-group imperative logic. mapGroups forfeits
+    // partial aggregation (every row shuffles to its group), which is
+    // exactly why the rest of the engine prefers groupBy.agg; this
+    // declares the typed surface where an ordered iterator is the
+    // honest formulation. Timestamps ride as unix micros (java.sql
+    // .Timestamp.getTime would truncate to ms).
+    "q_typed_max_gap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long"), unix_micros(col("ts")))
+        .as[(Long, Long)]
+      ev.groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var maxGap = 0L
+          var i = 1
+          while (i < ts.length) {
+            if (ts(i) - ts(i - 1) > maxGap) maxGap = ts(i) - ts(i - 1)
+            i += 1
+          }
+          (uid, ts.length.toLong, maxGap)
+        }
+        .toDF("user_id", "n_events", "max_gap_us")
+        .orderBy("user_id")
+    }),
+
     "q_udaf_weighted_avg" -> ((s, dir) => {
       val wavg = udaf(Aggregators.WeightedAvg)
       t(s, dir, "lineitem")
@@ -205,6 +234,16 @@ object Aggregates {
         |  TRUE AS cnt_in_band,
         |  TRUE AS med_in_band
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_typed_max_gap" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  coalesce(max(gap), 0) AS max_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_agg_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
