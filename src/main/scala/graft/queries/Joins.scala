@@ -252,6 +252,23 @@ object Joins {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Join-strategy hint surface: shuffle_hash forces a shuffled hash
+    // join where the planner would pick sort-merge — the right call
+    // when one side fits executor memory but exceeds the broadcast
+    // threshold (no sort of the big side; at 100 TB skipping the sort
+    // of the fact table is the win). PlanSpec asserts the strategy
+    // actually changes; here the oracle pins result-equivalence.
+    "q_join_hint" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
     // the selective filter on orders (creation side) builds a bloom
     // filter over o_orderkey, injected as a might_contain predicate on
@@ -395,6 +412,13 @@ object Joins {
         |GROUP BY c_custkey, o_orderkey, o_orderdate
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+
+    "q_join_hint" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_join_runtime_filter" ->
       """SELECT l_linestatus,

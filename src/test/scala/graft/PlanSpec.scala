@@ -181,6 +181,21 @@ class PlanSpec extends SparkSuite {
       s"CBO did not reorder the selective dimension into the innermost join:\n$withCbo")
   }
 
+  test("shuffle_hash hint flips sort-merge to shuffled hash join") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables(spark, sf, "lineitem")
+      val ord = Tables(spark, sf, "orders")
+      val default = planOf(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+      assert(default.contains("SortMergeJoin"),
+        s"baseline is not SMJ — hint test vacuous:\n${default.take(1500)}")
+      val hinted = planOf(li.join(ord.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey")))
+      assert(hinted.contains("ShuffledHashJoin"),
+        s"shuffle_hash hint ignored:\n${hinted.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("z-order write bounds per-file ranges in BOTH dimensions") {
     import graft.operators.Partitioning
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
