@@ -387,6 +387,20 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Corpus-wide vocabulary mining: top-20 bigrams by document
+    // frequency. Map-side distinct-per-doc (array_distinct before the
+    // explode) keeps the shuffle at one row per (doc, gram); the final
+    // top-k is a TakeOrdered, never a global sort.
+    "q_text_top_ngrams" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("toks"), 2))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("gram").asc)
+        .limit(20)
+    }),
+
     // Token counting: whitespace words + BPE-ish subword estimate.
     "q_text_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -816,6 +830,18 @@ object LlmPipeline {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
         |  n_chars = length(text) AS chars_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM w)
+        |SELECT gram, count(*) AS doc_freq FROM e
+        |GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 20""".stripMargin,
 
     "q_text_repetition" ->
       """WITH w AS (
