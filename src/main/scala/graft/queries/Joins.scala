@@ -194,6 +194,24 @@ object Joins {
           |LIMIT 20""".stripMargin)
     }),
 
+    // TPC-H Q14 shape: promo revenue share for one ship month — a
+    // ratio of two exact-cents sums, so the only floating step is one
+    // final division both engines perform on identical integers.
+    "q_sql_tpch_q14" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT
+          |  100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+          |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |      ELSE 0 END) AS DOUBLE)
+          |    / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |           AS DOUBLE) AS promo_revenue_pct,
+          |  count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin)
+    }),
+
     // TPC-H Q5 shape: local-supplier revenue per nation (6-table join).
     "q_sql_tpch_q5" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -412,6 +430,18 @@ object Joins {
         |GROUP BY c_custkey, o_orderkey, o_orderdate
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+
+    "q_sql_tpch_q14" ->
+      """SELECT
+        |  100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |           AS DOUBLE) AS promo_revenue_pct,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin,
 
     "q_join_hint" ->
       """SELECT o_orderstatus, count(*) AS n,
