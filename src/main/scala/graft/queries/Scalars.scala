@@ -280,14 +280,49 @@ object Scalars {
         .orderBy("o_orderkey")
     }),
 
-    // Spark-only hashes — deterministic but no DuckDB twin (rows-only).
+    // Spark-only hashes (xxhash64 / murmur3 / crc32) have no DuckDB
+    // twin, so the oracle checks their INVARIANTS instead of values:
+    // injectivity on this corpus (distinct-hash counts equal the
+    // distinct-input counts; xx64 is 64-bit so exact equality, the
+    // 32-bit families get a 99.9% tolerance bound against birthday
+    // collisions at larger sf), plus bit-stability through a parquet
+    // round-trip (write hashes, read back, count mismatches). The
+    // oracle predicts every boolean TRUE and re-derives the input
+    // cardinalities; raw hash VALUES stay value-checked in scalatest
+    // against reference vectors (ScalarsSpec).
     "q_hash_spark" -> ((s, dir) => {
-      t(s, dir, "customer").select(
-        col("c_custkey"),
+      val hashed = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
         xxhash64(col("c_name")).as("name_xx64"),
         crc32(col("c_name").cast("binary")).as("name_crc32"),
         hash(col("c_name"), col("c_custkey")).as("murmur"))
-        .orderBy("c_custkey")
+      val out = graft.Tables.scratch("hash_spark_roundtrip")
+      hashed.write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+      val stability = hashed.as("a")
+        .join(back.as("b"), Seq("c_custkey"))
+        .agg(
+          count(lit(1)).as("n_joined"),
+          sum(when(col("a.name_xx64") === col("b.name_xx64") &&
+                   col("a.name_crc32") === col("b.name_crc32") &&
+                   col("a.murmur") === col("b.murmur"), 0L).otherwise(1L))
+            .as("n_mismatch"))
+      val invariants = hashed.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("c_name")).as("n_names"),
+        (countDistinct(col("name_xx64")) === countDistinct(col("c_name")))
+          .as("xx64_injective"),
+        (countDistinct(col("name_crc32")).cast("double") >=
+          countDistinct(col("c_name")).cast("double") * 0.999)
+          .as("crc32_ok"),
+        (countDistinct(col("murmur")).cast("double") >=
+          countDistinct(col("c_name"), col("c_custkey")).cast("double") * 0.999)
+          .as("murmur_ok"))
+      invariants.crossJoin(stability)
+        .select(col("n_rows"), col("n_names"),
+          col("xx64_injective"), col("crc32_ok"), col("murmur_ok"),
+          (col("n_joined") === col("n_rows") && col("n_mismatch") === 0L)
+            .as("roundtrip_stable"))
     })
   )
 
@@ -478,6 +513,19 @@ object Scalars {
         |  quarter(o_orderdate) AS q,
         |  dayofweek(o_orderdate) + 1 AS dow,
         |  array_to_string(range(1, CAST(o_orderkey % 4 + 2 AS BIGINT)), ',') AS seq
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Derived oracle: the hash values themselves are Spark-native, but
+    // the invariants the query emits (injectivity on this corpus +
+    // parquet round-trip stability) are engine-independent and the
+    // input cardinalities are recomputable.
+    "q_hash_spark" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT c_name) AS n_names,
+        |  TRUE AS xx64_injective,
+        |  TRUE AS crc32_ok,
+        |  TRUE AS murmur_ok,
+        |  TRUE AS roundtrip_stable
+        |FROM customer""".stripMargin
   )
 }
