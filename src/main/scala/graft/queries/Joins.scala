@@ -13,6 +13,99 @@ import org.apache.spark.sql.functions._
 object Joins {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  // The round-6 TPC-H shapes run the SAME ANSI text on Spark and on the
+  // DuckDB oracle — any divergence is an engine-semantics bug, not a
+  // transcription gap. Money stays in exact-cents BIGINT until one
+  // final CAST AS DOUBLE (summation-order-proof; see q_sql_tpch_q10).
+
+  private val tpchQ2Sql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+      |    AS min_price
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE' AND p_size <= 5
+      |  AND CAST(round(l_extendedprice * 100) AS BIGINT) = (
+      |    SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  private val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(vol_cents) AS DOUBLE) / 100.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |      AS vol_cents
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val tpchQ17Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 / 7.0 AS avg_yearly,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private val tpchQ20Sql: String =
+    """SELECT s_name, s_acctbal, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l_suppkey
+      |    HAVING sum(l_quantity) > (
+      |      SELECT 1.2 * avg(q) FROM (
+      |        SELECT sum(l3.l_quantity) AS q FROM lineitem l3
+      |        WHERE l3.l_partkey IN (
+      |            SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |          AND l3.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND l3.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |        GROUP BY l3.l_suppkey) supplier_totals))
+      |ORDER BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // lineitem ⋈ orders: the big shuffled (SMJ/SHJ) join.
     "q_join_inner" -> ((s, dir) => {
@@ -228,6 +321,56 @@ object Joins {
           |WHERE r_name = 'ASIA'
           |GROUP BY n_name
           |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
+
+    // TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    // MIN subquery over the same join tree the outer query uses. The
+    // fixture set has no partsupp table, so lineitem stands in as the
+    // part×supplier offer list (cost := extendedprice, exact cents);
+    // the decorrelation pattern (scalar-agg subquery correlated on the
+    // outer part key, rewritten to an aggregate + join) is identical.
+    // DISTINCT collapses repeat (part, supplier) offers at the min
+    // price, matching Q2's unique partsupp rows.
+    "q_sql_tpch_q2" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ2Sql)
+    }),
+
+    // TPC-H Q4 shape: priority distribution of orders with at least one
+    // late line item — correlated EXISTS rewritten to a left-semi join.
+    // The fixture lineitem has no commit/receipt dates; "shipped more
+    // than 30 days after order date" is the stand-in late predicate.
+    "q_sql_tpch_q4" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ4Sql)
+    }),
+
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // year — the two-alias nation join (supplier nation × customer
+    // nation) with a symmetric pair predicate, revenue in exact cents.
+    "q_sql_tpch_q7" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ7Sql)
+    }),
+
+    // TPC-H Q17 shape: revenue from small-quantity orders of one brand
+    // — correlated scalar AVG subquery on the part key (each outer row
+    // compares against its part's mean quantity).
+    "q_sql_tpch_q17" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ17Sql)
+    }),
+
+    // TPC-H Q20 shape: suppliers of red parts with significant shipped
+    // volume in a year — nested IN over an aggregate (IN over a GROUP
+    // BY/HAVING whose filter itself contains an IN over part). The
+    // HAVING threshold is 1.2× the cross-supplier average volume (a
+    // scalar subquery over a derived aggregate) so selectivity is
+    // scale-invariant — a fixed constant would pass every supplier at
+    // sf0.01 and the filter would be vacuous.
+    "q_sql_tpch_q20" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ20Sql)
     }),
 
     // Correlated EXISTS / NOT EXISTS — Catalyst rewrites these to
@@ -485,6 +628,13 @@ object Joins {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // Same ANSI text as the Spark side by construction.
+    "q_sql_tpch_q2" -> tpchQ2Sql,
+    "q_sql_tpch_q4" -> tpchQ4Sql,
+    "q_sql_tpch_q7" -> tpchQ7Sql,
+    "q_sql_tpch_q17" -> tpchQ17Sql,
+    "q_sql_tpch_q20" -> tpchQ20Sql,
 
     "q_sql_exists" ->
       """SELECT c_custkey, c_name FROM customer c
