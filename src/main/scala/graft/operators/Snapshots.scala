@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/** Versioned table snapshots with time travel — the capability the
+  * reference's declared ecosystem gets from Iceberg tables under
+  * Presto/Spark (reference `README.md:75-88`), re-expressed over plain
+  * parquet: each commit writes an immutable `v_N` directory and then
+  * swaps a one-file manifest, so
+  *
+  *   - readers resolve versions through the MANIFEST, never by listing
+  *     the directory — a half-written `v_N` dir is invisible until its
+  *     manifest entry lands (snapshot isolation, Iceberg's core trick);
+  *   - the manifest swap (write tmp + rename) is the single commit
+  *     point — rename is atomic on HDFS-like stores, so a crashed
+  *     commit leaves the table at the previous version, never corrupt;
+  *   - old versions are immutable: a MERGE produces the NEXT snapshot
+  *     (copy-on-write via [[Upsert.merge]]); `read(root, Some(v))` of
+  *     an old version returns bit-identical data forever.
+  *
+  * All I/O goes through Hadoop `FileSystem` (not `java.io`), so the
+  * layer ports to any Hadoop-FS-compatible store — including the
+  * cfs:// scheme the reference connector serves — unchanged.
+  *
+  * Scale note (100 TB): this is whole-table copy-on-write — right for
+  * dimension-sized tables (the MERGE target use case here). For fact
+  * tables a production layout shards the manifest by partition and
+  * rewrites only touched partitions; the commit protocol (immutable
+  * data dirs + atomic manifest swap) is identical, only the manifest
+  * granularity changes.
+  */
+object Snapshots {
+  private val ManifestName = "_manifest"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def versionPath(root: String, v: Int) = s"$root/v_$v"
+
+  /** Committed versions in ascending order; empty if no table. */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val mf = new Path(root, ManifestName)
+    if (!f.exists(mf)) Seq.empty
+    else {
+      val in = f.open(mf)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        new String(bytes, StandardCharsets.UTF_8).split("\n")
+          .filter(_.nonEmpty).map(_.toInt).toSeq.sorted
+      } finally in.close()
+    }
+  }
+
+  // tmp-write + rename: rename is the atomic commit point on
+  // HDFS-like stores; a crash before it leaves the old manifest (and
+  // therefore the old table state) fully intact.
+  private def writeManifest(spark: SparkSession, root: String, vs: Seq[Int]): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(root, ManifestName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(vs.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val mf = new Path(root, ManifestName)
+    if (f.exists(mf)) f.delete(mf, false)
+    if (!f.rename(tmp, mf))
+      throw new java.io.IOException(s"manifest commit failed for $root")
+  }
+
+  /** Create the table at version 1 (drops any existing table at root). */
+  def create(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    fs(spark, root).delete(new Path(root), true)
+    df.write.parquet(versionPath(root, 1))
+    writeManifest(spark, root, Seq(1))
+  }
+
+  /** Read a specific version, or the latest when `version` is None. */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in manifest (have ${vs.mkString(",")})")
+    spark.read.parquet(versionPath(root, v))
+  }
+
+  /** MERGE `updates` into the latest snapshot and commit the result as
+    * the next version (copy-on-write). Returns the new version number.
+    * The new `v_N` directory is fully written BEFORE the manifest swap
+    * publishes it; concurrent readers keep resolving the old version
+    * until the swap.
+    */
+  def commitMerge(spark: SparkSession, root: String,
+      updates: DataFrame, key: String): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val next = vs.max + 1
+    Upsert.merge(read(spark, root), updates, key)
+      .write.parquet(versionPath(root, next))
+    writeManifest(spark, root, vs :+ next)
+    next
+  }
+}

@@ -312,6 +312,45 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // Versioned snapshots + time travel (Snapshots): create v1 from
+    // customer, commit a MERGE as v2 (10% re-balanced, ~1% inserted
+    // under fresh keys), then read BOTH versions back via @version.
+    // v1's aggregate is pulled eagerly BEFORE the v2 commit (one-row
+    // collect, O(1) driver traffic) and compared against a fresh
+    // post-commit read of v1 — snapshot_ok proves old versions are
+    // immutable, not just re-derivable. The oracle predicts both
+    // versions' aggregates from customer alone (the merge is a pure
+    // function of it) and snapshot_ok TRUE.
+    "q_table_timetravel" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("timetravel_tbl")
+      val cust = t(s, dir, "customer")
+      val cents = sum(round(col("c_acctbal") * 100).cast("long"))
+      Snapshots.create(s, root, cust)
+      val pre = Snapshots.read(s, root, Some(1))
+        .agg(count(lit(1)), cents).collect()(0)
+      val (preN, preCents) = (pre.getLong(0), pre.getLong(1))
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_acctbal", lit(500.50)))
+      Snapshots.commitMerge(s, root, updates, "c_custkey")
+      def snapAgg(v: Int) = Snapshots.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          (cents.cast("double") / 100.0).as("sum_acctbal"),
+          cents.as("sum_cents"))
+      val v1 = snapAgg(1).select(lit(1L).as("version"), col("n_rows"),
+        col("sum_acctbal"),
+        (col("n_rows") === preN && col("sum_cents") === preCents)
+          .as("snapshot_ok"))
+      // latest-resolution check: an unversioned read must equal v2
+      val latestN = Snapshots.read(s, root).count()
+      val v2 = snapAgg(2).select(lit(2L).as("version"), col("n_rows"),
+        col("sum_acctbal"), (col("n_rows") === latestN).as("snapshot_ok"))
+      v1.unionByName(v2).orderBy("version")
+    }),
+
     // File-metadata scan: listStatus/stat surface via _metadata and
     // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
@@ -329,6 +368,28 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    // v1 is customer verbatim; v2 is the merge, a pure function of
+    // customer (CASE mirrors the matched-update, UNION ALL the
+    // inserts); both immutability booleans predicted TRUE.
+    "q_table_timetravel" ->
+      """SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_acctbal,
+        |  TRUE AS snapshot_ok
+        |FROM customer
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(cents) AS DOUBLE) / 100.0, TRUE
+        |FROM (
+        |  SELECT CASE WHEN c_custkey % 10 = 0
+        |    THEN CAST(round((c_acctbal + 1000) * 100) AS BIGINT)
+        |    ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(round(500.50 * 100) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |ORDER BY version""".stripMargin,
+
     "q_sink_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
         |FROM orders WHERE o_totalprice > 100000

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Snapshots
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = Tables.scratch(name)
+
+  test("create + read latest round-trips") {
+    val root = freshRoot("snap_basic")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Snapshots.create(spark, root, df)
+    assert(Snapshots.versions(spark, root) === Seq(1))
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "a"), (2L, "b")))
+  }
+
+  test("commitMerge publishes v2; v1 stays bit-identical") {
+    val root = freshRoot("snap_immutable")
+    Snapshots.create(spark, root, Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "v"))
+    val v1Before = Snapshots.read(spark, root, Some(1)).orderBy("k")
+      .as[(Long, Int)].collect()
+    val v = Snapshots.commitMerge(spark, root,
+      Seq((2L, 99), (4L, 40)).toDF("k", "v"), "k")
+    assert(v === 2)
+    assert(Snapshots.versions(spark, root) === Seq(1, 2))
+    // v2 = matched update + untouched survivors + insert
+    assert(Snapshots.read(spark, root, Some(2)).orderBy("k")
+      .as[(Long, Int)].collect() === Array((1L, 10), (2L, 99), (3L, 30), (4L, 40)))
+    // unversioned read resolves to latest
+    assert(Snapshots.read(spark, root).count() === 4)
+    // the old snapshot is untouched by the commit
+    assert(Snapshots.read(spark, root, Some(1)).orderBy("k")
+      .as[(Long, Int)].collect() === v1Before)
+  }
+
+  test("chained commits keep every historical version readable") {
+    val root = freshRoot("snap_chain")
+    Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
+    Snapshots.commitMerge(spark, root, Seq((1L, 2)).toDF("k", "v"), "k")
+    Snapshots.commitMerge(spark, root, Seq((1L, 3)).toDF("k", "v"), "k")
+    assert(Snapshots.versions(spark, root) === Seq(1, 2, 3))
+    assert((1 to 3).map(v =>
+      Snapshots.read(spark, root, Some(v)).select("v").as[Int].head()) === Seq(1, 2, 3))
+  }
+
+  test("versions resolve through the manifest, not directory listing") {
+    val root = freshRoot("snap_isolation")
+    Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
+    // simulate a half-finished commit: v_2 data exists, manifest doesn't know
+    Seq((1L, 2)).toDF("k", "v").write.parquet(s"$root/v_2")
+    assert(Snapshots.versions(spark, root) === Seq(1))
+    assert(Snapshots.read(spark, root).select("v").as[Int].head() === 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(2))
+    }
+  }
+
+  test("reading a missing table or version fails loudly") {
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, freshRoot("snap_missing"))
+    }
+    val root = freshRoot("snap_badver")
+    Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(7))
+    }
+  }
+
+  test("q_table_timetravel emits both versions with snapshot_ok true") {
+    val rows = SparkEntry.queries("q_table_timetravel")(spark, sf)
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.getAs[Boolean]("snapshot_ok")))
+    // v2 has the inserts on top of v1's row count
+    assert(rows(1).getAs[Long]("n_rows") > rows(0).getAs[Long]("n_rows"))
+  }
+}
