@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Upsert
-import graft.streaming.{Sessionize, StreamOps, UserStatsProcessor}
+import graft.streaming.{SessionTimers, Sessionize, StreamOps, UserStatsProcessor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -299,6 +299,20 @@ object StreamingQueries {
       val sessions = Sessionize.run(s, StreamOps.eventsStream(s, dir))
       StreamOps.runToMemory(sessions, "append")
         .orderBy("user_id", "s_start")
+    }),
+
+    // transformWithState TIMERS: sessionization where the open session
+    // closes because the watermark passed its gap deadline (registered
+    // event-time timer), not because another event arrived. Driven by
+    // the 3-batch paced source so timers genuinely fire across
+    // micro-batch boundaries. Emitted = in-batch-closed sessions plus
+    // timer-closed tails; per-user last sessions whose deadline the
+    // final watermark (max ts − 10 min) never passes stay in state,
+    // and the oracle predicts exactly that complement.
+    "q_stream_timer_sessionize" -> ((s, dir) => {
+      val sessions = SessionTimers.run(s, StreamOps.eventsStreamPaced(s, dir, 3))
+      StreamOps.runToMemory(sessions, "append")
+        .orderBy("user_id", "s_start")
     })
   )
 
@@ -440,6 +454,38 @@ object StreamingQueries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_sessionize" ->
-      (sessionSql + " ORDER BY user_id, s_start")
+      (sessionSql + " ORDER BY user_id, s_start"),
+
+    // Batch twin of the timer path: the gap sessions that are emitted
+    // are (a) every session a later same-user event closed in-batch
+    // (all but the per-user last) and (b) per-user last sessions whose
+    // gap deadline s_end is at or before the final watermark
+    // (max ts − 10 min). The remainder is still open in state when the
+    // stream drains — by design, matching real streaming semantics.
+    "q_stream_timer_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS s_start,
+        |         max(ts) + INTERVAL 10 MINUTE AS s_end,
+        |         count(*) AS n, sum(value) AS sum_value
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT user_id, s_start, s_end, n, sum_value
+        |FROM agg
+        |WHERE s_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |   OR EXISTS (SELECT 1 FROM agg a2
+        |              WHERE a2.user_id = agg.user_id
+        |                AND a2.s_start > agg.s_start)
+        |ORDER BY user_id, s_start""".stripMargin
   )
 }
