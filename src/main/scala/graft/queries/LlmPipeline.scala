@@ -26,23 +26,38 @@ object LlmPipeline {
   private val duckToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0))"
 
-  /** Shared oracle fragment: bigram jaccard ≥ 0.8 pairs → reachability
-    * closure (connected components). Used by q_dedup_clusters and
-    * q_dedup_corpus.
+  /** Shared oracle fragment: distinct-bigram sets + the INVERTED-INDEX
+    * pair enumeration. The naive all-pairs form (`g a, g b` +
+    * list_intersect) is O(n²·|toks|) and made the oracle infeasible at
+    * sf0.1; this form explodes grams and equi-joins on them, so cost is
+    * Σ(bucket²) like the Spark side's banded join. It is EXACT, not
+    * approximate: jaccard ≥ τ > 0 forces ≥1 shared gram (the pair
+    * appears in the join), and because tok sets are distinct,
+    * jaccard = overlap / (|A| + |B| − overlap) needs no list ops on the
+    * candidate — overlap is the join's group count.
     */
-  private val dupClusterCte =
-    """WITH RECURSIVE g AS (
+  private val gramIndexCte =
+    """g AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
       |  FROM (SELECT doc_id,
       |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
       |        FROM documents)),
+      |e AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS gram FROM g),
+      |jpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS DOUBLE)
+      |      / (min(a.sz) + min(b.sz) - count(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Bigram jaccard ≥ 0.8 pairs → reachability closure (connected
+    * components). Used by q_dedup_clusters and q_dedup_corpus.
+    */
+  private val dupClusterCte =
+    s"""WITH RECURSIVE $gramIndexCte,
       |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM g a, g b
-      |  WHERE a.doc_id < b.doc_id
-      |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+      |  SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.8),
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs
@@ -569,19 +584,9 @@ object LlmPipeline {
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
-        |        FROM documents))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-        |FROM g a, g b
-        |WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+      s"""WITH $gramIndexCte
+        |SELECT doc_a, doc_b, jaccard FROM jpairs
+        |WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // recomputes the md5-60-bit simhash signatures bit-for-bit (token
@@ -617,20 +622,10 @@ object LlmPipeline {
         "\nSELECT u AS doc, min(v) AS label FROM reach GROUP BY u ORDER BY doc"),
 
     "q_dedup_incremental" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS toks
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
-        |        FROM documents))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-        |FROM g a, g b
-        |WHERE a.doc_id < b.doc_id
-        |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
-        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+      s"""WITH $gramIndexCte
+        |SELECT doc_a, doc_b, jaccard FROM jpairs
+        |WHERE jaccard >= 0.8
+        |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_corpus" ->
@@ -700,12 +695,21 @@ object LlmPipeline {
         |WHERE rn <= ceil(n_src * 0.2)
         |ORDER BY source, doc_id""".stripMargin,
 
+    // the one remaining all-pairs oracle (dense cosine has no inverted
+    // index); DuckDB's NATIVE list_cosine_similarity instead of the
+    // lambda-form duckCos makes the O(n²) scan feasible at sf0.1
+    // (~12.5M pairs × 128-d) — both accumulate doubles left-to-right,
+    // so the 6dp-canonicalized values agree
     "q_dedup_embedding" ->
-      s"""SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
-         |  ${duckCos("a.embedding", "b.embedding")} AS cos
+      """SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+         |  list_cosine_similarity(
+         |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id
-         |  AND ${duckCos("a.embedding", "b.embedding")} >= 0.85
+         |  AND list_cosine_similarity(
+         |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.85
          |ORDER BY vid_a, vid_b""".stripMargin,
 
     "q_text_ngram_jaccard" ->
