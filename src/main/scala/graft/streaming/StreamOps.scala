@@ -19,6 +19,25 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamOps {
   private val counter = new AtomicInteger(0)
 
+  /** Pin part-file mtimes to their (range-ordered) name order.
+    * FileStreamSource picks files oldest (modification time, path)
+    * first, while parallel write tasks finish in random order — without
+    * the pin, a later range split could stream before an earlier one
+    * and break the watermark's arrival-order guarantee. Hadoop
+    * `FileSystem.setTimes` (not `java.io.File`), so the paced sources
+    * work against any Hadoop-FS store, not just local disk.
+    */
+  private def pinMtimesToRangeOrder(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.setTimes(st.getPath, 1755000000000L + i * 1000L, -1L)
+    }
+  }
+
   /** The events table as a stream (schema fixed from the batch read;
     * nanos ts pre-converted to µs TimestampType by the same rule as
     * `Tables`).
@@ -51,11 +70,7 @@ object StreamOps {
     val raw = spark.read.parquet(Tables.path(dir, "events"))
     val src = Tables.scratch(s"paced_src_${counter.incrementAndGet()}")
     raw.repartitionByRange(nSplits, col("ts")).write.mode("overwrite").parquet(src)
-    val parts = new java.io.File(src).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1755000000000L + i * 1000L)
-    }
+    pinMtimesToRangeOrder(spark, src)
     spark.readStream
       .schema(raw.schema)
       .option("maxFilesPerTrigger", "1")
@@ -93,11 +108,7 @@ object StreamOps {
     val ckpt = Tables.scratch(s"recovery_ckpt_$id")
     events.repartitionByRange(nSplits, col("ts"))
       .write.mode("overwrite").parquet(src)
-    val parts = new java.io.File(src).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1755000000000L + i * 1000L)
-    }
+    pinMtimesToRangeOrder(spark, src)
     val schema = spark.read.parquet(src).schema
     def start() = {
       val stream = spark.readStream.schema(schema)
