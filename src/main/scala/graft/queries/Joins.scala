@@ -65,8 +65,8 @@ object Joins {
       |  JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  WHERE ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_19')
+      |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_11'))
       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       |) shipping
