@@ -102,6 +102,87 @@ object Baseline {
             |    * sqrt(aggregate(v_b, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
         .filter(col("cos") >= 0.85)
         .select("vid_a", "vid_b", "cos")
+    }),
+
+    // q_sink_zorder control: what a stock user does without a z-order
+    // operator — single-dimension range-sorted write, same file count,
+    // then the same two-dimension box-filter read. Measures the cost
+    // delta of the Morton layout (the read-side benefit shows in
+    // PlanSpec's per-file range assertions, not this wall-clock).
+    "q_sink_zorder" -> ((s, dir) => {
+      val out = Tables.scratch("baseline_plain_sort")
+      t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_orderkey") <= 1000 && col("l_suppkey") <= 5)
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          max("l_orderkey").as("max_key"))
+    }),
+
+    // q_join_runtime_filter control: the identical shuffle join with
+    // the bloom-filter rule OFF (broadcast still disabled, matching the
+    // graft query's conf window) — measures what runtime pruning buys.
+    "q_join_runtime_filter" -> ((s, dir) => {
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.get(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+              .as("sum_price"),
+            count(lit(1)).as("n_items"))
+          .localCheckpoint()
+          .orderBy("l_linestatus")
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
+    // q_stream_stream_paced control: the same self-join drained as ONE
+    // micro-batch (single-file source, no pacing) — isolates the cost
+    // of cross-batch join-state carry (3 state commit rounds vs 1).
+    // Plain readStream + memory sink, no graft plumbing in the plan.
+    // State partitions sized like the graft side (8): per-batch commit
+    // cost is per state partition, so a 32-store control would measure
+    // partition-count mismatch, not pacing.
+    "q_stream_stream_paced" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("spark.graft.streaming.shufflePartitions").getOrElse(prevParts))
+      val rawSchema = s.read.parquet(Tables.path(dir, "events")).schema
+      val ev = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "30 minutes")
+      val joined = views.join(errors,
+        col("v_user") === col("e_user") &&
+          col("e_ts") > col("v_ts") &&
+          col("e_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      val sink = s"baseline_paced_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", Tables.scratch(s"ckpt_$sink"))
+        .start()
+      q.awaitTermination()
+      // restore batch parallelism for the post-drain aggregate (the
+      // graft side's runToMemory does the same)
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sink).groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
@@ -113,7 +194,13 @@ object Baseline {
     "q_window_running", "q_sort_multi", "q_limit_topk", "q_distinct",
     "q_explode_tokens", "q_agg_percentile", "q_str_funcs", "q_math_funcs",
     "q_filter_predicates", "q_text_quality", "q_array_higher_order",
-    "q_dedup_exact")
+    "q_dedup_exact",
+    // round 4-6 additions that are pure declarative Spark (HOF text
+    // pipelines, SQL-surface TPC-H): control = identical plan
+    "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q7", "q_sql_tpch_q10",
+    "q_sql_tpch_q14", "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q20",
+    "q_text_repetition", "q_text_top_ngrams", "q_text_chunk",
+    "q_text_decontaminate", "q_try_funcs")
 
   private def timeMedian3(run: () => Unit): Double = {
     val ts = (0 until 3).map { _ =>
@@ -136,6 +223,11 @@ object Baseline {
       .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
       // NO GraftExtensions: the control session is stock Spark
       .config("spark.sql.adaptive.enabled", "true")
+      // same state-store sizing as Bench (8 state partitions per
+      // streaming operator) so the paced-stream pair is apples-to-
+      // apples: per-micro-batch commit cost is per state partition,
+      // and the graft side reads this conf in StreamOps.runToMemory
+      .config("spark.graft.streaming.shufflePartitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -143,8 +235,14 @@ object Baseline {
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=a,b,c re-measures a subset in isolation (the
+    // protocol's tool for adjudicating a suspect pair without the other
+    // 36 pairs' heap/cache pressure in the same JVM)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val pairs: Seq[(String, (SparkSession, String) => DataFrame)] =
-      (stockTwins.map(n => n -> SparkEntry.queries(n)) ++ controls.toSeq).sortBy(_._1)
+      (stockTwins.map(n => n -> SparkEntry.queries(n)) ++ controls.toSeq)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .sortBy(_._1)
 
     // warm both formulations (JIT + codegen caches)
     pairs.foreach { case (n, fn) =>
