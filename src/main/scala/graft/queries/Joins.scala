@@ -106,6 +106,74 @@ object Joins {
       |        GROUP BY l3.l_suppkey) supplier_totals))
       |ORDER BY s_name""".stripMargin
 
+  // Q13's essential trap: the filter must live in the OUTER JOIN
+  // condition, not WHERE (where it would silently turn the join inner
+  // and drop zero-order customers from the distribution). The fixture
+  // has no o_comment; the priority filter is the stand-in.
+  private val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // Q21 shape: suppliers who were the SOLE late supplier on a
+  // multi-supplier order. The fixture has no commit/receipt dates;
+  // "late" is the Q4 stand-in (shipped >60 days after the order date,
+  // correlated through the outer orders alias — which deepens the
+  // decorrelation: l3's NOT EXISTS references BOTH l1.l_orderkey and
+  // o_orderdate).
+  private val tpchQ21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  // Q22 shape: well-funded customers in selected countries with no
+  // urgent orders — an uncorrelated scalar AVG subquery gating a
+  // NOT EXISTS anti-join. No c_phone in the fixture; nationkey is the
+  // country code, and since every fixture customer has at least one
+  // order, "no orders at all" is vacuous — the urgency filter inside
+  // the NOT EXISTS keeps the anti-join selective at every scale
+  // factor. Money in exact cents until the final cast.
+  private val tpchQ22Sql: String =
+    """SELECT cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS totacctbal
+      |FROM (
+      |  SELECT c_nationkey AS cntrycode, c_acctbal
+      |  FROM customer c
+      |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      |    AND c_acctbal > (
+      |      SELECT avg(c2.c_acctbal) FROM customer c2
+      |      WHERE c2.c_acctbal > 0.0
+      |        AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey
+      |        AND o.o_orderpriority = '1-URGENT')
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // lineitem ⋈ orders: the big shuffled (SMJ/SHJ) join.
     "q_join_inner" -> ((s, dir) => {
@@ -351,6 +419,29 @@ object Joins {
     "q_sql_tpch_q7" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(tpchQ7Sql)
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — filter in
+    // the outer-join condition, then aggregate-of-aggregate.
+    "q_sql_tpch_q13" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ13Sql)
+    }),
+
+    // TPC-H Q21 shape: sole-late-supplier on multi-supplier orders —
+    // EXISTS and NOT EXISTS over the same table with different
+    // correlation predicates, the heaviest decorrelation pattern in
+    // the suite.
+    "q_sql_tpch_q21" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ21Sql)
+    }),
+
+    // TPC-H Q22 shape: uncorrelated scalar AVG gate + NOT EXISTS
+    // anti-join.
+    "q_sql_tpch_q22" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(tpchQ22Sql)
     }),
 
     // TPC-H Q17 shape: revenue from small-quantity orders of one brand
@@ -633,8 +724,11 @@ object Joins {
     "q_sql_tpch_q2" -> tpchQ2Sql,
     "q_sql_tpch_q4" -> tpchQ4Sql,
     "q_sql_tpch_q7" -> tpchQ7Sql,
+    "q_sql_tpch_q13" -> tpchQ13Sql,
     "q_sql_tpch_q17" -> tpchQ17Sql,
     "q_sql_tpch_q20" -> tpchQ20Sql,
+    "q_sql_tpch_q21" -> tpchQ21Sql,
+    "q_sql_tpch_q22" -> tpchQ22Sql,
 
     "q_sql_exists" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -287,4 +287,14 @@ class PlanSpec extends SparkSuite {
     val plan = planOf(SparkEntry.queries("q_limit_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("Q21's EXISTS / NOT EXISTS decorrelate to semi/anti joins, no nested loop") {
+    val plan = planOf(SparkEntry.queries("q_sql_tpch_q21")(spark, sf))
+    // the NOT EXISTS correlates on BOTH l1.l_orderkey and the outer
+    // o_orderdate — RewritePredicateSubquery must still produce
+    // equi-keyed semi/anti joins, never a nested-loop scan of lineitem
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"Q21 subqueries did not decorrelate:\n${plan.take(3000)}")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan.take(3000))
+  }
 }
