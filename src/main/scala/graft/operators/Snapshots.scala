@@ -102,4 +102,65 @@ object Snapshots {
     writeManifest(spark, root, vs :+ next)
     next
   }
+
+  private def dataFiles(spark: SparkSession, root: String, v: Int) =
+    fs(spark, root).listStatus(new Path(versionPath(root, v)))
+      .filter(_.getPath.getName.startsWith("part-"))
+
+  /** Committed data files of a version (count, total bytes) — the
+    * observable a compaction changes. */
+  def fileStats(spark: SparkSession, root: String, v: Int): (Int, Long) = {
+    val files = dataFiles(spark, root, v)
+    (files.length, files.map(_.getLen).sum)
+  }
+
+  /** Bin-pack the latest snapshot into ~`targetBytes` files and commit
+    * the rewrite as the next version (Iceberg's `rewrite_data_files`).
+    * Content-identical by construction — the plan is scan → shuffle-
+    * free-where-possible repartition → write, no row transformation.
+    * Returns (newVersion, filesBefore, filesAfter).
+    *
+    * Small-file pressure is the dominant failure mode of streaming/CDC
+    * ingestion at scale: every micro-batch MERGE leaves one more file
+    * set, and scan cost grows with file count (task scheduling, footer
+    * reads, no row-group locality) long before data volume grows. The
+    * file count is sized from the version's MEASURED bytes, so the
+    * rewrite lands at target size regardless of how fragmented the
+    * input was.
+    */
+  def compact(spark: SparkSession, root: String, targetBytes: Long): (Int, Int, Int) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val cur = vs.max
+    val (nBefore, totalBytes) = fileStats(spark, root, cur)
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val next = cur + 1
+    spark.read.parquet(versionPath(root, cur))
+      .repartition(nFiles)
+      .write.parquet(versionPath(root, next))
+    writeManifest(spark, root, vs :+ next)
+    (next, nBefore, dataFiles(spark, root, next).length)
+  }
+
+  /** Expire all but the newest `retain` versions (Iceberg's
+    * `expire_snapshots`): swap the manifest FIRST — the atomic commit
+    * point, after which no reader can resolve an expired version —
+    * then delete the now-unpublished directories. A crash between the
+    * two steps leaks directories (cleaned by the next expire) but can
+    * never break a read. Returns the expired version numbers.
+    */
+  def expire(spark: SparkSession, root: String, retain: Int): Seq[Int] = {
+    require(retain >= 1, s"must retain at least 1 version: $retain")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val keep = vs.takeRight(retain)
+    val drop = vs.dropRight(retain)
+    if (drop.nonEmpty) {
+      writeManifest(spark, root, keep)
+      val f = fs(spark, root)
+      drop.foreach(v => f.delete(new Path(versionPath(root, v)), true))
+    }
+    drop
+  }
 }

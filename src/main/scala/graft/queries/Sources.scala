@@ -351,6 +351,35 @@ object Sources {
       v1.unionByName(v2).orderBy("version")
     }),
 
+    // Snapshot maintenance: fragment documents into 64 files (the
+    // state a micro-batch CDC ingest leaves behind), compact to one
+    // target-size bin (v2), then expire v1. Every emitted value is
+    // predicted by the oracle from the documents table alone:
+    // compaction must not change content (n_docs/total_chars are
+    // computed from a read AFTER expire, proving the retained rewrite
+    // is the same data), file counts are exact (500 rows round-robin
+    // over 64 partitions → 64 files; one bin → 1 file), and v1 must be
+    // both gone from the manifest and physically deleted.
+    "q_table_compact" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("compact_tbl")
+      Snapshots.create(s, root, t(s, dir, "documents").repartition(64))
+      val (v2, nBefore, nAfter) = Snapshots.compact(s, root, 1L << 40)
+      val expired = Snapshots.expire(s, root, retain = 1)
+      val manifestOk = Snapshots.versions(s, root) == Seq(v2)
+      val v1Gone = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/v_1")
+        !p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+      }
+      Snapshots.read(s, root)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"))
+        .select(col("n_docs"), col("total_chars"),
+          lit(nBefore).as("files_before"), lit(nAfter).as("files_after"),
+          lit(expired == Seq(1)).as("expired_v1"),
+          lit(manifestOk && v1Gone).as("expire_clean"))
+    }),
+
     // File-metadata scan: listStatus/stat surface via _metadata and
     // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
@@ -389,6 +418,15 @@ object Sources {
         |  SELECT CAST(round(500.50 * 100) AS BIGINT)
         |  FROM customer WHERE c_custkey % 97 = 0)
         |ORDER BY version""".stripMargin,
+
+    // content invariants from documents; file counts and expiry
+    // booleans are deterministic (see the query comment)
+    "q_table_compact" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  64 AS files_before, 1 AS files_after,
+        |  TRUE AS expired_v1, TRUE AS expire_clean
+        |FROM documents""".stripMargin,
 
     "q_sink_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total

@@ -69,6 +69,52 @@ class SnapshotsSpec extends SparkSuite {
     }
   }
 
+  test("compact bin-packs files without changing content; old version intact") {
+    val root = freshRoot("snap_compact")
+    val df = (1 to 300).map(i => (i.toLong, s"row_$i")).toDF("k", "v")
+    Snapshots.create(spark, root, df.repartition(32))
+    val (n1, bytes1) = Snapshots.fileStats(spark, root, 1)
+    assert(n1 === 32 && bytes1 > 0)
+    // one bin well above total size → a single output file
+    val (v2, before, after) = Snapshots.compact(spark, root, 1L << 40)
+    assert(v2 === 2 && before === 32 && after === 1)
+    // content identical (row set, not layout)
+    assert(Snapshots.read(spark, root, Some(2)).orderBy("k").as[(Long, String)].collect()
+      === df.orderBy("k").as[(Long, String)].collect())
+    // the fragmented version is still published and readable
+    assert(Snapshots.versions(spark, root) === Seq(1, 2))
+    assert(Snapshots.read(spark, root, Some(1)).count() === 300)
+    // target sizing: ceil(bytes/target) bins when the target is small
+    // (sized from the LATEST version's measured bytes — v2 is one
+    // compacted file, far smaller than the 32-file original)
+    val (_, bytes2) = Snapshots.fileStats(spark, root, 2)
+    val (_, _, after3) = Snapshots.compact(spark, root, (bytes2 + 3) / 4)
+    assert(after3 >= 2, s"expected multiple bins, got $after3")
+  }
+
+  test("expire removes old versions: manifest first, then directories") {
+    val root = freshRoot("snap_expire")
+    Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
+    Snapshots.commitMerge(spark, root, Seq((1L, 2)).toDF("k", "v"), "k")
+    Snapshots.commitMerge(spark, root, Seq((1L, 3)).toDF("k", "v"), "k")
+    assert(Snapshots.expire(spark, root, retain = 2) === Seq(1))
+    assert(Snapshots.versions(spark, root) === Seq(2, 3))
+    // expired dir is physically gone; retained versions read fine
+    val p = new org.apache.hadoop.fs.Path(s"$root/v_1")
+    assert(!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+    assert(Snapshots.read(spark, root, Some(2)).select("v").as[Int].head() === 2)
+    assert(Snapshots.read(spark, root).select("v").as[Int].head() === 3)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(1))
+    }
+    // expiring everything is refused; expiring nothing is a no-op
+    intercept[IllegalArgumentException] {
+      Snapshots.expire(spark, root, retain = 0)
+    }
+    assert(Snapshots.expire(spark, root, retain = 5) === Seq.empty)
+    assert(Snapshots.versions(spark, root) === Seq(2, 3))
+  }
+
   test("q_table_timetravel emits both versions with snapshot_ok true") {
     val rows = SparkEntry.queries("q_table_timetravel")(spark, sf)
       .collect()
