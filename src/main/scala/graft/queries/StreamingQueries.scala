@@ -213,6 +213,53 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming ingestion INTO the versioned table format: each paced
+    // micro-batch's per-user latest state commits via
+    // Snapshots.commitMerge, so the stream leaves a time-travelable
+    // version history (v1 = empty create, v2..v4 = one per batch) —
+    // the composition a production CDC pipeline runs (stream → MERGE →
+    // snapshot). Emits the final per-user state (== the batch answer,
+    // exactly the q_stream_cdc_upsert contract) plus the history
+    // invariants: version count and row-count monotonicity (a MERGE
+    // only updates or inserts, never deletes).
+    "q_stream_snapshot_ingest" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("snap_ingest_tbl")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Snapshots.create(s, root, s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("last_event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("last_ts",
+            org.apache.spark.sql.types.TimestampType)))))
+      val q = StreamOps.eventsStreamPaced(s, dir, 3)
+        .select("user_id", "event_id", "event_type", "ts")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(col("user_id"), col("event_type").as("last_event_type"),
+              col("ts").as("last_ts"))
+          Snapshots.commitMerge(s, root, delta, "user_id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val vs = Snapshots.versions(s, root)
+      val counts = vs.map(v => Snapshots.read(s, root, Some(v)).count())
+      val monotone = counts.zip(counts.drop(1)).forall { case (a, b) => a <= b }
+      Snapshots.read(s, root)
+        .select(col("user_id"), col("last_event_type"), col("last_ts"),
+          lit(vs.length).as("n_versions"), lit(monotone).as("history_monotone"))
+        .orderBy("user_id")
+    }),
+
     // OUTER stream-stream join: matched pairs emit on match; an
     // unmatched left row emits (with nulls) only once the global
     // watermark passes v_ts + join bound, i.e. the row provably cannot
@@ -367,6 +414,18 @@ object StreamingQueries {
         |                       ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, event_type AS last_event_type, ts AS last_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // final snapshot = latest event per user (same contract as
+    // q_stream_cdc_upsert); 4 versions = empty create + 3 batches
+    "q_stream_snapshot_ingest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_event_type, ts AS last_ts,
+        |  4 AS n_versions, TRUE AS history_monotone
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the complement of q_stream_watermark's emitted set: windows the

@@ -119,6 +119,38 @@ object Windows {
         .filter(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
+    }),
+
+    // Ordered-sequence funnel: per user, first view → first click
+    // AFTER that view → first purchase AFTER that click (strict event-
+    // time order, the product-analytics conversion shape). Three
+    // unbounded windows over the SAME partitioning — Catalyst plans
+    // ONE user_id exchange and stacks the Window operators on it, so
+    // the funnel costs a single shuffle regardless of depth. Each
+    // stage's predicate references the previous stage's column, which
+    // a groupBy can't express in one pass. Conversion latency is
+    // summed in exact integer micros (order-proof), one final cast.
+    "q_funnel_conversion" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+        .withColumn("first_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("first_click",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("first_view"), col("ts"))).over(w))
+        .withColumn("first_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("first_click"), col("ts"))).over(w))
+      ev.groupBy("user_id")
+        .agg(max("first_view").as("fv"), max("first_click").as("fc"),
+          max("first_purchase").as("fp"))
+        .agg(
+          count(when(col("fv").isNotNull, 1)).as("n_view"),
+          count(when(col("fc").isNotNull, 1)).as("n_click_after_view"),
+          count(when(col("fp").isNotNull, 1)).as("n_full_funnel"),
+          sum(when(col("fp").isNotNull,
+            unix_micros(col("fp")) - unix_micros(col("fv"))))
+            .as("total_convert_us"))
     })
   )
 
@@ -194,6 +226,39 @@ object Windows {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // the three funnel stages as sequential per-user window mins,
+    // mirroring the Spark formulation stage for stage
+    "q_funnel_conversion" ->
+      """WITH staged AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS first_view_pre,
+        |    event_type, ts
+        |  FROM events),
+        |staged2 AS (
+        |  SELECT user_id, first_view_pre,
+        |    min(CASE WHEN event_type = 'click' AND ts > first_view_pre
+        |        THEN ts END) OVER (PARTITION BY user_id) AS first_click_pre,
+        |    event_type, ts
+        |  FROM staged),
+        |staged3 AS (
+        |  SELECT user_id, first_view_pre, first_click_pre,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > first_click_pre
+        |        THEN ts END) OVER (PARTITION BY user_id) AS first_purchase_pre
+        |  FROM staged2),
+        |per_user AS (
+        |  SELECT user_id, max(first_view_pre) AS fv,
+        |    max(first_click_pre) AS fc, max(first_purchase_pre) AS fp
+        |  FROM staged3 GROUP BY user_id)
+        |SELECT
+        |  count(CASE WHEN fv IS NOT NULL THEN 1 END) AS n_view,
+        |  count(CASE WHEN fc IS NOT NULL THEN 1 END) AS n_click_after_view,
+        |  count(CASE WHEN fp IS NOT NULL THEN 1 END) AS n_full_funnel,
+        |  CAST(sum(CASE WHEN fp IS NOT NULL
+        |    THEN epoch_us(fp) - epoch_us(fv) END) AS BIGINT)
+        |    AS total_convert_us
+        |FROM per_user""".stripMargin
   )
 }

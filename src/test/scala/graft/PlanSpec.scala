@@ -288,6 +288,17 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("funnel's three windows + per-user groupBy share ONE user_id exchange") {
+    val plan = planOf(SparkEntry.queries("q_funnel_conversion")(spark, sf))
+    // stages stack on the same partitioning: one hash exchange on
+    // user_id feeds all three Window operators AND the per-user
+    // aggregate; the only other exchange is the final single-partition
+    // gather for the global rollup
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges <= 2, s"funnel re-shuffles between stages ($nExchanges exchanges):\n${plan.take(3000)}")
+    assert("Window".r.findAllIn(plan).length >= 3, plan.take(3000))
+  }
+
   test("Q21's EXISTS / NOT EXISTS decorrelate to semi/anti joins, no nested loop") {
     val plan = planOf(SparkEntry.queries("q_sql_tpch_q21")(spark, sf))
     // the NOT EXISTS correlates on BOTH l1.l_orderkey and the outer
