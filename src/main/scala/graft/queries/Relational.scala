@@ -92,6 +92,34 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Declarative data-quality gates: the rule set compiles to one
+    // projection pass tagging rows with their violations; metrics and
+    // the good/quarantine split share that subplan (one scan total).
+    // Rules deliberately chosen so the fixture yields non-zero
+    // violation counts — a gate that never fires verifies nothing.
+    "q_quality_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      val rules = Seq(
+        Rule("qty_in_range", col("l_quantity") >= 1 && col("l_quantity") <= 45),
+        Rule("discount_sane", col("l_discount") >= 0 && col("l_discount") <= 0.05),
+        Rule("price_positive", col("l_extendedprice") > 0),
+        Rule("flag_known", col("l_returnflag").isin("A", "N", "R")))
+      val li = t(s, dir, "lineitem")
+      val (good, bad) = Expectations.split(li, rules)
+      // cross-check row: the quarantine split must agree with the
+      // metrics rollup (two O(1) scalar pulls, then both predicted by
+      // the oracle from lineitem alone)
+      Expectations.metrics(li, rules)
+        .withColumn("n_good", lit(null: java.lang.Long))
+        .unionByName(s.range(1).select(
+          lit("__split_check").as("rule"),
+          lit(bad.count()).as("n_violations"),
+          lit(li.count()).as("n_total"),
+          lit(good.count()).as("n_good")))
+        .orderBy("rule")
+    }),
+
     // Multi-key global sort, mixed direction.
     "q_sort_multi" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -175,6 +203,35 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // per-rule violation counts + the all-pass and split cross-check
+    // rows, every number derived from lineitem in one aggregate
+    "q_quality_expectations" ->
+      """WITH v AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 45)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+        |    CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.05)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |    CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS price,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS flag,
+        |    CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 45
+        |        AND l_discount >= 0 AND l_discount <= 0.05
+        |        AND l_extendedprice > 0
+        |        AND l_returnflag IN ('A','N','R'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS anybad
+        |  FROM lineitem)
+        |SELECT rule, n_violations, n_total, n_good FROM (
+        |  SELECT '__all_pass' AS rule, anybad AS n_violations,
+        |    total AS n_total, CAST(NULL AS BIGINT) AS n_good FROM v
+        |  UNION ALL SELECT '__split_check', anybad, total, total - anybad FROM v
+        |  UNION ALL SELECT 'qty_in_range', qty, total, NULL FROM v
+        |  UNION ALL SELECT 'discount_sane', disc, total, NULL FROM v
+        |  UNION ALL SELECT 'price_positive', price, total, NULL FROM v
+        |  UNION ALL SELECT 'flag_known', flag, total, NULL FROM v)
+        |ORDER BY rule""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice * (1 - l_discount) AS revenue

@@ -351,6 +351,26 @@ object Sources {
       v1.unionByName(v2).orderBy("version")
     }),
 
+    // Schema evolution on read: an old batch written without a column
+    // and a new batch written with it coexist in one dataset;
+    // mergeSchema=true unions the file schemas, old rows surface NULL
+    // for the added column, and aggregates stay exact. This is how a
+    // long-lived ingest directory evolves without rewriting history.
+    "q_source_schema_evolution" -> ((s, dir) => {
+      val root = graft.Tables.scratch("schema_evolution")
+      val orders = t(s, dir, "orders")
+      orders.select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+      orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_price"),
+          countDistinct(col("batch")).as("n_batches"))
+    }),
+
     // Snapshot maintenance: fragment documents into 64 files (the
     // state a micro-batch CDC ingest leaves behind), compact to one
     // target-size bin (v2), then expire v1. Every emitted value is
@@ -418,6 +438,16 @@ object Sources {
         |  SELECT CAST(round(500.50 * 100) AS BIGINT)
         |  FROM customer WHERE c_custkey % 97 = 0)
         |ORDER BY version""".stripMargin,
+
+    // both batches carry every order once; only the second has the
+    // evolved column
+    "q_source_schema_evolution" ->
+      """SELECT 2 * count(*) AS n_rows,
+        |  count(*) AS n_with_priority,
+        |  CAST(2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_price,
+        |  CAST(2 AS BIGINT) AS n_batches
+        |FROM orders""".stripMargin,
 
     // content invariants from documents; file counts and expiry
     // booleans are deterministic (see the query comment)
