@@ -110,6 +110,50 @@ object Aggregates {
       perType.unionByName(total).orderBy("event_type")
     }),
 
+    // Frequent-items sketch (Karp-Papadimitriou-Shenker via
+    // df.stat.freqItems): single-pass, fixed memory, mergeable — the
+    // heavy-hitters primitive for 100 TB streams. The sketch may
+    // return false positives but NEVER misses an item above the
+    // support threshold, so the oracle checks exactly that guarantee:
+    // every value with true frequency > 10% must appear. The required
+    // set is tiny (5 priorities) — the driver-side pull is O(1).
+    "q_agg_freq_items" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val found = ord.stat.freqItems(Array("o_orderpriority"), 0.1)
+        .first().getSeq[String](0).toSet
+      val n = ord.count()
+      ord.groupBy("o_orderpriority").count()
+        .filter(col("count") > lit(n) * 0.1)
+        .select(col("o_orderpriority").as("required_item"),
+          lit(found.size <= 10).as("sketch_bounded"))
+        .withColumn("found_by_sketch",
+          col("required_item").isin(found.toSeq.map(lit): _*))
+        .select("required_item", "found_by_sketch", "sketch_bounded")
+        .orderBy("required_item")
+    }),
+
+    // Seeded Bernoulli sampling: same seed → identical sample
+    // (re-run determinism, checked with a symmetric exceptAll), rate
+    // lands inside a 5-sigma binomial band the oracle predicts TRUE.
+    // The exact sampled COUNT is engine-private (depends on the RNG
+    // stream), which is why the contract is determinism + tolerance,
+    // not a value — the cross-engine-exact alternative is
+    // q_sample_hash's md5-nibble filter.
+    "q_sample_seeded" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val s1 = ord.sample(withReplacement = false, 0.2, seed = 42L)
+      val s2 = ord.sample(withReplacement = false, 0.2, seed = 42L)
+      val deterministic = s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty
+      val subset = s1.join(ord, Seq("o_orderkey"), "left_anti").isEmpty
+      val n = ord.count()
+      val sigma = math.sqrt(0.2 * 0.8 * n)
+      s1.agg(count(lit(1)).as("n_sample")).select(
+        lit(n).as("n_total"),
+        (abs(col("n_sample") - lit(0.2) * n) <= lit(5 * sigma)).as("rate_in_band"),
+        lit(deterministic).as("deterministic"),
+        lit(subset).as("is_subset"))
+    }),
+
     // Order-sensitive: min_by/max_by with unique tiebreak.
     "q_agg_minmax_by" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -244,6 +288,20 @@ object Aggregates {
         |SELECT user_id, count(*) AS n_events,
         |  coalesce(max(gap), 0) AS max_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the sketch's no-false-negative guarantee over the true >10% set
+    "q_agg_freq_items" ->
+      """SELECT o_orderpriority AS required_item,
+        |  TRUE AS found_by_sketch, TRUE AS sketch_bounded
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 0.1 * (SELECT count(*) FROM orders)
+        |ORDER BY required_item""".stripMargin,
+
+    "q_sample_seeded" ->
+      """SELECT count(*) AS n_total, TRUE AS rate_in_band,
+        |  TRUE AS deterministic, TRUE AS is_subset
+        |FROM orders""".stripMargin,
 
     "q_agg_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
