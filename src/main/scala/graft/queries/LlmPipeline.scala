@@ -198,6 +198,26 @@ object LlmPipeline {
         .orderBy("event_type")
     }),
 
+    // Quality-WEIGHTED sampling: include each document with probability
+    // ∝ its weight (n_chars), the corpus-mixture primitive that
+    // up-samples high-value sources without a shuffle — one scan, one
+    // broadcast scalar. Deterministic and cross-engine EXACT: the
+    // uniform is the md5 32-bit prefix of doc_id and the inclusion test
+    // is pure BIGINT arithmetic (u32·max_w < w·⌊0.3·2³²⌋), so there is
+    // no float/transcendental to diverge between engines — unlike
+    // Efraimidis-Spirakis keys (-ln u/w), whose libm-dependent doubles
+    // could flip borderline selections.
+    "q_sample_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val u32 = expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint)")
+      docs.crossJoin(broadcast(docs.agg(max("n_chars").as("max_w"))))
+        .filter(u32 * col("max_w") < col("n_chars") * lit(1288490188L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars_sampled"))
+        .orderBy("source")
+    }),
+
     // Stratified training-mix sampling: per source, keep the top 20%
     // of docs by length (word count), deterministic doc_id tiebreak —
     // the window form runs one shuffle per stratum key and never
@@ -673,6 +693,16 @@ object LlmPipeline {
         |  least(50, n - chunk_start) AS n_chunk_tokens,
         |  toks[chunk_start + 1] AS head_token
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // same integer inclusion test, bit for bit
+    "q_sample_weighted" ->
+      """WITH m AS (SELECT max(n_chars) AS max_w FROM documents)
+        |SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        |FROM documents, m
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    * max_w < n_chars * 1288490188
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT event_type, count(*) AS n,
