@@ -255,6 +255,25 @@ object Scalars {
         .orderBy("n_nationkey", "attr")
     }),
 
+    // Bitwise family: per-row operators (& | ^ << >> bit_count) and
+    // the bit_and/bit_or/bit_xor aggregates — all integer-exact, so
+    // the oracle is the same arithmetic verbatim.
+    "q_bitwise_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          bit_and(col("l_orderkey")).as("band"),
+          bit_or(col("l_orderkey")).as("bor"),
+          bit_xor(col("l_orderkey")).as("bxor"),
+          sum(bit_count(col("l_orderkey")).cast("long")).as("sum_pop"),
+          sum(when(col("l_orderkey").bitwiseAND(lit(7L)) === 0, 1L)
+            .otherwise(0L)).as("n_mult8"),
+          min(shiftleft(col("l_orderkey"), 2)).as("min_shl"),
+          max(shiftright(col("l_orderkey"), 3)).as("max_shr"),
+          sum(col("l_orderkey").bitwiseXOR(col("l_suppkey"))).as("sum_rowxor"))
+        .orderBy("l_returnflag")
+    }),
+
     // Hash functions with DuckDB twins.
     "q_hash_funcs" -> ((s, dir) => {
       t(s, dir, "customer").select(
@@ -491,6 +510,19 @@ object Scalars {
         |  UNION ALL
         |  SELECT n_nationkey, 'region' AS attr, CAST(n_regionkey AS VARCHAR) AS v FROM nation)
         |ORDER BY n_nationkey, attr""".stripMargin,
+
+    "q_bitwise_funcs" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey) AS band,
+        |  bit_or(l_orderkey) AS bor,
+        |  bit_xor(l_orderkey) AS bxor,
+        |  CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS sum_pop,
+        |  CAST(sum(CASE WHEN (l_orderkey & 7) = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mult8,
+        |  min(l_orderkey << 2) AS min_shl,
+        |  max(l_orderkey >> 3) AS max_shr,
+        |  CAST(sum(xor(l_orderkey, l_suppkey)) AS BIGINT) AS sum_rowxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_hash_funcs" ->
       """SELECT c_custkey,
