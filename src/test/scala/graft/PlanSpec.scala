@@ -299,6 +299,20 @@ class PlanSpec extends SparkSuite {
     assert("Window".r.findAllIn(plan).length >= 3, plan.take(3000))
   }
 
+  test("every TPC-H subquery shape decorrelates — no nested-loop join in any plan") {
+    // Q2 correlated scalar MIN, Q4 correlated EXISTS, Q13 filtered
+    // outer join, Q17 correlated scalar AVG, Q20 nested IN-over-
+    // aggregate, Q22 uncorrelated scalar gate + NOT EXISTS: all must
+    // plan as equi-keyed joins/aggregates. (Q21 has its own deeper
+    // assertion below.)
+    for (q <- Seq("q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q13",
+        "q_sql_tpch_q17", "q_sql_tpch_q20", "q_sql_tpch_q22")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q did not decorrelate:\n${plan.take(2000)}")
+    }
+  }
+
   test("Q21's EXISTS / NOT EXISTS decorrelate to semi/anti joins, no nested loop") {
     val plan = planOf(SparkEntry.queries("q_sql_tpch_q21")(spark, sf))
     // the NOT EXISTS correlates on BOTH l1.l_orderkey and the outer
