@@ -174,7 +174,43 @@ object Joins {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  // Correlated LATERAL subquery with per-group LIMIT — the "top-k per
+  // key as a join" SQL shape (Spark ≥3.2 / DuckDB ≥0.9 both speak it).
+  private val lateralSql: String =
+    """SELECT n_name, c.c_name, c.c_acctbal FROM nation,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC""".stripMargin
+
+  // Recursive CTE (landed in Spark 4): a month spine over the orders
+  // date range, left-joined to per-month order counts — the calendar-
+  // densification pattern that turns sparse event data into a gapless
+  // series. Fixed literal bounds match the fixture's generated range.
+  private val recursiveSpineSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP)
+      |  UNION ALL
+      |  SELECT m + INTERVAL '1' MONTH FROM months
+      |  WHERE m < CAST('2001-08-01 00:00:00' AS TIMESTAMP))
+      |SELECT m, count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Correlated LATERAL with LIMIT: decorrelates to a ranked window,
+    // not a per-row re-execution.
+    "q_sql_lateral" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(lateralSql)
+    }),
+
+    // WITH RECURSIVE month spine + densifying left join.
+    "q_sql_recursive_spine" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(recursiveSpineSql)
+    }),
+
     // lineitem ⋈ orders: the big shuffled (SMJ/SHJ) join.
     "q_join_inner" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -723,6 +759,8 @@ object Joins {
     // Same ANSI text as the Spark side by construction.
     "q_sql_tpch_q2" -> tpchQ2Sql,
     "q_sql_tpch_q4" -> tpchQ4Sql,
+    "q_sql_lateral" -> lateralSql,
+    "q_sql_recursive_spine" -> recursiveSpineSql,
     "q_sql_tpch_q7" -> tpchQ7Sql,
     "q_sql_tpch_q13" -> tpchQ13Sql,
     "q_sql_tpch_q17" -> tpchQ17Sql,

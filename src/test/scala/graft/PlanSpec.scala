@@ -306,7 +306,8 @@ class PlanSpec extends SparkSuite {
     // plan as equi-keyed joins/aggregates. (Q21 has its own deeper
     // assertion below.)
     for (q <- Seq("q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q13",
-        "q_sql_tpch_q17", "q_sql_tpch_q20", "q_sql_tpch_q22")) {
+        "q_sql_tpch_q17", "q_sql_tpch_q20", "q_sql_tpch_q22",
+        "q_sql_lateral")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q did not decorrelate:\n${plan.take(2000)}")
