@@ -143,6 +143,21 @@ object Snapshots {
     (next, nBefore, dataFiles(spark, root, next).length)
   }
 
+  /** The table's version history as a DataFrame (Iceberg's `snapshots`
+    * metadata table / Delta's DESCRIBE HISTORY): one row per published
+    * version with its file count, total bytes, and row count. Listing
+    * cost is manifest-length × one listStatus — O(versions), no data
+    * read except the parquet footers for row counts.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root).map { v =>
+      val (nFiles, bytes) = fileStats(spark, root, v)
+      val rows = spark.read.parquet(versionPath(root, v)).count()
+      (v, nFiles, bytes, rows)
+    }.toDF("version", "n_files", "total_bytes", "n_rows")
+  }
+
   /** Expire all but the newest `retain` versions (Iceberg's
     * `expire_snapshots`): swap the manifest FIRST — the atomic commit
     * point, after which no reader can resolve an expired version —

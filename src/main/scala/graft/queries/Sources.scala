@@ -400,6 +400,27 @@ object Sources {
           lit(manifestOk && v1Gone).as("expire_clean"))
     }),
 
+    // Version-history metadata table (Iceberg `snapshots` / Delta
+    // DESCRIBE HISTORY analog): create → merge-insert → compact, then
+    // read the history. Row counts per version are exact oracle
+    // predictions; file/byte stats are engine-layout-dependent, so
+    // they surface as predicted-TRUE booleans.
+    "q_table_history" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("history_tbl")
+      val cust = t(s, dir, "customer")
+      Snapshots.create(s, root, cust.repartition(8))
+      val inserts = cust.filter(col("c_custkey") % 50 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 5000000L)
+      Snapshots.commitMerge(s, root, inserts, "c_custkey")
+      Snapshots.compact(s, root, 1L << 40)
+      Snapshots.history(s, root)
+        .select(col("version").cast("long").as("version"), col("n_rows"),
+          (col("n_files") > 0).as("has_files"),
+          (col("total_bytes") > 0).as("has_bytes"))
+        .orderBy("version")
+    }),
+
     // File-metadata scan: listStatus/stat surface via _metadata and
     // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
@@ -448,6 +469,17 @@ object Sources {
         |    / 100.0 AS sum_price,
         |  CAST(2 AS BIGINT) AS n_batches
         |FROM orders""".stripMargin,
+
+    // v1 = customer; v2 adds the %50 inserts; v3 is the compaction
+    // rewrite of v2 (content-identical)
+    "q_table_history" ->
+      """WITH c AS (SELECT count(*) AS n FROM customer),
+        |     i AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, c.n AS n_rows,
+        |  TRUE AS has_files, TRUE AS has_bytes FROM c
+        |UNION ALL SELECT 2, c.n + i.n, TRUE, TRUE FROM c, i
+        |UNION ALL SELECT 3, c.n + i.n, TRUE, TRUE FROM c, i
+        |ORDER BY version""".stripMargin,
 
     // content invariants from documents; file counts and expiry
     // booleans are deterministic (see the query comment)
