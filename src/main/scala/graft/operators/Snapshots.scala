@@ -33,41 +33,70 @@ import java.nio.charset.StandardCharsets
   * granularity changes.
   */
 object Snapshots {
-  private val ManifestName = "_manifest"
+  private val ManifestPrefix = "_manifest.v_"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def versionPath(root: String, v: Int) = s"$root/v_$v"
 
-  /** Committed versions in ascending order; empty if no table. */
-  def versions(spark: SparkSession, root: String): Seq[Int] = {
+  // Manifests are immutable, monotonically numbered files
+  // (_manifest.v_1, _manifest.v_2, ...); the LIVE manifest is the one
+  // with the highest sequence. Committing writes a NEW name (tmp +
+  // rename onto a path that does not exist — atomic on HDFS-like
+  // stores, and the rename FAILS rather than clobbers if a concurrent
+  // committer won the race). The previous manifest is never deleted
+  // before the new one is fully durable, so there is no instant at
+  // which the table has no resolvable manifest — the flaw of a
+  // delete-then-rename swap, where a crash in the window loses the
+  // whole table.
+  private def manifestSeqs(spark: SparkSession, root: String): Seq[Int] = {
     val f = fs(spark, root)
-    val mf = new Path(root, ManifestName)
-    if (!f.exists(mf)) Seq.empty
-    else {
-      val in = f.open(mf)
-      try {
-        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-        new String(bytes, StandardCharsets.UTF_8).split("\n")
-          .filter(_.nonEmpty).map(_.toInt).toSeq.sorted
-      } finally in.close()
-    }
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toInt).toOption)
+      .toSeq.sorted
   }
 
-  // tmp-write + rename: rename is the atomic commit point on
-  // HDFS-like stores; a crash before it leaves the old manifest (and
-  // therefore the old table state) fully intact.
+  private def readManifest(spark: SparkSession, root: String, seq: Int): Seq[Int] = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, ManifestPrefix + seq))
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      new String(bytes, StandardCharsets.UTF_8).split("\n")
+        .filter(_.nonEmpty).map(_.toInt).toSeq.sorted
+    } finally in.close()
+  }
+
+  /** Committed versions in ascending order; empty if no table. */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val seqs = manifestSeqs(spark, root)
+    if (seqs.isEmpty) Seq.empty else readManifest(spark, root, seqs.max)
+  }
+
   private def writeManifest(spark: SparkSession, root: String, vs: Seq[Int]): Unit = {
     val f = fs(spark, root)
-    val tmp = new Path(root, ManifestName + ".tmp")
+    val seqs = manifestSeqs(spark, root)
+    val next = if (seqs.isEmpty) 1 else seqs.max + 1
+    val tmp = new Path(root, s".tmp_manifest_$next")
     val out = f.create(tmp, true)
     try out.write(vs.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val mf = new Path(root, ManifestName)
-    if (f.exists(mf)) f.delete(mf, false)
-    if (!f.rename(tmp, mf))
-      throw new java.io.IOException(s"manifest commit failed for $root")
+    // Atomic commit point. Renaming onto an EXISTING path returns
+    // false on Hadoop FileSystems → a lost race surfaces as a commit
+    // conflict instead of silently overwriting the winner.
+    if (!f.rename(tmp, new Path(root, ManifestPrefix + next))) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"manifest commit conflict for $root at seq $next (concurrent commit?)")
+    }
+    // Best-effort cleanup of superseded manifests, keeping the
+    // immediately previous one as a recovery spare. A crash here only
+    // leaves extra manifest files; resolution is last-wins regardless.
+    seqs.filter(_ < next - 1)
+      .foreach(s => f.delete(new Path(root, ManifestPrefix + s), false))
   }
 
   /** Create the table at version 1 (drops any existing table at root). */
@@ -145,17 +174,60 @@ object Snapshots {
 
   /** The table's version history as a DataFrame (Iceberg's `snapshots`
     * metadata table / Delta's DESCRIBE HISTORY): one row per published
-    * version with its file count, total bytes, and row count. Listing
-    * cost is manifest-length × one listStatus — O(versions), no data
-    * read except the parquet footers for row counts.
+    * version with its file count, total bytes, and row count.
+    *
+    * File counts and bytes come from driver-side listStatus (metadata
+    * only, O(versions) listings); row counts come from ONE Spark scan
+    * over all live version directories at once, grouped by the version
+    * extracted from `_metadata.file_path` — a single action regardless
+    * of version count, instead of the naive one-count-job-per-version
+    * loop that serializes O(versions) scheduling round-trips.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    versions(spark, root).map { v =>
+    import org.apache.spark.sql.functions._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val listing = vs.map { v =>
       val (nFiles, bytes) = fileStats(spark, root, v)
-      val rows = spark.read.parquet(versionPath(root, v)).count()
-      (v, nFiles, bytes, rows)
-    }.toDF("version", "n_files", "total_bytes", "n_rows")
+      (v, nFiles, bytes)
+    }.toDF("version", "n_files", "total_bytes")
+    val rowCounts = spark.read.parquet(vs.map(versionPath(root, _)): _*)
+      .select(regexp_extract(col("_metadata.file_path"), "/v_(\\d+)/[^/]*$", 1)
+        .cast("int").as("version"))
+      .groupBy("version").agg(count(lit(1)).as("n_rows"))
+    listing.join(rowCounts, Seq("version"), "left")
+      .select(col("version"), col("n_files"), col("total_bytes"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .orderBy("version")
+  }
+
+  /** Delete crash-leaked `v_N` directories that no manifest ever
+    * published (Iceberg's `remove_orphan_files`): a crash between
+    * `commitMerge`'s data write and its manifest swap leaves a `v_N`
+    * dir that readers can never resolve and `expire` never touches (it
+    * only deletes versions DROPPED from the manifest). Also sweeps
+    * stale `.tmp_manifest_*` files from crashed manifest writes.
+    * Returns the deleted directory/file names.
+    *
+    * `olderThanMs` guards against racing an in-flight commit (whose
+    * data dir legitimately precedes its manifest entry): only orphans
+    * whose modification time is at least that old are removed —
+    * Iceberg's own safeguard for this exact race. Tests pass 0.
+    */
+  def vacuum(spark: SparkSession, root: String, olderThanMs: Long = 3600000L): Seq[String] = {
+    val f = fs(spark, root)
+    val live = versions(spark, root).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = f.listStatus(new Path(root)).toSeq.filter { st =>
+      val n = st.getPath.getName
+      val leakedData = st.isDirectory && n.startsWith("v_") &&
+        scala.util.Try(n.stripPrefix("v_").toInt).toOption.exists(!live.contains(_))
+      val leakedTmp = !st.isDirectory && n.startsWith(".tmp_manifest_")
+      (leakedData || leakedTmp) && st.getModificationTime <= cutoff
+    }
+    orphans.foreach(st => f.delete(st.getPath, true))
+    orphans.map(_.getPath.getName)
   }
 
   /** Expire all but the newest `retain` versions (Iceberg's

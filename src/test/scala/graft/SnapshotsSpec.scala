@@ -115,6 +115,87 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.versions(spark, root) === Seq(2, 3))
   }
 
+  test("manifest commit is never delete-then-rename: a manifest is always resolvable") {
+    val root = freshRoot("snap_atomic")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifests() = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_manifest.v_")).sorted.toSeq
+    Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
+    assert(manifests() === Seq("_manifest.v_1"))
+    Snapshots.commitMerge(spark, root, Seq((1L, 2)).toDF("k", "v"), "k")
+    // the previous manifest survives the commit as a recovery spare —
+    // at no instant between create and commit was the table manifest-less
+    assert(manifests() === Seq("_manifest.v_1", "_manifest.v_2"))
+    // last-wins resolution: the live manifest is the highest sequence
+    assert(Snapshots.versions(spark, root) === Seq(1, 2))
+    Snapshots.commitMerge(spark, root, Seq((1L, 3)).toDF("k", "v"), "k")
+    // superseded manifests beyond the spare are swept
+    assert(manifests() === Seq("_manifest.v_2", "_manifest.v_3"))
+    assert(Snapshots.versions(spark, root) === Seq(1, 2, 3))
+    // a stale spare never shadows the live manifest: deleting the live
+    // one falls back to the spare (previous committed state), not chaos
+    f.delete(new org.apache.hadoop.fs.Path(root, "_manifest.v_3"), false)
+    assert(Snapshots.versions(spark, root) === Seq(1, 2))
+  }
+
+  test("vacuum removes crash-leaked version dirs and tmp manifests; reads unaffected") {
+    val root = freshRoot("snap_vacuum")
+    Snapshots.create(spark, root, Seq((1L, 1), (2L, 2)).toDF("k", "v"))
+    Snapshots.commitMerge(spark, root, Seq((3L, 3)).toDF("k", "v"), "k")
+    // simulate a commit that crashed between data write and manifest
+    // swap: the v_9 dir exists but no manifest ever published it
+    Seq((9L, 9)).toDF("k", "v").write.parquet(s"$root/v_9")
+    // ... and a manifest write that crashed before its rename
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, ".tmp_manifest_99")
+    val out = f.create(tmp, true); out.write("1".getBytes); out.close()
+    val removed = Snapshots.vacuum(spark, root, olderThanMs = 0L)
+    assert(removed.toSet === Set("v_9", ".tmp_manifest_99"))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/v_9")))
+    // published versions are untouched
+    assert(Snapshots.versions(spark, root) === Seq(1, 2))
+    assert(Snapshots.read(spark, root).count() === 3)
+    // age guard: a young orphan is left alone (in-flight commit safety)
+    Seq((8L, 8)).toDF("k", "v").write.parquet(s"$root/v_8")
+    assert(Snapshots.vacuum(spark, root) === Seq.empty)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/v_8")))
+  }
+
+  test("history is one scan, not one count job per version") {
+    val root = freshRoot("snap_history")
+    Snapshots.create(spark, root, (1 to 100).map(i => (i.toLong, i)).toDF("k", "v"))
+    Snapshots.commitMerge(spark, root, Seq((200L, 200)).toDF("k", "v"), "k")
+    Snapshots.commitMerge(spark, root, Seq((201L, 201)).toDF("k", "v"), "k")
+    // constructing the DataFrame launches at most ONE job (parquet
+    // schema-inference footer read — constant, version-count-
+    // independent); the old implementation ran one count() job per
+    // version right here, O(versions) scheduling round-trips
+    var jobsDuringBuild = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsDuringBuild += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val h = try {
+      val df = Snapshots.history(spark, root)
+      Thread.sleep(1000) // listener delivery is async; 1 s is ample for any job-start event
+      df
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobsDuringBuild <= 1,
+      s"history() construction launched $jobsDuringBuild jobs; must not scale with versions")
+    val rows = h.orderBy("version").collect()
+    assert(rows.map(_.getAs[Int]("version")).toSeq === Seq(1, 2, 3))
+    assert(rows.map(_.getAs[Long]("n_rows")).toSeq === Seq(100L, 101L, 102L))
+    // files/bytes agree with the per-version stats probe
+    rows.foreach { r =>
+      val (nf, bytes) = Snapshots.fileStats(spark, root, r.getAs[Int]("version"))
+      assert(r.getAs[Int]("n_files") === nf)
+      assert(r.getAs[Long]("total_bytes") === bytes)
+    }
+  }
+
   test("q_table_timetravel emits both versions with snapshot_ok true") {
     val rows = SparkEntry.queries("q_table_timetravel")(spark, sf)
       .collect()
