@@ -421,6 +421,34 @@ object Sources {
         .orderBy("version")
     }),
 
+    // The reference's whole identity as a CONNECTOR, end-to-end: a
+    // custom Hadoop FileSystem scheme registered via fs.graft.impl
+    // (the fs.cfs.impl pattern, reference README.md:24-28) with
+    // config-driven volume mounts (CubefsFileSystem.initialize,
+    // :62-117). The query scans parquet THROUGH graft:// paths,
+    // writes a sink through the scheme (exercising the full
+    // create/mkdirs/rename FileOutputCommitter protocol on the
+    // connector), reads it back through the scheme, and joins against
+    // a second graft:// table. Result is a pure function of customer
+    // ⋈ nation — the oracle recomputes it from the plain paths.
+    "q_fs_connector" -> ((s, dir) => {
+      import graft.sources.GraftFileSystem
+      val hc = s.sparkContext.hadoopConfiguration
+      GraftFileSystem.mount(hc, "data", dir)
+      GraftFileSystem.mount(hc, "scratch", tmp("fs_connector"))
+      s.read.parquet("graft://data/customer.parquet")
+        .filter(col("c_acctbal") > 1000)
+        .write.mode(SaveMode.Overwrite).parquet("graft://scratch/cust")
+      s.read.parquet("graft://scratch/cust")
+        .join(s.read.parquet("graft://data/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(round(col("c_acctbal") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_acctbal"))
+        .orderBy("n_name")
+    }),
+
     // File-metadata scan: listStatus/stat surface via _metadata and
     // input_file_name() (both file-identity APIs exercised).
     "q_file_metadata" -> ((s, dir) => {
@@ -587,6 +615,14 @@ object Sources {
     "q_file_metadata" ->
       """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size,
         |       1 AS n_files_ifn, true AS ifn_parquet
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q_fs_connector" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 1000
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

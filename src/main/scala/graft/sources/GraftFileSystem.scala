@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+import java.net.URI
+
+/** A custom Hadoop `FileSystem` scheme, registered and consumed the
+  * same way the reference connector is — the one layer-A capability
+  * that IS the reference's identity:
+  *
+  *   - registration via `fs.graft.impl` = this class, exactly the
+  *     `fs.cfs.impl` pattern (reference `README.md:24-28`);
+  *   - `initialize` parses the volume from the URI authority and
+  *     resolves it through configuration (`fs.graft.mount.<volume>`),
+  *     the config-driven mount of `CubefsFileSystem.initialize`
+  *     (`CubefsFileSystem.java:62-117`);
+  *   - every FS operation translates `graft://<volume>/<path>` to a
+  *     path under the mount root and delegates to the local store, the
+  *     way the reference translates to `libcfs` calls (`formatPath`,
+  *     `CubefsFileSystem.java:154-156`). The backing store here is the
+  *     local filesystem — the engine-facing surface (open/create/
+  *     rename/listStatus/mkdirs/delete and the FileStatus contract) is
+  *     the real deliverable, and is what Spark's scans, committers,
+  *     and streaming checkpoints exercise end-to-end.
+  *
+  * Like the reference, returned `FileStatus` entries report a fixed
+  * replication of 3 (`CubefsFileSystem.java:326,388`) and the
+  * configured logical block size (`fs.graft.block.size`, default
+  * 128 MiB = `cfs.block.size`, `CubefsFileSystem.java:97`) — the knob
+  * that drives Spark's `FilePartition` split sizing on scans.
+  *
+  * Scale note: at 100 TB nothing here is a bottleneck by construction —
+  * the connector is a per-task, per-file translation layer with no
+  * shared state; Spark opens files through it from every executor
+  * independently, exactly as it does with s3a/abfs/cfs.
+  */
+class GraftFileSystem extends FileSystem {
+  private var fsUri: URI = _
+  private var volume: String = _
+  private var mountRoot: String = _ // absolute local path, no trailing slash
+  private var inner: FileSystem = _
+  private var workDir: Path = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    volume = Option(name.getAuthority).getOrElse("")
+    if (volume.isEmpty)
+      throw new java.io.IOException(
+        "graft URI needs a volume authority: graft://<volume>/<path>")
+    // config-driven mount resolution (the cfs.master.address +
+    // volume-from-URI analog): unmounted volume fails loudly at
+    // initialize, like the reference's start-client failure.
+    val key = s"fs.graft.mount.$volume"
+    val root = conf.get(key)
+    if (root == null || root.isEmpty)
+      throw new java.io.IOException(s"unmounted graft volume '$volume': set $key")
+    mountRoot = new Path(root).toUri.getPath.stripSuffix("/")
+    inner = new RawLocalFileSystem()
+    inner.initialize(URI.create("file:///"), conf)
+    fsUri = URI.create(s"graft://$volume")
+    workDir = new Path(s"graft://$volume/")
+  }
+
+  override def getScheme: String = "graft"
+  override def getUri: URI = fsUri
+
+  override def getDefaultBlockSize(f: Path): Long =
+    getConf.getLong("fs.graft.block.size", 128L << 20)
+
+  private def makeAbsolute(p: Path): Path =
+    if (p.isAbsolute) p else new Path(workDir, p)
+
+  /** graft://volume/a/b → <mountRoot>/a/b */
+  private def toLocal(p: Path): Path = {
+    val rel = makeAbsolute(p).toUri.getPath
+    new Path(if (rel.isEmpty || rel == "/") mountRoot else mountRoot + rel)
+  }
+
+  /** <mountRoot>/a/b → graft://volume/a/b — results handed back to the
+    * engine must live in THIS scheme's namespace, or Spark's file
+    * index would chase paths into the backing store.
+    */
+  private def fromLocal(p: Path): Path = {
+    val lp = p.toUri.getPath
+    if (!lp.startsWith(mountRoot))
+      throw new java.io.IOException(s"path $lp escapes mount $mountRoot")
+    val rel = lp.substring(mountRoot.length)
+    new Path(s"graft://$volume" + (if (rel.isEmpty) "/" else rel))
+  }
+
+  private def convert(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, 3, getDefaultBlockSize(st.getPath),
+      st.getModificationTime, st.getAccessTime, st.getPermission,
+      st.getOwner, st.getGroup, fromLocal(st.getPath))
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream =
+    inner.open(toLocal(f), bufferSize)
+
+  // The reference's create retries mkdirs-parent on ENOENT
+  // (CubefsFileSystem.java:167-191); RawLocalFileSystem.create with
+  // createParent semantics covers the same contract here.
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    inner.create(toLocal(f), permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    inner.append(toLocal(f), bufferSize, progress)
+
+  // Move-into-directory semantics when dst is an existing dir
+  // (reference retries as dst/src.getName, CubefsFileSystem.java:218-245);
+  // otherwise plain rename — false, not an exception, when dst exists.
+  override def rename(src: Path, dst: Path): Boolean = {
+    val s = toLocal(src)
+    val d0 = toLocal(dst)
+    val d =
+      if (inner.exists(d0) && inner.getFileStatus(d0).isDirectory)
+        new Path(d0, s.getName)
+      else d0
+    inner.rename(s, d)
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    inner.delete(toLocal(f), recursive)
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    inner.listStatus(toLocal(f)).map(convert)
+
+  override def setWorkingDirectory(dir: Path): Unit =
+    workDir = makeAbsolute(dir)
+
+  override def getWorkingDirectory: Path = workDir
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    inner.mkdirs(toLocal(f), permission)
+
+  override def getFileStatus(f: Path): FileStatus =
+    convert(inner.getFileStatus(toLocal(f)))
+}
+
+object GraftFileSystem {
+  /** Register the scheme on a Hadoop conf and mount `root` as
+    * `graft://<volume>/` — the core-site.xml dance of the reference's
+    * README, done programmatically. Caching is disabled so re-mounting
+    * a volume at a different root (different scale factors in one JVM)
+    * never serves a stale filesystem instance.
+    */
+  def mount(conf: Configuration, volume: String, root: String): Unit = {
+    conf.set("fs.graft.impl", classOf[GraftFileSystem].getName)
+    conf.set("fs.graft.impl.disable.cache", "true")
+    conf.set(s"fs.graft.mount.$volume", root)
+  }
+}
