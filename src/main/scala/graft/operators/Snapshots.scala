@@ -50,7 +50,7 @@ object Snapshots {
   // which the table has no resolvable manifest — the flaw of a
   // delete-then-rename swap, where a crash in the window loses the
   // whole table.
-  private def manifestSeqs(spark: SparkSession, root: String): Seq[Int] = {
+  private[operators] def manifestSeqs(spark: SparkSession, root: String): Seq[Int] = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) Seq.empty
@@ -60,15 +60,17 @@ object Snapshots {
       .toSeq.sorted
   }
 
-  private def readManifest(spark: SparkSession, root: String, seq: Int): Seq[Int] = {
+  private[operators] def readManifestLines(spark: SparkSession, root: String, seq: Int): Seq[String] = {
     val f = fs(spark, root)
     val in = f.open(new Path(root, ManifestPrefix + seq))
     try {
       val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-      new String(bytes, StandardCharsets.UTF_8).split("\n")
-        .filter(_.nonEmpty).map(_.toInt).toSeq.sorted
+      new String(bytes, StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
     } finally in.close()
   }
+
+  private def readManifest(spark: SparkSession, root: String, seq: Int): Seq[Int] =
+    readManifestLines(spark, root, seq).map(_.toInt).sorted
 
   /** Committed versions in ascending order; empty if no table. */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
@@ -76,13 +78,21 @@ object Snapshots {
     if (seqs.isEmpty) Seq.empty else readManifest(spark, root, seqs.max)
   }
 
-  private def writeManifest(spark: SparkSession, root: String, vs: Seq[Int]): Unit = {
+  /** Commit `lines` as the next manifest; returns the new sequence.
+    * `sweep` keeps only the new manifest + one recovery spare — the
+    * whole-table layout wants that (version history lives INSIDE the
+    * manifest); the partition-sharded layout keeps every manifest,
+    * because each sequence IS a table version (time travel resolves
+    * old sequences directly).
+    */
+  private[operators] def writeManifestLines(spark: SparkSession, root: String,
+      lines: Seq[String], sweep: Boolean): Int = {
     val f = fs(spark, root)
     val seqs = manifestSeqs(spark, root)
     val next = if (seqs.isEmpty) 1 else seqs.max + 1
     val tmp = new Path(root, s".tmp_manifest_$next")
     val out = f.create(tmp, true)
-    try out.write(vs.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // Atomic commit point. Renaming onto an EXISTING path returns
     // false on Hadoop FileSystems → a lost race surfaces as a commit
@@ -95,9 +105,14 @@ object Snapshots {
     // Best-effort cleanup of superseded manifests, keeping the
     // immediately previous one as a recovery spare. A crash here only
     // leaves extra manifest files; resolution is last-wins regardless.
-    seqs.filter(_ < next - 1)
-      .foreach(s => f.delete(new Path(root, ManifestPrefix + s), false))
+    if (sweep)
+      seqs.filter(_ < next - 1)
+        .foreach(s => f.delete(new Path(root, ManifestPrefix + s), false))
+    next
   }
+
+  private def writeManifest(spark: SparkSession, root: String, vs: Seq[Int]): Unit =
+    writeManifestLines(spark, root, vs.sorted.map(_.toString), sweep = true): Unit
 
   /** Create the table at version 1 (drops any existing table at root). */
   def create(spark: SparkSession, root: String, df: DataFrame): Unit = {

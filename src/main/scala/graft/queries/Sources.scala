@@ -421,6 +421,47 @@ object Sources {
         .orderBy("version")
     }),
 
+    // Partition-sharded snapshot MERGE (the fact-table-scale commit):
+    // only the partition containing touched keys is rewritten; every
+    // other partition's files carry into the new version untouched.
+    // files_unchanged is MEASURED per partition (paths + lengths +
+    // mtimes compared across versions) and the oracle predicts it
+    // exactly: false for the touched 'F' partition, true elsewhere.
+    // Insert keys are offset by max(o_orderkey) — collision-free at
+    // every scale factor.
+    "q_table_partitioned_merge" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.PartitionedSnapshots
+      val root = graft.Tables.scratch("part_merge_tbl")
+      val orders = t(s, dir, "orders")
+      PartitionedSnapshots.create(s, root, orders, "o_orderstatus")
+      val preN = PartitionedSnapshots.read(s, root, Some(1)).count()
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val updates = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.2)
+        .unionByName(orders
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 31 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+      val v2 = PartitionedSnapshots.commitMerge(s, root, updates,
+        "o_orderkey", "o_orderstatus")
+      val unchangedByStatus = PartitionedSnapshots.mapping(s, root, Some(1)).keys
+        .map { d =>
+          d.stripPrefix("__p=") ->
+            (PartitionedSnapshots.fileIdentity(s, root, Some(1), Some(d)) ==
+             PartitionedSnapshots.fileIdentity(s, root, Some(v2), Some(d)))
+        }.toSeq.toDF("o_orderstatus", "files_unchanged")
+      val v1Intact = PartitionedSnapshots.read(s, root, Some(1)).count() == preN
+      PartitionedSnapshots.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .join(unchangedByStatus, Seq("o_orderstatus"))
+        .withColumn("v1_intact", lit(v1Intact))
+        .orderBy("o_orderstatus")
+    }),
+
     // The reference's whole identity as a CONNECTOR, end-to-end: a
     // custom Hadoop FileSystem scheme registered via fs.graft.impl
     // (the fs.cfs.impl pattern, reference README.md:24-28) with
@@ -616,6 +657,25 @@ object Sources {
       """SELECT count(*) AS n_rows, 1 AS n_files, true AS has_size,
         |       1 AS n_files_ifn, true AS ifn_parquet
         |FROM lineitem""".stripMargin,
+
+    "q_table_partitioned_merge" ->
+      """WITH updates AS (
+        |  SELECT * REPLACE (o_totalprice * 1.2 AS o_totalprice)
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT * REPLACE (o_orderkey + (SELECT max(o_orderkey) FROM orders)
+        |                    AS o_orderkey)
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 31 = 0),
+        |merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total,
+        |  (o_orderstatus <> 'F') AS files_unchanged,
+        |  TRUE AS v1_intact
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_fs_connector" ->
       """SELECT n_name, count(*) AS n_cust,
