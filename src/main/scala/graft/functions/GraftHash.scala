@@ -298,4 +298,58 @@ object GraftHash {
     }
     out
   }
+
+  /** Multi-probe buckets (Lv et al., VLDB '07): the base hyperplane
+    * bucket plus `nFlips` perturbed buckets obtained by flipping, one
+    * at a time, the sign bits whose projection margin |s| is smallest —
+    * the bits a true near-neighbor is most likely to disagree on.
+    * Probing these buckets recovers most of the recall an extra hash
+    * table would buy at zero extra corpus rows: the corpus still emits
+    * one bucket per table; only the (tiny) probe side fans out.
+    */
+  def hyperplaneProbes(v: ArrayData, nBits: Int, table: Int, nFlips: Int): ArrayData = {
+    require(nBits > 0 && nBits <= 63 && nBits <= MaxBits,
+      s"hyperplaneProbes: nBits must be in [1, 63], got $nBits")
+    require(nFlips >= 0 && nFlips <= nBits,
+      s"hyperplaneProbes: nFlips must be in [0, $nBits], got $nFlips")
+    val dim = v.numElements()
+    val m = planeMatrix(table, dim)
+    val margins = new Array[Double](nBits)
+    var base = 0L
+    var bit = 0
+    while (bit < nBits) {
+      var s = 0.0
+      var i = 0
+      val off = bit * dim
+      while (i < dim) {
+        s += m(off + i) * v.getFloat(i)
+        i += 1
+      }
+      if (s > 0) base |= (1L << bit)
+      margins(bit) = math.abs(s)
+      bit += 1
+    }
+    // order bits by ascending margin (nBits ≤ 63 — selection sort is
+    // cheaper than boxing a sort for arrays this small)
+    val order = Array.tabulate(nBits)(identity)
+    var a = 0
+    while (a < math.min(nFlips, nBits)) {
+      var best = a
+      var b = a + 1
+      while (b < nBits) {
+        if (margins(order(b)) < margins(order(best))) best = b
+        b += 1
+      }
+      val tmp = order(a); order(a) = order(best); order(best) = tmp
+      a += 1
+    }
+    val out = new Array[Long](1 + nFlips)
+    out(0) = base
+    var f = 0
+    while (f < nFlips) {
+      out(f + 1) = base ^ (1L << order(f))
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
 }

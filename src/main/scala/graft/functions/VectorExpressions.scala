@@ -99,6 +99,21 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Multi-probe bucket list for a float vector: the base bucket plus
+    * `nFlips` neighbors from flipping the lowest-margin sign bits
+    * (Lv '07). Probe-side only — the corpus keeps one bucket per table.
+    */
+  case class HyperplaneProbes(child: Expression, nBits: Int, table: Int, nFlips: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.hyperplaneProbes(v.asInstanceOf[ArrayData], nBits, table, nFlips)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.hyperplaneProbes($c, $nBits, $table, $nFlips);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector; `table`
     * selects an independent plane set (multi-table LSH).
     */
@@ -125,6 +140,8 @@ object VectorExpressions {
   def fingerprint(text: Column, k: Int = 7, w: Int = 10): Column = toCol(Fingerprint(toExpr(text), k, w))
   def hyperplane_bucket(v: Column, nBits: Int, table: Int = 0): Column =
     toCol(HyperplaneBucket(toExpr(v), nBits, table))
+  def hyperplane_probes(v: Column, nBits: Int, table: Int, nFlips: Int): Column =
+    toCol(HyperplaneProbes(toExpr(v), nBits, table, nFlips))
 
   /** Exact jaccard over token sets, composed from codegen'd built-ins. */
   def jaccard_tokens(a: Column, b: Column): Column = {

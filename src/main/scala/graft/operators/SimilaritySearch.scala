@@ -37,25 +37,48 @@ object SimilaritySearch {
   /** LSH-bucketed approximate top-k: `nTables` independent hyperplane
     * signatures; candidates = corpus vectors sharing a bucket with the
     * probe in any table; exact cosine re-rank of candidates only.
+    *
+    * `nFlips` > 0 enables multi-probe (Lv '07): each probe additionally
+    * searches the buckets reached by flipping its `nFlips` lowest-margin
+    * sign bits per table. Recall comparable to extra hash tables, but
+    * the CORPUS side is untouched — only the tiny probe side fans out,
+    * so at 100 TB the candidate budget is tunable without re-hashing or
+    * re-shuffling the corpus.
     */
   def lshTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nBits: Int = 8, nTables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) = {
-      val tables = (0 until nTables).map { t =>
-        // per-table plane seed → genuinely independent signatures; a
-        // shared-prefix scheme (nBits + t planes from one set) makes
-        // every table-t collision imply a table-0 collision, adding
-        // cost but zero recall
-        df.select(col(idCol).as(id), col(vecCol).as(vec))
-          .withColumn("table", lit(t))
-          .withColumn("bucket", hyperplane_bucket(col(vec), nBits, t))
+      nBits: Int = 8, nTables: Int = 4, nFlips: Int = 0): DataFrame = {
+    // ONE scan per side: a single projection computes every table's
+    // bucket (per-table plane seed → genuinely independent signatures;
+    // a shared-prefix scheme — nBits + t planes from one set — makes
+    // every table-t collision imply a table-0 collision, adding cost
+    // but zero recall) and explodes the (table, bucket) pairs. The
+    // former per-table unionAll form re-scanned the corpus nTables
+    // times — at 100 TB that is nTables full reads for the same rows.
+    def bucketed(df: DataFrame, id: String, vec: String, flips: Int) = {
+      val renamed = df.select(col(idCol).as(id), col(vecCol).as(vec))
+      if (flips == 0) {
+        val pairs = (0 until nTables).map { t =>
+          struct(lit(t).as("table"), hyperplane_bucket(col(vec), nBits, t).as("bucket"))
+        }
+        renamed.select(col(id), col(vec), explode(array(pairs: _*)).as("tb"))
+          .select(col(id), col(vec), col("tb.table").as("table"),
+            col("tb.bucket").as("bucket"))
+      } else {
+        // (table, array<bucket>) structs — one kernel call per table —
+        // then a second explode flattens the per-table probe lists
+        val pairs = (0 until nTables).map { t =>
+          struct(lit(t).as("table"),
+            hyperplane_probes(col(vec), nBits, t, flips).as("buckets"))
+        }
+        renamed.select(col(id), col(vec), explode(array(pairs: _*)).as("tb"))
+          .select(col(id), col(vec), col("tb.table").as("table"),
+            explode(col("tb.buckets")).as("bucket"))
       }
-      tables.reduce(_ unionAll _)
     }
-    val c = bucketed(corpus, "neighbor_id", "neighbor_vec")
-    val p = bucketed(probes, "probe_id", "probe_vec")
+    val c = bucketed(corpus, "neighbor_id", "neighbor_vec", flips = 0)
+    val p = bucketed(probes, "probe_id", "probe_vec", flips = nFlips)
     val cands = c.join(broadcast(p), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")

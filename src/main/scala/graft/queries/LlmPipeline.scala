@@ -325,6 +325,35 @@ object LlmPipeline {
         .orderBy("probe_id")
     }),
 
+    // Multi-probe ANN (Lv '07): HALF the hash tables of q_sim_ann, with
+    // each probe additionally searching the 2 buckets reached by
+    // flipping its lowest-margin sign bits per table. The corpus-side
+    // cost (hashing + shuffle rows) halves; the probe-side fan-out is
+    // over 10 rows. Same derived-oracle shape as q_sim_ann: exact top-1
+    // cosine (DuckDB recomputes) + completeness/gap booleans that a
+    // recall regression would flip.
+    "q_sim_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      val ann = SimilaritySearch.lshTopK(
+        emb, probes, "vec_id", "embedding", k = 5, nBits = 5, nTables = 6, nFlips = 2)
+      val exact = SimilaritySearch.bruteForceTopK(
+        emb, probes, "vec_id", "embedding", k = 5)
+      val gaps = ann.join(
+          exact.select(col("probe_id"), col("rank"), col("cos").as("exact_cos")),
+          Seq("probe_id", "rank"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_ret"),
+          max(col("exact_cos") - col("cos")).as("max_gap"))
+      exact.filter(col("rank") === 1)
+        .select(col("probe_id"), col("cos").as("exact_top1_cos"))
+        .join(gaps, Seq("probe_id"), "left_outer")
+        .select(col("probe_id"), col("exact_top1_cos"),
+          (coalesce(col("n_ret"), lit(0L)) === 5 &&
+            coalesce(col("max_gap"), lit(1.0)) <= lit(0.12)).as("ann_ok"))
+        .orderBy("probe_id")
+    }),
+
     // IVF ANN: k-means coarse quantizer fitted ONCE and persisted as
     // parquet; the search reads the prebuilt index (no per-query refit
     // — the 100 TB fit-once/search-many discipline). Same derived
@@ -759,6 +788,14 @@ object LlmPipeline {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_sim_ann" ->
+      s"""SELECT p.vec_id AS probe_id,
+         |  max(${duckCos("p.embedding", "c.embedding")}) AS exact_top1_cos,
+         |  TRUE AS ann_ok
+         |FROM embeddings p, embeddings c
+         |WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+         |GROUP BY p.vec_id ORDER BY probe_id""".stripMargin,
+
+    "q_sim_ann_multiprobe" ->
       s"""SELECT p.vec_id AS probe_id,
          |  max(${duckCos("p.embedding", "c.embedding")}) AS exact_top1_cos,
          |  TRUE AS ann_ok

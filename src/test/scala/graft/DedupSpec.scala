@@ -167,6 +167,54 @@ class DedupSpec extends SparkSuite {
     assert(ann.headOption.contains(0L))
   }
 
+  test("lsh ann hashes all tables from ONE scan per side (no per-table re-scan)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val ann = SimilaritySearch.lshTopK(emb, probes, "vec_id", "embedding",
+      k = 3, nBits = 5, nTables = 8)
+    // the former unionAll form planned nTables scans per side (16 here);
+    // the explode form reads the corpus once and the probes once (the
+    // planner may even collapse the probe scan into a reused exchange)
+    val scans = ann.queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.contains("Scan parquet"))
+    assert(scans <= 2 && scans >= 1,
+      s"expected at most corpus+probe = 2 parquet scans, got $scans")
+    assert(ann.count() > 0)
+  }
+
+  test("multi-probe lsh: recall ≥ single-probe at the same corpus cost") {
+    // corpus: 200 seeded random vectors; probes: 20 slightly-perturbed
+    // copies, so each probe's true nearest neighbor is its source.
+    // Multi-probe searches extra buckets on the PROBE side only, so at
+    // fixed nTables (= fixed corpus hashing/shuffle cost) its candidate
+    // set is a strict superset of single-probe's → recall can only go
+    // up. The test also measures that the recall actually moves at this
+    // fixture (not a vacuous ≥).
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val probes = (0L until 20L).map { i =>
+      val src = base(i.toInt * 7)._2
+      (1000L + i, src.map(x => x + (rnd.nextFloat() - 0.5f) * 0.12f))
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    val probeDf = probes.toDF("vec_id", "embedding")
+    def recallAt1(nTables: Int, nFlips: Int): Double = {
+      val hits = SimilaritySearch.lshTopK(corpus, probeDf, "vec_id", "embedding",
+          k = 1, nBits = 10, nTables = nTables, nFlips = nFlips)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      probes.count { case (pid, _) => hits.get(pid).contains((pid - 1000L) * 7) }
+        .toDouble / probes.length
+    }
+    val single = recallAt1(nTables = 2, nFlips = 0)
+    val multi = recallAt1(nTables = 2, nFlips = 3)
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi > single, s"fixture vacuous: multi-probe did not add recall ($multi)")
+    // and multi-probe at HALF the corpus cost reaches the 4-table recall
+    val fourTables = recallAt1(nTables = 4, nFlips = 0)
+    assert(multi >= fourTables,
+      s"2-table multi-probe recall $multi below 4-table single-probe $fourTables")
+  }
+
   test("approx aggregates are within tolerance of exact (SURVEY §5.2.2)") {
     val li = Tables(spark, sf, "lineitem")
     val row = li.agg(

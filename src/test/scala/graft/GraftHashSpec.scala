@@ -126,6 +126,38 @@ class GraftHashSpec extends AnyFunSuite {
     assert(GraftHash.hyperplaneBucket(v, 8, 1) == GraftHash.hyperplaneBucket(v, 8, 1))
   }
 
+  test("multi-probe buckets: base first, one-bit flips, distinct, deterministic") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 30) {
+      val v = floatArr(Seq.fill(16)(rnd.nextFloat() - 0.5f))
+      val base = GraftHash.hyperplaneBucket(v, 10, 3)
+      val probes = GraftHash.hyperplaneProbes(v, 10, 3, 4).toLongArray().toSeq
+      assert(probes.length == 5)
+      assert(probes.head == base, "base bucket must come first")
+      probes.tail.foreach { p =>
+        assert(java.lang.Long.bitCount(p ^ base) == 1,
+          s"perturbed bucket $p differs from base $base in != 1 bit")
+      }
+      assert(probes.distinct.length == probes.length, "probe buckets must be distinct")
+      assert(probes == GraftHash.hyperplaneProbes(v, 10, 3, 4).toLongArray().toSeq)
+    }
+  }
+
+  test("multi-probe with 0 flips equals the plain bucket") {
+    val v = floatArr(Seq(0.3f, -0.7f, 0.2f, 0.9f))
+    assert(GraftHash.hyperplaneProbes(v, 8, 0, 0).toLongArray().toSeq ==
+      Seq(GraftHash.hyperplaneBucket(v, 8, 0)))
+  }
+
+  test("multi-probe flips distinct bits within range") {
+    val v = floatArr(Seq.fill(16)(0.25f))
+    val base = GraftHash.hyperplaneBucket(v, 12, 0)
+    val probes = GraftHash.hyperplaneProbes(v, 12, 0, 6).toLongArray()
+    val flippedBits = probes.drop(1).map(p => java.lang.Long.numberOfTrailingZeros(p ^ base))
+    assert(flippedBits.toSeq.distinct.length == 6)
+    assert(flippedBits.forall(b => b >= 0 && b < 12))
+  }
+
   test("lsh bands: equal signatures collide in every band") {
     val sig = GraftHash.minhashSig(strArr(Seq("a", "b", "c")), 128)
     val b1 = GraftHash.lshBands(sig, 4).toLongArray().toSeq
