@@ -152,34 +152,39 @@ object Baseline {
     // cost is per state partition, so a 32-store control would measure
     // partition-count mismatch, not pacing.
     "q_stream_stream_paced" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong is already set by this session's builder; state
+      // partitions are restored in finally so a drain failure cannot
+      // leak the streaming-sized conf into later batch controls
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.getOption("spark.graft.streaming.shufflePartitions").getOrElse(prevParts))
-      val rawSchema = s.read.parquet(Tables.path(dir, "events")).schema
-      val ev = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-        .withWatermark("v_ts", "30 minutes")
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
-        .withWatermark("e_ts", "30 minutes")
-      val joined = views.join(errors,
-        col("v_user") === col("e_user") &&
-          col("e_ts") > col("v_ts") &&
-          col("e_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
       val sink = s"baseline_paced_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", Tables.scratch(s"ckpt_$sink"))
-        .start()
-      q.awaitTermination()
-      // restore batch parallelism for the post-drain aggregate (the
-      // graft side's runToMemory does the same)
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val rawSchema = s.read.parquet(Tables.path(dir, "events")).schema
+        val ev = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "30 minutes")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+          .withWatermark("e_ts", "30 minutes")
+        val joined = views.join(errors,
+          col("v_user") === col("e_user") &&
+            col("e_ts") > col("v_ts") &&
+            col("e_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", Tables.scratch(s"ckpt_$sink"))
+          .start()
+        q.awaitTermination()
+      } finally {
+        // restore batch parallelism for the post-drain aggregate (the
+        // graft side's runToMemory does the same)
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sink).groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
@@ -228,6 +233,10 @@ object Baseline {
       // apples: per-micro-batch commit cost is per state partition,
       // and the graft side reads this conf in StreamOps.runToMemory
       .config("spark.graft.streaming.shufflePartitions", "8")
+      // same state-store provider as the graft side (RocksDB, session-
+      // wide) so the streaming pairs measure the plan, not the provider
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

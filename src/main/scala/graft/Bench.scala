@@ -17,6 +17,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", graft.Tables.scratch("warehouse"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.adaptive.enabled", "true")
       // streaming state partitions sized to bench data volume (see
       // StreamOps.runToMemory) — 8 state stores instead of 32 cuts

@@ -19,6 +19,22 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamOps {
   private val counter = new AtomicInteger(0)
 
+  /** All stateful streaming runs on the RocksDB state store. The
+    * default HDFS-backed provider keeps every key's state on the
+    * executor HEAP — at a 100 TB keyspace (billions of session/dedup/
+    * join keys) that OOMs; RocksDB spills state to local disk and
+    * bounds memory by block cache, which is the only configuration
+    * that survives scale. Set session-wide (not per-query, not
+    * restored): a uniform provider means every checkpoint — including
+    * ones re-read later by the statestore data source
+    * (q_stream_state_reader) — was written and is read by the same
+    * provider, and no query's timing is skewed by a leaked flip from
+    * an earlier one.
+    */
+  def ensureRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Pin part-file mtimes to their (range-ordered) name order.
     * FileStreamSource picks files oldest (modification time, path)
     * first, while parallel write tasks finish in random order — without
@@ -127,6 +143,7 @@ object StreamOps {
     // drill runs nSplits+ batches — the checkpoint pins the partition
     // count at first start, and both runs share one checkpoint, so the
     // conf is consistent across the kill/restart
+    ensureRocksDbStateStore(spark)
     val partsOverride = spark.conf.getOption("spark.graft.streaming.shufflePartitions")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     partsOverride.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
@@ -154,6 +171,7 @@ object StreamOps {
       checkpoint: Option[String] = None): DataFrame = {
     val name = s"graft_sink_${counter.incrementAndGet()}"
     val spark = df.sparkSession
+    ensureRocksDbStateStore(spark)
     // a streaming query creates one state-store instance per shuffle
     // partition; at small scale 32 stores of per-batch commit machinery
     // dominate wall-clock. The override lets callers (Bench) size state

@@ -38,8 +38,8 @@ object UserStatsProcessor {
     */
   def run(spark: SparkSession, events: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // RocksDB state store comes from StreamOps.ensureRocksDbStateStore
+    // (session-wide, applied by every drain path) — no per-query flip
     implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
     implicit val outEnc: Encoder[UserAgg] = Encoders.product[UserAgg]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
