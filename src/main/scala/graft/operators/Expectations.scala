@@ -28,6 +28,7 @@ object Expectations {
     */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
+    validateNames(rules)
     val tags = rules.map(r =>
       when(coalesce(r.predicate, lit(false)), lit(null: String))
         .otherwise(lit(r.name)))
@@ -42,6 +43,25 @@ object Expectations {
     val tagged = audit(df, rules)
     (tagged.filter(size(col(ViolationsCol)) === 0).drop(ViolationsCol),
       tagged.filter(size(col(ViolationsCol)) > 0))
+  }
+
+  /** Rule names become aggregate column names in `metrics` (alongside
+    * the reserved `__total`/`__all_pass`) and violation tags in
+    * `audit`. A duplicate, reserved, or non-identifier name would
+    * silently corrupt the rollup (or throw a misleading analysis
+    * error), so reject it up front with a message naming the rule.
+    */
+  private def validateNames(rules: Seq[Rule]): Unit = {
+    val reserved = Set("__total", "__all_pass", ViolationsCol)
+    val dupes = rules.groupBy(_.name).collect { case (n, rs) if rs.sizeIs > 1 => n }
+    require(dupes.isEmpty, s"duplicate rule names: ${dupes.mkString(", ")}")
+    rules.foreach { r =>
+      require(!reserved(r.name), s"rule name '${r.name}' is reserved")
+      require(r.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"rule name '${r.name}' is not a plain identifier " +
+          "([A-Za-z_][A-Za-z0-9_]*) — dots/spaces would be parsed as " +
+          "nested-field references in the metrics rollup")
+    }
   }
 
   /** One row per rule: violation count + violation rate, plus a final

@@ -301,10 +301,14 @@ object Sources {
     // exact-cents sums so the totals are summation-order-proof.
     "q_table_merge" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
+      // insert keys offset by max(o_orderkey): collision-free at every
+      // scale factor (a fixed literal offset silently turns inserts
+      // into updates once the table outgrows it)
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
       val updates = orders.filter(col("o_orderkey") % 20 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.1)
         .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey))
       graft.operators.Upsert.merge(orders, updates, "o_orderkey")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -330,10 +334,14 @@ object Sources {
       val pre = Snapshots.read(s, root, Some(1))
         .agg(count(lit(1)), cents).collect()(0)
       val (preN, preCents) = (pre.getLong(0), pre.getLong(1))
+      // insert keys offset by max(c_custkey) — collision-free at every
+      // scale factor (the oracle predicts v2's count as customer +
+      // inserts, which a key collision would silently desync)
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
       val updates = cust.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 1000)
         .unionByName(cust.filter(col("c_custkey") % 97 === 0)
-          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_custkey", col("c_custkey") + maxCust)
           .withColumn("c_acctbal", lit(500.50)))
       Snapshots.commitMerge(s, root, updates, "c_custkey")
       def snapAgg(v: Int) = Snapshots.read(s, root, Some(v))
@@ -410,8 +418,10 @@ object Sources {
       val root = graft.Tables.scratch("history_tbl")
       val cust = t(s, dir, "customer")
       Snapshots.create(s, root, cust.repartition(8))
+      // max-derived offset: collision-free inserts at every scale factor
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
       val inserts = cust.filter(col("c_custkey") % 50 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 5000000L)
+        .withColumn("c_custkey", col("c_custkey") + maxCust)
       Snapshots.commitMerge(s, root, inserts, "c_custkey")
       Snapshots.compact(s, root, 1L << 40)
       Snapshots.history(s, root)
@@ -436,7 +446,9 @@ object Sources {
       val orders = t(s, dir, "orders")
       PartitionedSnapshots.create(s, root, orders, "o_orderstatus")
       val preN = PartitionedSnapshots.read(s, root, Some(1)).count()
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      // max+1: o_orderkey starts at 0, so a bare max offset would map
+      // key 0 onto the existing max key — insert silently became update
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
       val updates = orders
         .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 13 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.2)
@@ -643,7 +655,8 @@ object Sources {
         |  SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
         |  FROM orders WHERE o_orderkey % 20 = 0
         |  UNION ALL
-        |  SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+        |  SELECT * REPLACE (o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
+        |                    AS o_orderkey)
         |  FROM orders WHERE o_orderkey % 17 = 0),
         |merged AS (
         |  SELECT * FROM orders
@@ -663,7 +676,7 @@ object Sources {
         |  SELECT * REPLACE (o_totalprice * 1.2 AS o_totalprice)
         |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 13 = 0
         |  UNION ALL
-        |  SELECT * REPLACE (o_orderkey + (SELECT max(o_orderkey) FROM orders)
+        |  SELECT * REPLACE (o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
         |                    AS o_orderkey)
         |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 31 = 0),
         |merged AS (

@@ -521,6 +521,15 @@ object StreamingQueries {
     // gap deadline s_end is at or before the final watermark
     // (max ts − 10 min). The remainder is still open in state when the
     // stream drains — by design, matching real streaming semantics.
+    // The boundary comparison is written at MILLISECOND floor because
+    // that is what the engine evaluates (verified against the Spark
+    // 4.1.2 bytecode): timers are registered at s_end_us/1000,
+    // TimerStateImpl.getExpiredTimers returns timers with
+    // timerTs <= eventTimeWatermarkForEviction (INCLUSIVE), and the
+    // watermark is floor-ms(max event time) − delay. A µs-precision
+    // `s_end <= max(ts) − 10 min` would disagree whenever s_end lands
+    // in the same millisecond as the watermark with a larger sub-ms
+    // part — the engine emits, the µs predicate says unemitted.
     "q_stream_timer_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
@@ -541,7 +550,7 @@ object StreamingQueries {
         |  FROM sessions GROUP BY user_id, sid)
         |SELECT user_id, s_start, s_end, n, sum_value
         |FROM agg
-        |WHERE s_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |WHERE epoch_ms(s_end) <= (SELECT epoch_ms(max(ts)) - 600000 FROM events)
         |   OR EXISTS (SELECT 1 FROM agg a2
         |              WHERE a2.user_id = agg.user_id
         |                AND a2.s_start > agg.s_start)

@@ -48,4 +48,17 @@ class ExpectationsSpec extends SparkSuite {
     assert(good.select("id").as[Long].collect() === Array(1L))
     assert(bad.select("id").as[Long].collect() === Array(2L))
   }
+
+  test("reserved, duplicate, and non-identifier rule names are rejected") {
+    def bad(rs: Seq[Rule]) =
+      intercept[IllegalArgumentException](Expectations.audit(df, rs))
+    assert(bad(Seq(Rule("__total", col("id") > 0))).getMessage.contains("reserved"))
+    assert(bad(Seq(Rule("__all_pass", col("id") > 0))).getMessage.contains("reserved"))
+    assert(bad(Seq(Rule("a", col("id") > 0), Rule("a", col("id") < 9)))
+      .getMessage.contains("duplicate"))
+    assert(bad(Seq(Rule("has.dot", col("id") > 0))).getMessage.contains("identifier"))
+    assert(bad(Seq(Rule("", col("id") > 0))).getMessage.contains("identifier"))
+    // a plain identifier still works end-to-end
+    assert(Expectations.metrics(df, Seq(Rule("ok_name", col("id") > 0))).count() === 2)
+  }
 }

@@ -36,7 +36,10 @@ class SessionTimersSpec extends SparkSuite {
         |  FROM sessions GROUP BY user_id, sid)
         |SELECT user_id, s_start, s_end, n, sum_value
         |FROM agg
-        |WHERE s_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |-- ms-floor INCLUSIVE bound = the engine's own timer-expiry
+        |-- check (timerTs <= eviction watermark, both floor-ms; see the
+        |-- q_stream_timer_sessionize oracle comment)
+        |WHERE unix_millis(s_end) <= (SELECT unix_millis(max(ts)) - 600000 FROM events)
         |   OR EXISTS (SELECT 1 FROM agg a2
         |              WHERE a2.user_id = agg.user_id
         |                AND a2.s_start > agg.s_start)
