@@ -306,6 +306,37 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. '23,
+    * arXiv:2303.09540 — public): a seeded k-means coarse quantizer
+    * (reusing [[IvfIndex.fit]]) partitions the embedding space; within
+    * each cluster, every vector whose exact cosine to a SMALLER-id
+    * cluster-mate reaches `threshold` is removed (deterministic greedy
+    * keep-lowest-id, the paper's ε-dedup with id tiebreak). Returns one
+    * row per removed vector: (idCol, dup_of = smallest such mate,
+    * max_cos = its best duplicate cosine).
+    *
+    * Scale shape: the pair join shuffles on `cluster` only; with
+    * nClusters grown ∝ corpus size the per-cluster candidate count is
+    * bounded, so total work is O(n·avg_cluster) — never global
+    * all-pairs. Cross-cluster duplicates are the accepted recall loss
+    * of the method (boundary-split pairs); DedupSpec measures planted
+    * recall ≥ 0.9 and the query's derived oracle rechecks every
+    * removal's exact cosine end to end.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int, seed: Long = 42L): DataFrame = {
+    val (assigned, _) = IvfIndex.fit(df, idCol, vecCol, nClusters, seed)
+    val a = assigned.select(col("cluster"), col(idCol).as("vid_a"), col(vecCol).as("v_a"))
+    val b = assigned.select(col("cluster"), col(idCol).as("vid_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vid_a") < col("vid_b"))
+      .withColumn("cos", cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vid_b").as(idCol))
+      .agg(min("vid_a").as("dup_of"), max("cos").as("max_cos"))
+  }
+
   /** Embedding near-dup via hyperplane LSH buckets + in-bucket cosine. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,

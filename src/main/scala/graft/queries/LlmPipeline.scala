@@ -182,6 +182,37 @@ object LlmPipeline {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Deterministic per-epoch TRAINING SHUFFLE: the global reshuffle a
+    // training run needs every epoch, as a pure function of
+    // (epoch, doc_id) — md5-prefix order key, mod-8 shard — so any
+    // worker can recompute its shard without coordination and a rerun
+    // is bit-identical. The op is a real shuffle: repartition on shard
+    // co-locates each shard in ONE partition (colocated_ok measures
+    // max distinct Spark partitions per shard == 1), sortWithinPartitions
+    // puts rows in epoch-key order for sequential write-out. The order
+    // key u32·2²⁴ + doc_id is collision-free (doc_id < 2²⁴ at every
+    // SF) so head_ord is deterministic and the oracle exact.
+    "q_train_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val epochs = Seq(1, 2).map { e =>
+        docs.withColumn("epoch", lit(e))
+          .withColumn("u32", expr(
+            s"cast(conv(substring(md5(cast(concat('epoch$e:', cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint)"))
+      }.reduce(_ unionByName _)
+      val sharded = epochs
+        .withColumn("shard", pmod(col("u32"), lit(8L)))
+        .withColumn("ord", col("u32") * lit(16777216L) + col("doc_id"))
+        .repartition(8, col("shard"))
+        .sortWithinPartitions("epoch", "ord")
+        .withColumn("pid", spark_partition_id())
+      sharded.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("ord").as("head_ord"),
+          (countDistinct("pid") === 1).as("colocated_ok"))
+        .orderBy("epoch", "shard")
+    }),
+
     // Deterministic hash-based sampling — the reproducible sampling
     // method a production pipeline uses instead of rand(): membership
     // is a pure function of the row key (md5 is bit-identical across
@@ -254,6 +285,81 @@ object LlmPipeline {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.85)
         .orderBy("vid_a", "vid_b")
+    }),
+
+    // Semantic dedup (SemDeDup): k-means clusters + in-cluster exact
+    // cosine, keep-lowest-id. The corpus has no organic pairs at
+    // τ=0.99 (q_dedup_embedding finds none even at 0.85), so the query
+    // PLANTS them: every 10th vector re-enters under a fresh id with a
+    // deterministic ±0.005/element jitter (cos to its source ≥ 0.9999).
+    // Derived oracle: exact corpus/planted counts, plus booleans a
+    // recall or precision regression would flip — precision_ok rechecks
+    // every removal's exact cosine and id-monotonicity END TO END
+    // (catches a dedup that removes without a valid partner), recall_ok
+    // requires ≥ 90% of planted clones removed (boundary-split clusters
+    // are the method's only recall loss).
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + maxId)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + (pmod(hash(col("vec_id"), j), lit(1000)) - 500)
+            .cast("double") / 100000.0d).cast("float")))
+      val corpus = emb.unionByName(planted).localCheckpoint()
+      val removed = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 16).localCheckpoint()
+      val byA = corpus.select(col("vec_id").as("rid"), col("embedding").as("rv"))
+      val byB = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"))
+      val recheck = removed
+        .join(byA, col("vec_id") === col("rid"))
+        .join(byB, col("dup_of") === col("did"))
+        .select((VectorExpressions.cosine_sim(col("rv"), col("dv")) >= 0.99 &&
+          col("dup_of") < col("vec_id")).as("ok"), col("vec_id").as("remid"))
+      val nPlanted = planted.count()
+      val nRemovedPlanted = removed.filter(col("vec_id") >= maxId).count()
+      recheck.agg(
+          count(lit(1)).as("n_removed_rechecked"),
+          coalesce(min(when(col("ok"), 1L).otherwise(0L)), lit(1L)).as("all_ok"))
+        .select(
+          (lit(nPlanted) + emb.count()).as("n_corpus"),
+          lit(nPlanted).as("n_planted"),
+          (col("all_ok") === 1L &&
+            col("n_removed_rechecked") === lit(removed.count())).as("precision_ok"),
+          (lit(nRemovedPlanted) >= lit(math.ceil(nPlanted * 0.9).toLong)).as("recall_ok"))
+    }),
+
+    // Edit-distance-VERIFIED near-dup pairs: gram-jaccard candidates
+    // from the exact prefix-filtering join, then character-level
+    // levenshtein confirmation (≤ 10% of the longer text) — the
+    // two-stage shape real crawl dedup uses (cheap set filter, exact
+    // string verify on survivors only; never levenshtein all-pairs).
+    // The corpus has no organic near-dups, so the query plants them:
+    // every 5th src0 doc re-enters under a fresh id truncated by 21
+    // chars. Fully EXACT oracle: DuckDB replants identically and
+    // recomputes both jaccard and levenshtein on the same candidates.
+    "q_dedup_editdist" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val maxDoc = all.agg(max("doc_id")).head.getLong(0) + 1
+      val base = all.filter(col("source") === "src0").select("doc_id", "text")
+      val mut = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + maxDoc)
+        .withColumn("text",
+          expr("substring(text, 1, greatest(length(text) - 21, 1))"))
+      val docs = base.unionByName(mut).localCheckpoint()
+      val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("words"))
+      val grams = toks.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("words"), 2)).as("grams"))
+      val pairs = Dedup.prefixJaccardJoin(grams, "doc_id", "grams", threshold = 0.5)
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      pairs.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+        .withColumn("edit_dist",
+          levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .filter(col("edit_dist") <=
+          greatest(length(col("text_a")), length(col("text_b"))) * 0.1)
+        .select("doc_a", "doc_b", "jaccard", "edit_dist")
+        .orderBy("doc_a", "doc_b")
     }),
 
     // n-gram (bigram-shingle) jaccard between documents of one source,
@@ -770,6 +876,57 @@ object LlmPipeline {
          |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
          |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.85
          |ORDER BY vid_a, vid_b""".stripMargin,
+
+    // same planting + same two-stage predicate as the engine; all-pairs
+    // is safe here (src0 + mutants ≈ n/20 · 1.2 docs)
+    "q_dedup_editdist" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |d AS (
+        |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + m.off,
+        |    substr(text, 1, greatest(len(text) - 21, 1))
+        |  FROM documents, m WHERE source = 'src0' AND doc_id % 5 = 0),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS grams
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM d))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        |  AND levenshtein(a.text, b.text) <= greatest(len(a.text), len(b.text)) * 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // counts are exact; the booleans are the engine's end-to-end
+    // removal recheck (see the query comment) predicted TRUE
+    "q_dedup_semantic" ->
+      """WITH base AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT count(*) AS np FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT base.n + p.np AS n_corpus, p.np AS n_planted,
+        |  TRUE AS precision_ok, TRUE AS recall_ok
+        |FROM base, p""".stripMargin,
+
+    "q_train_shuffle" ->
+      """WITH e AS (
+        |  SELECT 1 AS epoch, doc_id, n_chars,
+        |    ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 2, doc_id, n_chars,
+        |    ('0x' || substr(md5('epoch2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  FROM documents)
+        |SELECT epoch, u32 % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(u32 * 16777216 + doc_id) AS head_ord,
+        |  TRUE AS colocated_ok
+        |FROM e GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
 
     "q_text_ngram_jaccard" ->
       """WITH g AS (

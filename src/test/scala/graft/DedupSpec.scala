@@ -215,6 +215,32 @@ class DedupSpec extends SparkSuite {
       s"2-table multi-probe recall $multi below 4-table single-probe $fourTables")
   }
 
+  test("semantic dedup removes planted near-identical vectors, keeps the rest") {
+    // 300 random corpus vectors + 30 jittered clones (cos ≥ 0.9999 to
+    // their sources). SemDeDup must remove (almost all of) the clones —
+    // boundary-split k-means cells are the only sanctioned loss — and
+    // must never remove an original: originals' pairwise cosines are
+    // far below the 0.99 threshold at 32 dims.
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 300L).map(i => (i, Array.fill(32)(rnd.nextFloat() - 0.5f)))
+    val clones = (0L until 30L).map { i =>
+      val src = base(i.toInt * 10)._2
+      (1000L + i, src.map(x => x + (rnd.nextFloat() - 0.5f) * 0.004f))
+    }
+    val corpus = (base ++ clones).toDF("vec_id", "embedding")
+    val removed = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 8)
+      .collect()
+    val removedIds = removed.map(_.getLong(0)).toSet
+    assert(removedIds.forall(_ >= 1000L),
+      s"an original was removed: ${removedIds.filter(_ < 1000L)}")
+    assert(removedIds.size >= 27, s"recall too low: ${removedIds.size}/30 clones removed")
+    removed.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "dup_of must be a smaller id")
+      assert(r.getDouble(2) >= 0.99, s"removed with cos ${r.getDouble(2)} < threshold")
+    }
+  }
+
   test("approx aggregates are within tolerance of exact (SURVEY §5.2.2)") {
     val li = Tables(spark, sf, "lineitem")
     val row = li.agg(
