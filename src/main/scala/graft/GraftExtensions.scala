@@ -1,9 +1,10 @@
 package graft
 
 import graft.functions.VectorExpressions._
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
 
 /** Engine extension point (SURVEY §4.3): registers the custom
   * expressions as SQL functions so `spark.sql("... cosine_sim(a,b)")`
@@ -58,5 +59,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
       info("hyperplane_bucket", "hyperplane_bucket(array<float>, nBits) - LSH bucket id"),
       (es: Seq[Expression]) => HyperplaneBucket(es(0), intArg(es(1), "nBits"))))
+
+    // SQL time travel over graft snapshot tables:
+    //   SELECT * FROM graft_snapshot('/path/to/table', 2)
+    // (Iceberg's `table VERSION AS OF` / Delta's `@v2` surface). The
+    // builder resolves the version through the snapshot MANIFEST and
+    // returns the analyzed parquet plan of that version's directory,
+    // so filter/column pushdown applies to the scan exactly as for a
+    // directly-read table.
+    ext.injectTableFunction((FunctionIdentifier("graft_snapshot"),
+      info("graft_snapshot",
+        "graft_snapshot(root, version) - read a snapshot table version"),
+      (es: Seq[Expression]) => {
+        def strArg(e: Expression, what: String): String = e match {
+          case Literal(v, StringType) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"$what must be a string literal, got $other")
+        }
+        val root = strArg(es.head, "graft_snapshot root")
+        val version = es.drop(1).headOption.map(intArg(_, "graft_snapshot version"))
+        graft.operators.Snapshots
+          .read(SparkSession.active, root, version)
+          .queryExecution.analyzed
+      }))
   }
 }

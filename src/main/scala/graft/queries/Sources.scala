@@ -408,6 +408,54 @@ object Sources {
           lit(manifestOk && v1Gone).as("expire_clean"))
     }),
 
+    // Change data feed (Delta table_changes / Iceberg changelog): the
+    // keyed row-level diff between two committed versions, labeled
+    // insert/delete/update_pre/update_post, from ONE full-outer join.
+    // The v1→v2 merge is a pure function of customer (same shape as
+    // q_table_timetravel), so every change row — type, key, value — is
+    // exactly oracle-predictable.
+    "q_table_changes" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("changes_tbl")
+      val cust = t(s, dir, "customer")
+      Snapshots.create(s, root, cust)
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust)
+          .withColumn("c_acctbal", lit(500.50)))
+      Snapshots.commitMerge(s, root, updates, "c_custkey")
+      Snapshots.changes(s, root, 1, 2, "c_custkey")
+        .select("c_custkey", "c_acctbal", "_change_type")
+        .orderBy("c_custkey", "_change_type")
+    }),
+
+    // SQL surface of time travel: graft_snapshot(root, v) resolved by
+    // GraftExtensions.injectTableFunction through the snapshot
+    // manifest — both versions queried in ONE SQL statement.
+    "q_sql_timetravel" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("sql_tt_tbl")
+      val cust = t(s, dir, "customer")
+      Snapshots.create(s, root, cust)
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      Snapshots.commitMerge(s, root,
+        cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust)
+          .withColumn("c_acctbal", lit(500.50)), "c_custkey")
+      s.sql(
+        s"""SELECT 1L AS version, count(*) AS n_rows,
+           |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0
+           |    AS sum_acctbal
+           |FROM graft_snapshot('$root', 1)
+           |UNION ALL
+           |SELECT 2L, count(*),
+           |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0
+           |FROM graft_snapshot('$root', 2)
+           |ORDER BY version""".stripMargin)
+    }),
+
     // Version-history metadata table (Iceberg `snapshots` / Delta
     // DESCRIBE HISTORY analog): create → merge-insert → compact, then
     // read the history. Row counts per version are exact oracle
@@ -539,6 +587,35 @@ object Sources {
         |  UNION ALL
         |  SELECT CAST(round(500.50 * 100) AS BIGINT)
         |  FROM customer WHERE c_custkey % 97 = 0)
+        |ORDER BY version""".stripMargin,
+
+    // the merge is a pure function of customer: %10 rows update
+    // (pre + post rows), %97 rows insert under max-offset keys,
+    // nothing deletes
+    "q_table_changes" ->
+      """WITH m AS (SELECT max(c_custkey) + 1 AS off FROM customer)
+        |SELECT c_custkey, c_acctbal + 1000 AS c_acctbal,
+        |       'update_postimage' AS _change_type
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, 'update_preimage'
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + m.off, 500.50, 'insert'
+        |FROM customer, m WHERE c_custkey % 97 = 0
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+
+    "q_sql_timetravel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT 2, count(*) + (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0),
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |       + (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0) * 50050
+        |       AS DOUBLE) / 100.0
+        |FROM customer
         |ORDER BY version""".stripMargin,
 
     // both batches carry every order once; only the second has the

@@ -196,6 +196,30 @@ class SnapshotsSpec extends SparkSuite {
     }
   }
 
+  test("changes labels inserts and updates exactly; unchanged rows absent") {
+    val root = freshRoot("snap_cdf")
+    val v1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+    Snapshots.create(spark, root, v1)
+    // id=2 updated, id=9 inserted, ids 1 and 3 untouched
+    Snapshots.commitMerge(spark, root,
+      Seq((2L, 25.0), (9L, 90.0)).toDF("id", "bal"), "id")
+    val got = Snapshots.changes(spark, root, 1, 2, "id")
+      .select("id", "bal", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set(
+      (2L, 20.0, "update_preimage"),
+      (2L, 25.0, "update_postimage"),
+      (9L, 90.0, "insert")))
+  }
+
+  test("changes across a compaction is empty (content-identical rewrite)") {
+    val root = freshRoot("snap_cdf_compact")
+    Snapshots.create(spark, root,
+      spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2).repartition(8))
+    val (v2, _, _) = Snapshots.compact(spark, root, 1L << 40)
+    assert(Snapshots.changes(spark, root, 1, v2, "id").isEmpty)
+  }
+
   test("q_table_timetravel emits both versions with snapshot_ok true") {
     val rows = SparkEntry.queries("q_table_timetravel")(spark, sf)
       .collect()
