@@ -98,6 +98,26 @@ object PartitionedSnapshots {
     spark.read.parquet(m.toSeq.sorted.map { case (d, v) => partPath(root, d, v) }: _*)
   }
 
+  /** Read ONLY the partitions whose raw value satisfies `keep` —
+    * manifest-level partition pruning: the plan contains just the
+    * selected partitions' data dirs, so unselected partitions cost
+    * zero I/O, zero file listing, zero scan tasks. This is the
+    * metadata-pruning contract Iceberg/Hive tables provide and a
+    * 100 TB read depends on (a WHERE on the partition column must not
+    * enumerate the other 10 000 partitions' files). The hive-escaped
+    * dir name is decoded back to the raw value before `keep` sees it.
+    */
+  def readPartitions(spark: SparkSession, root: String,
+      keep: String => Boolean, version: Option[Int] = None): DataFrame = {
+    val m = mapping(spark, root, version).filter { case (d, _) =>
+      val raw = java.net.URLDecoder.decode(
+        d.stripPrefix(s"$StagePartCol="), "UTF-8")
+      keep(raw)
+    }
+    require(m.nonEmpty, "no partition matches the filter")
+    spark.read.parquet(m.toSeq.sorted.map { case (d, v) => partPath(root, d, v) }: _*)
+  }
+
   /** MERGE `updates` into the latest version, rewriting ONLY the
     * partitions that appear in `updates`. Returns the new table
     * version. Untouched partitions' manifest entries — and therefore

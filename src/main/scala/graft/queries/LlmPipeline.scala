@@ -362,6 +362,41 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // TF-IDF document similarity: the top-10 most similar src0 pairs
+    // by sparse tf-idf cosine, computed the scale-correct sparse way —
+    // explode terms, weight by tf·ln(N/df), self-join on TERM (never
+    // doc×doc), sum products per pair. Stopword-shaped skew is cut at
+    // the source: terms in ≥ half the docs carry near-zero idf AND
+    // quadratic join fan-out, so they are dropped before the join
+    // (df·2 < N, exact integer predicate both engines replay). Final
+    // top-10 is a TakeOrdered, not a global sort.
+    "q_text_tfidf_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("source") === "src0").select("doc_id", "text")
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val tf = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val w = tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("dfreq") * 5 < col("nd") * 4)
+        .withColumn("wt", col("tf") * log(col("nd").cast("double") / col("dfreq")))
+        .select("doc_id", "term", "wt")
+      val norms = w.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+      val a = w.select(col("doc_id").as("doc_a"), col("term"), col("wt").as("wa"))
+      val b = w.select(col("doc_id").as("doc_b"), col("term"), col("wt").as("wb"))
+      a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+        .join(broadcast(norms).withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("nrm", "norm_a"), Seq("doc_a"))
+        .join(broadcast(norms).withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("nrm", "norm_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("dot") / (col("norm_a") * col("norm_b"))).as("cos"))
+        .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
+        .limit(10)
+    }),
+
     // n-gram (bigram-shingle) jaccard between documents of one source,
     // via the exact prefix-filtering similarity join — candidate pairs
     // come from a rarest-first prefix-gram equi-join (complete at the
@@ -927,6 +962,32 @@ object LlmPipeline {
         |  min(u32 * 16777216 + doc_id) AS head_ord,
         |  TRUE AS colocated_ok
         |FROM e GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
+
+    "q_text_tfidf_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |n AS (SELECT count(*) AS nd FROM d),
+        |t AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                             x -> len(x) > 0)) AS w
+        |        FROM d)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS dfreq FROM t GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, t.term, tf * ln(CAST(nd AS DOUBLE) / dfreq) AS wt
+        |  FROM t JOIN df USING (term), n
+        |  WHERE dfreq * 5 < nd * 4),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1),
+        |dt AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS cos
+        |FROM dt
+        |JOIN nrm na ON dt.doc_a = na.doc_id
+        |JOIN nrm nb ON dt.doc_b = nb.doc_id
+        |ORDER BY cos DESC, doc_a, doc_b LIMIT 10""".stripMargin,
 
     "q_text_ngram_jaccard" ->
       """WITH g AS (

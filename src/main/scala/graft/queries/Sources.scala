@@ -522,6 +522,33 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // Manifest-level partition pruning: a read filtered to one
+    // partition resolves ONLY that partition's data dirs from the
+    // manifest — zero I/O, zero listing, zero scan tasks for the other
+    // partitions (the Iceberg/Hive metadata-pruning contract; at
+    // 10 000 partitions a WHERE on the partition column must not
+    // enumerate the rest). pruned_ok MEASURES it: every file the plan
+    // reads lives under __p=F, and that is strictly fewer files than
+    // the table total.
+    "q_table_pruned_read" -> ((s, dir) => {
+      import graft.operators.PartitionedSnapshots
+      val root = graft.Tables.scratch("pruned_read_tbl")
+      val orders = t(s, dir, "orders")
+      PartitionedSnapshots.create(s, root, orders, "o_orderstatus")
+      val pruned = PartitionedSnapshots.readPartitions(s, root, _ == "F")
+      val prunedFiles = pruned.inputFiles
+      val totalFiles = PartitionedSnapshots.read(s, root).inputFiles
+      val ok = prunedFiles.nonEmpty &&
+        prunedFiles.forall(_.contains("__p=F")) &&
+        prunedFiles.length < totalFiles.length
+      pruned.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .withColumn("pruned_ok", lit(ok))
+        .orderBy("o_orderstatus")
+    }),
+
     // The reference's whole identity as a CONNECTOR, end-to-end: a
     // custom Hadoop FileSystem scheme registered via fs.graft.impl
     // (the fs.cfs.impl pattern, reference README.md:24-28) with
@@ -766,6 +793,14 @@ object Sources {
         |  (o_orderstatus <> 'F') AS files_unchanged,
         |  TRUE AS v1_intact
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_table_pruned_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total,
+        |  TRUE AS pruned_ok
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_fs_connector" ->
       """SELECT n_name, count(*) AS n_cust,

@@ -19,6 +19,28 @@ class PartitionedSnapshotsSpec extends SparkSuite {
       === Array((1L, "a", 10), (2L, "a", 20), (3L, "b", 30)))
   }
 
+  test("readPartitions resolves only matching partitions' files from the manifest") {
+    val root = freshRoot("psnap_pruned")
+    val df = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
+      .toDF("k", "p", "v")
+    PartitionedSnapshots.create(spark, root, df, "p")
+    val pruned = PartitionedSnapshots.readPartitions(spark, root, _ == "b")
+    assert(pruned.select("k", "v").as[(Long, Int)].collect().toSeq === Seq((3L, 30)))
+    // the PLAN touches only partition b's files — metadata pruning,
+    // not a post-scan filter
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.forall(_.contains("__p=b")))
+    assert(pruned.inputFiles.length <
+      PartitionedSnapshots.read(spark, root).inputFiles.length)
+    // hive-escaped values decode before the predicate sees them
+    val esc = Seq((1L, "x y/z", 1)).toDF("k", "p", "v")
+    val root2 = freshRoot("psnap_pruned_esc")
+    PartitionedSnapshots.create(spark, root2, esc, "p")
+    assert(PartitionedSnapshots.readPartitions(spark, root2, _ == "x y/z")
+      .count() === 1)
+    intercept[IllegalArgumentException](
+      PartitionedSnapshots.readPartitions(spark, root, _ == "nope"))
+  }
+
   test("commitMerge rewrites only touched partitions; untouched files byte-identical") {
     val root = freshRoot("psnap_sharded")
     val df = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
