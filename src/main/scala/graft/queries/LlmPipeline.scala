@@ -377,7 +377,12 @@ object LlmPipeline {
       val tf = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
-      val w = tf.join(broadcast(dfreq), Seq("term"))
+      // dfreq is VOCABULARY-sized and norms CORPUS-sized — both
+      // unbounded at scale, so neither is broadcast: the tf⋈dfreq join
+      // shares the term key with the groupBy that built dfreq (no extra
+      // exchange beyond the one already paid), and the norm joins key
+      // on doc ids pairs-side. Only the one-row nDocs scalar broadcasts.
+      val w = tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .filter(col("dfreq") * 5 < col("nd") * 4)
         .withColumn("wt", col("tf") * log(col("nd").cast("double") / col("dfreq")))
@@ -387,9 +392,9 @@ object LlmPipeline {
       val b = w.select(col("doc_id").as("doc_b"), col("term"), col("wt").as("wb"))
       a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-        .join(broadcast(norms).withColumnRenamed("doc_id", "doc_a")
+        .join(norms.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("nrm", "norm_a"), Seq("doc_a"))
-        .join(broadcast(norms).withColumnRenamed("doc_id", "doc_b")
+        .join(norms.withColumnRenamed("doc_id", "doc_b")
           .withColumnRenamed("nrm", "norm_b"), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (col("dot") / (col("norm_a") * col("norm_b"))).as("cos"))
