@@ -147,6 +147,35 @@ object Snapshots {
     next
   }
 
+  /** Roll the table back to `toVersion` by committing a NEW version
+    * whose data is a byte-identical FS-level copy of `toVersion`'s
+    * files (Iceberg's rollback-as-new-snapshot: history is append-only,
+    * so the rolled-past versions stay time-travelable and auditable
+    * until `expire` drops them — rollback never destroys evidence of
+    * the bad commit). Returns the new version number.
+    *
+    * The copy is file I/O, not a Spark recompute — no re-encode, no
+    * nondeterminism, the restored snapshot is bit-identical to the
+    * target. Right for the dimension-scale CoW tables this layout
+    * serves; the partition-sharded layout ([[PartitionedSnapshots]])
+    * makes the same operation metadata-only (a new manifest sequence
+    * re-pointing at the old partition files, zero data movement),
+    * which is the fact-scale form.
+    */
+  def rollback(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val vs = versions(spark, root)
+    require(vs.contains(toVersion),
+      s"version $toVersion not in manifest (have ${vs.mkString(",")})")
+    val next = vs.max + 1
+    val f = fs(spark, root)
+    org.apache.hadoop.fs.FileUtil.copy(
+      f, new Path(versionPath(root, toVersion)),
+      f, new Path(versionPath(root, next)),
+      false, spark.sessionState.newHadoopConf())
+    writeManifest(spark, root, vs :+ next)
+    next
+  }
+
   /** Change data feed between two committed versions (Delta's
     * `table_changes` / Iceberg's changelog analog): the row-level diff
     * keyed on `key`, labeled insert / delete / update_preimage /

@@ -431,6 +431,46 @@ object Sources {
         .orderBy("c_custkey", "_change_type")
     }),
 
+    // Rollback after a bad commit (Iceberg's rollback-as-new-snapshot):
+    // v1 = customer, v2 = a "bad deploy" merge (negates every %5
+    // balance and inserts zero-balance junk rows under offset keys),
+    // v3 = rollback to v1. The latest read must equal v1 exactly and
+    // v2 must REMAIN time-travelable (history is append-only — the
+    // bad commit stays auditable). matches_v1 is MEASURED in-plan
+    // against v1's eagerly captured aggregate; the oracle predicts
+    // every version's aggregate from customer alone, matches_v1
+    // TRUE/FALSE/TRUE.
+    "q_table_rollback" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("rollback_tbl")
+      val cust = t(s, dir, "customer")
+      val cents = sum(round(col("c_acctbal") * 100).cast("long"))
+      Snapshots.create(s, root, cust)
+      val pre = Snapshots.read(s, root, Some(1))
+        .agg(count(lit(1)), cents).collect()(0)
+      val (preN, preCents) = (pre.getLong(0), pre.getLong(1))
+      // max-derived offset: collision-free inserts at every scale factor
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val bad = cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", -col("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust)
+          .withColumn("c_acctbal", lit(0.0)))
+      Snapshots.commitMerge(s, root, bad, "c_custkey")
+      val v3 = Snapshots.rollback(s, root, 1)
+      // unversioned (latest) resolution must land on the rollback
+      require(v3 == 3 && Snapshots.versions(s, root).max == v3)
+      def snapAgg(v: Int) = Snapshots.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          (cents.cast("double") / 100.0).as("sum_acctbal"),
+          cents.as("__cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_acctbal"),
+          (col("n_rows") === preN && col("__cents") === preCents)
+            .as("matches_v1"))
+      snapAgg(1).unionByName(snapAgg(2)).unionByName(snapAgg(v3))
+        .orderBy("version")
+    }),
+
     // SQL surface of time travel: graft_snapshot(root, v) resolved by
     // GraftExtensions.injectTableFunction through the snapshot
     // manifest — both versions queried in ONE SQL statement.
@@ -631,6 +671,30 @@ object Sources {
         |SELECT c_custkey + m.off, 500.50, 'insert'
         |FROM customer, m WHERE c_custkey % 97 = 0
         |ORDER BY c_custkey, _change_type""".stripMargin,
+
+    // all three versions are pure functions of customer: v2 negates
+    // the %5 cents (round is half-away-from-zero in both engines, so
+    // negation commutes with rounding) and adds zero-balance inserts;
+    // v3 is the rollback, identical to v1
+    "q_table_rollback" ->
+      """WITH c AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents
+        |  FROM customer),
+        |neg AS (
+        |  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |ins AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, c.n AS n_rows,
+        |  CAST(c.cents AS DOUBLE) / 100.0 AS sum_acctbal,
+        |  TRUE AS matches_v1 FROM c
+        |UNION ALL
+        |SELECT 2, c.n + ins.n,
+        |  CAST(c.cents - 2 * neg.cents AS DOUBLE) / 100.0, FALSE
+        |FROM c, neg, ins
+        |UNION ALL
+        |SELECT 3, c.n, CAST(c.cents AS DOUBLE) / 100.0, TRUE FROM c
+        |ORDER BY version""".stripMargin,
 
     "q_sql_timetravel" ->
       """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,

@@ -46,6 +46,27 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.read(spark, root, Some(v)).select("v").as[Int].head()) === Seq(1, 2, 3))
   }
 
+  test("rollback commits the target as a new version; history stays append-only") {
+    val root = freshRoot("snap_rollback")
+    Snapshots.create(spark, root, Seq((1L, 10), (2L, 20)).toDF("k", "v"))
+    Snapshots.commitMerge(spark, root, Seq((2L, 99), (3L, 30)).toDF("k", "v"), "k")
+    val v3 = Snapshots.rollback(spark, root, 1)
+    assert(v3 === 3)
+    assert(Snapshots.versions(spark, root) === Seq(1, 2, 3))
+    // latest == v1 content, byte-identical files (same names + sizes)
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, Int)].collect()
+      === Array((1L, 10), (2L, 20)))
+    assert(Snapshots.fileStats(spark, root, 3) === Snapshots.fileStats(spark, root, 1))
+    // the rolled-past bad commit remains time-travelable
+    assert(Snapshots.read(spark, root, Some(2)).orderBy("k").as[(Long, Int)].collect()
+      === Array((1L, 10), (2L, 99), (3L, 30)))
+    // a follow-up merge builds on the rolled-back state, not the bad one
+    Snapshots.commitMerge(spark, root, Seq((4L, 40)).toDF("k", "v"), "k")
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, Int)].collect()
+      === Array((1L, 10), (2L, 20), (4L, 40)))
+    intercept[IllegalArgumentException] { Snapshots.rollback(spark, root, 99) }
+  }
+
   test("versions resolve through the manifest, not directory listing") {
     val root = freshRoot("snap_isolation")
     Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
