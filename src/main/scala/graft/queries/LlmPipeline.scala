@@ -362,6 +362,50 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Duplicated-substring detection (the ExactSubstr half of Lee et
+    // al. '21 "Deduplicating Training Data Makes Language Models
+    // Better", public): find every K-token span that recurs across
+    // documents and measure, per doc, how much of it is such
+    // boilerplate — span count plus the fraction of token POSITIONS
+    // covered by at least one cross-doc-duplicated window (overlapping
+    // windows must not double-count, hence the distinct-position
+    // explode). K=8 here (docs are short); production uses ~50.
+    // Scale shape: windows are an explode (O(total tokens) rows, no
+    // all-pairs anywhere), duplicated spans fall out of ONE groupBy on
+    // the gram + an equi-join back — the 100 TB form shuffles a 64-bit
+    // rolling hash instead of the gram string (collision risk n²/2⁶⁴,
+    // re-verified by string compare inside each tiny hash bucket);
+    // here the string itself is grouped so the DuckDB oracle replays
+    // byte-exact equality.
+    "q_dedup_substring" -> ((s, dir) => {
+      val K = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      val spans = toks.select(col("doc_id"), size(col("toks")).as("n_tok"),
+          posexplode_outer(Dedup.shingles(col("toks"), K)))
+        .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
+      val dupGrams = spans.filter(col("gram").isNotNull)
+        .groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("gram")
+      val dupSpans = spans.join(dupGrams, "gram")
+      val cov = dupSpans
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + K - 1)).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      val perDoc = spans.groupBy("doc_id").agg(
+        first("n_tok").as("n_tok"), count(col("gram")).as("n_spans"))
+      val dupPerDoc = dupSpans.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+          (coalesce(col("n_cov"), lit(0L)).cast("double") / col("n_tok"))
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF document similarity: the top-10 most similar src0 pairs
     // by sparse tf-idf cosine, computed the scale-correct sparse way —
     // explode terms, weight by tf·ln(N/df), self-join on TERM (never
@@ -609,6 +653,39 @@ object LlmPipeline {
         .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("gram").asc)
         .limit(20)
+    }),
+
+    // Perplexity quality filter (the CCNet recipe, public: Wenzek et
+    // al. '19 filter web crawl by LM perplexity): a unigram LM with
+    // add-1/2 smoothing is trained ON the corpus itself — P(t) =
+    // (count(t) + 0.5) / (N + 0.5·V) — and each document scores its
+    // mean token negative-log-likelihood; high-ppl docs are the
+    // gibberish/boilerplate tail a curation pipeline drops. All three
+    // stages are one Spark plan: per-(doc,token) counts FIRST (one
+    // shuffled row per distinct pair — the map-side shrink), vocab =
+    // second-level reaggregation of those counts (never a second text
+    // scan), scoring join ON the corpus-sized vocab (hash join, NOT
+    // broadcast — vocabulary grows with corpus at 100 TB), corpus
+    // totals broadcast as the only scalar side. ln (not log2): both
+    // engines bind libm log, so per-token bits are bit-identical and
+    // only the final sum order can differ (absorbed by 6dp canon).
+    "q_text_perplexity" -> ((s, dir) => {
+      val docTok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val vocab = docTok.groupBy("tok").agg(sum("c").as("cnt"))
+      val totals = vocab.agg(sum("cnt").as("n_corpus"), count(lit(1)).as("v_size"))
+      docTok.join(vocab, "tok")
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("c"),
+          (col("c") * -log((col("cnt") + 0.5) /
+            (col("n_corpus") + col("v_size") * 0.5))).as("nll"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"),
+          (sum("nll") / sum("c")).as("avg_nll"))
+        .select(col("doc_id"), col("n_tok"), col("avg_nll"),
+          exp(col("avg_nll")).as("ppl"))
+        .orderBy("doc_id")
     }),
 
     // Token counting: whitespace words + BPE-ish subword estimate.
@@ -919,6 +996,40 @@ object LlmPipeline {
 
     // same planting + same two-stage predicate as the engine; all-pairs
     // is safe here (src0 + mutants ≈ n/20 · 1.2 docs)
+    // same K=8 windows, 0-based starts; parallel unnests zip
+    // positionally, range(start, start+8) is the window's covered
+    // positions (exclusive end = Spark's inclusive sequence(start,
+    // start+7))
+    "q_dedup_substring" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(w) AS n_tok, greatest(len(w) - 7, 0) AS n_spans, w
+        |  FROM w),
+        |sp AS (
+        |  SELECT doc_id,
+        |    unnest(range(greatest(n_tok - 7, 0))) AS start,
+        |    unnest([array_to_string(w[i+1:i+8], ' ')
+        |            FOR i IN range(greatest(n_tok - 7, 0))]) AS gram
+        |  FROM base),
+        |dup AS (SELECT gram FROM sp GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dsp AS (SELECT doc_id, start FROM sp JOIN dup USING (gram)),
+        |dcnt AS (SELECT doc_id, count(*) AS n_dup FROM dsp GROUP BY doc_id),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT p) AS n_cov
+        |  FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p FROM dsp)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tok, b.n_spans,
+        |  coalesce(d.n_dup, 0) AS n_dup_spans,
+        |  coalesce(c.n_cov, 0) AS n_cov,
+        |  CAST(coalesce(c.n_cov, 0) AS DOUBLE) / b.n_tok AS dup_frac
+        |FROM base b
+        |LEFT JOIN dcnt d USING (doc_id)
+        |LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_editdist" ->
       """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
         |d AS (
@@ -1124,6 +1235,23 @@ object LlmPipeline {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
         |  n_chars = length(text) AS chars_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT tok, sum(c) AS cnt FROM dt GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS n_corpus, count(*) AS v_size FROM vocab)
+        |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tok,
+        |  sum(d.c * -ln((v.cnt + 0.5) / (t.n_corpus + 0.5 * t.v_size)))
+        |    / sum(d.c) AS avg_nll,
+        |  exp(sum(d.c * -ln((v.cnt + 0.5) / (t.n_corpus + 0.5 * t.v_size)))
+        |    / sum(d.c)) AS ppl
+        |FROM dt d JOIN vocab v USING (tok), tot t
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_top_ngrams" ->
       """WITH w AS (
