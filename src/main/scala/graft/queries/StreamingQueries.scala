@@ -61,6 +61,34 @@ object StreamingQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // Chained windowed aggregation (window-on-window — the multiple-
+    // stateful-operator pipeline Spark enabled via SPARK-40925):
+    // 5-minute tumbling per-type counts re-aggregated into 15-minute
+    // rollups in ONE streaming query, two stateful operators sharing
+    // one watermark propagated through window_time(). This is the
+    // pre-aggregation cascade of a metrics pipeline (raw → minutely →
+    // quarter-hourly) without landing the intermediate anywhere.
+    // Append mode: a 15-min rollup emits only once the watermark
+    // closes it, and every closed rollup's 5-min subwindows are
+    // themselves closed (5 | 15 alignment), so the emitted set is
+    // exactly the oracle's HAVING-filtered one.
+    "q_stream_chained_agg" -> ((s, dir) => {
+      val l1 = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n5"), sum("value").as("v5"))
+      val l2 = l1
+        .groupBy(window(window_time(col("window")), "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_subwindows"), sum("n5").as("n_events"),
+          max("n5").as("max_5min"), sum("v5").as("sum_value"))
+      StreamOps.runToMemory(l2, "append")
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_subwindows"), col("n_events"), col("max_5min"),
+          col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // Streaming CDC apply: every micro-batch of the paced (3-batch)
     // stream computes its per-user "latest event" delta and MERGEs it
     // into the running snapshot (Upsert.merge: matched keys replaced,
@@ -406,6 +434,25 @@ object StreamingQueries {
         |HAVING time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
         |       <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
         |ORDER BY w_start, event_type""".stripMargin,
+
+    // the 15-min rollup over 5-min subwindows; emitted = rollups the
+    // final watermark (max ts - 10 min) has closed, same rule as
+    // q_stream_watermark
+    "q_stream_chained_agg" ->
+      """WITH l1 AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS w_start,
+        |    time_bucket(INTERVAL 5 MINUTE, ts) AS w5,
+        |    event_type, count(*) AS n5, sum(value) AS v5
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT w_start, event_type,
+        |  count(*) AS n_subwindows,
+        |  CAST(sum(n5) AS BIGINT) AS n_events,
+        |  CAST(max(n5) AS BIGINT) AS max_5min,
+        |  sum(v5) AS sum_value
+        |FROM l1
+        |WHERE w_start + INTERVAL 15 MINUTE
+        |      <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q_stream_cdc_upsert" ->
       """WITH r AS (
