@@ -130,6 +130,33 @@ object Windows {
     // stage's predicate references the previous stage's column, which
     // a groupBy can't express in one pass. Conversion latency is
     // summed in exact integer micros (order-proof), one final cast.
+    // Gaps-and-islands: contiguous per-user activity runs, where a
+    // >10-minute silence starts a new island (the batch twin of
+    // session windows, entirely in window functions — lag → gap flag →
+    // running-sum island id → two ordinary aggregations). The three
+    // windows and both groupBys all key on user_id, so the whole
+    // pipeline rides ONE hash exchange; island ids are per-user dense
+    // integers, never a global sequence (which would serialize at
+    // scale).
+    "q_window_islands" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val isl = t(s, dir, "events").select("user_id", "ts", "event_id")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_i", when(col("gap_us") > 600000000L, 1L).otherwise(0L))
+        .withColumn("island", sum("new_i")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("n_ev"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max("n_ev").as("longest_events"),
+          max("dur_us").as("longest_dur_us"))
+        .orderBy("user_id")
+    }),
+
     "q_funnel_conversion" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
       val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
@@ -227,6 +254,27 @@ object Windows {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_islands" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+        |         THEN 1 ELSE 0 END AS new_i
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (
+        |  SELECT user_id, ts,
+        |    sum(new_i) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM o),
+        |p AS (
+        |  SELECT user_id, island, count(*) AS n_ev,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(n_ev) AS BIGINT) AS longest_events,
+        |  CAST(max(dur_us) AS BIGINT) AS longest_dur_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the three funnel stages as sequential per-user window mins,
     // mirroring the Spark formulation stage for stage

@@ -299,6 +299,16 @@ class PlanSpec extends SparkSuite {
     assert("Window".r.findAllIn(plan).length >= 3, plan.take(3000))
   }
 
+  test("gaps-and-islands: lag + running sum + both groupBys share ONE hash exchange") {
+    val plan = planOf(SparkEntry.queries("q_window_islands")(spark, sf))
+    // hashpartitioning(user_id) satisfies the (user_id, island) and
+    // user_id aggregations by the subset rule, so the only exchanges
+    // are the initial user_id hash and the output-ordering range sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"islands pipeline re-shuffles ($hashEx hash exchanges):\n${plan.take(3000)}")
+    assert("Window".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+
   test("every TPC-H subquery shape decorrelates — no nested-loop join in any plan") {
     // Q2 correlated scalar MIN, Q4 correlated EXISTS, Q13 filtered
     // outer join, Q17 correlated scalar AVG, Q20 nested IN-over-
