@@ -316,6 +316,57 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // Incremental aggregate maintenance (materialized-view upkeep over
+    // the table format): a per-status (count, cents) aggregate is kept
+    // current across a snapshot commit by applying the CHANGE DATA
+    // FEED delta — postimages/inserts add, preimages subtract — so the
+    // refresh costs O(|changes|), never a rescan of the table. That is
+    // the only viable refresh at 100 TB: the full table is petabytes,
+    // a commit touches megabytes. incremental_ok MEASURES that the
+    // delta-maintained aggregate equals a full v2 recompute, per
+    // status; the oracle predicts v2's aggregate (same merge as
+    // q_table_merge) and TRUE.
+    "q_table_incremental_agg" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("inc_agg_tbl")
+      val orders = t(s, dir, "orders")
+      val cents = sum(round(col("o_totalprice") * 100).cast("long"))
+      Snapshots.create(s, root, orders)
+      // the maintained state, materialized once at v1 (in production a
+      // tiny side table; localCheckpoint pins it against recompute)
+      val agg0 = Snapshots.read(s, root, Some(1)).groupBy("o_orderstatus")
+        .agg(cents.as("cents0"), count(lit(1)).as("n0"))
+        .localCheckpoint()
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val updates = orders.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+      Snapshots.commitMerge(s, root, updates, "o_orderkey")
+      val delta = Snapshots.changes(s, root, 1, 2, "o_orderkey")
+        .withColumn("sign",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("sign") * round(col("o_totalprice") * 100).cast("long"))
+            .as("d_cents"),
+          sum(col("sign")).as("d_n"))
+      val maintained = agg0.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("cents0"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+            .as("cents_m"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_m"))
+      val full = Snapshots.read(s, root).groupBy("o_orderstatus")
+        .agg(cents.as("cents_f"), count(lit(1)).as("n_f"))
+      maintained.join(full, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"), col("n_f").as("n"),
+          (col("cents_f").cast("double") / 100.0).as("total"),
+          (col("n_m") === col("n_f") && col("cents_m") === col("cents_f"))
+            .as("incremental_ok"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Versioned snapshots + time travel (Snapshots): create v1 from
     // customer, commit a MERGE as v2 (10% re-balanced, ~1% inserted
     // under fresh keys), then read BOTH versions back via @version.
@@ -832,6 +883,26 @@ object Sources {
         |  UNION ALL SELECT * FROM updates)
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // v2 aggregate is the same pure merge as q_table_merge; the
+    // delta-vs-full equality is predicted TRUE
+    "q_table_incremental_agg" ->
+      """WITH updates AS (
+        |  SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT * REPLACE (o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
+        |                    AS o_orderkey)
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total,
+        |  TRUE AS incremental_ok
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_file_metadata" ->
