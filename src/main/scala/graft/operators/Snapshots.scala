@@ -137,12 +137,14 @@ object Snapshots {
     * until the swap.
     */
   def commitMerge(spark: SparkSession, root: String,
-      updates: DataFrame, key: String): Int = {
+      updates: DataFrame, key: String, evolveSchema: Boolean = false): Int = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot table at $root")
     val next = vs.max + 1
-    Upsert.merge(read(spark, root), updates, key)
-      .write.parquet(versionPath(root, next))
+    val merged =
+      if (evolveSchema) Upsert.mergeEvolve(read(spark, root), updates, key)
+      else Upsert.merge(read(spark, root), updates, key)
+    merged.write.parquet(versionPath(root, next))
     writeManifest(spark, root, vs :+ next)
     next
   }

@@ -22,4 +22,14 @@ object Upsert {
   def merge(target: DataFrame, updates: DataFrame, key: String): DataFrame =
     target.join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates)
+
+  /** MERGE with automatic schema evolution (Delta's
+    * `mergeSchema`/`autoMerge` analog): `updates` may carry columns
+    * the target lacks — surviving target rows surface NULL for them —
+    * and vice versa. Same anti-join + union shape and cost as
+    * [[merge]]; only the union fills missing columns by name.
+    */
+  def mergeEvolve(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    target.join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
 }

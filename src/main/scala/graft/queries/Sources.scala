@@ -316,6 +316,36 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // Schema evolution ACROSS snapshot commits (Delta autoMerge /
+    // Iceberg add-column): v1 has three columns; the v2 MERGE carries
+    // a NEW c_tier column — surviving v1 rows surface NULL for it,
+    // updated/inserted rows carry computed values, and old-version
+    // reads keep the old schema (v1_cols/v2_cols measured). The tier
+    // is a pure function of customer, so non-null counts and the gold
+    // count are exact oracle predictions.
+    "q_table_schema_merge" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("schema_merge_tbl")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      Snapshots.create(s, root, cust)
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust))
+        .withColumn("c_tier",
+          when(col("c_acctbal") > 5000, "gold").otherwise("std"))
+      Snapshots.commitMerge(s, root, updates, "c_custkey", evolveSchema = true)
+      val v1Cols = Snapshots.read(s, root, Some(1)).columns.length.toLong
+      val v2 = Snapshots.read(s, root)
+      v2.agg(count(lit(1)).as("n_rows"),
+          count(col("c_tier")).as("n_with_tier"),
+          sum(when(col("c_tier") === "gold", 1L).otherwise(0L)).as("n_gold"))
+        .select(col("n_rows"), col("n_with_tier"), col("n_gold"),
+          lit(v1Cols).as("v1_cols"),
+          lit(v2.columns.length.toLong).as("v2_cols"))
+    }),
+
     // Incremental aggregate maintenance (materialized-view upkeep over
     // the table format): a per-status (count, cents) aggregate is kept
     // current across a snapshot commit by applying the CHANGE DATA
@@ -884,6 +914,23 @@ object Sources {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // n_rows = customer + inserts; tier carriers = the %10 updates
+    // (tier from bal+1000) plus the %97 inserts (tier from bal)
+    "q_table_schema_merge" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer)
+        |    + (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0)
+        |    AS n_rows,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+        |    + (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0)
+        |    AS n_with_tier,
+        |  (SELECT count(*) FROM customer
+        |     WHERE c_custkey % 10 = 0 AND c_acctbal + 1000 > 5000)
+        |    + (SELECT count(*) FROM customer
+        |       WHERE c_custkey % 97 = 0 AND c_acctbal > 5000)
+        |    AS n_gold,
+        |  CAST(3 AS BIGINT) AS v1_cols, CAST(4 AS BIGINT) AS v2_cols""".stripMargin,
 
     // v2 aggregate is the same pure merge as q_table_merge; the
     // delta-vs-full equality is predicted TRUE

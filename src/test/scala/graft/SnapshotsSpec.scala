@@ -67,6 +67,24 @@ class SnapshotsSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Snapshots.rollback(spark, root, 99) }
   }
 
+  test("schema-evolving merge: new column null-fills old rows; v1 keeps its schema") {
+    val root = freshRoot("snap_evolve")
+    Snapshots.create(spark, root, Seq((1L, 10), (2L, 20)).toDF("k", "v"))
+    Snapshots.commitMerge(spark, root,
+      Seq((2L, 99, "b"), (3L, 30, "c")).toDF("k", "v", "tag"), "k",
+      evolveSchema = true)
+    val v2 = Snapshots.read(spark, root)
+    assert(v2.columns.toSeq === Seq("k", "v", "tag"))
+    assert(v2.orderBy("k").as[(Long, Int, Option[String])].collect()
+      === Array((1L, 10, None), (2L, 99, Some("b")), (3L, 30, Some("c"))))
+    // time travel to v1 returns the ORIGINAL two-column schema
+    assert(Snapshots.read(spark, root, Some(1)).columns.toSeq === Seq("k", "v"))
+    // without the flag, mismatched schemas still fail loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Snapshots.commitMerge(spark, root, Seq((4L, 40)).toDF("k", "v"), "k")
+    }
+  }
+
   test("versions resolve through the manifest, not directory listing") {
     val root = freshRoot("snap_isolation")
     Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
