@@ -299,6 +299,19 @@ class PlanSpec extends SparkSuite {
     assert("Window".r.findAllIn(plan).length >= 3, plan.take(3000))
   }
 
+  test("substring dedup and perplexity plans stay equi-join — no cartesian, no BNLJ") {
+    // perplexity's one BNLJ is the broadcast of the single-row corpus
+    // totals (scalar cross join) — the vocab join itself must stay hash
+    val sub = planOf(SparkEntry.queries("q_dedup_substring")(spark, sf))
+    assert(!sub.contains("CartesianProduct") && !sub.contains("BroadcastNestedLoopJoin"),
+      s"q_dedup_substring fell off the equi-join path:\n${sub.take(2000)}")
+    val ppl = planOf(SparkEntry.queries("q_text_perplexity")(spark, sf))
+    assert(!ppl.contains("CartesianProduct"), ppl.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ppl).length <= 1, ppl.take(2000))
+    assert(ppl.contains("HashJoin [tok"), // the vocab-keyed scoring join
+      s"vocab join is not an equi hash join:\n${ppl.take(2000)}")
+  }
+
   test("gaps-and-islands: lag + running sum + both groupBys share ONE hash exchange") {
     val plan = planOf(SparkEntry.queries("q_window_islands")(spark, sf))
     // hashpartitioning(user_id) satisfies the (user_id, island) and
