@@ -60,14 +60,22 @@ object StreamOps {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(Tables.path(dir, "events")).schema
-    // the file source requires a directory: stream the sf dir with a
-    // glob filter selecting only the events table file
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evPath = Tables.path(dir, "events")
+    val rawSchema = spark.read.parquet(evPath).schema
+    val p = new org.apache.hadoop.fs.Path(evPath)
+    val raw =
+      if (p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(p).isDirectory)
+        // multi-file table (e.g. a ScaleUp-synthesized sf): the dir IS
+        // the stream source
+        spark.readStream.schema(rawSchema).parquet(evPath)
+      else
+        // single-file table (driver testdata): the file source requires
+        // a directory, so stream the sf dir with a glob selecting the
+        // events file
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** The events table as a rate-limited multi-batch stream: a
