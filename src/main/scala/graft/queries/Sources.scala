@@ -130,6 +130,20 @@ object Sources {
         .orderBy("n_regionkey")
     }),
 
+    // Pure-SQL DDL surface: CREATE TABLE AS SELECT + INSERT INTO …
+    // SELECT, entirely through spark.sql — the catalog path a SQL-only
+    // user drives (q_table_lifecycle is the DataFrame-API twin).
+    "q_sql_ddl" -> ((s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("region_v")
+      s.sql("DROP TABLE IF EXISTS graft_region_ctas")
+      s.sql("""CREATE TABLE graft_region_ctas USING parquet AS
+               SELECT r_regionkey, r_name FROM region_v""")
+      s.sql("""INSERT INTO graft_region_ctas
+               SELECT r_regionkey + 100, upper(r_name) FROM region_v""")
+      s.sql("""SELECT r_regionkey, r_name FROM graft_region_ctas
+               ORDER BY r_regionkey""")
+    }),
+
     // ORC interchange round-trip (the Hive/Presto-ecosystem default
     // format): write ORC, read back, verify through the base-table
     // oracle — byte-level format fidelity is what's being checked, so
@@ -856,6 +870,12 @@ object Sources {
     "q_table_lifecycle" ->
       """SELECT n_regionkey, CAST(count(*) * 2 AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_sql_ddl" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100, upper(r_name) FROM region
+        |ORDER BY r_regionkey""".stripMargin,
 
     "q_sink_orc" ->
       """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice

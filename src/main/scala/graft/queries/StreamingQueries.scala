@@ -391,8 +391,9 @@ object StreamingQueries {
     })
   )
 
-  /** Shared SQL fragment: gap-based sessionization twin. */
-  private val sessionSql =
+  /** Shared SQL fragment: gap-based sessionization twin (also the
+    * oracle of the batch session-window query in [[Windows]]). */
+  private[queries] val sessionSql =
     """WITH marked AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL

@@ -130,6 +130,21 @@ object Windows {
     // stage's predicate references the previous stage's column, which
     // a groupBy can't express in one pass. Conversion latency is
     // summed in exact integer micros (order-proof), one final cast.
+    // Session windows in BATCH: the same session_window operator the
+    // streaming queries use, run as a plain aggregation — one shuffle
+    // on user_id, per-partition sort, linear merge of overlapping
+    // windows. The batch/stream twin pair (q_stream_session shares
+    // this oracle) demonstrates the operator is mode-independent.
+    "q_window_session_batch" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // Gaps-and-islands: contiguous per-user activity runs, where a
     // >10-minute silence starts a new island (the batch twin of
     // session windows, entirely in window functions — lag → gap flag →
@@ -254,6 +269,9 @@ object Windows {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_session_batch" ->
+      (StreamingQueries.sessionSql + " ORDER BY user_id, s_start"),
 
     "q_window_islands" ->
       """WITH o AS (
