@@ -684,6 +684,35 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // File-level min/max data skipping (the Iceberg-manifest /
+    // Delta-log statistics contract): a date-clustered write gives
+    // each file a tight o_orderdate interval; the skip index (one
+    // aggregation job over _metadata.file_path) lets a quarter-long
+    // range read resolve only the overlapping files. skip_ok MEASURES
+    // the pruning — strictly fewer files scanned than the table has —
+    // and the re-applied residual filter keeps the result exact
+    // whatever the layout, so bounds can only reduce I/O, never
+    // change answers.
+    "q_table_skipping" -> ((s, dir) => {
+      import graft.operators.DataSkipping
+      val out = tmp("skip_tbl")
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      DataSkipping.buildIndex(s, out, Seq("o_orderdate"))
+      val pruned = DataSkipping.readRange(s, out, "o_orderdate",
+        java.sql.Date.valueOf("1994-01-01"), java.sql.Date.valueOf("1994-03-31"))
+      val ok = pruned.inputFiles.nonEmpty &&
+        pruned.inputFiles.length < s.read.parquet(out).inputFiles.length
+      pruned.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .withColumn("skip_ok", lit(ok))
+        .orderBy("o_orderpriority")
+    }),
+
     // The reference's whole identity as a CONNECTOR, end-to-end: a
     // custom Hadoop FileSystem scheme registered via fs.graft.impl
     // (the fs.cfs.impl pattern, reference README.md:24-28) with
@@ -1003,6 +1032,15 @@ object Sources {
         |  TRUE AS pruned_ok
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_table_skipping" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total,
+        |  TRUE AS skip_ok
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-03-31'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_fs_connector" ->
       """SELECT n_name, count(*) AS n_cust,
