@@ -49,40 +49,56 @@ object DataSkipping {
       .write.mode("overwrite").parquet(s"$tableDir/$IndexDir")
   }
 
-  /** The index as a DataFrame (file_path, min_*/max_* per indexed
+  /** The index as a DataFrame (file_path, min_X/max_X per indexed
     * column, n_rows) — the `files` metadata-table analog. */
   def index(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(s"$tableDir/$IndexDir")
 
-  /** Files whose [min, max] interval for `column` overlaps [lo, hi] —
-    * the skip decision, evaluated on the metadata-sized index (driver
-    * collect of O(matching files) paths, like Iceberg's manifest
-    * scan). Files with a NULL bound (all-null column chunk) are kept:
-    * bounds may only prove absence, never presence.
+  /** Files the index can RULE OUT for `column` vs [lo, hi] — the skip
+    * decision, evaluated on the metadata-sized index (driver collect of
+    * O(files) paths, like Iceberg's manifest scan; see the driver-
+    * ceiling note on readRange). Files with a NULL bound (all-null
+    * column chunk) are kept: bounds may only prove absence, never
+    * presence.
     */
-  private def overlappingFiles(spark: SparkSession, tableDir: String,
-      column: String, lo: Column, hi: Column): Seq[String] = {
+  private def skippableFiles(spark: SparkSession, tableDir: String,
+      column: String, lo: Column, hi: Column): Set[String] = {
     val mn = col(s"min_$column")
     val mx = col(s"max_$column")
     index(spark, tableDir)
-      .filter(mn.isNull || mx.isNull || (mx >= lo && mn <= hi))
+      .filter(mn.isNotNull && mx.isNotNull && (mx < lo || mn > hi))
       .select("file_path")
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(r => normalize(r.getString(0))).toSet
   }
 
+  private def normalize(path: String): String = new Path(path).toString
+
   /** Read `tableDir` restricted to rows with `column` in [lo, hi],
-    * scanning only the files the index cannot rule out. The residual
-    * between-filter is re-applied, so the result is exact whatever the
-    * file layout; the file-set reduction is observable via
+    * scanning only the files the index cannot rule out. The index is
+    * authoritative ONLY for skipping, never for membership: the live
+    * table listing is the source of truth, and a data file the index
+    * has never seen (appended or compacted after `buildIndex`) is
+    * always scanned — stale bounds can only cost I/O, never rows. The
+    * residual between-filter is re-applied, so the result is exact
+    * whatever the file layout; the file-set reduction is observable via
     * `df.inputFiles`. Returns an empty (correctly-typed) frame when
     * every file is skipped.
+    *
+    * Driver ceiling: the surviving-path Seq and the index collect are
+    * O(files) driver-side — the Iceberg-manifest trade-off, fine to
+    * O(10^5) files. Beyond that the index should back a custom
+    * `FileIndex` so pruning stays inside the scan planner; at that
+    * scale the table should also be partitioned, which bounds the
+    * per-read listing to the partitions the query touches.
     */
   def readRange(spark: SparkSession, tableDir: String, column: String,
       lo: Any, hi: Any): DataFrame = {
-    val files = overlappingFiles(spark, tableDir, column, lit(lo), lit(hi))
+    val skippable = skippableFiles(spark, tableDir, column, lit(lo), lit(hi))
+    val live = spark.read.parquet(tableDir)
+    val files = live.inputFiles.toSeq.filterNot(f => skippable.contains(normalize(f)))
     val base =
-      if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
-      else spark.read.parquet(files: _*)
+      if (files.isEmpty) live.limit(0)
+      else spark.read.schema(live.schema).parquet(files: _*)
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 }

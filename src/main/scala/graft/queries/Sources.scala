@@ -702,7 +702,7 @@ object Sources {
         .write.mode(SaveMode.Overwrite).parquet(out)
       DataSkipping.buildIndex(s, out, Seq("o_orderdate"))
       val pruned = DataSkipping.readRange(s, out, "o_orderdate",
-        java.sql.Date.valueOf("1994-01-01"), java.sql.Date.valueOf("1994-03-31"))
+        java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-03-31"))
       val ok = pruned.inputFiles.nonEmpty &&
         pruned.inputFiles.length < s.read.parquet(out).inputFiles.length
       pruned.groupBy("o_orderpriority")
@@ -1039,7 +1039,7 @@ object Sources {
         |    AS total,
         |  TRUE AS skip_ok
         |FROM orders
-        |WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-03-31'
+        |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_fs_connector" ->
