@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import java.nio.charset.StandardCharsets
 
@@ -190,15 +190,30 @@ object Snapshots {
     * Output: all table columns (pre-image values for delete/
     * update_preimage, post-image for insert/update_postimage) plus
     * `_change_type` — Delta's CDF column contract.
+    *
+    * Schema evolution between the two versions is handled by aligning
+    * both sides on the UNION of their columns — vTo's columns first
+    * (Delta's CDF uses the post-image schema), then any columns vTo
+    * dropped; a side that lacks a column contributes a typed null.
+    * So a row whose only change is in an evolved column classifies as
+    * an update, and insert/update_postimage rows keep the new columns.
     */
   def changes(spark: SparkSession, root: String,
       vFrom: Int, vTo: Int, key: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val a = read(spark, root, Some(vFrom))
-    val cols = a.columns.toSeq
-    val aS = a.select(col(key).as("__k"), struct(cols.map(col): _*).as("__a"))
-    val bS = read(spark, root, Some(vTo))
-      .select(col(key).as("__k"), struct(cols.map(col): _*).as("__b"))
+    val b = read(spark, root, Some(vTo))
+    val cols = b.columns.toSeq ++ a.columns.toSeq.filterNot(b.columns.contains(_))
+    val typeOf = (a.schema.fields ++ b.schema.fields)
+      .map(f => f.name -> f.dataType).toMap // later wins: prefer vTo's type
+    def aligned(df: DataFrame): Seq[Column] = {
+      val have = df.columns.toSet
+      cols.map { c =>
+        (if (have(c)) col(c).cast(typeOf(c)) else lit(null).cast(typeOf(c))).as(c)
+      }
+    }
+    val aS = a.select(col(key).as("__k"), struct(aligned(a): _*).as("__a"))
+    val bS = b.select(col(key).as("__k"), struct(aligned(b): _*).as("__b"))
     val j = aS.join(bS, Seq("__k"), "full_outer")
     val ins = j.filter(col("__a").isNull)
       .select(col("__b.*")).withColumn("_change_type", lit("insert"))

@@ -526,6 +526,35 @@ object Sources {
         .orderBy("c_custkey", "_change_type")
     }),
 
+    // Change data feed ACROSS a schema-evolution boundary: v2 adds a
+    // c_tier column via an evolving MERGE, and the diff v1→v2 must (a)
+    // carry the new column on insert/update_postimage rows (Delta's
+    // CDF uses the post-image schema) and (b) classify a row whose
+    // ONLY change is in the evolved column as an update — the %13
+    // rows change nothing but c_tier. changes() aligns both versions
+    // on the union of their columns with typed nulls, so neither side
+    // is silently dropped.
+    "q_table_cdf_evolve" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("cdf_evolve_tbl")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      Snapshots.create(s, root, cust)
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val tierOf = (bal: org.apache.spark.sql.Column) =>
+        when(bal > 5000, "gold").otherwise("std")
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0 &&
+          col("c_custkey") % 10 =!= 0)) // only-evolved-column change
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust))
+        .withColumn("c_tier", tierOf(col("c_acctbal")))
+      Snapshots.commitMerge(s, root, updates, "c_custkey", evolveSchema = true)
+      Snapshots.changes(s, root, 1, 2, "c_custkey")
+        .select("c_custkey", "c_acctbal", "c_tier", "_change_type")
+        .orderBy("c_custkey", "_change_type")
+    }),
+
     // Rollback after a bad commit (Iceberg's rollback-as-new-snapshot):
     // v1 = customer, v2 = a "bad deploy" merge (negates every %5
     // balance and inserts zero-balance junk rows under offset keys),
@@ -793,6 +822,35 @@ object Sources {
         |FROM customer WHERE c_custkey % 10 = 0
         |UNION ALL
         |SELECT c_custkey + m.off, 500.50, 'insert'
+        |FROM customer, m WHERE c_custkey % 97 = 0
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+
+    // the evolving merge is a pure function of customer: %10 rows
+    // re-balance (+1000) and gain a tier, %13-not-%10 rows gain ONLY
+    // the tier, %97 rows insert under offset keys with a tier;
+    // preimages predate the evolution so their c_tier is NULL
+    "q_table_cdf_evolve" ->
+      """WITH m AS (SELECT max(c_custkey) + 1 AS off FROM customer)
+        |SELECT c_custkey, c_acctbal + 1000 AS c_acctbal,
+        |       CASE WHEN c_acctbal + 1000 > 5000 THEN 'gold' ELSE 'std' END
+        |         AS c_tier,
+        |       'update_postimage' AS _change_type
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR), 'update_preimage'
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal,
+        |       CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END,
+        |       'update_postimage'
+        |FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR), 'update_preimage'
+        |FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey + m.off, c_acctbal,
+        |       CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END,
+        |       'insert'
         |FROM customer, m WHERE c_custkey % 97 = 0
         |ORDER BY c_custkey, _change_type""".stripMargin,
 
