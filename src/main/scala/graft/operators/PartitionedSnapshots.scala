@@ -107,11 +107,31 @@ object PartitionedSnapshots {
     * enumerate the other 10 000 partitions' files). The hive-escaped
     * dir name is decoded back to the raw value before `keep` sees it.
     */
+  /** Hive-style dir-name unescape: decode ONLY %XX sequences (the
+    * inverse of Hive/Spark's escapePathName). java.net.URLDecoder is
+    * the wrong tool here — it additionally turns a literal '+' into a
+    * space, which partition escaping never encodes, so a value like
+    * "a+b" would become unselectable. */
+  private def unescapePathName(path: String): String = {
+    val sb = new StringBuilder(path.length)
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (c == '%' && i + 2 < path.length) {
+        val code =
+          try Integer.parseInt(path.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def readPartitions(spark: SparkSession, root: String,
       keep: String => Boolean, version: Option[Int] = None): DataFrame = {
     val m = mapping(spark, root, version).filter { case (d, _) =>
-      val raw = java.net.URLDecoder.decode(
-        d.stripPrefix(s"$StagePartCol="), "UTF-8")
+      val raw = unescapePathName(d.stripPrefix(s"$StagePartCol="))
       keep(raw)
     }
     require(m.nonEmpty, "no partition matches the filter")

@@ -371,30 +371,33 @@ object LlmPipeline {
     // windows must not double-count, hence the distinct-position
     // explode). K=8 here (docs are short); production uses ~50.
     // Scale shape: windows are an explode (O(total tokens) rows, no
-    // all-pairs anywhere), duplicated spans fall out of ONE groupBy on
-    // the gram + an equi-join back — the 100 TB form shuffles a 64-bit
-    // rolling hash instead of the gram string (collision risk n²/2⁶⁴,
-    // re-verified by string compare inside each tiny hash bucket);
-    // here the string itself is grouped so the DuckDB oracle replays
-    // byte-exact equality.
+    // all-pairs anywhere), duplicated spans fall out of ONE groupBy +
+    // an equi-join back, BOTH keyed on xxhash64(gram) — an 8-byte
+    // shuffle key instead of the ~50-byte K-token string, ~6× less
+    // shuffle volume on the two heaviest exchanges (collision odds
+    // |grams|²/2⁶⁴ — the same accepted budget as signatureIndex; the
+    // gram string never leaves the row it was built in).
     "q_dedup_substring" -> ((s, dir) => {
       val K = 8
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       val spans = toks.select(col("doc_id"), size(col("toks")).as("n_tok"),
           posexplode_outer(Dedup.shingles(col("toks"), K)))
-        .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
-      val dupGrams = spans.filter(col("gram").isNotNull)
-        .groupBy("gram").agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 2).select("gram")
-      val dupSpans = spans.join(dupGrams, "gram")
+        .withColumnRenamed("pos", "start")
+        .withColumn("ghash",
+          when(col("col").isNotNull, xxhash64(col("col"))))
+        .drop("col")
+      val dupGrams = spans.filter(col("ghash").isNotNull)
+        .groupBy("ghash").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("ghash")
+      val dupSpans = spans.join(dupGrams, "ghash")
       val cov = dupSpans
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + K - 1)).as("p"))
         .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
       val perDoc = spans.groupBy("doc_id").agg(
-        first("n_tok").as("n_tok"), count(col("gram")).as("n_spans"))
+        first("n_tok").as("n_tok"), count(col("ghash")).as("n_spans"))
       val dupPerDoc = dupSpans.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
       perDoc.join(dupPerDoc, Seq("doc_id"), "left")
         .join(cov, Seq("doc_id"), "left")
@@ -410,9 +413,9 @@ object LlmPipeline {
     // by sparse tf-idf cosine, computed the scale-correct sparse way —
     // explode terms, weight by tf·ln(N/df), self-join on TERM (never
     // doc×doc), sum products per pair. Stopword-shaped skew is cut at
-    // the source: terms in ≥ half the docs carry near-zero idf AND
+    // the source: terms in ≥ 80% of the docs carry near-zero idf AND
     // quadratic join fan-out, so they are dropped before the join
-    // (df·2 < N, exact integer predicate both engines replay). Final
+    // (df·5 < N·4, exact integer predicate both engines replay). Final
     // top-10 is a TakeOrdered, not a global sort.
     "q_text_tfidf_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -37,6 +37,14 @@ class PartitionedSnapshotsSpec extends SparkSuite {
     PartitionedSnapshots.create(spark, root2, esc, "p")
     assert(PartitionedSnapshots.readPartitions(spark, root2, _ == "x y/z")
       .count() === 1)
+    // a literal '+' survives: hive escaping never encodes '+', so a
+    // URL-style decode (which turns '+' into a space) would make this
+    // partition unselectable
+    val plus = Seq((1L, "a+b", 1)).toDF("k", "p", "v")
+    val root3 = freshRoot("psnap_pruned_plus")
+    PartitionedSnapshots.create(spark, root3, plus, "p")
+    assert(PartitionedSnapshots.readPartitions(spark, root3, _ == "a+b")
+      .count() === 1)
     intercept[IllegalArgumentException](
       PartitionedSnapshots.readPartitions(spark, root, _ == "nope"))
   }
