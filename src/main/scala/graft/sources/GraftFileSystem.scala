@@ -114,19 +114,34 @@ class GraftFileSystem extends FileSystem {
 
   // Move-into-directory semantics when dst is an existing dir
   // (reference retries as dst/src.getName, CubefsFileSystem.java:218-245);
-  // otherwise plain rename — false, not an exception, when dst exists.
+  // rename onto an existing file — or into a dir already holding an
+  // entry named like src — returns FALSE, never an exception and never
+  // an overwrite (the reference maps EEXIST to false; RawLocal's
+  // renameTo would clobber). Hadoop committers probe exactly this.
   override def rename(src: Path, dst: Path): Boolean = {
     val s = toLocal(src)
     val d0 = toLocal(dst)
+    if (!inner.exists(s)) return false // ENOENT → false, reference :237
     val d =
       if (inner.exists(d0) && inner.getFileStatus(d0).isDirectory)
         new Path(d0, s.getName)
       else d0
-    inner.rename(s, d)
+    if (inner.exists(d)) false // EEXIST → false, reference :221,232
+    else inner.rename(s, d)
   }
 
-  override def delete(f: Path, recursive: Boolean): Boolean =
-    inner.delete(toLocal(f), recursive)
+  // Non-recursive delete of a NON-EMPTY directory throws (reference
+  // CubefsFileSystem.java:255-263); RawLocal's edge behavior differs,
+  // so the check is explicit. Deleting a missing path is false, not an
+  // error (ENOENT, reference :252-254).
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val lf = toLocal(f)
+    if (!inner.exists(lf)) return false
+    val st = inner.getFileStatus(lf)
+    if (st.isDirectory && !recursive && inner.listStatus(lf).nonEmpty)
+      throw new PathIsNotEmptyDirectoryException(f.toString)
+    inner.delete(lf, recursive)
+  }
 
   override def listStatus(f: Path): Array[FileStatus] =
     inner.listStatus(toLocal(f)).map(convert)
@@ -141,6 +156,33 @@ class GraftFileSystem extends FileSystem {
 
   override def getFileStatus(f: Path): FileStatus =
     convert(inner.getFileStatus(toLocal(f)))
+
+  /** Fabricated blockSize-aligned logical blocks over [start,
+    * start+len), the reference's contract (CubefsFileSystem.java:
+    * 400-430): block boundaries at multiples of the configured
+    * `fs.graft.block.size` from offset 0, one location per block that
+    * intersects the requested range. This is what hands Spark's scan
+    * planner >1 block — and so >1 locality-addressable split — for a
+    * large file, instead of the single-block default a local store
+    * reports.
+    */
+  override def getFileBlockLocations(file: FileStatus, start: Long,
+      len: Long): Array[BlockLocation] = {
+    if (file == null) return null
+    if (start < 0 || len < 0)
+      throw new IllegalArgumentException("Invalid start or len parameter")
+    if (file.getLen <= start) return Array.empty
+    val blockSize = math.max(1L, file.getBlockSize)
+    val end = math.min(start + len, file.getLen)
+    val firstBlock = start / blockSize
+    val lastBlock = if (end == 0) 0L else (end - 1) / blockSize
+    (firstBlock to lastBlock).map { b =>
+      val bStart = b * blockSize
+      val bLen = math.min(bStart + blockSize, file.getLen) - bStart
+      new BlockLocation(Array(s"localhost$bStart:50010"),
+        Array(s"localhost$bStart"), bStart, bLen)
+    }.toArray
+  }
 }
 
 object GraftFileSystem {
@@ -152,6 +194,8 @@ object GraftFileSystem {
     */
   def mount(conf: Configuration, volume: String, root: String): Unit = {
     conf.set("fs.graft.impl", classOf[GraftFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.graft.impl",
+      classOf[GraftAbstractFileSystem].getName)
     conf.set("fs.graft.impl.disable.cache", "true")
     conf.set(s"fs.graft.mount.$volume", root)
   }

@@ -88,10 +88,15 @@ class GraftFileSystemSpec extends SparkSuite {
     assert(fs.delete(new Path(dir, "f1"), false))
     assert(fs.delete(new Path(dir, "f2"), false))
     assert(fs.listStatus(dir).length === 8)
-    // non-recursive delete of a non-empty dir must refuse
-    intercept[java.io.IOException] { fs.delete(dir, false) }
+    // non-recursive delete of a non-empty dir must throw the precise
+    // exception committers probe for (CubefsFileSystem.java:255-263)
+    intercept[org.apache.hadoop.fs.PathIsNotEmptyDirectoryException] {
+      fs.delete(dir, false)
+    }
     assert(fs.delete(dir, true))
     assert(!fs.exists(dir))
+    // deleting a missing path is false, not an error (ENOENT)
+    assert(!fs.delete(new Path("graft://ls/never_existed"), true))
   }
 
   test("rename: plain move and move-into-existing-dir (testRename analog)") {
@@ -107,6 +112,94 @@ class GraftFileSystemSpec extends SparkSuite {
     fs.mkdirs(new Path("graft://mv/sub"))
     assert(fs.rename(new Path("graft://mv/b.txt"), new Path("graft://mv/sub")))
     assert(fs.exists(new Path("graft://mv/sub/b.txt")))
+  }
+
+  test("rename edge contracts: existing dst and missing src return false, never clobber") {
+    val (fs, _) = mountedFs("mvedge")
+    def put(p: Path, b: Int): Unit = { val o = fs.create(p, true); o.write(b); o.close() }
+    val a = new Path("graft://mvedge/a.txt")
+    val b = new Path("graft://mvedge/b.txt")
+    put(a, 1); put(b, 2)
+    // rename onto an existing FILE: false, and dst keeps its content
+    // (reference maps EEXIST to false, CubefsFileSystem.java:218-245)
+    assert(!fs.rename(a, b))
+    assert(fs.exists(a))
+    val in = fs.open(b); assert(in.read() === 2); in.close()
+    // rename into a dir already holding an entry named like src: false
+    val sub = new Path("graft://mvedge/sub")
+    fs.mkdirs(sub)
+    put(new Path(sub, "a.txt"), 3)
+    assert(!fs.rename(a, sub))
+    assert(fs.exists(a))
+    val in2 = fs.open(new Path(sub, "a.txt")); assert(in2.read() === 3); in2.close()
+    // missing src: false, not an exception (ENOENT)
+    assert(!fs.rename(new Path("graft://mvedge/ghost"), new Path("graft://mvedge/x")))
+  }
+
+  test("getFileBlockLocations slices into block-size-aligned logical blocks") {
+    val root = Tables.scratch("graftfs_blocks")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val conf = new Configuration()
+    GraftFileSystem.mount(conf, "blk", root)
+    conf.setLong("fs.graft.block.size", 256L << 10) // 256 KiB
+    val fs = FileSystem.get(new URI("graft://blk/"), conf)
+    val p = new Path("graft://blk/big.bin")
+    val out = fs.create(p, true)
+    out.write(new Array[Byte](1 << 20)) // 1 MiB
+    out.close()
+    val st = fs.getFileStatus(p)
+    assert(st.getBlockSize === (256L << 10))
+    // full range: 4 aligned blocks (CubefsFileSystem.java:400-430)
+    val all = fs.getFileBlockLocations(st, 0, st.getLen)
+    assert(all.length === 4)
+    assert(all.map(_.getOffset).toSeq === Seq(0L, 256L << 10, 512L << 10, 768L << 10))
+    assert(all.forall(_.getLength === (256L << 10)))
+    // a sub-range resolves only the overlapping block
+    val mid = fs.getFileBlockLocations(st, 300000, 10)
+    assert(mid.length === 1 && mid.head.getOffset === (256L << 10))
+    // start beyond EOF: empty
+    assert(fs.getFileBlockLocations(st, st.getLen, 1).isEmpty)
+    intercept[IllegalArgumentException](fs.getFileBlockLocations(st, -1, 1))
+  }
+
+  test("a multi-block graft:// file plans as multiple scan partitions") {
+    val root = Tables.scratch("graftfs_split")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    GraftFileSystem.mount(spark.sparkContext.hadoopConfiguration, "splitvol", root)
+    val fs = FileSystem.get(new URI("graft://splitvol/"),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path("graft://splitvol/lines.txt")
+    val out = fs.create(p, true)
+    (1 to 40000).foreach(i => out.write(s"row_${i}_padding_padding_padding\n".getBytes))
+    out.close()
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (256L << 10).toString)
+      val scanned = spark.read.textFile("graft://splitvol/lines.txt")
+      // >1 FilePartition: the connector's block/split surface feeds the
+      // planner instead of one monolithic split per file
+      assert(scanned.rdd.getNumPartitions > 1)
+      assert(scanned.count() === 40000)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+  }
+
+  test("FileContext (AbstractFileSystem API) create/read through graft://") {
+    import org.apache.hadoop.fs.{CreateFlag, FileContext}
+    val root = Tables.scratch("graftfs_fc")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val conf = new Configuration()
+    GraftFileSystem.mount(conf, "fcvol", root)
+    val fc = FileContext.getFileContext(new URI("graft://fcvol/"), conf)
+    val p = new Path("graft://fcvol/ctx.txt")
+    val out = fc.create(p,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    out.writeUTF("hello-filecontext"); out.close()
+    assert(fc.util.exists(p))
+    val in = fc.open(p)
+    assert(in.readUTF() === "hello-filecontext"); in.close()
+    assert(fc.getFileStatus(p).getLen > 0)
+    fc.delete(p, false)
+    assert(!fc.util.exists(p))
   }
 
   test("Spark parquet write + read-back through graft:// (the engine-level round-trip)") {
