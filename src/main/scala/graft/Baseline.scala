@@ -144,6 +144,305 @@ object Baseline {
       } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
     }),
 
+    // q_dedup_semantic control: what stock Spark offers without a
+    // cluster-quantized dedup operator — the SAME planted corpus, then
+    // ALL-PAIRS HOF cosine at τ=0.99 and keep-lowest-id. The pair count
+    // is quadratic in the corpus where graft's is per-cluster.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + maxId)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + (pmod(hash(col("vec_id"), j), lit(1000)) - 500)
+            .cast("double") / 100000.0d).cast("float")))
+      val corpus = emb.unionByName(planted).localCheckpoint()
+      val a = corpus.select(col("vec_id").as("vid_a"), col("embedding").as("v_a"))
+      val b = corpus.select(col("vec_id").as("vid_b"), col("embedding").as("v_b"))
+      val hofCos = expr(
+        """aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+          | / (sqrt(aggregate(v_a, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+          |    * sqrt(aggregate(v_b, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val removed = a.crossJoin(b).filter(col("vid_a") < col("vid_b"))
+        .withColumn("cos", hofCos).filter(col("cos") >= 0.99)
+        .groupBy(col("vid_b").as("vec_id"))
+        .agg(min("vid_a").as("dup_of"))
+      val nPlanted = planted.count()
+      removed.agg(count(lit(1)).as("n_removed"))
+        .select((lit(nPlanted) + emb.count()).as("n_corpus"),
+          lit(nPlanted).as("n_planted"),
+          (col("n_removed") >= lit(math.ceil(nPlanted * 0.9).toLong))
+            .as("recall_ok"))
+    }),
+
+    // q_sim_ann_multiprobe control: stock ANN is no ANN — brute-force
+    // HOF cosine over the whole corpus per probe, window top-5.
+    "q_sim_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("v_a"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_b"))
+      val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            | / (sqrt(aggregate(v_a, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |    * sqrt(aggregate(v_b, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+    }),
+
+    // q_fs_connector control: the identical pipeline on direct file://
+    // paths — measures what the graft:// translation layer costs.
+    "q_fs_connector" -> ((s, dir) => {
+      val out = Tables.scratch("baseline_fs_direct")
+      s.read.parquet(Tables.path(dir, "customer"))
+        .filter(col("c_acctbal") > 1000)
+        .write.mode("overwrite").parquet(s"$out/cust")
+      s.read.parquet(s"$out/cust")
+        .join(s.read.parquet(Tables.path(dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(round(col("c_acctbal") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_acctbal"))
+        .orderBy("n_name")
+    }),
+
+    // q_table_partitioned_merge control: versioned tables without a
+    // partition manifest = Delta-style copy-on-write over the WHOLE
+    // table — v1 full write, merge, v2 full write. graft rewrites only
+    // the dirty partition; this rewrites everything.
+    "q_table_partitioned_merge" -> ((s, dir) => {
+      val root = Tables.scratch("baseline_part_merge")
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(s"$root/v_1")
+      val v1 = s.read.parquet(s"$root/v_1")
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val updates = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.2)
+        .unionByName(orders
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 31 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+      val merged = updates.unionByName(
+        v1.join(updates.select(col("o_orderkey").as("__k")),
+          col("o_orderkey") === col("__k"), "left_anti"))
+      merged.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(s"$root/v_2")
+      s.read.parquet(s"$root/v_2")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q_table_skipping control: the same clustered write, then a FULL
+    // scan with the range filter — no index, every file read.
+    "q_table_skipping" -> ((s, dir) => {
+      val out = Tables.scratch("baseline_skip_full")
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("o_orderdate") <= lit(java.sql.Date.valueOf("1996-03-31")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // q_table_pruned_read control: stock hive-layout partition pruning
+    // (a strong control — Spark prunes dirs natively; graft adds the
+    // versioned manifest on top of the same contract).
+    "q_table_pruned_read" -> ((s, dir) => {
+      val root = Tables.scratch("baseline_pruned_read")
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(root)
+      s.read.parquet(root).filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q_table_incremental_agg control: the stock refresh is a RESCAN —
+    // v1 full write, merged v2 full write, recompute the aggregate
+    // from the whole of v2 (no change-feed maintenance).
+    "q_table_incremental_agg" -> ((s, dir) => {
+      val root = Tables.scratch("baseline_inc_agg")
+      val orders = t(s, dir, "orders")
+      val cents = sum(round(col("o_totalprice") * 100).cast("long"))
+      orders.write.mode("overwrite").parquet(s"$root/v_1")
+      val v1 = s.read.parquet(s"$root/v_1")
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val updates = orders.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+      val merged = updates.unionByName(
+        v1.join(updates.select(col("o_orderkey").as("__k")),
+          col("o_orderkey") === col("__k"), "left_anti"))
+      merged.write.mode("overwrite").parquet(s"$root/v_2")
+      s.read.parquet(s"$root/v_2").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (cents.cast("double") / 100.0).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q_table_changes control: hand-rolled CDF over full-copy versions
+    // — v1 write, v2 full rewrite, full-outer struct diff.
+    "q_table_changes" -> ((s, dir) => {
+      val root = Tables.scratch("baseline_changes")
+      val cust = t(s, dir, "customer")
+      cust.write.mode("overwrite").parquet(s"$root/v_1")
+      val v1 = s.read.parquet(s"$root/v_1")
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust)
+          .withColumn("c_acctbal", lit(500.50)))
+      updates.unionByName(
+        v1.join(updates.select(col("c_custkey").as("__k")),
+          col("c_custkey") === col("__k"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$root/v_2")
+      val cols = v1.columns.toSeq
+      val aS = s.read.parquet(s"$root/v_1")
+        .select(col("c_custkey").as("__key"), struct(cols.map(col): _*).as("__a"))
+      val bS = s.read.parquet(s"$root/v_2")
+        .select(col("c_custkey").as("__key"), struct(cols.map(col): _*).as("__b"))
+      val j = aS.join(bS, Seq("__key"), "full_outer")
+      val ins = j.filter(col("__a").isNull)
+        .select(col("__b.*")).withColumn("_change_type", lit("insert"))
+      val upd = j.filter(col("__a").isNotNull && col("__b").isNotNull &&
+        !(col("__a") <=> col("__b")))
+      val pre = upd.select(col("__a.*")).withColumn("_change_type", lit("update_preimage"))
+      val post = upd.select(col("__b.*")).withColumn("_change_type", lit("update_postimage"))
+      ins.unionByName(pre).unionByName(post)
+        .select("c_custkey", "c_acctbal", "_change_type")
+        .orderBy("c_custkey", "_change_type")
+    }),
+
+    // q_table_rollback control: without an append-only manifest the
+    // stock rollback is a data RECOMPUTE of the good version into a
+    // third full copy (no FS-level file copy to reuse).
+    "q_table_rollback" -> ((s, dir) => {
+      val root = Tables.scratch("baseline_rollback")
+      val cust = t(s, dir, "customer")
+      val cents = sum(round(col("c_acctbal") * 100).cast("long"))
+      cust.write.mode("overwrite").parquet(s"$root/v_1")
+      val v1 = s.read.parquet(s"$root/v_1")
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val bad = cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", -col("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust)
+          .withColumn("c_acctbal", lit(0.0)))
+      bad.unionByName(
+        v1.join(bad.select(col("c_custkey").as("__k")),
+          col("c_custkey") === col("__k"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$root/v_2")
+      s.read.parquet(s"$root/v_1")
+        .write.mode("overwrite").parquet(s"$root/v_3")
+      def snapAgg(v: Int) = s.read.parquet(s"$root/v_$v")
+        .agg(count(lit(1)).as("n_rows"),
+          (cents.cast("double") / 100.0).as("sum_acctbal"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_acctbal"))
+      snapAgg(1).unionByName(snapAgg(2)).unionByName(snapAgg(3))
+        .orderBy("version")
+    }),
+
+    // q_table_schema_merge control: schema evolution by full rewrite —
+    // v2 is the whole table re-written with the new column.
+    "q_table_schema_merge" -> ((s, dir) => {
+      val root = Tables.scratch("baseline_schema_merge")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      cust.write.mode("overwrite").parquet(s"$root/v_1")
+      val v1 = s.read.parquet(s"$root/v_1")
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + maxCust))
+        .withColumn("c_tier",
+          when(col("c_acctbal") > 5000, "gold").otherwise("std"))
+      updates.unionByName(
+        v1.join(updates.select(col("c_custkey").as("__k")),
+            col("c_custkey") === col("__k"), "left_anti")
+          .withColumn("c_tier", lit(null).cast("string")))
+        .write.mode("overwrite").parquet(s"$root/v_2")
+      val v2 = s.read.parquet(s"$root/v_2")
+      v2.agg(count(lit(1)).as("n_rows"),
+          count(col("c_tier")).as("n_with_tier"),
+          sum(when(col("c_tier") === "gold", 1L).otherwise(0L)).as("n_gold"))
+        .select(col("n_rows"), col("n_with_tier"), col("n_gold"),
+          lit(3L).as("v1_cols"), lit(v2.columns.length.toLong).as("v2_cols"))
+    }),
+
+    // q_sql_timetravel control: manual dated full-copy dirs queried by
+    // direct path — the stock user's "time travel".
+    "q_sql_timetravel" -> ((s, dir) => {
+      val root = Tables.scratch("baseline_sql_tt")
+      val cust = t(s, dir, "customer")
+      cust.write.mode("overwrite").parquet(s"$root/v_1")
+      val v1 = s.read.parquet(s"$root/v_1")
+      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val ins = cust.filter(col("c_custkey") % 97 === 0)
+        .withColumn("c_custkey", col("c_custkey") + maxCust)
+        .withColumn("c_acctbal", lit(500.50))
+      v1.unionByName(ins).write.mode("overwrite").parquet(s"$root/v_2")
+      s.sql(
+        s"""SELECT 1L AS version, count(*) AS n_rows,
+           |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0
+           |    AS sum_acctbal
+           |FROM parquet.`$root/v_1`
+           |UNION ALL
+           |SELECT 2L, count(*),
+           |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0
+           |FROM parquet.`$root/v_2`
+           |ORDER BY version""".stripMargin)
+    }),
+
+    // q_stream_chained_agg control: the same window-on-window pipeline
+    // as a plain readStream + memory sink, no graft plumbing.
+    "q_stream_chained_agg" -> ((s, dir) => {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("spark.graft.streaming.shufflePartitions").getOrElse(prevParts))
+      val sink = s"baseline_chained_${System.nanoTime()}"
+      try {
+        val rawSchema = s.read.parquet(Tables.path(dir, "events")).schema
+        val ev = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val l1 = ev.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n5"), sum("value").as("v5"))
+        val l2 = l1
+          .groupBy(window(window_time(col("window")), "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_subwindows"), sum("n5").as("n_events"),
+            max("n5").as("max_5min"), sum("v5").as("sum_value"))
+        val q = l2.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", Tables.scratch(s"ckpt_$sink"))
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sink)
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_subwindows"), col("n_events"), col("max_5min"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // q_stream_stream_paced control: the same self-join drained as ONE
     // micro-batch (single-file source, no pacing) — isolates the cost
     // of cross-batch join-state carry (3 state commit rounds vs 1).
@@ -205,7 +504,13 @@ object Baseline {
     "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q7", "q_sql_tpch_q10",
     "q_sql_tpch_q14", "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q20",
     "q_text_repetition", "q_text_top_ngrams", "q_text_chunk",
-    "q_text_decontaminate", "q_try_funcs")
+    "q_text_decontaminate", "q_try_funcs",
+    // round-7 additions that are pure declarative Spark — stock window
+    // functions, stock SQL DDL, stock hash/HOF pipelines (the PPJoin
+    // and substring-dedup shapes are built entirely of stock operators)
+    "q_window_session_batch", "q_window_islands", "q_sql_ddl",
+    "q_train_shuffle", "q_text_perplexity", "q_text_tfidf_pairs",
+    "q_dedup_substring", "q_dedup_editdist")
 
   private def timeMedian3(run: () => Unit): Double = {
     val ts = (0 until 3).map { _ =>
@@ -240,6 +545,10 @@ object Baseline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the ONLY graft artifact in this session: the graft_snapshot name
+    // binding for the q_sql_timetravel pair's graft side — no optimizer
+    // rules or expression functions, so every control plan stays stock
+    GraftExtensions.registerSnapshotTvf(spark)
 
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

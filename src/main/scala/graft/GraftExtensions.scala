@@ -70,17 +70,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("graft_snapshot"),
       info("graft_snapshot",
         "graft_snapshot(root, version) - read a snapshot table version"),
-      (es: Seq[Expression]) => {
-        def strArg(e: Expression, what: String): String = e match {
-          case Literal(v, StringType) if v != null => v.toString
-          case other => throw new IllegalArgumentException(
-            s"$what must be a string literal, got $other")
-        }
-        val root = strArg(es.head, "graft_snapshot root")
-        val version = es.drop(1).headOption.map(intArg(_, "graft_snapshot version"))
-        graft.operators.Snapshots
-          .read(SparkSession.active, root, version)
-          .queryExecution.analyzed
-      }))
+      GraftExtensions.snapshotTvfBuilder))
   }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** The graft_snapshot TVF plan builder: resolves the version through
+    * the snapshot manifest and returns that version directory's
+    * analyzed parquet plan, so filter/column pushdown reach the scan
+    * exactly as for a directly-read table.
+    */
+  val snapshotTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      def strArg(e: Expression, what: String): String = e match {
+        case Literal(v, StringType) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"$what must be a string literal, got $other")
+      }
+      val root = strArg(es.head, "graft_snapshot root")
+      val version = es.drop(1).headOption.map(intArg(_, "graft_snapshot version"))
+      graft.operators.Snapshots
+        .read(SparkSession.active, root, version)
+        .queryExecution.analyzed
+    }
+
+  /** Register ONLY the graft_snapshot name binding on a live session —
+    * no optimizer rules, no expression functions. Lets a stock session
+    * (the Baseline control JVM) run the SQL-time-travel query's graft
+    * side without contaminating any control plan.
+    */
+  def registerSnapshotTvf(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "graft_snapshot",
+        "graft_snapshot(root, version) - read a snapshot table version", ""),
+      snapshotTvfBuilder)
 }
