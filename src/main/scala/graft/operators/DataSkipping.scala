@@ -2,7 +2,11 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** File-level min/max data skipping over a parquet table — the
   * statistics half of the metadata pruning the reference's declared
@@ -100,5 +104,141 @@ object DataSkipping {
       if (files.isEmpty) live.limit(0)
       else spark.read.schema(live.schema).parquet(files: _*)
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Per-file (min, max) bounds as Catalyst-internal values, keyed by
+    * normalized path then column name, plus each indexed column's type.
+    * Driver-side and O(files × cols) — the same order of driver memory
+    * Spark's own InMemoryFileIndex already spends on the listing, so
+    * the index adds no NEW ceiling.
+    */
+  private def loadBounds(spark: SparkSession, tableDir: String)
+      : (Map[String, Map[String, (Any, Any)]], Map[String, DataType]) = {
+    val idxDf = index(spark, tableDir)
+    val sch: StructType = idxDf.schema
+    val cols = sch.fields.collect {
+      case f if f.name.startsWith("min_") => (f.name.stripPrefix("min_"), f.dataType)
+    }.toSeq
+    val rows = idxDf.queryExecution.executedPlan.executeCollect()
+    val pathIdx = sch.fieldIndex("file_path")
+    val byPath = rows.map { r =>
+      val path = normalize(r.getUTF8String(pathIdx).toString)
+      val bounds = cols.map { case (c, dt) =>
+        val mn = r.get(sch.fieldIndex(s"min_$c"), dt)
+        val mx = r.get(sch.fieldIndex(s"max_$c"), dt)
+        c -> (mn, mx)
+      }.toMap
+      path -> bounds
+    }.toMap
+    (byPath, cols.toMap)
+  }
+
+  /** A [[FileIndex]] that applies the min/max side index INSIDE scan
+    * planning: `listFiles` drops a file only when a pushed-down data
+    * filter provably excludes its whole [min, max] interval — the
+    * Iceberg-manifest integration point, but driven by the query's own
+    * predicates, so ANY range/equality filter on an indexed column
+    * prunes without a special read API. The live listing stays
+    * authoritative for membership: a file the index has never seen is
+    * always scanned, and only the 6 monotone comparison shapes
+    * (attr {<,<=,>,>=,=} literal, either side) are consulted — anything
+    * else is conservatively kept, so bounds can only reduce I/O, never
+    * change answers.
+    */
+  private final class SkipIndexFileIndex(
+      underlying: FileIndex,
+      boundsByPath: Map[String, Map[String, (Any, Any)]],
+      colTypes: Map[String, DataType]) extends FileIndex with PredicateHelper {
+
+    override def rootPaths: Seq[Path] = underlying.rootPaths
+    override def inputFiles: Array[String] = underlying.inputFiles
+    override def refresh(): Unit = underlying.refresh()
+    override def sizeInBytes: Long = underlying.sizeInBytes
+    override def partitionSchema: StructType = underlying.partitionSchema
+
+    // true iff `l < r` / `l <= r` under the column type's ordering,
+    // evaluated by Catalyst itself so date/timestamp/decimal/string
+    // semantics match the engine exactly
+    private def lt(l: Any, r: Any, dt: DataType): Boolean =
+      java.lang.Boolean.TRUE == LessThan(Literal(l, dt), Literal(r, dt)).eval(InternalRow.empty)
+    private def lte(l: Any, r: Any, dt: DataType): Boolean =
+      java.lang.Boolean.TRUE == LessThanOrEqual(Literal(l, dt), Literal(r, dt)).eval(InternalRow.empty)
+
+    /** Can `conjunct` be proven false for every row of a file with
+      * these bounds? NULL bounds (all-null chunk) never skip.
+      */
+    private def canSkip(bounds: Map[String, (Any, Any)], conjunct: Expression): Boolean = {
+      def check(name: String, f: (Any, Any, DataType) => Boolean, litV: Any, litT: DataType): Boolean =
+        colTypes.get(name).exists { dt =>
+          dt == litT && litV != null && bounds.get(name).exists {
+            case (mn, mx) => mn != null && mx != null && f(mn, mx, dt)
+          }
+        }
+      conjunct match {
+        // c >= L / L <= c: skip when max < L
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          check(a.name, (_, mx, dt) => lt(mx, l.value, dt), l.value, l.dataType)
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          check(a.name, (_, mx, dt) => lt(mx, l.value, dt), l.value, l.dataType)
+        // c > L / L < c: skip when max <= L
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          check(a.name, (_, mx, dt) => lte(mx, l.value, dt), l.value, l.dataType)
+        case LessThan(l: Literal, a: AttributeReference) =>
+          check(a.name, (_, mx, dt) => lte(mx, l.value, dt), l.value, l.dataType)
+        // c <= L / L >= c: skip when min > L
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          check(a.name, (mn, _, dt) => lt(l.value, mn, dt), l.value, l.dataType)
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          check(a.name, (mn, _, dt) => lt(l.value, mn, dt), l.value, l.dataType)
+        // c < L / L > c: skip when min >= L
+        case LessThan(a: AttributeReference, l: Literal) =>
+          check(a.name, (mn, _, dt) => lte(l.value, mn, dt), l.value, l.dataType)
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          check(a.name, (mn, _, dt) => lte(l.value, mn, dt), l.value, l.dataType)
+        // c = L: skip when L outside [min, max]
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          check(a.name, (mn, mx, dt) => lt(l.value, mn, dt) || lt(mx, l.value, dt),
+            l.value, l.dataType)
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          check(a.name, (mn, mx, dt) => lt(l.value, mn, dt) || lt(mx, l.value, dt),
+            l.value, l.dataType)
+        case _ => false
+      }
+    }
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val conjuncts = dataFilters.flatMap(splitConjunctivePredicates)
+      val base = underlying.listFiles(partitionFilters, dataFilters)
+      if (conjuncts.isEmpty || boundsByPath.isEmpty) base
+      else base.map { pd =>
+        pd.copy(files = pd.files.filter { f =>
+          boundsByPath.get(normalize(f.getPath.toString)) match {
+            case None => true // unindexed (post-index append): always scan
+            case Some(b) => !conjuncts.exists(c => canSkip(b, c))
+          }
+        })
+      }
+    }
+  }
+
+  /** The table as a DataFrame whose scan consults the skip index
+    * during planning: `scan(...).filter($"c" between(lo, hi))` reads
+    * only the files whose bounds overlap — same pruning as
+    * [[readRange]] but composable with arbitrary query shapes, no
+    * special read API, and no two-phase path collection. The pruning
+    * is observable in the scan's `numFiles` metric (not `inputFiles`,
+    * which reports the unfiltered listing).
+    */
+  def scan(spark: SparkSession, tableDir: String): DataFrame = {
+    val live = spark.read.parquet(tableDir)
+    val rel = live.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }.getOrElse(throw new IllegalStateException(
+      s"$tableDir did not resolve to a v1 parquet relation"))
+    val (bounds, types) = loadBounds(spark, tableDir)
+    val pruning = new SkipIndexFileIndex(rel.location, bounds, types)
+    spark.baseRelationToDataFrame(rel.copy(location = pruning)(spark))
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.DataSkipping
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+class DataSkippingSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** numFiles metric of the (executed) query's parquet scan — the
+    * observable listFiles-level pruning; inputFiles deliberately
+    * reports the unfiltered listing.
+    */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case other => other.collect { case f: FileSourceScanExec => f }
+    }
+    find(df.queryExecution.executedPlan).head.metrics("numFiles").value
+  }
+
+  private def freshTable(name: String): String = {
+    val out = Tables.scratch(name)
+    (1 to 1000).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  test("planner-integrated scan prunes files from the query's own filters") {
+    val out = freshTable("skipscan_tbl")
+    DataSkipping.buildIndex(spark, out, Seq("k"))
+    val total = spark.read.parquet(out).inputFiles.length
+    assert(total === 8)
+
+    // range filter: only the overlapping files are scanned
+    val range = DataSkipping.scan(spark, out).filter(col("k") >= 100 && col("k") <= 200)
+    assert(scannedFiles(range) < total)
+    assert(range.count() === 101)
+
+    // equality filter prunes to one file
+    val eq = DataSkipping.scan(spark, out).filter(col("k") === 500)
+    assert(scannedFiles(eq) === 1)
+    assert(eq.count() === 1)
+
+    // a non-indexed predicate is conservatively unpruned but exact
+    val other = DataSkipping.scan(spark, out).filter(col("v") === "v42")
+    assert(scannedFiles(other) === total)
+    assert(other.count() === 1)
+
+    // results are identical to the plain read, file layout or not
+    val expected = spark.read.parquet(out)
+      .filter(col("k") >= 100 && col("k") <= 200).orderBy("k").collect()
+    assert(range.orderBy("k").collect() === expected)
+  }
+
+  test("the index is authoritative for skipping only, never membership") {
+    val out = freshTable("skipscan_member")
+    DataSkipping.buildIndex(spark, out, Seq("k"))
+    // a file appended AFTER buildIndex — unindexed, must always scan
+    Seq((5000L, "late")).toDF("k", "v")
+      .write.mode("append").parquet(out)
+    val df = DataSkipping.scan(spark, out).filter(col("k") >= 4000)
+    assert(df.count() === 1) // the late row is found
+    // readRange honors the same contract (the two-phase API)
+    assert(DataSkipping.readRange(spark, out, "k", 4000L, 6000L).count() === 1)
+    // and stale bounds still prune what they can prove absent
+    assert(scannedFiles(DataSkipping.scan(spark, out)
+      .filter(col("k") >= 100 && col("k") <= 200)) < 9)
+  }
+
+  test("every-file-skipped range returns empty, correctly typed") {
+    val out = freshTable("skipscan_empty")
+    DataSkipping.buildIndex(spark, out, Seq("k"))
+    val none = DataSkipping.scan(spark, out).filter(col("k") > 99999)
+    assert(scannedFiles(none) === 0)
+    assert(none.count() === 0)
+    assert(none.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(DataSkipping.readRange(spark, out, "k", 99999L, 999999L).count() === 0)
+  }
+}
