@@ -29,6 +29,24 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q_join_bucketed's managed tables re-plan ANY later join with zero exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // materializing the query writes the bucketed-and-sorted tables
+      SparkEntry.queries("q_join_bucketed")(spark, sf).collect()
+      // a FRESH join between the co-bucketed tables — not the query's
+      // own — is exchange-free: the shuffle was paid once, at write
+      val joined = spark.table("graft_bkt_lineitem")
+        .join(spark.table("graft_bkt_orders"), "okey")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+        plan.take(3000))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join re-shuffled:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("range join plans as a shuffled equi-join, not BNLJ") {
     val ev = Tables(spark, sf, "events")
     val a = ev.select(col("event_id").as("eid_a"), col("ts").as("ts_a"))
