@@ -230,6 +230,23 @@ object DataSkipping {
     * is observable in the scan's `numFiles` metric (not `inputFiles`,
     * which reports the unfiltered listing).
     */
+  /** Files the (executed) query's parquet scan actually read — the
+    * `numFiles` metric of its FileSourceScanExec. This is the
+    * observable for [[scan]]-level pruning: `inputFiles` deliberately
+    * reports the unfiltered listing, because pruning happens inside
+    * `listFiles` at planning time. Triggers one execution of `df`.
+    */
+  def scannedFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case other => other.collect { case f: FileSourceScanExec => f }
+    }
+    find(df.queryExecution.executedPlan).head.metrics("numFiles").value
+  }
+
   def scan(spark: SparkSession, tableDir: String): DataFrame = {
     val live = spark.read.parquet(tableDir)
     val rel = live.queryExecution.analyzed.collectFirst {

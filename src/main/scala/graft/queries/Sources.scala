@@ -742,6 +742,37 @@ object Sources {
         .orderBy("o_orderpriority")
     }),
 
+    // The PLANNER-INTEGRATED half of file skipping: DataSkipping.scan
+    // wraps the table's FileIndex so the query's OWN pushed-down
+    // predicate drives the pruning inside listFiles — no special read
+    // API, composable with any shape (the Iceberg-manifest integration
+    // point). scan_ok MEASURES it from the executed scan's numFiles
+    // metric: the filtered read touches strictly fewer files than the
+    // table holds, and at least one. Same date-clustered layout and
+    // exact residual semantics as q_table_skipping, so the oracle is
+    // the plain filtered aggregate.
+    "q_table_skip_scan" -> ((s, dir) => {
+      import graft.operators.DataSkipping
+      val out = tmp("skip_scan_tbl")
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      DataSkipping.buildIndex(s, out, Seq("o_orderdate"))
+      def pruned = DataSkipping.scan(s, out)
+        .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-07-01")) &&
+          col("o_orderdate") <= lit(java.sql.Date.valueOf("1996-09-30")))
+      val nScanned = DataSkipping.scannedFiles(pruned.select("o_orderdate"))
+      val nTotal = s.read.parquet(out).inputFiles.length.toLong
+      val ok = nScanned > 0 && nScanned < nTotal
+      pruned.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .withColumn("scan_ok", lit(ok))
+        .orderBy("o_orderpriority")
+    }),
+
     // The reference's whole identity as a CONNECTOR, end-to-end: a
     // custom Hadoop FileSystem scheme registered via fs.graft.impl
     // (the fs.cfs.impl pattern, reference README.md:24-28) with
@@ -1098,6 +1129,15 @@ object Sources {
         |  TRUE AS skip_ok
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_table_skip_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total,
+        |  TRUE AS scan_ok
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1996-09-30'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_fs_connector" ->

@@ -2,25 +2,13 @@ package graft
 
 import graft.operators.DataSkipping
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 class DataSkippingSpec extends SparkSuite {
   import spark.implicits._
 
-  /** numFiles metric of the (executed) query's parquet scan — the
-    * observable listFiles-level pruning; inputFiles deliberately
-    * reports the unfiltered listing.
-    */
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
-      case other => other.collect { case f: FileSourceScanExec => f }
-    }
-    find(df.queryExecution.executedPlan).head.metrics("numFiles").value
-  }
+  // the operator's own observable: numFiles of the executed scan
+  private def scannedFiles(df: DataFrame): Long = DataSkipping.scannedFiles(df)
 
   private def freshTable(name: String): String = {
     val out = Tables.scratch(name)
