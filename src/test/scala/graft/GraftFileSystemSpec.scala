@@ -220,6 +220,36 @@ class GraftFileSystemSpec extends SparkSuite {
     assert(files.nonEmpty && files.forall(_.startsWith("graft://vol/")))
   }
 
+  test("streaming source, sink AND checkpoint all through graft:// (durability surface)") {
+    val root = Tables.scratch("graftfs_stream")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    GraftFileSystem.mount(spark.sparkContext.hadoopConfiguration, "svol", root)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    docs.write.mode("overwrite").parquet("graft://svol/in")
+    val n = docs.count()
+    // the checkpoint manager's offset/commit files go through the
+    // connector's create+rename (the reference's hflush/hsync
+    // durability surface); the sink commits through the streaming
+    // ManifestFileCommitProtocol on the same scheme
+    val q = spark.readStream.schema(docs.schema).parquet("graft://svol/in")
+      .filter(org.apache.spark.sql.functions.col("n_chars") > 0)
+      .writeStream.format("parquet")
+      .option("path", "graft://svol/out")
+      .option("checkpointLocation", "graft://svol/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet("graft://svol/out").count() === n)
+    val fs = FileSystem.get(new URI("graft://svol/"),
+      spark.sparkContext.hadoopConfiguration)
+    // committed checkpoint state exists in the graft:// namespace
+    assert(fs.exists(new Path("graft://svol/ckpt/offsets")))
+    assert(fs.listStatus(new Path("graft://svol/ckpt/offsets")).nonEmpty)
+    assert(fs.exists(new Path("graft://svol/ckpt/commits")))
+    assert(fs.listStatus(new Path("graft://svol/ckpt/commits")).nonEmpty)
+  }
+
   test("q_fs_connector query runs green end-to-end") {
     val rows = SparkEntry.queries("q_fs_connector")(spark, sf).collect()
     assert(rows.length === 25) // every nation has customers above the bal filter at sf0.001
