@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -202,6 +202,21 @@ object DataSkipping {
         case EqualTo(l: Literal, a: AttributeReference) =>
           check(a.name, (mn, mx, dt) => lt(l.value, mn, dt) || lt(mx, l.value, dt),
             l.value, l.dataType)
+        // c IN (...): skip when EVERY value is outside [min, max]
+        case In(a: AttributeReference, list) if list.nonEmpty &&
+            list.forall(_.isInstanceOf[Literal]) =>
+          val lits = list.map(_.asInstanceOf[Literal])
+          lits.forall(l => check(a.name,
+            (mn, mx, dt) => lt(l.value, mn, dt) || lt(mx, l.value, dt),
+            l.value, l.dataType))
+        // optimizer form of a large IN: values already internal
+        case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+          colTypes.get(a.name).exists { dt =>
+            bounds.get(a.name).exists { case (mn, mx) =>
+              mn != null && mx != null && hset.forall(v =>
+                v != null && (lt(v, mn, dt) || lt(mx, v, dt)))
+            }
+          }
         case _ => false
       }
     }

@@ -36,6 +36,11 @@ class DataSkippingSpec extends SparkSuite {
     assert(scannedFiles(eq) === 1)
     assert(eq.count() === 1)
 
+    // IN-list prunes to exactly the files holding a listed value
+    val in = DataSkipping.scan(spark, out).filter(col("k").isin(5L, 900L))
+    assert(scannedFiles(in) === 2)
+    assert(in.count() === 2)
+
     // a non-indexed predicate is conservatively unpruned but exact
     val other = DataSkipping.scan(spark, out).filter(col("v") === "v42")
     assert(scannedFiles(other) === total)
