@@ -52,6 +52,29 @@ class DataSkippingSpec extends SparkSuite {
     assert(range.orderBy("k").collect() === expected)
   }
 
+  test("a two-column index prunes on every indexed column's conjunct") {
+    val out = Tables.scratch("skipscan_2col")
+    // k ascending, m descending — a conjunct on each column rules out
+    // opposite ends of the file sequence, so the intersection is
+    // strictly smaller than either predicate alone achieves
+    (1 to 1000).map(i => (i.toLong, (1000 - i).toLong, s"v$i"))
+      .toDF("k", "m", "v")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(out)
+    DataSkipping.buildIndex(spark, out, Seq("k", "m"))
+    val kOnly = scannedFiles(
+      DataSkipping.scan(spark, out).filter(col("k") >= 200))
+    val mOnly = scannedFiles(
+      DataSkipping.scan(spark, out).filter(col("m") >= 200))
+    val both = DataSkipping.scan(spark, out)
+      .filter(col("k") >= 200 && col("m") >= 200)
+    val bothFiles = scannedFiles(both)
+    assert(bothFiles < kOnly && bothFiles < mOnly)
+    assert(both.count() === spark.read.parquet(out)
+      .filter(col("k") >= 200 && col("m") >= 200).count())
+  }
+
   test("the index is authoritative for skipping only, never membership") {
     val out = freshTable("skipscan_member")
     DataSkipping.buildIndex(spark, out, Seq("k"))
