@@ -106,6 +106,64 @@ object DataSkipping {
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  /** Metadata-only aggregation: `count(*)` / `min` / `max` over the
+    * indexed columns answered from the SIDE INDEX, scanning zero data
+    * files for any file the index covers — Iceberg's metadata-only
+    * query (`SELECT count(*) FROM t` served from manifest stats), one
+    * level down. Exactness holds because the index is itself the
+    * result of a real aggregation job over the data (not a footer
+    * approximation): per-file `n_rows` sum to the exact count, and the
+    * global min/max of exact per-file bounds is the exact global
+    * bound (`min`/`max` ignore the NULL bounds an all-null chunk
+    * writes, matching their row-level null semantics).
+    *
+    * Membership stays with the LIVE listing, in both directions:
+    * index rows for files no longer present (deleted / compacted
+    * away) are dropped, and files the index has never seen (appended
+    * after `buildIndex`) are scanned and folded in — so the answer
+    * equals a full recompute whatever has happened since the index
+    * was built, and data I/O is proportional to the UN-indexed
+    * fraction only. At 100 TB that is the difference between a
+    * sub-second manifest read and a full table scan for every
+    * `count(*)`-shaped probe. The path reconciliation is driver-side
+    * O(files) — the ceiling the listing itself already pays.
+    *
+    * Returns one row: `n_rows` (long) plus `min_X`/`max_X` for every
+    * indexed column in `cols`.
+    */
+  def statsOnly(spark: SparkSession, tableDir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one indexed column")
+    val live = spark.read.parquet(tableDir)
+    val liveFiles = live.inputFiles
+    val liveNorm = liveFiles.map(normalize).toSet
+    val idxDf = index(spark, tableDir)
+    val idxPaths = idxDf.select("file_path").collect().map(_.getString(0))
+    val idxNorm = idxPaths.map(normalize).toSet
+    // index rows whose file is still live (deletions must not count)
+    val liveIdxRaw = idxPaths.filter(p => liveNorm.contains(normalize(p)))
+    // live files the index has never seen — the only data files scanned
+    val fresh = liveFiles.filterNot(f => idxNorm.contains(normalize(f)))
+
+    val statCols = cols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val idxSide = idxDf
+      .filter(if (liveIdxRaw.isEmpty) lit(false)
+              else col("file_path").isInCollection(liveIdxRaw))
+      .select(col("n_rows") +: statCols.map(col): _*)
+    val freshSide =
+      if (fresh.isEmpty) idxSide.limit(0)
+      else {
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        spark.read.schema(live.schema).parquet(fresh.toSeq: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("n_rows") +: statCols.map(col): _*)
+      }
+    val fold = coalesce(sum("n_rows"), lit(0L)).cast("long").as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c")))
+    idxSide.union(freshSide).agg(fold.head, fold.tail: _*)
+  }
+
   /** Per-file (min, max) bounds as Catalyst-internal values, keyed by
     * normalized path then column name, plus each indexed column's type.
     * Driver-side and O(files × cols) — the same order of driver memory

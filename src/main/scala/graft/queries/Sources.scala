@@ -773,6 +773,39 @@ object Sources {
         .orderBy("o_orderpriority")
     }),
 
+    // Metadata-only aggregation (the third face of the skip index,
+    // after range-read and planner pruning): count/min/max answered
+    // from the index's per-file stats — Iceberg's manifest-served
+    // `SELECT count(*)` — with data I/O only for files the index has
+    // never seen. The query appends rows AFTER buildIndex, so both
+    // paths run: the pre-index files are answered purely from
+    // metadata, the appended files are scanned and folded in.
+    // meta_ok MEASURES it: every data file in the stats plan is a
+    // post-index append — not one pre-index data file is read — yet
+    // the count/min/max equal a full recompute over the final table.
+    "q_table_stats_only" -> ((s, dir) => {
+      import graft.operators.DataSkipping
+      import org.apache.hadoop.fs.Path
+      val out = tmp("stats_only_tbl")
+      val orders = t(s, dir, "orders")
+      orders.repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      DataSkipping.buildIndex(s, out, Seq("o_orderdate"))
+      val indexed = s.read.parquet(out).inputFiles
+        .map(f => new Path(f).toString).toSet
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .write.mode(SaveMode.Append).parquet(out)
+      val stats = DataSkipping.statsOnly(s, out, Seq("o_orderdate"))
+      val dataScanned = stats.inputFiles.map(f => new Path(f).toString)
+        .filterNot(_.contains("_skip_index"))
+      val ok = dataScanned.nonEmpty && dataScanned.forall(!indexed.contains(_))
+      stats.select(col("n_rows"),
+          col("min_o_orderdate").as("min_date"),
+          col("max_o_orderdate").as("max_date"))
+        .withColumn("meta_ok", lit(ok))
+    }),
+
     // The reference's whole identity as a CONNECTOR, end-to-end: a
     // custom Hadoop FileSystem scheme registered via fs.graft.impl
     // (the fs.cfs.impl pattern, reference README.md:24-28) with
@@ -1139,6 +1172,14 @@ object Sources {
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1996-09-30'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_table_stats_only" ->
+      """SELECT count(*) AS n_rows, min(o_orderdate) AS min_date,
+        |  max(o_orderdate) AS max_date, TRUE AS meta_ok
+        |FROM (SELECT o_orderdate, o_orderkey FROM orders
+        |      UNION ALL
+        |      SELECT o_orderdate, o_orderkey FROM orders
+        |      WHERE o_orderkey % 97 = 0)""".stripMargin,
 
     "q_fs_connector" ->
       """SELECT n_name, count(*) AS n_cust,

@@ -90,6 +90,33 @@ class DataSkippingSpec extends SparkSuite {
       .filter(col("k") >= 100 && col("k") <= 200)) < 9)
   }
 
+  test("statsOnly answers from metadata, reconciled against the live listing both ways") {
+    val out = freshTable("skipscan_stats")
+    DataSkipping.buildIndex(spark, out, Seq("k"))
+    val indexed = spark.read.parquet(out).inputFiles.toSet
+
+    // fully indexed: exact count/min/max with ZERO data files in the plan
+    val s0 = DataSkipping.statsOnly(spark, out, Seq("k"))
+    assert(s0.inputFiles.forall(_.contains("_skip_index")))
+    assert(s0.collect().head.toSeq === Seq(1000L, 1L, 1000L))
+
+    // append after indexing: the fresh file is scanned and folded in,
+    // but no pre-index data file is read
+    Seq((5000L, "late")).toDF("k", "v").write.mode("append").parquet(out)
+    val s1 = DataSkipping.statsOnly(spark, out, Seq("k"))
+    val dataRead = s1.inputFiles.filterNot(_.contains("_skip_index"))
+    assert(dataRead.length === 1 && !indexed.contains(dataRead.head))
+    assert(s1.collect().head.toSeq === Seq(1001L, 1L, 5000L))
+
+    // delete an indexed file: its index row must stop counting
+    val victim = new org.apache.hadoop.fs.Path(indexed.head)
+    victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victim, false)
+    val after = DataSkipping.statsOnly(spark, out, Seq("k")).collect().head
+    assert(after.getLong(0) ===
+      spark.read.parquet(out).count())
+  }
+
   test("every-file-skipped range returns empty, correctly typed") {
     val out = freshTable("skipscan_empty")
     DataSkipping.buildIndex(spark, out, Seq("k"))
