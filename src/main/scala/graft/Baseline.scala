@@ -257,6 +257,25 @@ object Baseline {
         .orderBy("o_orderpriority")
     }),
 
+    // q_table_stats_only control: the same clustered write + post-write
+    // append, then count/min/max answered the stock way — a full scan
+    // of the final table. The graft query's metadata read replaces
+    // that scan; its one-time buildIndex job (amortized across every
+    // later probe in practice) is charged to the pair in full.
+    "q_table_stats_only" -> ((s, dir) => {
+      val out = Tables.scratch("baseline_stats_only")
+      val orders = t(s, dir, "orders")
+      orders.repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(out)
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .write.mode("append").parquet(out)
+      s.read.parquet(out).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))
+    }),
+
     // q_table_pruned_read control: stock hive-layout partition pruning
     // (a strong control — Spark prunes dirs natively; graft adds the
     // versioned manifest on top of the same contract).
