@@ -99,6 +99,22 @@ class GraftFileSystemSpec extends SparkSuite {
     assert(!fs.delete(new Path("graft://ls/never_existed"), true))
   }
 
+  test("getContentSummary recursively totals files, dirs, and bytes (CubefsFileSystem.java:432-436)") {
+    val (fs, _) = mountedFs("cs")
+    val root = new Path("graft://cs/tree")
+    fs.mkdirs(new Path(root, "sub"))
+    def put(p: Path, n: Int): Unit = {
+      val o = fs.create(p, true); o.write(Array.fill[Byte](n)(1)); o.close()
+    }
+    put(new Path(root, "a"), 10)
+    put(new Path(root, "b"), 20)
+    put(new Path(root, "sub/c"), 30)
+    val cs = fs.getContentSummary(root)
+    assert(cs.getFileCount === 3)
+    assert(cs.getDirectoryCount === 2) // tree + sub
+    assert(cs.getLength === 60)
+  }
+
   test("rename: plain move and move-into-existing-dir (testRename analog)") {
     val (fs, _) = mountedFs("mv")
     val src = new Path("graft://mv/a.txt")
