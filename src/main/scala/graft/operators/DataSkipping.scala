@@ -41,16 +41,24 @@ object DataSkipping {
     * row count for every indexed column, written as a single-file
     * parquet index beside the data (metadata-sized: O(files × cols)).
     */
-  def buildIndex(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit = {
+  def buildIndex(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit =
+    fileStats(spark, tableDir, cols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tableDir/$IndexDir")
+
+  /** The per-file stats frame itself — (file_path, min_X/max_X per
+    * col, n_rows), one aggregation job over `_metadata.file_path` —
+    * for callers that store it in their own log (see
+    * [[scanWithIndex]]).
+    */
+  def fileStats(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to index")
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     } :+ count(lit(1)).as("n_rows")
-    spark.read.parquet(tableDir)
+    spark.read.parquet(dataDir)
       .groupBy(col("_metadata.file_path").as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$tableDir/$IndexDir")
   }
 
   /** The index as a DataFrame (file_path, min_X/max_X per indexed
@@ -170,9 +178,9 @@ object DataSkipping {
     * Spark's own InMemoryFileIndex already spends on the listing, so
     * the index adds no NEW ceiling.
     */
-  private def loadBounds(spark: SparkSession, tableDir: String)
+  private def loadBounds(spark: SparkSession, indexPath: String)
       : (Map[String, Map[String, (Any, Any)]], Map[String, DataType]) = {
-    val idxDf = index(spark, tableDir)
+    val idxDf = spark.read.parquet(indexPath)
     val sch: StructType = idxDf.schema
     val cols = sch.fields.collect {
       case f if f.name.startsWith("min_") => (f.name.stripPrefix("min_"), f.dataType)
@@ -320,14 +328,23 @@ object DataSkipping {
     find(df.queryExecution.executedPlan).head.metrics("numFiles").value
   }
 
-  def scan(spark: SparkSession, tableDir: String): DataFrame = {
-    val live = spark.read.parquet(tableDir)
+  def scan(spark: SparkSession, tableDir: String): DataFrame =
+    scanWithIndex(spark, tableDir, s"$tableDir/$IndexDir")
+
+  /** [[scan]] generalized to an index stored anywhere — the entry
+    * point for layouts that keep per-file stats INSIDE their
+    * transaction log (e.g. a snapshot version's `_stats` sidecar,
+    * `Snapshots.create/commitMerge`): the caller points the scan of
+    * `dataDir` at the stats that were published atomically with it.
+    */
+  def scanWithIndex(spark: SparkSession, dataDir: String, indexPath: String): DataFrame = {
+    val live = spark.read.parquet(dataDir)
     val rel = live.queryExecution.analyzed.collectFirst {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
         l.relation.asInstanceOf[HadoopFsRelation]
     }.getOrElse(throw new IllegalStateException(
-      s"$tableDir did not resolve to a v1 parquet relation"))
-    val (bounds, types) = loadBounds(spark, tableDir)
+      s"$dataDir did not resolve to a v1 parquet relation"))
+    val (bounds, types) = loadBounds(spark, indexPath)
     val pruning = new SkipIndexFileIndex(rel.location, bounds, types)
     spark.baseRelationToDataFrame(rel.copy(location = pruning)(spark))
   }

@@ -114,10 +114,93 @@ object Snapshots {
   private def writeManifest(spark: SparkSession, root: String, vs: Seq[Int]): Unit =
     writeManifestLines(spark, root, vs.sorted.map(_.toString), sweep = true): Unit
 
-  /** Create the table at version 1 (drops any existing table at root). */
-  def create(spark: SparkSession, root: String, df: DataFrame): Unit = {
-    fs(spark, root).delete(new Path(root), true)
+  // ---- transactional per-file column stats -------------------------
+  //
+  // Registered stats columns make the table maintain an Iceberg-style
+  // per-file min/max sidecar for EVERY version, written after the
+  // version's data and BEFORE the manifest swap that publishes it —
+  // so stats and file membership commit atomically: a reader that can
+  // resolve a version always finds its stats, and there is no
+  // stale-index reconciliation problem by construction (the gap the
+  // standalone `DataSkipping` side index has to close with live-
+  // listing checks). Registration also makes every engine-owned
+  // rewrite (MERGE commit, compaction) range-cluster its files on the
+  // stats columns — tight per-file bounds are what make the stats
+  // prune (Delta liquid-clustering semantics: the declared skipping
+  // columns drive the layout).
+  private val StatsColsFile = "_stats_columns"
+  private def statsPath(root: String, v: Int) = s"${versionPath(root, v)}/_stats"
+
+  /** The table's registered stats/clustering columns; empty when the
+    * table was created without them. */
+  def statsColumns(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root, StatsColsFile)
+    val f = fs(spark, root)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+  }
+
+  private def writeColumnStats(spark: SparkSession, root: String, v: Int,
+      cols: Seq[String]): Unit =
+    DataSkipping.fileStats(spark, versionPath(root, v), cols)
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(root, v))
+
+  private def clustered(df: DataFrame, cols: Seq[String], nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(math.max(1, nFiles), cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+  }
+
+  /** A version's per-file column stats (file_path, min_X/max_X,
+    * n_rows) — the `files` metadata table, published atomically with
+    * the version it describes. Metadata-only aggregates (count/min/
+    * max) read from here without touching a data file, with no
+    * reconciliation caveats: the version's file set is immutable.
+    */
+  def columnStats(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in manifest (have ${vs.mkString(",")})")
+    spark.read.parquet(statsPath(root, v))
+  }
+
+  /** Read a version through a scan that prunes files from its OWN
+    * transactional stats ([[DataSkipping.scanWithIndex]]): any
+    * pushed-down range/equality predicate on a registered column
+    * skips the files whose bounds exclude it, at planning time.
+    */
+  def readPruned(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in manifest (have ${vs.mkString(",")})")
+    DataSkipping.scanWithIndex(spark, versionPath(root, v), statsPath(root, v))
+  }
+
+  /** Create the table at version 1 (drops any existing table at root).
+    * `statsCols` registers transactional per-file stats + clustered
+    * rewrites for the table's whole life (see the stats section
+    * above); v1 keeps the caller's own layout.
+    */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Unit = {
+    val f = fs(spark, root)
+    f.delete(new Path(root), true)
     df.write.parquet(versionPath(root, 1))
+    if (statsCols.nonEmpty) {
+      val out = f.create(new Path(root, StatsColsFile), true)
+      try out.write(statsCols.mkString(",").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      writeColumnStats(spark, root, 1, statsCols)
+    }
     writeManifest(spark, root, Seq(1))
   }
 
@@ -144,7 +227,14 @@ object Snapshots {
     val merged =
       if (evolveSchema) Upsert.mergeEvolve(read(spark, root), updates, key)
       else Upsert.merge(read(spark, root), updates, key)
-    merged.write.parquet(versionPath(root, next))
+    val statCols = statsColumns(spark, root)
+    val shaped =
+      if (statCols.isEmpty) merged
+      // engine-owned rewrite: keep the previous version's file count,
+      // cluster on the registered columns so per-file bounds stay tight
+      else clustered(merged, statCols, dataFiles(spark, root, vs.max).length)
+    shaped.write.parquet(versionPath(root, next))
+    if (statCols.nonEmpty) writeColumnStats(spark, root, next, statCols)
     writeManifest(spark, root, vs :+ next)
     next
   }
@@ -174,6 +264,12 @@ object Snapshots {
       f, new Path(versionPath(root, toVersion)),
       f, new Path(versionPath(root, next)),
       false, spark.sessionState.newHadoopConf())
+    // the byte-copy carries the target's _stats sidecar, but its
+    // file_path values name the OLD version's files — rewrite the
+    // stats against the new paths before publishing (conservative
+    // lookups would otherwise just stop pruning, never miscount)
+    val statCols = statsColumns(spark, root)
+    if (statCols.nonEmpty) writeColumnStats(spark, root, next, statCols)
     writeManifest(spark, root, vs :+ next)
     next
   }
@@ -271,9 +367,13 @@ object Snapshots {
     val (nBefore, totalBytes) = fileStats(spark, root, cur)
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val next = cur + 1
-    spark.read.parquet(versionPath(root, cur))
-      .repartition(nFiles)
-      .write.parquet(versionPath(root, next))
+    val cur0 = spark.read.parquet(versionPath(root, cur))
+    val statCols = statsColumns(spark, root)
+    val shaped =
+      if (statCols.isEmpty) cur0.repartition(nFiles)
+      else clustered(cur0, statCols, nFiles) // bin-pack AND re-cluster
+    shaped.write.parquet(versionPath(root, next))
+    if (statCols.nonEmpty) writeColumnStats(spark, root, next, statCols)
     writeManifest(spark, root, vs :+ next)
     (next, nBefore, dataFiles(spark, root, next).length)
   }

@@ -806,6 +806,52 @@ object Sources {
         .withColumn("meta_ok", lit(ok))
     }),
 
+    // Stats IN the transaction log (the Iceberg/Delta property the
+    // standalone side index approximates by reconciliation): a
+    // snapshot table created with registered stats columns publishes
+    // per-file min/max/n_rows atomically with every version — written
+    // after the version's data, before the manifest swap — and every
+    // engine-owned rewrite re-clusters on those columns. One MERGE
+    // commit later: (a) count/min/max of the LATEST version comes
+    // purely from the stats sidecar — meta_ok measures that the plan
+    // touches zero data files, with NO reconciliation caveat since a
+    // version's file set is immutable; (b) a quarter-range read over
+    // the merged version prunes files at planning time from the
+    // commit's own stats — skip_ok measures strictly-fewer files
+    // scanned. Oracle recomputes everything from the merged table.
+    "q_table_stats_txn" -> ((s, dir) => {
+      import graft.operators.{DataSkipping, Snapshots}
+      val root = graft.Tables.scratch("stats_txn_tbl")
+      val orders = t(s, dir, "orders")
+      Snapshots.create(s, root,
+        orders.repartitionByRange(8, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate"),
+        statsCols = Seq("o_orderdate"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val updates = orders.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+      Snapshots.commitMerge(s, root, updates, "o_orderkey")
+      val meta = Snapshots.columnStats(s, root)
+        .agg(sum("n_rows").cast("long").as("n_rows"),
+          min("min_o_orderdate").as("min_date"),
+          max("max_o_orderdate").as("max_date"))
+      val metaOk = meta.inputFiles.nonEmpty &&
+        meta.inputFiles.forall(_.contains("_stats"))
+      val quarter = Snapshots.readPruned(s, root)
+        .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-07-01")) &&
+          col("o_orderdate") <= lit(java.sql.Date.valueOf("1996-09-30")))
+      val nScanned = DataSkipping.scannedFiles(quarter.select("o_orderdate"))
+      val nTotal = Snapshots.read(s, root).inputFiles.length.toLong
+      val skipOk = nScanned > 0 && nScanned < nTotal
+      meta.crossJoin(quarter.agg(count(lit(1)).as("q_n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("q_total")))
+        .withColumn("meta_ok", lit(metaOk))
+        .withColumn("skip_ok", lit(skipOk))
+    }),
+
     // The reference's whole identity as a CONNECTOR, end-to-end: a
     // custom Hadoop FileSystem scheme registered via fs.graft.impl
     // (the fs.cfs.impl pattern, reference README.md:24-28) with
@@ -1180,6 +1226,29 @@ object Sources {
         |      UNION ALL
         |      SELECT o_orderdate, o_orderkey FROM orders
         |      WHERE o_orderkey % 97 = 0)""".stripMargin,
+
+    "q_table_stats_txn" ->
+      """WITH updates AS (
+        |  SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT * REPLACE (o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
+        |                    AS o_orderkey)
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT
+        |  (SELECT count(*) FROM merged) AS n_rows,
+        |  (SELECT min(o_orderdate) FROM merged) AS min_date,
+        |  (SELECT max(o_orderdate) FROM merged) AS max_date,
+        |  count(*) AS q_n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS q_total,
+        |  TRUE AS meta_ok, TRUE AS skip_ok
+        |FROM merged
+        |WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1996-09-30'""".stripMargin,
 
     "q_fs_connector" ->
       """SELECT n_name, count(*) AS n_cust,

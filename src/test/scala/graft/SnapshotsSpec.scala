@@ -36,6 +36,54 @@ class SnapshotsSpec extends SparkSuite {
       .as[(Long, Int)].collect() === v1Before)
   }
 
+  test("transactional stats: every commit publishes per-file bounds atomically; pruned reads and metadata aggregates use them") {
+    import graft.operators.DataSkipping
+    val root = freshRoot("snap_stats")
+    val base = (1 to 1000).map(i => (i.toLong, i * 2L)).toDF("k", "m")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    Snapshots.create(spark, root, base, statsCols = Seq("k"))
+    assert(Snapshots.statsColumns(spark, root) === Seq("k"))
+
+    // v1 stats cover every file; metadata-only count/min/max is exact
+    val s1 = Snapshots.columnStats(spark, root, Some(1))
+    assert(s1.agg(sum("n_rows")).head.getLong(0) === 1000L)
+    assert(s1.agg(min("min_k"), max("max_k")).head.toSeq === Seq(1L, 1000L))
+
+    // a MERGE commit re-clusters on the registered column and writes
+    // v2 stats inside the commit — the pruned read skips files
+    val v2 = Snapshots.commitMerge(spark, root,
+      Seq((5000L, 1L), (5001L, 2L)).toDF("k", "m"), "k")
+    val pruned = Snapshots.readPruned(spark, root, Some(v2))
+      .filter(col("k") >= 100 && col("k") <= 200)
+    val total = Snapshots.read(spark, root, Some(v2)).inputFiles.length
+    assert(DataSkipping.scannedFiles(pruned.select("k")) < total)
+    assert(pruned.count() === 101)
+    assert(Snapshots.columnStats(spark, root, Some(v2))
+      .agg(sum("n_rows")).head.getLong(0) === 1002L)
+
+    // rollback rewrites stats against the NEW version's paths — the
+    // pruned read over the rolled-back version still prunes
+    val v3 = Snapshots.rollback(spark, root, 1)
+    val rolled = Snapshots.readPruned(spark, root, Some(v3))
+      .filter(col("k") === 500)
+    assert(DataSkipping.scannedFiles(rolled.select("k")) === 1)
+    assert(rolled.count() === 1)
+
+    // compaction keeps the stats current and the layout clustered
+    val (v4, _, _) = Snapshots.compact(spark, root, 1L << 20)
+    assert(Snapshots.columnStats(spark, root, Some(v4))
+      .agg(sum("n_rows")).head.getLong(0) === 1000L)
+    val afterCompact = Snapshots.readPruned(spark, root, Some(v4))
+      .filter(col("k") === 500)
+    assert(afterCompact.count() === 1)
+
+    // an unregistered table behaves exactly as before: no sidecar
+    val plain = freshRoot("snap_stats_plain")
+    Snapshots.create(spark, plain, Seq((1L, "a")).toDF("k", "v"))
+    assert(Snapshots.statsColumns(spark, plain).isEmpty)
+    intercept[Exception] { Snapshots.columnStats(spark, plain).collect() }
+  }
+
   test("chained commits keep every historical version readable") {
     val root = freshRoot("snap_chain")
     Snapshots.create(spark, root, Seq((1L, 1)).toDF("k", "v"))
