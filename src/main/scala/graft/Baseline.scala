@@ -475,7 +475,7 @@ object Baseline {
         val rawSchema = s.read.parquet(Tables.path(dir, "events")).schema
         val ev = s.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(graft.Tables.normalizeTs)
         val l1 = ev.withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n5"), sum("value").as("v5"))
@@ -516,7 +516,7 @@ object Baseline {
         val rawSchema = s.read.parquet(Tables.path(dir, "events")).schema
         val ev = s.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(graft.Tables.normalizeTs)
         val views = ev.filter(col("event_type") === "view")
           .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
           .withWatermark("v_ts", "30 minutes")

@@ -55,22 +55,40 @@ object Tables {
         }, 10)
     }
 
-  /** Load one table as a DataFrame (schema from parquet footer).
-    *
-    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's parquet
-    * reader rejects; we read it as a long (legacy conf) and convert to
-    * TimestampType at µs precision with integer division — nanos since
-    * epoch (~1.7e18) exceed a double's 2^53 mantissa, so `ts div 1000`,
-    * never `/ 1000.0`. DuckDB truncates ns→µs the same way, keeping the
-    * oracle comparable.
+  /** Normalize `events.ts` to µs-precision TimestampType whatever the
+    * parquet encoding. The driver has shipped the column two ways
+    * across testdata generations:
+    *   - TIMESTAMP(NANOS), which Spark's reader rejects; read as a
+    *     long (legacy conf) and convert with integer division — nanos
+    *     since epoch (~1.7e18) exceed a double's 2^53 mantissa, so
+    *     `ts div 1000`, never `/ 1000.0`. DuckDB truncates ns→µs the
+    *     same way, keeping the oracle comparable.
+    *   - plain timestamp[us] (no tz), which Spark reads as
+    *     TIMESTAMP_NTZ; cast to TimestampType — every graft session
+    *     pins `spark.sql.session.timeZone=UTC`, so the wall-clock
+    *     reinterpretation is the identity on the stored micros and
+    *     matches DuckDB's naive read bit-for-bit.
+    * Already-TimestampType input passes through untouched.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
+  }
+
+  /** Load one table as a DataFrame (schema from parquet footer);
+    * `events.ts` normalized to TimestampType via [[normalizeTs]].
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Register every table as a temp view so SQL queries can run. */

@@ -81,10 +81,35 @@ object Aggregators {
 
   case class TopKHit(id: Long, score: Double)
 
+  /** Bloom filter over pre-hashed (xxhash64) elements as a mergeable
+    * aggregate: buffer = the bit array itself, merge = word-wise OR —
+    * associative and commutative, so it runs as a real partial/final
+    * hash aggregate (each map task builds a partial bloom; the shuffle
+    * carries one `words`-long array per group, never the elements).
+    * Emits array<long> so the result round-trips through parquet as an
+    * ordinary column (the skip index stores one per file per column).
+    */
+  class BloomAgg(words: Int, k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](words)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      GraftHash.bloomSet(b, h, k); b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+    override def outputEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+  }
+
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
     val doubleSeq: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
     val topkSeq: Encoder[Seq[TopKHit]] = ExpressionEncoder[Seq[TopKHit]]()
+    val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 }

@@ -352,4 +352,46 @@ object GraftHash {
     }
     new GenericArrayData(out)
   }
+
+  // ---- Bloom filter kernels (per-file equality skipping) ----------
+  //
+  // Classic Bloom filter over a 64-bit element hash, double-hashed per
+  // Kirsch–Mitzenmacher '06 ("Less Hashing, Same Performance"): the k
+  // probe positions are h1 + i·h2 where h2 is an odd remix of h1, so
+  // one upstream xxhash64 per element suffices. Build and probe share
+  // these two kernels, which is what makes "bit set at build" ⇒ "bit
+  // found at probe" a structural guarantee (no false negatives).
+
+  /** SplitMix64 finalizer — decorrelates h2 from h1. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Set element-hash `h`'s k bits in `words` (64 bits per word). */
+  def bloomSet(words: Array[Long], h: Long, k: Int): Unit = {
+    val nBits = words.length.toLong * 64L
+    val h2 = mix64(h) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = ((h + i * h2) & Long.MaxValue) % nBits
+      words((pos >>> 6).toInt) |= 1L << (pos & 63L)
+      i += 1
+    }
+  }
+
+  /** Membership probe: false ⇒ the element was NEVER added. */
+  def bloomMightContain(words: Array[Long], h: Long, k: Int): Boolean = {
+    val nBits = words.length.toLong * 64L
+    val h2 = mix64(h) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = ((h + i * h2) & Long.MaxValue) % nBits
+      if ((words((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }

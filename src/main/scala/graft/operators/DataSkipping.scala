@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper, XxHash64}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -36,25 +36,49 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DataSkipping {
   private val IndexDir = "_skip_index"
 
-  /** Build (or rebuild) the min/max index for `cols` over the parquet
-    * table at `tableDir`. One aggregation job: per-file min, max, and
-    * row count for every indexed column, written as a single-file
-    * parquet index beside the data (metadata-sized: O(files × cols)).
+  /** Probe count for the per-file equality blooms — fixed so build and
+    * probe agree without storing it (7 probes ≈ optimal for the
+    * default sizing of ~8 bits per element).
     */
-  def buildIndex(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit =
-    fileStats(spark, tableDir, cols)
+  private val BloomK = 7
+
+  /** Build (or rebuild) the skip index for `cols` over the parquet
+    * table at `tableDir`. One aggregation job: per-file min, max, and
+    * row count for every indexed column — plus, for each column in
+    * `bloomCols`, a per-file Bloom filter over `xxhash64(value)` for
+    * EQUALITY skipping. Min/max bounds prune ranges only when the
+    * write layout clusters the column; a uuid-shaped key (every file's
+    * bounds span the whole domain) never prunes by bounds, but its
+    * bloom rules out all-but-the-matching files for an `=` or `IN`
+    * probe regardless of layout — Parquet's own optional bloom
+    * filters / Delta's bloom index, one level up. The index stays
+    * metadata-sized: `bloomWords`×8 bytes per file per bloom column
+    * (default 8 KiB).
+    */
+  def buildIndex(spark: SparkSession, tableDir: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomWords: Int = 1024): Unit =
+    fileStats(spark, tableDir, cols, bloomCols, bloomWords)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tableDir/$IndexDir")
 
   /** The per-file stats frame itself — (file_path, min_X/max_X per
-    * col, n_rows), one aggregation job over `_metadata.file_path` —
-    * for callers that store it in their own log (see
-    * [[scanWithIndex]]).
+    * col, [bloom_X per bloom col,] n_rows), one aggregation job over
+    * `_metadata.file_path` — for callers that store it in their own
+    * log (see [[scanWithIndex]]). Bloom columns must also be bounds
+    * columns: the bounds row carries the column's type, which the
+    * probe side needs to hash literals consistently.
     */
-  def fileStats(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+  def fileStats(spark: SparkSession, dataDir: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomWords: Int = 1024): DataFrame = {
     require(cols.nonEmpty, "need at least one column to index")
+    require(bloomCols.forall(cols.contains),
+      s"bloom columns must be indexed columns too: ${bloomCols.diff(cols)}")
+    val bloomUdaf = udaf(new graft.functions.Aggregators.BloomAgg(bloomWords, BloomK),
+      org.apache.spark.sql.Encoders.scalaLong)
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } ++ bloomCols.map { c =>
+      bloomUdaf(xxhash64(col(c))).as(s"bloom_$c")
     } :+ count(lit(1)).as("n_rows")
     spark.read.parquet(dataDir)
       .groupBy(col("_metadata.file_path").as("file_path"))
@@ -179,11 +203,15 @@ object DataSkipping {
     * the index adds no NEW ceiling.
     */
   private def loadBounds(spark: SparkSession, indexPath: String)
-      : (Map[String, Map[String, (Any, Any)]], Map[String, DataType]) = {
+      : (Map[String, Map[String, (Any, Any)]], Map[String, DataType],
+         Map[String, Map[String, Array[Long]]]) = {
     val idxDf = spark.read.parquet(indexPath)
     val sch: StructType = idxDf.schema
     val cols = sch.fields.collect {
       case f if f.name.startsWith("min_") => (f.name.stripPrefix("min_"), f.dataType)
+    }.toSeq
+    val bloomCols = sch.fieldNames.collect {
+      case n if n.startsWith("bloom_") => n.stripPrefix("bloom_")
     }.toSeq
     val rows = idxDf.queryExecution.executedPlan.executeCollect()
     val pathIdx = sch.fieldIndex("file_path")
@@ -196,7 +224,15 @@ object DataSkipping {
       }.toMap
       path -> bounds
     }.toMap
-    (byPath, cols.toMap)
+    val bloomsByPath = rows.map { r =>
+      val path = normalize(r.getUTF8String(pathIdx).toString)
+      val blooms = bloomCols.flatMap { c =>
+        val i = sch.fieldIndex(s"bloom_$c")
+        if (r.isNullAt(i)) None else Some(c -> r.getArray(i).toLongArray())
+      }.toMap
+      path -> blooms
+    }.toMap
+    (byPath, cols.toMap, bloomsByPath)
   }
 
   /** A [[FileIndex]] that applies the min/max side index INSIDE scan
@@ -214,7 +250,9 @@ object DataSkipping {
   private final class SkipIndexFileIndex(
       underlying: FileIndex,
       boundsByPath: Map[String, Map[String, (Any, Any)]],
-      colTypes: Map[String, DataType]) extends FileIndex with PredicateHelper {
+      colTypes: Map[String, DataType],
+      bloomsByPath: Map[String, Map[String, Array[Long]]])
+      extends FileIndex with PredicateHelper {
 
     override def rootPaths: Seq[Path] = underlying.rootPaths
     override def inputFiles: Array[String] = underlying.inputFiles
@@ -231,13 +269,29 @@ object DataSkipping {
       java.lang.Boolean.TRUE == LessThanOrEqual(Literal(l, dt), Literal(r, dt)).eval(InternalRow.empty)
 
     /** Can `conjunct` be proven false for every row of a file with
-      * these bounds? NULL bounds (all-null chunk) never skip.
+      * these bounds/blooms? NULL bounds (all-null chunk) never skip.
+      * Equality shapes consult the column's Bloom filter as well: a
+      * negative probe proves the value was never written to the file
+      * (no false negatives by construction), so a uuid-shaped key
+      * prunes even when every file's [min, max] spans the domain.
       */
-    private def canSkip(bounds: Map[String, (Any, Any)], conjunct: Expression): Boolean = {
+    private def canSkip(bounds: Map[String, (Any, Any)],
+        blooms: Map[String, Array[Long]], conjunct: Expression): Boolean = {
       def check(name: String, f: (Any, Any, DataType) => Boolean, litV: Any, litT: DataType): Boolean =
         colTypes.get(name).exists { dt =>
           dt == litT && litV != null && bounds.get(name).exists {
             case (mn, mx) => mn != null && mx != null && f(mn, mx, dt)
+          }
+        }
+      // definitely-absent under the file's bloom (hash of the literal
+      // by the same xxhash64(seed=42) the index build applied to the
+      // column — type equality guards representation equality)
+      def bloomAbsent(name: String, litV: Any, litT: DataType): Boolean =
+        colTypes.get(name).exists { dt =>
+          dt == litT && litV != null && blooms.get(name).exists { words =>
+            val h = XxHash64(Seq(Literal(litV, dt)), 42L)
+              .eval(InternalRow.empty).asInstanceOf[Long]
+            !graft.functions.GraftHash.bloomMightContain(words, h, BloomK)
           }
         }
       conjunct match {
@@ -261,26 +315,29 @@ object DataSkipping {
           check(a.name, (mn, _, dt) => lte(l.value, mn, dt), l.value, l.dataType)
         case GreaterThan(l: Literal, a: AttributeReference) =>
           check(a.name, (mn, _, dt) => lte(l.value, mn, dt), l.value, l.dataType)
-        // c = L: skip when L outside [min, max]
+        // c = L: skip when L outside [min, max] OR bloom-absent
         case EqualTo(a: AttributeReference, l: Literal) =>
           check(a.name, (mn, mx, dt) => lt(l.value, mn, dt) || lt(mx, l.value, dt),
-            l.value, l.dataType)
+            l.value, l.dataType) || bloomAbsent(a.name, l.value, l.dataType)
         case EqualTo(l: Literal, a: AttributeReference) =>
           check(a.name, (mn, mx, dt) => lt(l.value, mn, dt) || lt(mx, l.value, dt),
-            l.value, l.dataType)
-        // c IN (...): skip when EVERY value is outside [min, max]
+            l.value, l.dataType) || bloomAbsent(a.name, l.value, l.dataType)
+        // c IN (...): skip when EVERY value is out-of-bounds or
+        // bloom-absent
         case In(a: AttributeReference, list) if list.nonEmpty &&
             list.forall(_.isInstanceOf[Literal]) =>
           val lits = list.map(_.asInstanceOf[Literal])
           lits.forall(l => check(a.name,
             (mn, mx, dt) => lt(l.value, mn, dt) || lt(mx, l.value, dt),
-            l.value, l.dataType))
+            l.value, l.dataType) || bloomAbsent(a.name, l.value, l.dataType))
         // optimizer form of a large IN: values already internal
         case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
           colTypes.get(a.name).exists { dt =>
-            bounds.get(a.name).exists { case (mn, mx) =>
-              mn != null && mx != null && hset.forall(v =>
-                v != null && (lt(v, mn, dt) || lt(mx, v, dt)))
+            val bnd = bounds.get(a.name)
+            hset.forall { v =>
+              v != null && (bnd.exists { case (mn, mx) =>
+                mn != null && mx != null && (lt(v, mn, dt) || lt(mx, v, dt))
+              } || bloomAbsent(a.name, v, dt))
             }
           }
         case _ => false
@@ -294,9 +351,12 @@ object DataSkipping {
       if (conjuncts.isEmpty || boundsByPath.isEmpty) base
       else base.map { pd =>
         pd.copy(files = pd.files.filter { f =>
-          boundsByPath.get(normalize(f.getPath.toString)) match {
+          val p = normalize(f.getPath.toString)
+          boundsByPath.get(p) match {
             case None => true // unindexed (post-index append): always scan
-            case Some(b) => !conjuncts.exists(c => canSkip(b, c))
+            case Some(b) =>
+              val bl = bloomsByPath.getOrElse(p, Map.empty)
+              !conjuncts.exists(c => canSkip(b, bl, c))
           }
         })
       }
@@ -344,8 +404,8 @@ object DataSkipping {
         l.relation.asInstanceOf[HadoopFsRelation]
     }.getOrElse(throw new IllegalStateException(
       s"$dataDir did not resolve to a v1 parquet relation"))
-    val (bounds, types) = loadBounds(spark, indexPath)
-    val pruning = new SkipIndexFileIndex(rel.location, bounds, types)
+    val (bounds, types, blooms) = loadBounds(spark, indexPath)
+    val pruning = new SkipIndexFileIndex(rel.location, bounds, types, blooms)
     spark.baseRelationToDataFrame(rel.copy(location = pruning)(spark))
   }
 }

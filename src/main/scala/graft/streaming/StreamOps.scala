@@ -55,8 +55,8 @@ object StreamOps {
   }
 
   /** The events table as a stream (schema fixed from the batch read;
-    * nanos ts pre-converted to µs TimestampType by the same rule as
-    * `Tables`).
+    * ts normalized to µs TimestampType by the same rule as `Tables`,
+    * whichever parquet encoding the testdata generation used).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -75,7 +75,7 @@ object StreamOps {
         // events file
         spark.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(raw)
   }
 
   /** The events table as a rate-limited multi-batch stream: a
@@ -100,7 +100,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "part-*")
       .parquet(src)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeTs)
   }
 
   /** Exactly-once recovery drill (the reference's hsync durability
