@@ -75,7 +75,17 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     if (!df.columns.contains("ts")) df
     else df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // nanos since epoch are ~1.7e18; int64 MICROS (a plausible third
+      // encoding the schema alone can't distinguish) would be ~1.7e15.
+      // Dividing micros by 1000 silently yields seconds-scale garbage,
+      // so refuse any value outside the unambiguous nanos range.
+      case LongType => df.withColumn("ts", expr(
+        """timestamp_micros(case
+          |  when ts is null then null
+          |  when abs(ts) >= 100000000000000000 then ts div 1000
+          |  else raise_error(concat('events.ts int64 value ', ts,
+          |    ' is not nanos-since-epoch scale; refusing ambiguous conversion'))
+          |end)""".stripMargin))
       case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
       case _ => df
     }

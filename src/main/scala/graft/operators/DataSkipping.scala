@@ -36,11 +36,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DataSkipping {
   private val IndexDir = "_skip_index"
 
-  /** Probe count for the per-file equality blooms — fixed so build and
-    * probe agree without storing it (7 probes ≈ optimal for the
-    * default sizing of ~8 bits per element).
+  /** Probe count for the per-file equality blooms (7 probes ≈ optimal
+    * for the default sizing of ~8 bits per element). Persisted with the
+    * index (`bloom_k`) together with [[BloomFmt]], so a probe-side
+    * binary never hashes against an index built under different
+    * parameters: mismatched probing is a silent false negative — a
+    * wrongly skipped file — and the version row turns it into a
+    * harmless "ignore the bloom, keep the file".
     */
   private val BloomK = 7
+
+  /** Bloom encoding version: 1 = xxhash64(seed 42) of the column value,
+    * SplitMix64 double hashing ([[graft.functions.GraftHash.bloomSet]]),
+    * one long-array per file. Bump on ANY change to hashing or layout;
+    * [[loadBounds]] drops blooms whose recorded version it does not
+    * recognize (bounds still apply — they carry no format risk).
+    */
+  private val BloomFmt = 1
 
   /** Build (or rebuild) the skip index for `cols` over the parquet
     * table at `tableDir`. One aggregation job: per-file min, max, and
@@ -79,7 +91,9 @@ object DataSkipping {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     } ++ bloomCols.map { c =>
       bloomUdaf(xxhash64(col(c))).as(s"bloom_$c")
-    } :+ count(lit(1)).as("n_rows")
+    } ++ (if (bloomCols.isEmpty) Nil
+          else Seq(lit(BloomFmt).as("bloom_fmt"), lit(BloomK).as("bloom_k"))) :+
+      count(lit(1)).as("n_rows")
     spark.read.parquet(dataDir)
       .groupBy(col("_metadata.file_path").as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -204,15 +218,18 @@ object DataSkipping {
     */
   private def loadBounds(spark: SparkSession, indexPath: String)
       : (Map[String, Map[String, (Any, Any)]], Map[String, DataType],
-         Map[String, Map[String, Array[Long]]]) = {
+         Map[String, (Int, Map[String, Array[Long]])]) = {
     val idxDf = spark.read.parquet(indexPath)
     val sch: StructType = idxDf.schema
     val cols = sch.fields.collect {
       case f if f.name.startsWith("min_") => (f.name.stripPrefix("min_"), f.dataType)
     }.toSeq
+    // `bloom_fmt`/`bloom_k` are format metadata, not bloom payloads
+    val meta = Set("bloom_fmt", "bloom_k")
     val bloomCols = sch.fieldNames.collect {
-      case n if n.startsWith("bloom_") => n.stripPrefix("bloom_")
+      case n if n.startsWith("bloom_") && !meta(n) => n.stripPrefix("bloom_")
     }.toSeq
+    val hasFmt = sch.fieldNames.contains("bloom_fmt") && sch.fieldNames.contains("bloom_k")
     val rows = idxDf.queryExecution.executedPlan.executeCollect()
     val pathIdx = sch.fieldIndex("file_path")
     val byPath = rows.map { r =>
@@ -224,13 +241,23 @@ object DataSkipping {
       }.toMap
       path -> bounds
     }.toMap
-    val bloomsByPath = rows.map { r =>
+    val bloomsByPath = rows.flatMap { r =>
       val path = normalize(r.getUTF8String(pathIdx).toString)
-      val blooms = bloomCols.flatMap { c =>
-        val i = sch.fieldIndex(s"bloom_$c")
-        if (r.isNullAt(i)) None else Some(c -> r.getArray(i).toLongArray())
-      }.toMap
-      path -> blooms
+      // an index with no recorded (fmt, k) — or an unrecognized fmt —
+      // predates/postdates this binary's encoding: probing it risks
+      // false negatives, so its blooms are ignored entirely
+      val verified = hasFmt && !r.isNullAt(sch.fieldIndex("bloom_fmt")) &&
+        r.getInt(sch.fieldIndex("bloom_fmt")) == BloomFmt &&
+        !r.isNullAt(sch.fieldIndex("bloom_k"))
+      if (!verified) None
+      else {
+        val k = r.getInt(sch.fieldIndex("bloom_k"))
+        val blooms = bloomCols.flatMap { c =>
+          val i = sch.fieldIndex(s"bloom_$c")
+          if (r.isNullAt(i)) None else Some(c -> r.getArray(i).toLongArray())
+        }.toMap
+        if (blooms.isEmpty) None else Some(path -> (k, blooms))
+      }
     }.toMap
     (byPath, cols.toMap, bloomsByPath)
   }
@@ -251,8 +278,18 @@ object DataSkipping {
       underlying: FileIndex,
       boundsByPath: Map[String, Map[String, (Any, Any)]],
       colTypes: Map[String, DataType],
-      bloomsByPath: Map[String, Map[String, Array[Long]]])
+      bloomsByPath: Map[String, (Int, Map[String, Array[Long]])])
       extends FileIndex with PredicateHelper {
+
+    // one xxhash64 evaluation per distinct (value, type) literal per
+    // query, NOT per (file × literal): an InSet of 1000 values over
+    // 10k indexed files would otherwise build and eval 10M interpreted
+    // expressions inside planning
+    private val litHashes =
+      new java.util.concurrent.ConcurrentHashMap[(Any, DataType), java.lang.Long]
+    private def litHash(v: Any, dt: DataType): Long =
+      litHashes.computeIfAbsent((v, dt), _ =>
+        XxHash64(Seq(Literal(v, dt)), 42L).eval(InternalRow.empty).asInstanceOf[Long])
 
     override def rootPaths: Seq[Path] = underlying.rootPaths
     override def inputFiles: Array[String] = underlying.inputFiles
@@ -276,7 +313,7 @@ object DataSkipping {
       * prunes even when every file's [min, max] spans the domain.
       */
     private def canSkip(bounds: Map[String, (Any, Any)],
-        blooms: Map[String, Array[Long]], conjunct: Expression): Boolean = {
+        blooms: (Int, Map[String, Array[Long]]), conjunct: Expression): Boolean = {
       def check(name: String, f: (Any, Any, DataType) => Boolean, litV: Any, litT: DataType): Boolean =
         colTypes.get(name).exists { dt =>
           dt == litT && litV != null && bounds.get(name).exists {
@@ -285,13 +322,12 @@ object DataSkipping {
         }
       // definitely-absent under the file's bloom (hash of the literal
       // by the same xxhash64(seed=42) the index build applied to the
-      // column — type equality guards representation equality)
+      // column — type equality guards representation equality; probe
+      // count k comes from the index row, never this binary)
       def bloomAbsent(name: String, litV: Any, litT: DataType): Boolean =
         colTypes.get(name).exists { dt =>
-          dt == litT && litV != null && blooms.get(name).exists { words =>
-            val h = XxHash64(Seq(Literal(litV, dt)), 42L)
-              .eval(InternalRow.empty).asInstanceOf[Long]
-            !graft.functions.GraftHash.bloomMightContain(words, h, BloomK)
+          dt == litT && litV != null && blooms._2.get(name).exists { words =>
+            !graft.functions.GraftHash.bloomMightContain(words, litHash(litV, dt), blooms._1)
           }
         }
       conjunct match {
@@ -355,7 +391,7 @@ object DataSkipping {
           boundsByPath.get(p) match {
             case None => true // unindexed (post-index append): always scan
             case Some(b) =>
-              val bl = bloomsByPath.getOrElse(p, Map.empty)
+              val bl = bloomsByPath.getOrElse(p, (BloomK, Map.empty[String, Array[Long]]))
               !conjuncts.exists(c => canSkip(b, bl, c))
           }
         })

@@ -117,6 +117,80 @@ class DataSkippingSpec extends SparkSuite {
       spark.read.parquet(out).count())
   }
 
+  test("bloom index: no false negatives on present keys, absent probes prune") {
+    val out = Tables.scratch("skipscan_bloom")
+    // uuid-shaped key: md5 destroys clustering, so every file's
+    // [min, max] spans the whole domain and bounds alone never prune —
+    // exactly the layout blooms exist for
+    val ids = (1 to 1000).map(i => s"id-${i}")
+    ids.map(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id), id))
+      .toDF("uid", "src")
+      .repartition(8)
+      .write.mode("overwrite").parquet(out)
+    DataSkipping.buildIndex(spark, out, Seq("uid"), bloomCols = Seq("uid"))
+    val total = spark.read.parquet(out).inputFiles.length
+
+    def uidOf(i: Int): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"id-$i")
+
+    // EVERY present key must be found — a single miss is a silently
+    // dropped row, the failure class blooms must never introduce
+    val presentProbes = (1 to 1000 by 97) :+ 1 :+ 1000
+    presentProbes.foreach { i =>
+      val hit = DataSkipping.scan(spark, out).filter(col("uid") === uidOf(i))
+      assert(hit.count() === 1, s"present key id-$i must survive bloom pruning")
+    }
+
+    // absent = / IN / >10-value InSet probes prune files (bounds can't:
+    // every file spans the domain, so any pruning here is the bloom's)
+    val absentEq = DataSkipping.scan(spark, out)
+      .filter(col("uid") === org.apache.commons.codec.digest.DigestUtils.md5Hex("absent-1"))
+    assert(scannedFiles(absentEq) < total)
+    assert(absentEq.count() === 0)
+
+    val absentIn = DataSkipping.scan(spark, out)
+      .filter(col("uid").isin((1 to 3).map(i =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"absent-$i")): _*))
+    assert(scannedFiles(absentIn) < total)
+    assert(absentIn.count() === 0)
+
+    // >10 values: the optimizer rewrites In → InSet; still pruned
+    val absentInSet = DataSkipping.scan(spark, out)
+      .filter(col("uid").isin((1 to 12).map(i =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"absent-$i")): _*))
+    assert(scannedFiles(absentInSet) === 0)
+    assert(absentInSet.count() === 0)
+
+    // a mixed InSet (11 absent + 1 present) still returns the present row
+    val mixed = DataSkipping.scan(spark, out)
+      .filter(col("uid").isin(((1 to 11).map(i =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"absent-$i")) :+ uidOf(500)): _*))
+    assert(mixed.count() === 1)
+    assert(mixed.select("src").as[String].collect() === Array("id-500"))
+  }
+
+  test("blooms with an unrecognized format version are ignored, not probed") {
+    val out = Tables.scratch("skipscan_bloomver")
+    (1 to 200).map(i => (s"k$i", i)).toDF("uid", "n")
+      .repartition(4).write.mode("overwrite").parquet(out)
+    DataSkipping.buildIndex(spark, out, Seq("uid"), bloomCols = Seq("uid"))
+    val idxDir = s"$out/_skip_index"
+    // simulate an index written by a different binary: bump bloom_fmt
+    val rewritten = spark.read.parquet(idxDir).withColumn("bloom_fmt", lit(99))
+    val tmp = Tables.scratch("skipscan_bloomver_tmp")
+    rewritten.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(idxDir)
+    val total = spark.read.parquet(out).inputFiles.length
+    // a probe that a (mis)matched bloom would prune: "k21x" is absent
+    // but inside every file's [min, max] (hash layout), so only a bloom
+    // could prune it — with the version unrecognized the bloom must NOT
+    // be consulted: all files scanned, and present rows still returned
+    val absent = DataSkipping.scan(spark, out).filter(col("uid") === "k21x")
+    assert(scannedFiles(absent) === total)
+    val present = DataSkipping.scan(spark, out).filter(col("uid") === "k7")
+    assert(present.count() === 1)
+  }
+
   test("every-file-skipped range returns empty, correctly typed") {
     val out = freshTable("skipscan_empty")
     DataSkipping.buildIndex(spark, out, Seq("k"))
