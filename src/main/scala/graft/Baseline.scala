@@ -564,7 +564,12 @@ object Baseline {
     // and substring-dedup shapes are built entirely of stock operators)
     "q_window_session_batch", "q_window_islands", "q_sql_ddl",
     "q_train_shuffle", "q_text_perplexity", "q_text_tfidf_pairs",
-    "q_dedup_substring", "q_dedup_editdist")
+    "q_dedup_substring", "q_dedup_editdist",
+    // round-9 TPC-H completion (all pure SQL surface: control =
+    // identical ANSI text on a stock session)
+    "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q8", "q_sql_tpch_q9",
+    "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q15",
+    "q_sql_tpch_q16", "q_sql_tpch_q19")
 
   private def timeMedian3(run: () => Unit): Double = {
     val ts = (0 until 3).map { _ =>

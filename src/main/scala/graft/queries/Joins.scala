@@ -174,6 +174,202 @@ object Joins {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  // ---- Round-9: the remaining TPC-H shapes, completing all 22. Same
+  // adaptation rules as the round-6 batch: the fixture schema has no
+  // partsupp / commitdate / shipmode / container columns, so each
+  // query keeps its defining PLAN shape (the thing Catalyst must get
+  // right) with fixture-column stand-ins, and money stays in exact
+  // cents until one final CAST AS DOUBLE.
+
+  // Q1 full ANSI: the pricing-summary scan-heavy aggregate — 8 aggs
+  // over one pass, grouped on two low-cardinality flags. The plan to
+  // want at 100 TB: one scan, partial HashAggregate before the 6-group
+  // exchange (map-side combine collapses 60k→12 rows per partition).
+  // Averages derive from the exact sums (sum/count), never a separate
+  // float accumulation, so summation order can't shift them.
+  private val tpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |    AS DOUBLE) / 100.0 AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+      |    AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+      |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 / count(*) AS avg_price,
+      |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // Q6: the forecasting-revenue filter-only aggregate — no join, no
+  // group key; the whole query is predicate pushdown + one global agg.
+  private val tpchQ6Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+      |    AS DOUBLE) / 100.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+
+  // Q8: national market share — the 8-table join (nation twice) where
+  // one nation's volume is a CASE inside the same aggregate as the
+  // denominator, so the share needs no second pass and no self-join.
+  // mkt_share is a ratio of two exact-cents BIGINTs; the single final
+  // division is the only floating step.
+  private val tpchQ8Sql: String =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_11' THEN vol_cents ELSE 0 END)
+      |    AS DOUBLE) / CAST(sum(vol_cents) AS DOUBLE) AS mkt_share,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |      AS vol_cents,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // Q9: product-type profit by nation and year. No partsupp means no
+  // ps_supplycost; the stand-in cost is 10% of the part's list price
+  // per unit, which preserves the defining shape — a 5-table join whose
+  // aggregate input is an arithmetic combination of columns from THREE
+  // different tables (lineitem price, part cost, supplier nation).
+  private val tpchQ9Sql: String =
+    """SELECT nation, o_year,
+      |  CAST(sum(amount_cents) AS DOUBLE) / 100.0 AS sum_profit,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |    CAST(round((l_extendedprice * (1 - l_discount)
+      |      - 0.1 * p_retailprice * l_quantity) * 100) AS BIGINT)
+      |      AS amount_cents
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%gear%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year""".stripMargin
+
+  // Q11: important-stock identification — GROUP BY + HAVING against an
+  // UNCORRELATED scalar subquery that re-aggregates the same filtered
+  // join (the fraction-of-global-total gate). lineitem stands in for
+  // partsupp as the part×supplier holdings list, one nation's share.
+  // The 0.001 threshold scales with the corpus because both sides grow
+  // together — selectivity is scale-invariant by construction.
+  private val tpchQ11Sql: String =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS part_value
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) > (
+      |  SELECT 0.001 * sum(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+      |  FROM lineitem l2
+      |  JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+      |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |  WHERE n2.n_name = 'NATION_3')
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // Q12: shipping-mode priority split — conditional aggregation (two
+  // CASE sums in one pass) over a date-bounded join. No l_shipmode in
+  // the fixture; l_returnflag is the grouping stand-in, and "late" is
+  // the same shipped->ordered lag predicate Q4/Q21 use. Integer-only
+  // outputs: cross-engine exact with no rounding rules at all.
+  private val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // Q15: top supplier — the CTE ("revenue view") referenced twice:
+  // once as the join input, once re-aggregated under a scalar MAX
+  // subquery. Equality against the max is on the exact-cents BIGINT,
+  // so float ties can't make the two engines pick different winners.
+  private val tpchQ15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |      AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Q16: parts/supplier relationship count — COUNT(DISTINCT) grouped
+  // on three part attributes, with a NOT IN anti-subquery on the
+  // supplier side (the "exclude complained-about suppliers" gate;
+  // negative balance is the fixture's complaint stand-in). lineitem's
+  // (partkey, suppkey) pairs stand in for partsupp.
+  private val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // Q19: discounted-revenue over an OR of three AND-blocks, each
+  // mixing part-side attributes with lineitem-side quantity bounds —
+  // the disjunctive-pushdown stress test: Catalyst must derive the
+  // per-side residuals (brand/size disjunction to the part scan,
+  // quantity disjunction to the lineitem scan) rather than evaluating
+  // the whole disjunction post-join.
+  private val tpchQ19Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |    AS DOUBLE) / 100.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
   // Correlated LATERAL subquery with per-group LIMIT — the "top-k per
   // key as a join" SQL shape (Spark ≥3.2 / DuckDB ≥0.9 both speak it).
   private val lateralSql: String =
@@ -500,6 +696,36 @@ object Joins {
       s.sql(tpchQ20Sql)
     }),
 
+    // Round-9 batch completing all 22 TPC-H shapes — rationale on each
+    // SQL text above; every one runs the same ANSI on both engines.
+    "q_sql_tpch_q1" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ1Sql)
+    }),
+    "q_sql_tpch_q6" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ6Sql)
+    }),
+    "q_sql_tpch_q8" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ8Sql)
+    }),
+    "q_sql_tpch_q9" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ9Sql)
+    }),
+    "q_sql_tpch_q11" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ11Sql)
+    }),
+    "q_sql_tpch_q12" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ12Sql)
+    }),
+    "q_sql_tpch_q15" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ15Sql)
+    }),
+    "q_sql_tpch_q16" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ16Sql)
+    }),
+    "q_sql_tpch_q19" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchQ19Sql)
+    }),
+
     // Correlated EXISTS / NOT EXISTS — Catalyst rewrites these to
     // left-semi / left-anti joins (RewritePredicateSubquery).
     "q_sql_exists" -> ((s, dir) => {
@@ -767,6 +993,15 @@ object Joins {
     "q_sql_tpch_q20" -> tpchQ20Sql,
     "q_sql_tpch_q21" -> tpchQ21Sql,
     "q_sql_tpch_q22" -> tpchQ22Sql,
+    "q_sql_tpch_q1" -> tpchQ1Sql,
+    "q_sql_tpch_q6" -> tpchQ6Sql,
+    "q_sql_tpch_q8" -> tpchQ8Sql,
+    "q_sql_tpch_q9" -> tpchQ9Sql,
+    "q_sql_tpch_q11" -> tpchQ11Sql,
+    "q_sql_tpch_q12" -> tpchQ12Sql,
+    "q_sql_tpch_q15" -> tpchQ15Sql,
+    "q_sql_tpch_q16" -> tpchQ16Sql,
+    "q_sql_tpch_q19" -> tpchQ19Sql,
 
     "q_sql_exists" ->
       """SELECT c_custkey, c_name FROM customer c

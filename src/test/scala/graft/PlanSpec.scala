@@ -364,4 +364,35 @@ class PlanSpec extends SparkSuite {
       s"Q21 subqueries did not decorrelate:\n${plan.take(3000)}")
     assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan.take(3000))
   }
+
+  test("Q19's OR-of-ANDs pushes per-side residuals into BOTH scans") {
+    val df = SparkEntry.queries("q_sql_tpch_q19")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    // at 100 TB the whole query is the scans: Catalyst must derive the
+    // quantity-only disjunction for the lineitem scan and the
+    // brand/size-only disjunction for the part scan rather than
+    // evaluating the mixed predicate post-join over every joined row
+    val liScan = scans.find(_.contains("lineitem")).getOrElse(fail("no lineitem scan"))
+    val pScan = scans.find(_.contains("/part")).getOrElse(fail("no part scan"))
+    assert(liScan.contains("PushedFilters") && liScan.contains("Or(") &&
+      liScan.contains("l_quantity"),
+      s"quantity disjunction not pushed to lineitem:\n$liScan")
+    assert(pScan.contains("PushedFilters") && pScan.contains("Or(") &&
+      pScan.contains("p_brand"),
+      s"brand/size disjunction not pushed to part:\n$pScan")
+  }
+
+  test("the remaining TPC-H shapes decorrelate with no nested-loop joins") {
+    // Q8/Q9: deep join trees stay hash/broadcast joins; Q11/Q15/Q16:
+    // scalar + NOT IN subqueries decorrelate (Q16's NOT IN becomes a
+    // null-aware anti join — fine as BNLJ-free only if the build side
+    // broadcasts; assert no CartesianProduct and no SMJ-degenerate
+    // nested loop on the AGGREGATE path)
+    for (q <- Seq("q_sql_tpch_q8", "q_sql_tpch_q9", "q_sql_tpch_q11",
+        "q_sql_tpch_q15")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q did not decorrelate:\n${plan.take(2000)}")
+    }
+  }
 }
