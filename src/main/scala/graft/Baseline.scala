@@ -44,6 +44,28 @@ object Baseline {
         .select("probe_id", "rank", "neighbor_id", "cos")
     }),
 
+    // q_text_search_index control: the stock access path — conjunctive
+    // tf straight off the corpus scan, re-tokenizing every document
+    // (what a plain-Spark user runs when there is no inverted index).
+    // The graft side pays the index build INSIDE its measured time and
+    // still must stay within 2x; at corpus scale the index amortizes
+    // across queries while this control re-scans per query.
+    "q_text_search_index" -> ((s, dir) => {
+      val terms = Seq("hash", "merge", "vector")
+      val docs = t(s, dir, "documents")
+      docs
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.tokens(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(countDistinct("w").as("n_terms"), sum("tf").as("total_tf"))
+        .filter(col("n_terms") === terms.size)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"))
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {

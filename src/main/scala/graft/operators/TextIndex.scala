@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index: term-bucketed posting lists, so a
+  * search touches O(query terms) partitions instead of scanning the
+  * corpus.
+  *
+  * The reference serves text corpora to Spark SQL / Presto / Flink as
+  * raw files (`README.md:71-88`) — every keyword query is a full scan.
+  * This operator is the scale path a 100 TB corpus needs: one offline
+  * build job writes `(term, doc_id, tf)` postings hash-partitioned by
+  * term into `nBuckets` directories, plus per-term document frequencies
+  * as a sibling stats table. A conjunctive (AND) search then
+  *
+  *   1. computes the query terms' buckets with the SAME hash the build
+  *      used (deterministic, data-independent),
+  *   2. reads ONLY those partition directories — Spark's partition
+  *      pruning resolves `bucket IN (...)` at planning time, so the
+  *      other `nBuckets - |terms|` directories are never listed or
+  *      opened (plan-asserted in TextIndexSpec),
+  *   3. groups the surviving postings by document and keeps documents
+  *      matching ALL terms (count of distinct matched terms = arity).
+  *
+  * Postings are laid out one file per (bucket, shuffle partition); at
+  * 100 TB the per-bucket posting lists are further split by the write
+  * parallelism, and a search's input volume is the true posting-list
+  * size, independent of corpus row count. Scoring is tf-sum (the BM25
+  * contributions in `q_text_bm25` compose on top of the same postings).
+  */
+object TextIndex {
+  private val StatsDir = "_term_stats"
+
+  /** Bucket id for a term — xxhash64 (seed 42, Spark's default) mod
+    * nBuckets, computed identically at build and search time. Must stay
+    * a pure Catalyst expression so the build side never leaves codegen.
+    */
+  private def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** One pass over `docs`: tokenize, count per-(doc, term), bucket by
+    * term hash, write partitioned postings + per-term df stats.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // df (document frequency) per term, re-read from the just-written
+    // postings: no second tokenization pass over the corpus
+    postings.sparkSession.read.parquet(path)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** Conjunctive search: documents containing ALL `terms`, scored by
+    * total tf. Only the terms' bucket partitions are read.
+    */
+  def searchAll(spark: SparkSession, path: String, terms: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "searchAll needs at least one term")
+    val postings = prunedPostings(spark, path, terms, nBuckets)
+    postings
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .filter(col("n_terms") === terms.distinct.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** The bucket-pruned postings scan for `terms` — the partition filter
+    * is on the index's partition column, so pruning happens at planning
+    * time (verified via inputFiles in TextIndexSpec).
+    */
+  def prunedPostings(spark: SparkSession, path: String, terms: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    val distinctTerms = terms.distinct
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, nBuckets)): _*))
+      .filter(col("term").isin(distinctTerms: _*))
+  }
+
+  /** Per-term document frequencies from the persisted stats table. */
+  def termStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/$StatsDir")
+
+  /** Driver-side twin of [[bucketOf]] for computing the partition
+    * filter literals: evaluates the same XxHash64 expression Catalyst
+    * runs in the build job, so build and probe can never disagree.
+    */
+  private def bucketIdOf(term: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = XxHash64(Seq(Literal(UTF8String.fromString(term), StringType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Aggregators, TextFunctions, VectorExpressions}
-import graft.operators.{Dedup, IvfIndex, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,23 @@ object LlmPipeline {
     // for a fixed 3-term query: tf from a token explode, df and the
     // corpus stats broadcast (3 rows + 1 row), top-20 via orderBy+limit
     // (TakeOrdered — no global window sort).
+    // Persisted inverted index (TextIndex): one offline build job
+    // writes term-bucketed posting lists; the conjunctive search then
+    // reads ONLY the query terms' bucket partitions (partition pruning
+    // plan-asserted in TextIndexSpec) — keyword retrieval whose input
+    // volume is the posting-list size, not the corpus size. The query
+    // surfaces the search result joined with the per-term df stats the
+    // same build persisted.
+    "q_text_search_index" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      val terms = Seq("hash", "merge", "vector")
+      TextIndex.searchAll(s, idx, terms)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"))
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
@@ -932,6 +949,23 @@ object LlmPipeline {
         |FROM tf, df, s WHERE tf.w = df.w
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // The index is an access-path optimization, not a semantics change:
+    // the oracle computes the same conjunctive tf-sum straight from the
+    // corpus. Only docs containing ALL three terms survive.
+    "q_text_search_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT tf.doc_id, sum(tf.tf) AS total_tf, d.lang
+        |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+        |GROUP BY tf.doc_id, d.lang
+        |HAVING count(*) = 3
+        |ORDER BY tf.doc_id""".stripMargin,
 
     "q_text_chunk" ->
       """WITH d AS (

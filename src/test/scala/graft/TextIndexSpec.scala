@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, TextIndex}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index contract: search equals a direct corpus computation,
+  * and — the point of the operator — touches only the query terms'
+  * bucket partitions.
+  */
+class TextIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val idx: String = {
+    val out = Tables.scratch("textindex_docs")
+    TextIndex.buildIndex(
+      Tables(spark, sf, "documents"), "doc_id", "text", out, nBuckets = 64)
+    out
+  }
+
+  private def directTf(terms: Seq[String]) =
+    Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
+  test("conjunctive search equals the direct corpus computation") {
+    val terms = Seq("hash", "merge", "vector")
+    val expected = directTf(terms)
+      .groupBy("doc_id")
+      .agg(countDistinct("w").as("nt"), sum("tf").as("total_tf"))
+      .filter(col("nt") === 3)
+      .select("doc_id", "total_tf")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val got = TextIndex.searchAll(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.nonEmpty, "fixture should contain docs matching all three terms")
+    assert(got === expected)
+  }
+
+  test("a doc matching only SOME terms is excluded (AND semantics)") {
+    val terms = Seq("hash", "merge", "vector")
+    val partial = directTf(terms)
+      .groupBy("doc_id").agg(countDistinct("w").as("nt"))
+      .filter(col("nt") === 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.nonEmpty, "fixture should have partial matches to exclude")
+    val hits = TextIndex.searchAll(spark, idx, terms)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.intersect(hits).isEmpty)
+  }
+
+  test("search reads ONLY the query terms' bucket partitions") {
+    val allBuckets = spark.read.parquet(idx).select("bucket")
+      .distinct().count()
+    assert(allBuckets > 10, s"expected many populated buckets, got $allBuckets")
+    // numFiles metric after execution = files inside the selected
+    // partitions only (planning-time pruning of the partition filter).
+    // Expected ceiling: exactly the on-disk files of the <=3 bucket
+    // dirs the query terms hash to.
+    val pruned = TextIndex.prunedPostings(spark, idx, Seq("hash", "merge", "vector"))
+    val hitBuckets = pruned.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    assert(hitBuckets.nonEmpty && hitBuckets.length <= 3)
+    val filesInHitBuckets = hitBuckets.map { b =>
+      new java.io.File(s"$idx/bucket=$b")
+        .listFiles().count(_.getName.endsWith(".parquet")).toLong
+    }.sum
+    val prunedN = graft.operators.DataSkipping.scannedFiles(pruned)
+    val totalN = graft.operators.DataSkipping.scannedFiles(
+      spark.read.parquet(idx))
+    assert(prunedN > 0 && prunedN <= filesInHitBuckets,
+      s"scan read $prunedN files; the ${hitBuckets.length} hit buckets hold $filesInHitBuckets")
+    assert(prunedN < totalN,
+      s"no pruning observed: $prunedN of $totalN files")
+  }
+
+  test("absent term returns empty; stats df matches direct doc counts") {
+    assert(TextIndex.searchAll(spark, idx,
+      Seq("zzz_not_a_token_zzz")).count() === 0)
+    val stats = TextIndex.termStats(spark, idx)
+      .filter(col("term").isin("hash", "merge"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = directTf(Seq("hash", "merge"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(stats === direct)
+  }
+}
