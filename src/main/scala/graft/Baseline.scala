@@ -66,6 +66,27 @@ object Baseline {
         .select(col("doc_id"), col("total_tf"), col("lang"))
     }),
 
+    // q_sim_rerank control: the stock single-stage path — exact float
+    // cosine against every corpus vector (HOF formulation), top-5 via
+    // window. The graft side's coarse int8 pass + 50-candidate exact
+    // re-rank must not lose to the full-precision full scan.
+    "q_sim_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"))
+      val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(probe_vec, neighbor_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            | / (sqrt(aggregate(probe_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |    * sqrt(aggregate(neighbor_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {

@@ -89,4 +89,48 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Two-stage quantized re-rank: a coarse pass scores EVERY corpus
+    * vector with the int8 approximation (per-vector max-abs scale, the
+    * `q_embed_quantize` format — 4x less memory bandwidth than float32,
+    * integer dot product), keeps the top `nCandidates` per probe, and
+    * only those run the exact float cosine. This is the classic
+    * IVF-free scale pattern for a quantized corpus: stage 1 reads the
+    * int8 columns (at 100 TB, the only full-corpus pass), stage 2
+    * touches `nCandidates x |probes|` rows.
+    *
+    * Determinism: quantized values and the integer dot product are
+    * exact (|q| <= 127, so qdot < 2^53 for any realistic dim); the
+    * approx score multiplies them by the two scales in one fixed
+    * association, so the stage-1 cut is reproducible cross-engine
+    * bit-for-bit. Ties broken by neighbor id at both cuts.
+    */
+  def quantizedRerankTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCandidates: Int): DataFrame = {
+    def quantized(df: DataFrame, id: String, vec: String, scale: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(vec),
+        array_max(transform(col(vecCol), x => abs(x))).cast("double").as(scale))
+      .filter(col(scale) > 0) // zero vectors have no direction; cosine undefined
+      .withColumn(s"q_$id", transform(col(vec), x =>
+        floor(x.cast("double") * (lit(127.0) / col(scale)) + lit(0.5)).cast("long")))
+    val p = quantized(probes, "probe_id", "probe_vec", "p_scale")
+    val c = quantized(corpus, "neighbor_id", "neighbor_vec", "c_scale")
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("q_probe_id"), col("q_neighbor_id"),
+          (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+      .withColumn("approx",
+        col("qdot").cast("double") * col("p_scale") * col("c_scale") / lit(16129.0))
+    val wCand = Window.partitionBy("probe_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= nCandidates)
+      .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+  }
 }

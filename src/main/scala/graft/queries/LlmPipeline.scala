@@ -488,6 +488,18 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // Two-stage quantized retrieval: int8 coarse scoring over the whole
+    // corpus (4x less bandwidth than float32; exact integer dot), top-50
+    // candidates per probe, exact cosine re-rank to top-5. The stage-1
+    // cut is integer-exact so both engines pick identical candidates.
+    "q_sim_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.quantizedRerankTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCandidates = 50)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Same top-k via the bounded-heap typed aggregator (no window sort;
     // O(n log k) with partial aggregation — the 100 TB top-k path).
     "q_sim_topk_agg" -> ((s, dir) => {
@@ -1203,6 +1215,38 @@ object LlmPipeline {
         |  qv[1] AS q0,
         |  (list_max(qv) <= 127 AND list_min(qv) >= -127) AS in_range
         |FROM qq ORDER BY vec_id""".stripMargin,
+
+    // Full two-stage replication: same quantization, same integer dot,
+    // same fixed-association approx score, same two cuts.
+    "q_sim_rerank" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+         |      AS max_abs
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, embedding, max_abs,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5)
+         |           AS DOUBLE)) AS qv
+         |  FROM m WHERE max_abs > 0),
+         |s AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(p.qv, c.qv) * p.max_abs * c.max_abs / 16129.0
+         |      AS approx,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos
+         |  FROM q p, q c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |cand AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY approx DESC, neighbor_id ASC) AS crank
+         |  FROM s)
+         |SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand WHERE crank <= 50)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q_sim_topk" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (

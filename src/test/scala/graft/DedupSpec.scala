@@ -314,4 +314,32 @@ class DedupSpec extends SparkSuite {
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L, 3L))
   }
+
+  test("quantized re-rank: high recall vs exact top-k, zero vectors excluded") {
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = SimilaritySearch.quantizedRerankTopK(emb, probes, "vec_id", "embedding",
+      k = 5, nCandidates = 50)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rr.size === exact.size)
+    // int8 coarse + 10x candidate headroom: the stage-2 exact re-rank
+    // should recover nearly all true neighbors
+    val recall = rr.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+
+    // a zero vector can be neither probe nor neighbor (cosine undefined)
+    val withZero = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9999L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"))
+    val got = SimilaritySearch.quantizedRerankTopK(
+      withZero, withZero.filter(col("vec_id").isin(0L, 9999L)),
+      "vec_id", "embedding", k = 3, nCandidates = 10)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(!got.exists { case (p, n) => p == 9999L || n == 9999L })
+  }
 }
