@@ -44,22 +44,28 @@ object Baseline {
         .select("probe_id", "rank", "neighbor_id", "cos")
     }),
 
-    // q_text_search_index control: the stock access path — conjunctive
-    // tf straight off the corpus scan, re-tokenizing every document
-    // (what a plain-Spark user runs when there is no inverted index).
-    // The graft side pays the index build INSIDE its measured time and
-    // still must stay within 2x; at corpus scale the index amortizes
-    // across queries while this control re-scans per query.
+    // q_text_search_index control, deliverable-matched (round-8
+    // protocol): the graft query persists a reusable postings artifact
+    // AND searches it, so the stock twin does the same with the plain
+    // layout a stock user writes — one (doc_id, term, tf) parquet
+    // table, no bucket partitioning, no df sidecar to maintain. Its
+    // search then scans EVERY posting row; the graft side's search
+    // reads only the query terms' bucket partitions. What the pair
+    // measures is the layout (bucketed + pruned vs flat + full-scan),
+    // not whether an index exists.
     "q_text_search_index" -> ((s, dir) => {
       val terms = Seq("hash", "merge", "vector")
       val docs = t(s, dir, "documents")
+      val out = Tables.scratch("baseline_text_postings")
       docs
         .select(col("doc_id"),
-          explode(graft.operators.Dedup.tokens(col("text"))).as("w"))
-        .filter(col("w").isin(terms: _*))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+          explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("term").isin(terms: _*))
         .groupBy("doc_id")
-        .agg(countDistinct("w").as("n_terms"), sum("tf").as("total_tf"))
+        .agg(countDistinct("term").as("n_terms"), sum("tf").as("total_tf"))
         .filter(col("n_terms") === terms.size)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .orderBy("doc_id")

@@ -56,6 +56,31 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
   }
 
+  /** Incremental maintenance: index a NEW batch of documents into an
+    * existing index without touching the corpus already indexed — the
+    * continuous-ingestion path. New postings append as additional files
+    * inside their bucket partitions (dynamic partition overwrite is NOT
+    * used; append never rewrites existing posting files), and the df
+    * stats sidecar is re-derived from the merged postings — an
+    * index-sized aggregation, never a corpus re-scan. Cost is
+    * O(new docs) + O(index), independent of total corpus size.
+    *
+    * Caller contract: `docs` must be documents not already in the index
+    * (same as any append-only ingest; exactly-once de-dup upstream is
+    * `q_dedup_incremental`'s job).
+    */
+  def appendDocs(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    docs.sparkSession.read.parquet(path)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
   /** Conjunctive search: documents containing ALL `terms`, scored by
     * total tf. Only the terms' bucket partitions are read.
     */

@@ -74,6 +74,24 @@ class TextIndexSpec extends SparkSuite {
       s"no pruning observed: $prunedN of $totalN files")
   }
 
+  test("incremental append equals a from-scratch full build") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Tables.scratch("textindex_incr")
+    TextIndex.buildIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", out)
+    TextIndex.appendDocs(docs.filter(col("doc_id") >= 250), "doc_id", "text", out)
+    val terms = Seq("hash", "merge", "vector")
+    val incr = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val full = TextIndex.searchAll(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(incr.nonEmpty && incr === full)
+    val sIncr = TextIndex.termStats(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val sFull = TextIndex.termStats(spark, idx)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sIncr === sFull)
+  }
+
   test("absent term returns empty; stats df matches direct doc counts") {
     assert(TextIndex.searchAll(spark, idx,
       Seq("zzz_not_a_token_zzz")).count() === 0)
