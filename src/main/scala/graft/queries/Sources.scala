@@ -751,6 +751,42 @@ object Sources {
     // table holds, and at least one. Same date-clustered layout and
     // exact residual semantics as q_table_skipping, so the oracle is
     // the plain filtered aggregate.
+    // Z-order layout x planner-integrated skipping — the composition
+    // that justifies the Morton sink: after zorderWrite, EVERY file
+    // covers a narrow range in BOTH dimensions, so the skip index
+    // prunes on either key. zorder_ok MEASURES the layout advantage
+    // three ways against a linear single-key clustering of the same
+    // rows with the same file count and the same index: (a) the 2-dim
+    // box probe prunes files on the z layout, (b) so does a probe on
+    // the SECOND key alone — the dimension the linear layout cannot
+    // cluster, where (c) the linear table must scan every single file.
+    "q_table_zorder_skip" -> ((s, dir) => {
+      import graft.operators.{DataSkipping, Partitioning}
+      val zout = tmp("zorder_skip_z")
+      val lout = tmp("zorder_skip_lin")
+      val src = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      Partitioning.zorderWrite(src, zout, numFiles = 16, "l_orderkey", "l_suppkey")
+      Partitioning.clusteredWrite(src, lout, numFiles = 16, "l_orderkey")
+      DataSkipping.buildIndex(s, zout, Seq("l_orderkey", "l_suppkey"))
+      DataSkipping.buildIndex(s, lout, Seq("l_orderkey", "l_suppkey"))
+      val zTotal = s.read.parquet(zout).inputFiles.length.toLong
+      val lTotal = s.read.parquet(lout).inputFiles.length.toLong
+      def box(tbl: String) = DataSkipping.scan(s, tbl)
+        .filter(col("l_orderkey") <= 1000 && col("l_suppkey") <= 5)
+      val zBox = DataSkipping.scannedFiles(box(zout).select("l_orderkey"))
+      val zSupp = DataSkipping.scannedFiles(DataSkipping.scan(s, zout)
+        .filter(col("l_suppkey") <= 2).select("l_suppkey"))
+      val lSupp = DataSkipping.scannedFiles(DataSkipping.scan(s, lout)
+        .filter(col("l_suppkey") <= 2).select("l_suppkey"))
+      val ok = zBox > 0 && zBox < zTotal && zSupp < zTotal && lSupp == lTotal
+      box(zout)
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
+            / 100.0).as("sum_price"))
+        .withColumn("zorder_ok", lit(ok))
+    }),
+
     "q_table_skip_scan" -> ((s, dir) => {
       import graft.operators.DataSkipping
       val out = tmp("skip_scan_tbl")
@@ -1209,6 +1245,14 @@ object Sources {
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_table_zorder_skip" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_price,
+        |  TRUE AS zorder_ok
+        |FROM lineitem
+        |WHERE l_orderkey <= 1000 AND l_suppkey <= 5""".stripMargin,
 
     "q_table_skip_scan" ->
       """SELECT o_orderpriority, count(*) AS n,
