@@ -250,6 +250,35 @@ object StreamingQueries {
     // exactly the q_stream_cdc_upsert contract) plus the history
     // invariants: version count and row-count monotonicity (a MERGE
     // only updates or inserts, never deletes).
+    // Streaming inverted-index maintenance: documents arrive as a
+    // rate-limited multi-batch stream; each micro-batch appends its
+    // postings into the persisted TextIndex (O(batch) work — existing
+    // posting files are never rewritten). After the drain, search over
+    // the incrementally-built index must equal the batch-built answer,
+    // and multi_batch proves the ingest actually crossed >=3 batch
+    // boundaries rather than degenerating to one bulk build.
+    "q_stream_text_index" -> ((s, dir) => {
+      import graft.operators.TextIndex
+      val idx = graft.Tables.scratch("stream_text_index")
+      val q = StreamOps.tableStreamPaced(s, dir, "documents", "doc_id", 3)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextIndex.appendDocs(batch, "doc_id", "text", idx)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      val terms = Seq("hash", "merge", "vector")
+      TextIndex.searchAll(s, idx, terms)
+        .join(graft.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"),
+          lit(nBatches >= 3).as("multi_batch"))
+    }),
+
     "q_stream_snapshot_ingest" -> ((s, dir) => {
       import graft.operators.Snapshots
       val root = graft.Tables.scratch("snap_ingest_tbl")
@@ -466,6 +495,23 @@ object StreamingQueries {
 
     // final snapshot = latest event per user (same contract as
     // q_stream_cdc_upsert); 4 versions = empty create + 3 batches
+    // identical deliverable to q_text_search_index's oracle, plus the
+    // measured multi-batch invariant
+    "q_stream_text_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT tf.doc_id, sum(tf.tf) AS total_tf, d.lang,
+        |  TRUE AS multi_batch
+        |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+        |GROUP BY tf.doc_id, d.lang
+        |HAVING count(*) = 3
+        |ORDER BY tf.doc_id""".stripMargin,
+
     "q_stream_snapshot_ingest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts,

@@ -89,18 +89,28 @@ object StreamOps {
     * semantics exact: each batch's event times follow the previous
     * batch's, so the watermark only moves past fully-arrived data.
     */
-  def eventsStreamPaced(spark: SparkSession, dir: String, nSplits: Int): DataFrame = {
+  def eventsStreamPaced(spark: SparkSession, dir: String, nSplits: Int): DataFrame =
+    tableStreamPaced(spark, dir, "events", "ts", nSplits)
+      .transform(Tables.normalizeTs)
+
+  /** [[eventsStreamPaced]] generalized to any fixture table: range-split
+    * on `orderCol` into `nSplits` files (mtimes pinned to range order)
+    * and stream them one per micro-batch — the rate-limited ingest
+    * harness for batch-continuous operators (snapshot MERGE, index
+    * appendDocs) that must be exercised across real batch boundaries.
+    */
+  def tableStreamPaced(spark: SparkSession, dir: String, table: String,
+      orderCol: String, nSplits: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(Tables.path(dir, "events"))
+    val raw = spark.read.parquet(Tables.path(dir, table))
     val src = Tables.scratch(s"paced_src_${counter.incrementAndGet()}")
-    raw.repartitionByRange(nSplits, col("ts")).write.mode("overwrite").parquet(src)
+    raw.repartitionByRange(nSplits, col(orderCol)).write.mode("overwrite").parquet(src)
     pinMtimesToRangeOrder(spark, src)
     spark.readStream
       .schema(raw.schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "part-*")
       .parquet(src)
-      .transform(Tables.normalizeTs)
   }
 
   /** Exactly-once recovery drill (the reference's hsync durability
