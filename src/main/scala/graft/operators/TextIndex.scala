@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted inverted text index: term-bucketed posting lists, so a
@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
   private val StatsDir = "_term_stats"
+  private val DocStatsDir = "_doc_stats"
 
   /** Bucket id for a term — xxhash64 (seed 42, Spark's default) mod
     * nBuckets, computed identically at build and search time. Must stay
@@ -40,7 +41,11 @@ object TextIndex {
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
   /** One pass over `docs`: tokenize, count per-(doc, term), bucket by
-    * term hash, write partitioned postings + per-term df stats.
+    * term hash, write partitioned postings + per-term df stats + the
+    * per-doc lengths ([[DocStatsDir]]) that let BM25 be served entirely
+    * from the index. `dl` counts ALL tokens (not just distinct terms),
+    * and zero-token documents keep their row — corpus-side n_docs /
+    * avgdl must be recoverable from the sidecar alone.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
@@ -49,12 +54,20 @@ object TextIndex {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // sidecars AFTER the postings overwrite — it truncates `path`
+    writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Overwrite)
     // df (document frequency) per term, re-read from the just-written
     // postings: no second tokenization pass over the corpus
     postings.sparkSession.read.parquet(path)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
   }
+
+  private def writeDocStats(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, mode: SaveMode): Unit =
+    docs.select(col(idCol).as("doc_id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
+      .write.mode(mode).parquet(dir)
 
   /** Incremental maintenance: index a NEW batch of documents into an
     * existing index without touching the corpus already indexed — the
@@ -71,6 +84,8 @@ object TextIndex {
     */
   def appendDocs(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
+    // doc-disjoint batches: doc stats append too, no rewrite
+    writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Append)
     docs
       .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -110,6 +125,42 @@ object TextIndex {
   /** Per-term document frequencies from the persisted stats table. */
   def termStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$StatsDir")
+
+  /** Per-doc token counts from the persisted stats table. */
+  def docStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/$DocStatsDir")
+
+  /** BM25 top-k served ENTIRELY from the index — the corpus is never
+    * touched at query time. Inputs per query: the terms' pruned bucket
+    * partitions (postings), the df sidecar filtered to the terms
+    * (broadcast-sized), the doc-length sidecar (O(docs), doc-keyed hash
+    * join — deliberately NOT broadcast: it grows with the corpus), and
+    * one corpus-stats scalar (n_docs, avgdl) off the doc sidecar.
+    * Same formula and constants as `q_text_bm25` (k1=1.2, b=0.75),
+    * computed from identical integers, so scores match the corpus-side
+    * computation exactly.
+    */
+  def bm25(spark: SparkSession, path: String, terms: Seq[String], k: Int,
+      nBuckets: Int = 64): DataFrame = {
+    val tf = prunedPostings(spark, path, terms, nBuckets)
+      .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+    val dfT = termStats(spark, path)
+      .filter(col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("df").cast("double").as("df"))
+    val dls = docStats(spark, path)
+    val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    tf.join(broadcast(dfT), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 
   /** Driver-side twin of [[bucketOf]] for computing the partition
     * filter literals: evaluates the same XxHash64 expression Catalyst

@@ -154,6 +154,16 @@ object LlmPipeline {
         .select(col("doc_id"), col("total_tf"), col("lang"))
     }),
 
+    // BM25 with ZERO corpus access at query time: scores served from
+    // the persisted index alone (pruned postings + df sidecar + doc
+    // lengths). Must equal q_text_bm25's corpus-side scores exactly —
+    // same formula over identical integers.
+    "q_text_bm25_index" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_bm25")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.bm25(s, idx, Seq("hash", "merge", "vector"), k = 20)
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
@@ -943,6 +953,26 @@ object LlmPipeline {
         |  ON d.doc_id = r.doc
         |WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> label)
         |ORDER BY d.doc_id""".stripMargin),
+
+    // index-served BM25: identical deliverable to q_text_bm25 — the
+    // oracle is the same corpus-side computation
+    "q_text_bm25_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w)
+        |SELECT tf.doc_id,
+        |  sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS score
+        |FROM tf, df, s WHERE tf.w = df.w
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_text_bm25" ->
       """WITH d AS (

@@ -90,6 +90,13 @@ class TextIndexSpec extends SparkSuite {
     val sFull = TextIndex.termStats(spark, idx)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(sIncr === sFull)
+    // BM25 is served from postings + BOTH sidecars; equality here means
+    // doc lengths and term dfs survived the incremental path too
+    val bIncr = TextIndex.bm25(spark, out, terms, k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val bFull = TextIndex.bm25(spark, idx, terms, k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    assert(bIncr.nonEmpty && bIncr === bFull)
   }
 
   test("absent term returns empty; stats df matches direct doc counts") {
