@@ -93,6 +93,41 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_text_bm25_index control, deliverable-matched like the search
+    // pair: the stock user materializes flat postings + doc lengths
+    // (one tokenize pass, single-dir layout) and scores BM25 from
+    // those; the graft side builds the bucket-partitioned index with
+    // its sidecars and serves the same scores corpus-free. Both sides
+    // persist a reusable artifact + produce the top-20.
+    "q_text_bm25_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = Tables.scratch("baseline_bm25_postings")
+      val dls = Tables.scratch("baseline_bm25_doclen")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(post)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(dls)
+      val terms = Seq("hash", "merge", "vector")
+      val tf = s.read.parquet(post).filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val dl = s.read.parquet(dls)
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {
