@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
 object TextIndex {
   private val StatsDir = "_term_stats"
   private val DocStatsDir = "_doc_stats"
+  private val MetaDir = "_index_meta"
+
+  /** Index layout version. Bump on ANY change to the tokenizer, the
+    * bucket hash, or the postings schema — probe-side code refuses an
+    * index whose recorded fmt it does not recognize, because probing
+    * with mismatched parameters is a silent wrong-bucket miss (the same
+    * failure class the DataSkipping bloom format row guards against).
+    */
+  private val Fmt = 1
 
   /** Bucket id for a term — xxhash64 (seed 42, Spark's default) mod
     * nBuckets, computed identically at build and search time. Must stay
@@ -49,10 +58,7 @@ object TextIndex {
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
-    val postings = docs
-      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    val postings = tokenizePostings(docs, idCol, textCol, nBuckets)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
     // sidecars AFTER the postings overwrite — it truncates `path`
     writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Overwrite)
@@ -61,6 +67,24 @@ object TextIndex {
     postings.sparkSession.read.parquet(path)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    // build parameters travel WITH the index — a probe that re-supplied
+    // its own bucket count could silently hash into the wrong
+    // partitions and miss every posting
+    import docs.sparkSession.implicits._
+    Seq((Fmt, nBuckets)).toDF("fmt", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$MetaDir")
+  }
+
+  /** The bucket count this index was built with, from its persisted
+    * meta — never caller-supplied. Fails loudly on a missing sidecar or
+    * an unrecognized format version.
+    */
+  private def bucketCount(spark: SparkSession, path: String): Int = {
+    val r = spark.read.parquet(s"$path/$MetaDir").head()
+    val fmt = r.getInt(r.fieldIndex("fmt"))
+    require(fmt == Fmt,
+      s"text index at $path has format $fmt; this binary speaks $Fmt only")
+    r.getInt(r.fieldIndex("n_buckets"))
   }
 
   private def writeDocStats(docs: DataFrame, idCol: String, textCol: String,
@@ -68,6 +92,22 @@ object TextIndex {
     docs.select(col(idCol).as("doc_id"),
         size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
       .write.mode(mode).parquet(dir)
+
+  /** Postings are POSITIONAL: alongside tf, each (doc, term) row keeps
+    * the sorted token offsets of the term — what phrase and proximity
+    * queries consume. One posexplode pass; tf = size(positions), so the
+    * frequency-only consumers (searchAll, bm25) pay nothing extra at
+    * query time (column pruning drops `positions` from their scans).
+    */
+  private def tokenizePostings(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
 
   /** Incremental maintenance: index a NEW batch of documents into an
     * existing index without touching the corpus already indexed — the
@@ -83,13 +123,19 @@ object TextIndex {
     * `q_dedup_incremental`'s job).
     */
   def appendDocs(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String): Unit = {
+    // first batch of a streaming ingest: no index yet — bootstrap one
+    val spark = docs.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/$MetaDir")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) return buildIndex(docs, idCol, textCol, path)
+    // the bucket count comes from the index being appended to — never
+    // from the caller, who could otherwise split one term across two
+    // bucket layouts
+    val nBuckets = bucketCount(spark, path)
     // doc-disjoint batches: doc stats append too, no rewrite
     writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Append)
-    docs
-      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    tokenizePostings(docs, idCol, textCol, nBuckets)
       .write.mode("append").partitionBy("bucket").parquet(path)
     docs.sparkSession.read.parquet(path)
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -99,10 +145,10 @@ object TextIndex {
   /** Conjunctive search: documents containing ALL `terms`, scored by
     * total tf. Only the terms' bucket partitions are read.
     */
-  def searchAll(spark: SparkSession, path: String, terms: Seq[String],
-      nBuckets: Int = 64): DataFrame = {
+  def searchAll(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAll needs at least one term")
-    val postings = prunedPostings(spark, path, terms, nBuckets)
+    val postings = prunedPostings(spark, path, terms)
     postings
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
@@ -114,12 +160,36 @@ object TextIndex {
     * is on the index's partition column, so pruning happens at planning
     * time (verified via inputFiles in TextIndexSpec).
     */
-  def prunedPostings(spark: SparkSession, path: String, terms: Seq[String],
-      nBuckets: Int = 64): DataFrame = {
+  def prunedPostings(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val nBuckets = bucketCount(spark, path)
     val distinctTerms = terms.distinct
     spark.read.parquet(path)
       .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, nBuckets)): _*))
       .filter(col("term").isin(distinctTerms: _*))
+  }
+
+  /** Exact phrase search from the positional postings: documents where
+    * `phrase`'s terms appear at consecutive token offsets, with the
+    * occurrence count. Reads only the phrase terms' bucket partitions;
+    * each term's positions explode normalized to the phrase START
+    * offset (pos - i), so an n-term phrase is an (n-1)-fold equi-join
+    * on (doc_id, start) — hash joins on doc-keyed rows, candidate-sized
+    * inputs, never the corpus. Repeated terms in the phrase work: each
+    * slot joins its own normalized copy.
+    */
+  def phraseSearch(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch needs at least two terms")
+    val postings = prunedPostings(spark, path, phrase)
+    val slots = phrase.zipWithIndex.map { case (term, i) =>
+      postings.filter(col("term") === term)
+        .select(col("doc_id"), explode(col("positions")).as(s"p_$i"))
+        .withColumn("start", col(s"p_$i") - i)
+        .select("doc_id", "start")
+    }
+    slots.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
   }
 
   /** Per-term document frequencies from the persisted stats table. */
@@ -140,9 +210,9 @@ object TextIndex {
     * computed from identical integers, so scores match the corpus-side
     * computation exactly.
     */
-  def bm25(spark: SparkSession, path: String, terms: Seq[String], k: Int,
-      nBuckets: Int = 64): DataFrame = {
-    val tf = prunedPostings(spark, path, terms, nBuckets)
+  def bm25(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val tf = prunedPostings(spark, path, terms)
       .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
     val dfT = termStats(spark, path)
       .filter(col("term").isin(terms.distinct: _*))

@@ -154,6 +154,18 @@ object LlmPipeline {
         .select(col("doc_id"), col("total_tf"), col("lang"))
     }),
 
+    // Exact phrase search from the positional postings — consecutive
+    // token offsets, occurrence-counted, corpus never read at query
+    // time. The same persisted index serves conjunctive, BM25, and
+    // phrase queries.
+    "q_text_phrase_index" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_phrase")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.phraseSearch(s, idx, Seq("table", "hash"))
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("n_occ"))
+    }),
+
     // BM25 with ZERO corpus access at query time: scores served from
     // the persisted index alone (pruned postings + df sidecar + doc
     // lengths). Must equal q_text_bm25's corpus-side scores exactly —
@@ -953,6 +965,21 @@ object LlmPipeline {
         |  ON d.doc_id = r.doc
         |WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> label)
         |ORDER BY d.doc_id""".stripMargin),
+
+    // corpus-side adjacency count twin of the positional-index phrase
+    // search
+    "q_text_phrase_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+        |  FROM d WHERE len(toks) >= 2)
+        |SELECT doc_id, count(*) AS n_occ
+        |FROM p WHERE toks[i] = 'table' AND toks[i + 1] = 'hash'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // index-served BM25: identical deliverable to q_text_bm25 — the
     // oracle is the same corpus-side computation

@@ -99,6 +99,34 @@ class TextIndexSpec extends SparkSuite {
     assert(bIncr.nonEmpty && bIncr === bFull)
   }
 
+  test("phrase search: consecutive positions only, repeated terms, incremental parity") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"), // "alpha beta" twice
+      (2L, "beta alpha beta gamma"),       // once (at offset 1)
+      (3L, "alpha gamma beta alpha"),      // never adjacent
+      (4L, "echo echo echo")               // "echo echo" twice (overlapping)
+    ).toDF("doc_id", "text")
+    val out = Tables.scratch("textindex_phrase")
+    TextIndex.buildIndex(docs, "doc_id", "text", out, nBuckets = 8)
+    val ab = TextIndex.phraseSearch(spark, out, Seq("alpha", "beta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ab === Map(1L -> 2L, 2L -> 1L))
+    val ee = TextIndex.phraseSearch(spark, out, Seq("echo", "echo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ee === Map(4L -> 2L))
+    assert(TextIndex.phraseSearch(spark, out, Seq("gamma", "echo")).count() === 0)
+
+    // positions survive the incremental path identically
+    val incr = Tables.scratch("textindex_phrase_incr")
+    TextIndex.buildIndex(docs.filter(col("doc_id") <= 2), "doc_id", "text", incr, nBuckets = 8)
+    // appendDocs reads the bucket count from the index's persisted
+    // meta — a caller cannot split one term across two layouts
+    TextIndex.appendDocs(docs.filter(col("doc_id") > 2), "doc_id", "text", incr)
+    val abIncr = TextIndex.phraseSearch(spark, incr, Seq("alpha", "beta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(abIncr === ab)
+  }
+
   test("absent term returns empty; stats df matches direct doc counts") {
     assert(TextIndex.searchAll(spark, idx,
       Seq("zzz_not_a_token_zzz")).count() === 0)
