@@ -128,6 +128,44 @@ object Baseline {
         .limit(20)
     }),
 
+    // q_text_phrase_index control, capability-matched like the bm25
+    // pair: the graft side's artifact is the FULL retrieval index
+    // (positional postings + doc-length + df sidecars — it serves
+    // conjunctive and BM25 too), so the stock twin materializes the
+    // same three artifacts in the flat single-dir layout a stock user
+    // writes, then runs the same adjacency join from them — scanning
+    // ALL postings for the two terms' rows where the graft side reads
+    // 2 bucket partitions.
+    "q_text_phrase_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = Tables.scratch("baseline_phrase_postings")
+      val dls = Tables.scratch("baseline_phrase_doclen")
+      val dfs = Tables.scratch("baseline_phrase_df")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .write.mode("overwrite").parquet(post)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(dls)
+      s.read.parquet(post).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(dfs)
+      val phrase = Seq("table", "hash")
+      val flat = s.read.parquet(post)
+      val slots = phrase.zipWithIndex.map { case (term, i) =>
+        flat.filter(col("term") === term)
+          .select(col("doc_id"), explode(col("positions")).as(s"p_$i"))
+          .withColumn("start", col(s"p_$i") - i)
+          .select("doc_id", "start")
+      }
+      slots.reduce(_.join(_, Seq("doc_id", "start")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("n_occ"))
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {
