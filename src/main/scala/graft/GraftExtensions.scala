@@ -71,6 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_snapshot",
         "graft_snapshot(root, version) - read a snapshot table version"),
       GraftExtensions.snapshotTvfBuilder))
+
+    // SQL surface for index-served retrieval:
+    //   SELECT * FROM graft_text_search('/path/to/index', 'hash merge')
+    // resolves to TextIndex.searchAll's analyzed plan — conjunctive
+    // match over the persisted inverted index, reading only the query
+    // terms' bucket partitions; joins/filters compose on top in SQL.
+    ext.injectTableFunction((FunctionIdentifier("graft_text_search"),
+      info("graft_text_search",
+        "graft_text_search(indexPath, 'terms ...') - conjunctive index search"),
+      GraftExtensions.textSearchTvfBuilder))
   }
 }
 
@@ -98,6 +108,25 @@ object GraftExtensions {
       val version = es.drop(1).headOption.map(intArg(_, "graft_snapshot version"))
       graft.operators.Snapshots
         .read(SparkSession.active, root, version)
+        .queryExecution.analyzed
+    }
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  /** The graft_text_search TVF: whitespace-split the terms literal and
+    * return TextIndex.searchAll's analyzed plan — the partition-pruned
+    * conjunctive search as a SQL-composable relation.
+    */
+  val textSearchTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      val path = strArg(es.head, "graft_text_search indexPath")
+      val terms = strArg(es(1), "graft_text_search terms")
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      graft.operators.TextIndex.searchAll(SparkSession.active, path, terms)
         .queryExecution.analyzed
     }
 

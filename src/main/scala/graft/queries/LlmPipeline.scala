@@ -154,6 +154,22 @@ object LlmPipeline {
         .select(col("doc_id"), col("total_tf"), col("lang"))
     }),
 
+    // The same index search through the SQL surface: the
+    // graft_text_search TVF (GraftExtensions) resolves to the
+    // partition-pruned searchAll plan, and the join/order compose on
+    // top in plain SQL — a SQL user needs no Scala API to hit the
+    // index.
+    "q_sql_text_search" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_sql")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT t.doc_id, t.total_tf, d.lang
+           |FROM graft_text_search('$idx', 'hash merge vector') t
+           |JOIN documents d ON t.doc_id = d.doc_id
+           |ORDER BY t.doc_id""".stripMargin)
+    }),
+
     // Exact phrase search from the positional postings — consecutive
     // token offsets, occurrence-counted, corpus never read at query
     // time. The same persisted index serves conjunctive, BM25, and
@@ -965,6 +981,22 @@ object LlmPipeline {
         |  ON d.doc_id = r.doc
         |WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> label)
         |ORDER BY d.doc_id""".stripMargin),
+
+    // same deliverable as q_text_search_index (the TVF is an access
+    // path, not a semantics change)
+    "q_sql_text_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT tf.doc_id, sum(tf.tf) AS total_tf, d.lang
+        |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+        |GROUP BY tf.doc_id, d.lang
+        |HAVING count(*) = 3
+        |ORDER BY tf.doc_id""".stripMargin,
 
     // corpus-side adjacency count twin of the positional-index phrase
     // search
