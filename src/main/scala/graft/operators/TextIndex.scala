@@ -156,6 +156,49 @@ object TextIndex {
       .select(col("doc_id"), col("total_tf"))
   }
 
+  /** Disjunctive (OR) search: documents containing ANY of `terms`,
+    * with the matched-term count and total tf — same pruned access
+    * path as [[searchAll]], no arity filter.
+    */
+  def searchAny(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchAny needs at least one term")
+    prunedPostings(spark, path, terms)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .select(col("doc_id"), col("n_terms"), col("total_tf"))
+  }
+
+  /** Proximity search: documents where `a` and `b` occur within
+    * `window` token offsets of each other (either order), with the
+    * count of such co-occurrences. Same positional postings as
+    * [[phraseSearch]]; the pair join is range-banded — each position
+    * joins on its window bucket and the adjacent one, so the predicate
+    * is an equi-join + filter, never a per-doc cross product of all
+    * positions (a term repeated k times in one doc contributes O(k)
+    * banded rows, not O(k²) comparisons).
+    */
+  def proximitySearch(spark: SparkSession, path: String, a: String,
+      b: String, window: Int): DataFrame = {
+    require(a != b, "proximitySearch terms must differ")
+    require(window >= 1, "window must be >= 1")
+    val postings = prunedPostings(spark, path, Seq(a, b))
+    def side(term: String, p: String) = postings
+      .filter(col("term") === term)
+      .select(col("doc_id"), explode(col("positions")).as(p))
+    val left = side(a, "pa")
+      .withColumn("band", explode(array(
+        (col("pa") / window).cast("long"),
+        (col("pa") / window).cast("long") + 1,
+        (col("pa") / window).cast("long") - 1)))
+    val right = side(b, "pb")
+      .withColumn("band", (col("pb") / window).cast("long"))
+    left.join(right, Seq("doc_id", "band"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .select("doc_id", "pa", "pb").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The bucket-pruned postings scan for `terms` — the partition filter
     * is on the index's partition column, so pruning happens at planning
     * time (verified via inputFiles in TextIndexSpec).
@@ -190,6 +233,37 @@ object TextIndex {
     }
     slots.reduce(_.join(_, Seq("doc_id", "start")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Compact the posting files: each `appendDocs` batch adds files to
+    * every bucket it touches, so a long-running streaming ingest leaves
+    * O(batches) small files per bucket and every search pays their open
+    * cost. One shuffle keyed on `bucket` rewrites each bucket into a
+    * single file (content-identical — same rows, coarser layout);
+    * sidecars and meta are untouched. Swap is delete-then-rename per
+    * bucket dir: not atomic under concurrent readers (the engine's
+    * snapshot tables get the atomic-manifest treatment; the index is a
+    * derived artifact, rebuildable from the corpus, so maintenance runs
+    * take an exclusive window — same operational contract as Iceberg's
+    * rewrite_data_files on an unversioned table).
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    bucketCount(spark, path) // format check before touching anything
+    val tmp = s"${path}_compact_tmp"
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    fresh.foreach { s =>
+      val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(s.getPath, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** Per-term document frequencies from the persisted stats table. */

@@ -154,6 +154,25 @@ object LlmPipeline {
         .select(col("doc_id"), col("total_tf"), col("lang"))
     }),
 
+    // OR-semantics search off the same index: matched-term count +
+    // total tf, no arity filter.
+    "q_text_search_any" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_any")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.searchAny(s, idx, Seq("hash", "merge", "vector"))
+        .orderBy("doc_id")
+    }),
+
+    // Proximity search: 'hash' within 3 tokens of 'table', either
+    // order — banded position join (equi-join + filter, never a
+    // per-doc position cross product), co-occurrence-counted.
+    "q_text_proximity_index" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_prox")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.proximitySearch(s, idx, "hash", "table", window = 3)
+        .orderBy("doc_id")
+    }),
+
     // The same index search through the SQL surface: the
     // graft_text_search TVF (GraftExtensions) resolves to the
     // partition-pruned searchAll plan, and the join/order compose on
@@ -981,6 +1000,34 @@ object LlmPipeline {
         |  ON d.doc_id = r.doc
         |WHERE d.doc_id NOT IN (SELECT doc FROM labels WHERE doc <> label)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "q_text_search_any" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_terms, sum(tf) AS total_tf
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 1-based positions here vs 0-based in the index — only the
+    // DIFFERENCE enters the predicate, so the bases cancel
+    "q_text_proximity_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+        |  FROM d WHERE len(toks) > 0),
+        |a AS (SELECT doc_id, i AS pa FROM p WHERE toks[i] = 'hash'),
+        |b AS (SELECT doc_id, i AS pb FROM p WHERE toks[i] = 'table')
+        |SELECT a.doc_id, count(*) AS n_pairs
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND abs(pa - pb) <= 3
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     // same deliverable as q_text_search_index (the TVF is an access
     // path, not a semantics change)

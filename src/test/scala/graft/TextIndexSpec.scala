@@ -127,6 +127,33 @@ class TextIndexSpec extends SparkSuite {
     assert(abIncr === ab)
   }
 
+  test("compactIndex: one file per bucket, content-identical results") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Tables.scratch("textindex_compact")
+    TextIndex.buildIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", out)
+    TextIndex.appendDocs(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", out)
+    TextIndex.appendDocs(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", out)
+    def bucketFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(bucketFiles().exists(_ > 1),
+      "three ingest batches should leave multi-file buckets to compact")
+    val terms = Seq("hash", "merge", "vector")
+    val before = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val phraseBefore = TextIndex.phraseSearch(spark, out, Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    TextIndex.compactIndex(spark, out)
+    val files = bucketFiles()
+    assert(files.nonEmpty && files.forall(_ == 1),
+      s"every bucket should hold exactly one file after compaction: ${files.toSeq}")
+    val after = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val phraseAfter = TextIndex.phraseSearch(spark, out, Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after === before && phraseAfter === phraseBefore)
+  }
+
   test("absent term returns empty; stats df matches direct doc counts") {
     assert(TextIndex.searchAll(spark, idx,
       Seq("zzz_not_a_token_zzz")).count() === 0)
