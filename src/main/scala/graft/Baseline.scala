@@ -166,6 +166,25 @@ object Baseline {
         .select(col("doc_id"), col("n_occ"))
     }),
 
+    // q_table_delete control: the stock copy-on-write delete — rewrite
+    // the table minus the matching rows to a fresh dir, read it back,
+    // aggregate. The graft side additionally maintains the version
+    // manifest and proves the audit property (v1 still serves the
+    // deleted rows, v2 does not) inside its measured time.
+    "q_table_delete" -> ((s, dir) => {
+      val out = Tables.scratch("baseline_delete_cow")
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .withColumn("audit_ok", lit(true))
+        .orderBy("o_orderstatus")
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {

@@ -239,6 +239,33 @@ object Snapshots {
     next
   }
 
+  /** DELETE … WHERE as a new snapshot commit (the Delta/Iceberg DELETE
+    * verb, and the GDPR-erasure path when the predicate is a key
+    * anti-set): rows where `predicate` is TRUE are absent from the NEW
+    * version; every prior version keeps them — time-travelable and
+    * auditable until `expire` drops it, exactly like [[rollback]]'s
+    * history contract. SQL semantics on nulls: a NULL predicate keeps
+    * the row (DELETE removes only TRUE matches). Registered stats
+    * columns keep their clustered-rewrite treatment so per-file bounds
+    * stay tight for [[readPruned]]. Returns the new version number.
+    */
+  def commitDelete(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val next = vs.max + 1
+    val remaining = read(spark, root).filter(not(coalesce(predicate, lit(false))))
+    val statCols = statsColumns(spark, root)
+    val shaped =
+      if (statCols.isEmpty) remaining
+      else clustered(remaining, statCols, dataFiles(spark, root, vs.max).length)
+    shaped.write.parquet(versionPath(root, next))
+    if (statCols.nonEmpty) writeColumnStats(spark, root, next, statCols)
+    writeManifest(spark, root, vs :+ next)
+    next
+  }
+
   /** Roll the table back to `toVersion` by committing a NEW version
     * whose data is a byte-identical FS-level copy of `toVersion`'s
     * files (Iceberg's rollback-as-new-snapshot: history is append-only,

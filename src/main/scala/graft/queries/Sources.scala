@@ -313,6 +313,30 @@ object Sources {
     // (matched → update) and a synthetic 6% inserted under fresh keys
     // (not matched → insert); the merged snapshot is aggregated with
     // exact-cents sums so the totals are summation-order-proof.
+    // DELETE ... WHERE as a snapshot commit (Delta/Iceberg DELETE; the
+    // GDPR-erasure path with a key anti-set predicate): urgent orders
+    // vanish from the new version, the prior version still serves them
+    // under time travel (audit_ok measures both directions), and the
+    // deliverable aggregate is exactly "orders minus the deleted set".
+    "q_table_delete" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = tmp("snap_delete")
+      Snapshots.create(s, root, t(s, dir, "orders"))
+      Snapshots.commitDelete(s, root, col("o_orderpriority") === "1-URGENT")
+      val deletedAtV1 = Snapshots.read(s, root, Some(1))
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      val deletedAtV2 = Snapshots.read(s, root)
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      val auditOk = deletedAtV1 > 0 && deletedAtV2 == 0
+      Snapshots.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .withColumn("audit_ok", lit(auditOk))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_table_merge" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       // insert keys offset by max(o_orderkey): collision-free at every
@@ -1151,6 +1175,16 @@ object Sources {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_table_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total,
+        |  TRUE AS audit_ok
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_table_merge" ->
       """WITH updates AS (

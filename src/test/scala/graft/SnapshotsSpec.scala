@@ -299,6 +299,25 @@ class SnapshotsSpec extends SparkSuite {
       (9L, 90.0, "insert")))
   }
 
+  test("commitDelete: NULL predicate keeps the row; CDF classifies the deletes; history audits") {
+    val root = freshRoot("snap_delete_spec")
+    // tag=null rows must SURVIVE a delete on tag === "x" (SQL DELETE
+    // removes only TRUE matches; a null-pred row is not a match)
+    Snapshots.create(spark, root,
+      Seq((1L, "x"), (2L, "y"), (3L, null), (4L, "x"))
+        .toDF("id", "tag"))
+    val v2 = Snapshots.commitDelete(spark, root, col("tag") === "x")
+    assert(v2 === 2)
+    assert(Snapshots.read(spark, root).select("id").as[Long].collect().sorted
+      === Array(2L, 3L))
+    // prior version keeps the deleted rows (auditable until expire)
+    assert(Snapshots.read(spark, root, Some(1)).count() === 4)
+    // the change feed between the versions is exactly the two deletes
+    val got = Snapshots.changes(spark, root, 1, 2, "id")
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "delete"), (4L, "delete")))
+  }
+
   test("changes across a compaction is empty (content-identical rewrite)") {
     val root = freshRoot("snap_cdf_compact")
     Snapshots.create(spark, root,
