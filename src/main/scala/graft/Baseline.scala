@@ -185,6 +185,42 @@ object Baseline {
         .orderBy("o_orderstatus")
     }),
 
+    // q_table_update control, deliverable-matched: the graft side
+    // commits the update AND proves the change-feed property (the CDF
+    // diff counts exactly the matched rows) inside its measured time,
+    // so the stock twin does the full copy-on-write equivalent — keep
+    // the old copy, write the CASE-rewritten new copy, diff the two to
+    // produce the same update_ok evidence, then aggregate.
+    "q_table_update" -> ((s, dir) => {
+      val oldDir = Tables.scratch("baseline_update_v1")
+      val out = Tables.scratch("baseline_update_cow")
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").parquet(oldDir)
+      orders
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderpriority") === "1-URGENT", lit("2-HIGH"))
+            .otherwise(col("o_orderpriority")))
+        .write.mode("overwrite").parquet(out)
+      val prev = s.read.parquet(oldDir)
+      val cur = s.read.parquet(out)
+      val nUrgentV1 = prev.filter(col("o_orderpriority") === "1-URGENT").count()
+      val changed = cur.alias("n")
+        .join(prev.alias("o"), col("n.o_orderkey") === col("o.o_orderkey"))
+        .filter(col("n.o_orderpriority") =!= col("o.o_orderpriority") ||
+          col("n.o_totalprice") =!= col("o.o_totalprice"))
+        .count()
+      val updateOk = nUrgentV1 > 0 && changed == nUrgentV1
+      cur.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .withColumn("update_ok", lit(updateOk))
+        .orderBy("o_orderpriority")
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {

@@ -337,6 +337,34 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // UPDATE ... SET ... WHERE as a snapshot commit: urgent orders get
+    // a 5% surcharge and a priority downgrade IN ONE COMMIT — both
+    // assignments read the OLD row (SQL update semantics; the
+    // downgrade can't hide rows from the surcharge). CDF between the
+    // versions classifies exactly the touched rows as updates
+    // (update_ok measured).
+    "q_table_update" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = tmp("snap_update")
+      Snapshots.create(s, root, t(s, dir, "orders"))
+      Snapshots.commitUpdate(s, root,
+        col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> col("o_totalprice") * 1.05,
+          "o_orderpriority" -> lit("2-HIGH")))
+      val nUrgentV1 = Snapshots.read(s, root, Some(1))
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      val changed = Snapshots.changes(s, root, 1, 2, "o_orderkey")
+        .filter(col("_change_type") === "update_postimage").count()
+      val updateOk = nUrgentV1 > 0 && changed == nUrgentV1
+      Snapshots.read(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .withColumn("update_ok", lit(updateOk))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_table_merge" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       // insert keys offset by max(o_orderkey): collision-free at every
@@ -1185,6 +1213,20 @@ object Sources {
         |WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_table_update" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |  TRUE AS update_ok
+        |FROM (
+        |  SELECT
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN '2-HIGH'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.05
+        |         ELSE o_totalprice END AS p
+        |  FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_table_merge" ->
       """WITH updates AS (

@@ -318,6 +318,29 @@ class SnapshotsSpec extends SparkSuite {
     assert(got === Set((1L, "delete"), (4L, "delete")))
   }
 
+  test("commitUpdate: all assignments see the OLD row (swap test); non-matches untouched") {
+    val root = freshRoot("snap_update_spec")
+    Snapshots.create(spark, root,
+      Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0), (3L, 50.0, 60.0))
+        .toDF("id", "a", "b"))
+    // swap a and b where id <= 2 — only correct if both assignments
+    // evaluate against pre-update values (sequential withColumn would
+    // yield a == b)
+    Snapshots.commitUpdate(spark, root, col("id") <= 2,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = Snapshots.read(spark, root).orderBy("id")
+      .as[(Long, Double, Double)].collect()
+    assert(got === Array((1L, 20.0, 10.0), (2L, 40.0, 30.0), (3L, 50.0, 60.0)))
+    // v1 unchanged; CDF = exactly the two updated rows
+    assert(Snapshots.read(spark, root, Some(1)).orderBy("id")
+      .as[(Long, Double, Double)].collect()
+      === Array((1L, 10.0, 20.0), (2L, 30.0, 40.0), (3L, 50.0, 60.0)))
+    val updates = Snapshots.changes(spark, root, 1, 2, "id")
+      .filter(col("_change_type") === "update_postimage")
+      .select("id").as[Long].collect().sorted
+    assert(updates === Array(1L, 2L))
+  }
+
   test("changes across a compaction is empty (content-identical rewrite)") {
     val root = freshRoot("snap_cdf_compact")
     Snapshots.create(spark, root,
