@@ -32,14 +32,32 @@ def canon_val(v):
         if math.isnan(v): return "nan"
         return f"{round(v, 6):.6f}"
     if isinstance(v, decimal.Decimal):
-        return f"{v:f}"
+        # deliberately distinct from int: the driver's hasher serializes
+        # DuckDB HUGEINT/DECIMAL differently from BIGINT, so a bare
+        # integer sum() in an oracle (HUGEINT) must FAIL here too —
+        # fetch via arrow (see rows_of) so the Decimal type survives
+        return "dec:" + f"{v:f}"
     if isinstance(v, datetime.datetime):
         # full microsecond precision — the events table is µs-native;
         # truncating to ms would hide sub-ms divergence
         return v.strftime("%Y-%m-%d %H:%M:%S.") + f"{v.microsecond:06d}"
     if isinstance(v, (list, tuple)):
         return tuple(canon_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_val(x)) for k, x in v.items()))
     return v
+
+def rows_of(rel):
+    """Fetch through arrow, not fetchall(): duckdb's fetchall() converts
+    HUGEINT to a plain Python int, erasing the very type difference the
+    driver's hasher trips on. Arrow keeps HUGEINT as decimal128(38,0),
+    which to_pylist() surfaces as decimal.Decimal."""
+    tbl = rel.arrow()
+    cols = [c.lower() for c in tbl.column_names]
+    if tbl.num_columns == 0:
+        return cols, []
+    pyl = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    return cols, list(zip(*pyl)) if tbl.num_rows else []
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
@@ -58,16 +76,16 @@ def main():
         if not os.path.isdir(d): continue
         if only and name not in only: continue
         got_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        got_cols = [c.lower() for c in got_rel.columns]
-        got = canon(got_rel.fetchall(), got_cols)
+        got_cols, got_rows = rows_of(got_rel)
+        got = canon(got_rows, got_cols)
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
             n_skip += 1
             continue
         try:
             exp_rel = con.sql(oracles[name])
-            exp_cols = [c.lower() for c in exp_rel.columns]
-            exp = canon(exp_rel.fetchall(), exp_cols)
+            exp_cols, exp_rows = rows_of(exp_rel)
+            exp = canon(exp_rows, exp_cols)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1

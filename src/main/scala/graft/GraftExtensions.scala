@@ -123,6 +123,9 @@ object GraftExtensions {
     */
   val textSearchTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     (es: Seq[Expression]) => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"graft_text_search expects exactly 2 string-literal arguments " +
+          s"(indexPath, terms); got ${es.length}")
       val path = strArg(es.head, "graft_text_search indexPath")
       val terms = strArg(es(1), "graft_text_search terms")
         .split("\\s+").toSeq.filter(_.nonEmpty)

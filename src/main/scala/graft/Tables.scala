@@ -79,6 +79,11 @@ object Tables {
       // encoding the schema alone can't distinguish) would be ~1.7e15.
       // Dividing micros by 1000 silently yields seconds-scale garbage,
       // so refuse any value outside the unambiguous nanos range.
+      // DECLARED FLOOR: abs(ts) >= 1e17 means nanos-scale timestamps
+      // before ~1973-03 (including epoch 0) are refused too — this
+      // loader serves the fixture corpus (1992+); a pre-1973 corpus
+      // needs a whole-column heuristic (e.g. max(abs(ts))) instead of
+      // this per-row rule.
       case LongType => df.withColumn("ts", expr(
         """timestamp_micros(case
           |  when ts is null then null

@@ -85,6 +85,13 @@ object DataSkipping {
     require(cols.nonEmpty, "need at least one column to index")
     require(bloomCols.forall(cols.contains),
       s"bloom columns must be indexed columns too: ${bloomCols.diff(cols)}")
+    // the index row carries bloom_fmt/bloom_k metadata columns; a bloom
+    // over a data column literally named "fmt" or "k" would emit the
+    // same names (duplicate-column parquet write, misclassified bounds)
+    require(!bloomCols.exists(c => c == "fmt" || c == "k"),
+      "bloom columns named 'fmt' or 'k' collide with the index's " +
+        "bloom_fmt/bloom_k metadata columns; rename the column or index it " +
+        "bounds-only")
     val bloomUdaf = udaf(new graft.functions.Aggregators.BloomAgg(bloomWords, BloomK),
       org.apache.spark.sql.Encoders.scalaLong)
     val aggs = cols.flatMap { c =>

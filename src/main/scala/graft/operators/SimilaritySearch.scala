@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  /** Per-probe bounded-heap top-k cut ([[graft.functions.Aggregators.TopKByScore]]):
+    * partial aggregation keeps k (score, id) pairs per probe on every
+    * map task, so the shuffle carries O(probes × k) rows and NO task
+    * ever sorts a whole probe's scored corpus — the failure mode of a
+    * `row_number` window cut, whose per-probe partition holds |corpus|
+    * rows in one task at scale. Ties break by ascending neighbor id,
+    * identical to the window ordering it replaces. Output:
+    * (probe_id, rank, neighbor_id, `scoreCol`).
+    */
+  private def heapTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopKByScore(k))
+    scored.groupBy("probe_id")
+      .agg(topk(col("neighbor_id"), col(scoreCol)).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("probe_id"), (col("pos") + 1).as("rank"),
+        col("hit.id").as("neighbor_id"), col("hit.score").as(scoreCol))
+  }
+
   /** Exact cosine top-k: for each probe vector, the k nearest corpus
     * vectors (excluding self). Probes must be small enough to
     * broadcast; corpus side streams through one codegen'd stage.
@@ -83,11 +101,9 @@ object SimilaritySearch {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id", "cos")
+    // bounded-heap cut: a hot probe (or a skewed bucket) never piles
+    // its whole candidate set into one window-sort task
+    heapTopK(cands.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
 
   /** Two-stage quantized re-rank: a coarse pass scores EVERY corpus
@@ -122,15 +138,21 @@ object SimilaritySearch {
           (a, b) => a * b), lit(0L), (acc, v) => acc + v))
       .withColumn("approx",
         col("qdot").cast("double") * col("p_scale") * col("c_scale") / lit(16129.0))
-    val wCand = Window.partitionBy("probe_id")
-      .orderBy(col("approx").desc, col("neighbor_id").asc)
-    val cands = scored.withColumn("crank", row_number().over(wCand))
-      .filter(col("crank") <= nCandidates)
+    // stage-1 cut as a bounded heap, NOT a window: the full-corpus
+    // scored stream reduces map-side to nCandidates rows per probe —
+    // the only all-corpus pass never funnels into a per-probe sort task
+    val candIds = heapTopK(scored.select("probe_id", "neighbor_id", "approx"),
+        "approx", nCandidates)
+      .select("probe_id", "neighbor_id")
+    // stage 2: re-join the candidate ids (probes × nCandidates rows —
+    // broadcast-sized by construction) against the float vectors for
+    // the exact cosine; column-pruned corpus scan, no shuffle
+    val pv = p.select(col("probe_id"), col("probe_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("neighbor_vec"))
+    val exact = cv.join(broadcast(candIds.join(pv, "probe_id")),
+        Seq("neighbor_id"))
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id", "cos")
+    heapTopK(exact.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
 }

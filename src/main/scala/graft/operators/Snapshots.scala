@@ -284,11 +284,19 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshot table at $root")
     val next = vs.max + 1
     val cur = read(spark, root)
+    // SQL UPDATE fails analysis on an unknown SET target; a silent
+    // no-op commit would be strictly worse. Match with the session's
+    // resolver so case sensitivity follows spark.sql.caseSensitive.
+    val resolver = spark.sessionState.analyzer.resolver
+    val unknown = set.keys.filterNot(k => cur.columns.exists(resolver(_, k)))
+    require(unknown.isEmpty,
+      s"UPDATE SET references unknown column(s) ${unknown.mkString(", ")}; " +
+        s"table columns: ${cur.columns.mkString(", ")}")
     val hit = coalesce(predicate, lit(false))
     // one select, every assignment against the old row — sequential
     // withColumn would let one SET read another's output
     val updated = cur.select(cur.columns.map { c =>
-      set.get(c) match {
+      set.collectFirst { case (k, e) if resolver(c, k) => e } match {
         case Some(e) => when(hit, e).otherwise(cur(c)).as(c)
         case None => cur(c)
       }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted inverted text index: term-bucketed posting lists, so a
@@ -28,25 +29,100 @@ import org.apache.spark.sql.functions._
   * parallelism, and a search's input volume is the true posting-list
   * size, independent of corpus row count. Scoring is tf-sum (the BM25
   * contributions in `q_text_bm25` compose on top of the same postings).
+  *
+  * == Commit protocol ==
+  *
+  * Rewritable index artifacts are GENERATION directories published
+  * through the same immutable-manifest swap [[Snapshots]] uses for its
+  * tables (write the new `_postings_g<N>` / `_term_stats_g<N>` dir
+  * fully, then commit ONE manifest file naming the live generations):
+  *
+  *   - a reader resolves generations through the manifest, never by
+  *     listing — a half-written compaction or stats refresh is
+  *     invisible until its manifest lands, so concurrent reads see
+  *     either the old or the new layout, never a mix, and a crash
+  *     mid-maintenance leaves the index at the previous generation;
+  *   - the superseded generation is kept as a recovery spare for one
+  *     more maintenance cycle (readers that resolved it mid-query keep
+  *     working), then swept;
+  *   - posting APPENDS add files inside the live generation without a
+  *     generation bump — per-file parquet visibility, the same contract
+  *     as any file-stream source directory.
+  *
+  * Writer concurrency follows the Snapshots contract: the manifest
+  * rename fails rather than clobbers, so racing maintenance jobs
+  * surface as a commit conflict (operationally: one maintenance writer
+  * at a time; readers need no coordination at all).
   */
 object TextIndex {
-  private val StatsDir = "_term_stats"
   private val DocStatsDir = "_doc_stats"
   private val MetaDir = "_index_meta"
+  private val PostingsPrefix = "_postings_g"
+  private val StatsPrefix = "_term_stats_g"
 
   /** Index layout version. Bump on ANY change to the tokenizer, the
     * bucket hash, or the postings schema — probe-side code refuses an
     * index whose recorded fmt it does not recognize, because probing
     * with mismatched parameters is a silent wrong-bucket miss (the same
     * failure class the DataSkipping bloom format row guards against).
+    * fmt 2 = generation dirs + manifest commit (fmt 1 was flat dirs
+    * with in-place sidecar overwrite).
     */
-  private val Fmt = 1
+  private val Fmt = 2
+
+  /** The live (postingsGen, statsGen) pair, resolved from the highest
+    * committed manifest — the only way any read path locates data.
+    */
+  private case class Gens(postings: Int, stats: Int)
+
+  private def readGens(spark: SparkSession, path: String): Gens = {
+    val seqs = Snapshots.manifestSeqs(spark, path)
+    require(seqs.nonEmpty, s"no text index manifest at $path")
+    val kv = Snapshots.readManifestLines(spark, path, seqs.max)
+      .map(_.split("=", 2)).map(a => a(0) -> a(1).toInt).toMap
+    Gens(kv("postings"), kv("term_stats"))
+  }
+
+  private def commitGens(spark: SparkSession, path: String, g: Gens): Unit =
+    Snapshots.writeManifestLines(spark, path,
+      Seq(s"postings=${g.postings}", s"term_stats=${g.stats}"),
+      sweep = true): Unit
+
+  private def postingsPath(path: String, g: Int) = s"$path/$PostingsPrefix$g"
+  private def statsPath(path: String, g: Int) = s"$path/$StatsPrefix$g"
+
+  /** The live postings directory — for callers that need the raw
+    * partition layout (specs assert file counts and pruning against
+    * it). Everything else should go through [[prunedPostings]].
+    */
+  def postingsDir(spark: SparkSession, path: String): String =
+    postingsPath(path, readGens(spark, path).postings)
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Best-effort sweep of superseded generation dirs, keeping
+    * `keepFloor` and everything newer (the previous generation stays
+    * as the in-flight readers' spare — the Snapshots recovery-spare
+    * rule applied to data dirs). A crash here only leaks directories.
+    */
+  private def sweepGens(spark: SparkSession, path: String, prefix: String,
+      keepFloor: Int): Unit = {
+    val fs = fsOf(spark, path)
+    fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.startsWith(prefix))
+      .filter { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix(prefix).toInt)
+          .toOption.exists(_ < keepFloor)
+      }
+      .foreach(s => fs.delete(s.getPath, true))
+  }
 
   /** Bucket id for a term — xxhash64 (seed 42, Spark's default) mod
     * nBuckets, computed identically at build and search time. Must stay
     * a pure Catalyst expression so the build side never leaves codegen.
     */
-  private def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
+  private def bucketOf(term: Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
   /** One pass over `docs`: tokenize, count per-(doc, term), bucket by
@@ -54,25 +130,30 @@ object TextIndex {
     * per-doc lengths ([[DocStatsDir]]) that let BM25 be served entirely
     * from the index. `dl` counts ALL tokens (not just distinct terms),
     * and zero-token documents keep their row — corpus-side n_docs /
-    * avgdl must be recoverable from the sidecar alone.
+    * avgdl must be recoverable from the sidecar alone. Drops any
+    * existing index at `path`.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    fsOf(spark, path).delete(new Path(path), true)
     val postings = tokenizePostings(docs, idCol, textCol, nBuckets)
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    // sidecars AFTER the postings overwrite — it truncates `path`
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(postingsPath(path, 1))
     writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Overwrite)
     // df (document frequency) per term, re-read from the just-written
     // postings: no second tokenization pass over the corpus
-    postings.sparkSession.read.parquet(path)
+    spark.read.parquet(postingsPath(path, 1))
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+      .write.mode("overwrite").parquet(statsPath(path, 1))
     // build parameters travel WITH the index — a probe that re-supplied
     // its own bucket count could silently hash into the wrong
     // partitions and miss every posting
     import docs.sparkSession.implicits._
     Seq((Fmt, nBuckets)).toDF("fmt", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$MetaDir")
+    // single commit point: data dirs above are invisible until this
+    commitGens(spark, path, Gens(postings = 1, stats = 1))
   }
 
   /** The bucket count this index was built with, from its persisted
@@ -109,14 +190,29 @@ object TextIndex {
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
 
+  /** The merged df-stats plan for an append: existing sidecar
+    * (vocabulary-sized) ∪ the NEW batch's per-term df, re-aggregated.
+    * df is associative, so the refresh's input volume is
+    * O(batch + vocabulary) — the posting files are NEVER re-read
+    * (input-volume-asserted in TextIndexSpec). Package-private so the
+    * spec can assert the plan's scan set directly.
+    */
+  private[graft] def mergedStats(spark: SparkSession, path: String,
+      statsGen: Int, batchPostings: DataFrame): DataFrame =
+    spark.read.parquet(statsPath(path, statsGen))
+      .unionByName(batchPostings.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
+
   /** Incremental maintenance: index a NEW batch of documents into an
     * existing index without touching the corpus already indexed — the
     * continuous-ingestion path. New postings append as additional files
-    * inside their bucket partitions (dynamic partition overwrite is NOT
-    * used; append never rewrites existing posting files), and the df
-    * stats sidecar is re-derived from the merged postings — an
-    * index-sized aggregation, never a corpus re-scan. Cost is
-    * O(new docs) + O(index), independent of total corpus size.
+    * inside the live postings generation (existing posting files are
+    * never rewritten), and the df sidecar is refreshed INCREMENTALLY:
+    * the batch's per-term df merges with the previous sidecar
+    * generation (df is associative), so the stats job's input is
+    * O(batch + vocabulary) — never the postings, whose volume is
+    * corpus-order. Total cost per batch: O(new docs + vocabulary),
+    * independent of index size.
     *
     * Caller contract: `docs` must be documents not already in the index
     * (same as any append-only ingest; exactly-once de-dup upstream is
@@ -126,20 +222,27 @@ object TextIndex {
       path: String): Unit = {
     // first batch of a streaming ingest: no index yet — bootstrap one
     val spark = docs.sparkSession
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/$MetaDir")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath)) return buildIndex(docs, idCol, textCol, path)
+    if (Snapshots.manifestSeqs(spark, path).isEmpty)
+      return buildIndex(docs, idCol, textCol, path)
     // the bucket count comes from the index being appended to — never
     // from the caller, who could otherwise split one term across two
     // bucket layouts
     val nBuckets = bucketCount(spark, path)
+    val gens = readGens(spark, path)
     // doc-disjoint batches: doc stats append too, no rewrite
     writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Append)
-    tokenizePostings(docs, idCol, textCol, nBuckets)
-      .write.mode("append").partitionBy("bucket").parquet(path)
-    docs.sparkSession.read.parquet(path)
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    // one tokenization pass feeds BOTH the postings write and the
+    // batch-side df — cache the batch postings across the two actions
+    val batch = tokenizePostings(docs, idCol, textCol, nBuckets)
+    batch.persist()
+    try {
+      batch.write.mode("append").partitionBy("bucket")
+        .parquet(postingsPath(path, gens.postings))
+      mergedStats(spark, path, gens.stats, batch)
+        .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
+      commitGens(spark, path, gens.copy(stats = gens.stats + 1))
+      sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
+    } finally batch.unpersist()
   }
 
   /** Conjunctive search: documents containing ALL `terms`, scored by
@@ -201,13 +304,17 @@ object TextIndex {
 
   /** The bucket-pruned postings scan for `terms` — the partition filter
     * is on the index's partition column, so pruning happens at planning
-    * time (verified via inputFiles in TextIndexSpec).
+    * time (verified via inputFiles in TextIndexSpec). The postings
+    * generation is resolved through the manifest ONCE, here — the scan
+    * then stays pinned to that immutable-until-swept directory for the
+    * query's whole life (snapshot-consistent reads under concurrent
+    * compaction).
     */
   def prunedPostings(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     val nBuckets = bucketCount(spark, path)
     val distinctTerms = terms.distinct
-    spark.read.parquet(path)
+    spark.read.parquet(postingsDir(spark, path))
       .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, nBuckets)): _*))
       .filter(col("term").isin(distinctTerms: _*))
   }
@@ -238,37 +345,35 @@ object TextIndex {
   /** Compact the posting files: each `appendDocs` batch adds files to
     * every bucket it touches, so a long-running streaming ingest leaves
     * O(batches) small files per bucket and every search pays their open
-    * cost. One shuffle keyed on `bucket` rewrites each bucket into a
-    * single file (content-identical — same rows, coarser layout);
-    * sidecars and meta are untouched. Swap is delete-then-rename per
-    * bucket dir: not atomic under concurrent readers (the engine's
-    * snapshot tables get the atomic-manifest treatment; the index is a
-    * derived artifact, rebuildable from the corpus, so maintenance runs
-    * take an exclusive window — same operational contract as Iceberg's
-    * rewrite_data_files on an unversioned table).
+    * cost. One shuffle keyed on `bucket` rewrites the live generation
+    * into a NEW generation with one file per bucket (content-identical
+    * — same rows, coarser layout); sidecars and meta are untouched.
+    *
+    * The swap is the manifest commit: the new generation is fully
+    * written first, readers keep resolving the old one until the
+    * commit, and the old generation survives one more cycle as the
+    * in-flight readers' spare before being swept. A crash anywhere
+    * leaves the index serving the OLD generation with at worst a
+    * leaked directory — never a missing or half-visible bucket.
+    * Concurrent APPENDS during a compaction are the one excluded
+    * interleaving (their files would land in the generation being
+    * superseded): maintenance writers serialize, per the Snapshots
+    * conflict-on-commit contract.
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     bucketCount(spark, path) // format check before touching anything
-    val tmp = s"${path}_compact_tmp"
-    spark.read.parquet(path)
+    val gens = readGens(spark, path)
+    spark.read.parquet(postingsPath(path, gens.postings))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    fresh.foreach { s =>
-      val dst = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(s.getPath, dst)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(postingsPath(path, gens.postings + 1))
+    commitGens(spark, path, gens.copy(postings = gens.postings + 1))
+    sweepGens(spark, path, PostingsPrefix, keepFloor = gens.postings)
   }
 
   /** Per-term document frequencies from the persisted stats table. */
   def termStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/$StatsDir")
+    spark.read.parquet(statsPath(path, readGens(spark, path).stats))
 
   /** Per-doc token counts from the persisted stats table. */
   def docStats(spark: SparkSession, path: String): DataFrame =

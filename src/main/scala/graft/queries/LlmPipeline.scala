@@ -211,6 +211,43 @@ object LlmPipeline {
       TextIndex.bm25(s, idx, Seq("hash", "merge", "vector"), k = 20)
     }),
 
+    // Index maintenance end-to-end: three streaming-style ingest
+    // batches leave O(batches) files per bucket; compactIndex rewrites
+    // the live postings generation to one file per bucket behind the
+    // manifest swap. Deliverable: the search answer (== the corpus-side
+    // oracle) plus two measured invariants — the posting file count
+    // actually DROPPED, and search results are bit-identical across the
+    // compaction (content-preserving rewrite).
+    "q_text_index_compact" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_compact_q")
+      val docs = t(s, dir, "documents")
+      TextIndex.appendDocs(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", idx)
+      TextIndex.appendDocs(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", idx)
+      TextIndex.appendDocs(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      def postingFiles(): Int = {
+        val pdir = new org.apache.hadoop.fs.Path(TextIndex.postingsDir(s, idx))
+        val fs = pdir.getFileSystem(s.sessionState.newHadoopConf())
+        fs.listStatus(pdir).filter(_.isDirectory).map(d =>
+          fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))).sum
+      }
+      val terms = Seq("hash", "merge", "vector")
+      val nBefore = postingFiles()
+      val before = TextIndex.searchAll(s, idx, terms)
+      TextIndex.compactIndex(s, idx)
+      val nAfter = postingFiles()
+      val after = TextIndex.searchAll(s, idx, terms)
+      // `before` still resolves: the superseded generation survives the
+      // compaction as the in-flight readers' spare
+      val identical = before.exceptAll(after).isEmpty &&
+        after.exceptAll(before).isEmpty
+      after
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"),
+          lit(nAfter < nBefore).as("files_dropped"),
+          lit(identical).as("search_identical"))
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
@@ -1009,7 +1046,7 @@ object LlmPipeline {
         |  FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
-        |SELECT doc_id, count(*) AS n_terms, sum(tf) AS total_tf
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // 1-based positions here vs 0-based in the index — only the
@@ -1039,7 +1076,7 @@ object LlmPipeline {
         |  FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
-        |SELECT tf.doc_id, sum(tf.tf) AS total_tf, d.lang
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang
         |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
         |GROUP BY tf.doc_id, d.lang
         |HAVING count(*) = 3
@@ -1109,7 +1146,26 @@ object LlmPipeline {
         |  FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
-        |SELECT tf.doc_id, sum(tf.tf) AS total_tf, d.lang
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang
+        |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+        |GROUP BY tf.doc_id, d.lang
+        |HAVING count(*) = 3
+        |ORDER BY tf.doc_id""".stripMargin,
+
+    // same conjunctive deliverable as q_text_search_index; the two
+    // invariant booleans are measured engine-side and must come back
+    // TRUE (a compaction that loses rows or fails to drop files flips
+    // them and fails the hash gate)
+    "q_text_index_compact" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang,
+        |  TRUE AS files_dropped, TRUE AS search_identical
         |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
         |GROUP BY tf.doc_id, d.lang
         |HAVING count(*) = 3

@@ -505,7 +505,7 @@ object StreamingQueries {
         |  FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
-        |SELECT tf.doc_id, sum(tf.tf) AS total_tf, d.lang,
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang,
         |  TRUE AS multi_batch
         |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
         |GROUP BY tf.doc_id, d.lang

@@ -43,6 +43,8 @@ class GraftFileSystem extends FileSystem {
   private var mountRoot: String = _ // absolute local path, no trailing slash
   private var inner: FileSystem = _
   private var workDir: Path = _
+  private var homeDirPrefix: String = _
+  private var userName: String = _
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -62,11 +64,23 @@ class GraftFileSystem extends FileSystem {
     inner = new RawLocalFileSystem()
     inner.initialize(URI.create("file:///"), conf)
     fsUri = URI.create(s"graft://$volume")
-    workDir = new Path(s"graft://$volume/")
+    // the reference's configurable home prefix + home-as-initial-cwd
+    // (CubefsFileSystem.java:108, 350-353): same standard Hadoop key
+    homeDirPrefix = conf.get("dfs.user.home.dir.prefix", "/user")
+    userName = org.apache.hadoop.security.UserGroupInformation
+      .getCurrentUser.getShortUserName
+    workDir = getHomeDirectory
   }
 
   override def getScheme: String = "graft"
   override def getUri: URI = fsUri
+
+  /** `<prefix>/<short user name>` qualified into this scheme — prefix
+    * from `dfs.user.home.dir.prefix` (default `/user`), the contract of
+    * `CubefsFileSystem.getHomeDirectory` (CubefsFileSystem.java:350-353).
+    */
+  override def getHomeDirectory: Path =
+    new Path(s"graft://$volume$homeDirPrefix/$userName")
 
   override def getDefaultBlockSize(f: Path): Long =
     getConf.getLong("fs.graft.block.size", 128L << 20)
@@ -97,17 +111,31 @@ class GraftFileSystem extends FileSystem {
       st.getModificationTime, st.getAccessTime, st.getPermission,
       st.getOwner, st.getGroup, fromLocal(st.getPath))
 
-  override def open(f: Path, bufferSize: Int): FSDataInputStream =
-    inner.open(toLocal(f), bufferSize)
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val lf = toLocal(f)
+    if (!inner.exists(lf)) throw GraftErrno.error(GraftErrno.ENOENT, f.toString)
+    inner.open(lf, bufferSize)
+  }
 
   // The reference's create retries mkdirs-parent on ENOENT
   // (CubefsFileSystem.java:167-191); RawLocalFileSystem.create with
-  // createParent semantics covers the same contract here.
+  // createParent semantics covers the same contract here. The flag
+  // dance's error arms surface through the errno taxonomy
+  // (CubefsMount.java:82-103): EEXIST on a no-overwrite create over an
+  // existing file, ENOTDIR when a path component is a file.
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
-      progress: Progressable): FSDataOutputStream =
-    inner.create(toLocal(f), permission, overwrite, bufferSize, replication,
+      progress: Progressable): FSDataOutputStream = {
+    val lf = toLocal(f)
+    if (!overwrite && inner.exists(lf))
+      throw GraftErrno.error(GraftErrno.EEXIST, f.toString)
+    val parent = lf.getParent
+    if (parent != null && inner.exists(parent) &&
+        !inner.getFileStatus(parent).isDirectory)
+      throw GraftErrno.error(GraftErrno.ENOTDIR, f.toString)
+    inner.create(lf, permission, overwrite, bufferSize, replication,
       blockSize, progress)
+  }
 
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
     inner.append(toLocal(f), bufferSize, progress)
@@ -151,8 +179,22 @@ class GraftFileSystem extends FileSystem {
 
   override def getWorkingDirectory: Path = workDir
 
-  override def mkdirs(f: Path, permission: FsPermission): Boolean =
-    inner.mkdirs(toLocal(f), permission)
+  // mkdirs over an existing FILE (or under one) is the reference's
+  // ENOTDIR arm (CubefsFileSystem.java:355-372 via CubefsMount.error)
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val lf = toLocal(f)
+    // walk up to the nearest existing ancestor; a FILE there is ENOTDIR
+    var probe = lf
+    var settled = false
+    while (probe != null && !settled) {
+      if (inner.exists(probe)) {
+        if (!inner.getFileStatus(probe).isDirectory)
+          throw GraftErrno.error(GraftErrno.ENOTDIR, f.toString)
+        settled = true
+      } else probe = probe.getParent
+    }
+    inner.mkdirs(lf, permission)
+  }
 
   override def getFileStatus(f: Path): FileStatus =
     convert(inner.getFileStatus(toLocal(f)))
@@ -182,6 +224,39 @@ class GraftFileSystem extends FileSystem {
       new BlockLocation(Array(s"localhost$bStart:50010"),
         Array(s"localhost$bStart"), bStart, bLen)
     }.toArray
+  }
+}
+
+/** The errno → Hadoop exception taxonomy of the reference's native
+  * client (`CubefsMount.error`, CubefsMount.java:82-103): one mapping
+  * used by every surfacing operation, so engine-side code (committers,
+  * retries) sees the SAME exception classes it would from cfs:// —
+  * ParentNotDirectoryException, FileNotFoundException,
+  * AccessControlException, FileAlreadyExistsException,
+  * InvalidRequestException — rather than whatever the backing store
+  * happens to throw.
+  */
+object GraftErrno {
+  val EIO = 5
+  val ENOENT = 2
+  val EACCES = 13
+  val EEXIST = 17
+  val ENOTDIR = 20
+  val EINVAL = 22
+  val ENOSPC = 28
+  val EROFS = 30
+
+  def error(errno: Int, p: String): java.io.IOException = errno match {
+    case ENOTDIR => new ParentNotDirectoryException(p)
+    case ENOENT => new java.io.FileNotFoundException(s"No such file or directory: $p")
+    case EACCES => new org.apache.hadoop.security.AccessControlException(
+      s"Permission denied: $p")
+    case EEXIST => new FileAlreadyExistsException(p)
+    case EINVAL => new InvalidRequestException(s"Invalid parameter: $p")
+    case ENOSPC => new java.io.IOException(s"No space: $p")
+    case EROFS => new java.io.IOException(s"Read-only Filesystem: $p")
+    case EIO => new java.io.IOException(s"I/O error: $p")
+    case other => new java.io.IOException(s"errno: $other ;path=$p")
   }
 }
 

@@ -315,6 +315,26 @@ class DedupSpec extends SparkSuite {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("ann and re-rank cuts are heap aggregates: no Window in the plan") {
+    // the row_number-window cut puts a probe's ENTIRE scored corpus in
+    // one task's sort at scale; both candidate cuts must plan as
+    // partial-aggregating TopKByScore heaps instead
+    val emb = Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    val ann = SimilaritySearch.lshTopK(emb, probes, "vec_id", "embedding",
+      k = 3, nBits = 5, nTables = 8)
+    assert(windows(ann).isEmpty, "lshTopK still plans a Window cut")
+    assert(ann.count() > 0)
+    val rr = SimilaritySearch.quantizedRerankTopK(emb, probes, "vec_id",
+      "embedding", k = 3, nCandidates = 20)
+    assert(windows(rr).isEmpty, "quantizedRerankTopK still plans a Window cut")
+    assert(rr.count() > 0)
+  }
+
   test("quantized re-rank: high recall vs exact top-k, zero vectors excluded") {
     val emb = Tables(spark, sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)

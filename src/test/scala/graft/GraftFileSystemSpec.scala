@@ -42,6 +42,55 @@ class GraftFileSystemSpec extends SparkSuite {
     }
   }
 
+  test("home directory honors dfs.user.home.dir.prefix (CubefsFileSystem.java:350-353, 108)") {
+    val root = Tables.scratch("graftfs_home")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val user = org.apache.hadoop.security.UserGroupInformation
+      .getCurrentUser.getShortUserName
+    // default prefix /user, and home is the initial working directory
+    val conf = new Configuration()
+    GraftFileSystem.mount(conf, "homed", root)
+    val fs = FileSystem.get(new URI("graft://homed/"), conf)
+    assert(fs.getHomeDirectory === new Path(s"graft://homed/user/$user"))
+    assert(fs.getWorkingDirectory === fs.getHomeDirectory)
+    // configured prefix
+    val conf2 = new Configuration()
+    GraftFileSystem.mount(conf2, "homed2", root)
+    conf2.set("dfs.user.home.dir.prefix", "/home/volumes")
+    val fs2 = FileSystem.get(new URI("graft://homed2/"), conf2)
+    assert(fs2.getHomeDirectory === new Path(s"graft://homed2/home/volumes/$user"))
+  }
+
+  test("errno taxonomy surfaces the reference's exception classes (CubefsMount.java:82-103)") {
+    import graft.sources.GraftErrno
+    // the static mapping, arm by arm
+    assert(GraftErrno.error(GraftErrno.ENOTDIR, "/p")
+      .isInstanceOf[org.apache.hadoop.fs.ParentNotDirectoryException])
+    assert(GraftErrno.error(GraftErrno.ENOENT, "/p")
+      .isInstanceOf[java.io.FileNotFoundException])
+    assert(GraftErrno.error(GraftErrno.EACCES, "/p")
+      .isInstanceOf[org.apache.hadoop.security.AccessControlException])
+    assert(GraftErrno.error(GraftErrno.EEXIST, "/p")
+      .isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException])
+    assert(GraftErrno.error(GraftErrno.EINVAL, "/p")
+      .isInstanceOf[org.apache.hadoop.fs.InvalidRequestException])
+    assert(GraftErrno.error(99, "/p").getMessage.contains("errno: 99"))
+    // and the live arms: open(missing) → ENOENT; create(no-overwrite,
+    // exists) → EEXIST; mkdirs over a file → ENOTDIR
+    val (fs, _) = mountedFs("errno")
+    intercept[java.io.FileNotFoundException] {
+      fs.open(new Path("graft://errno/nope"))
+    }
+    val p = new Path("graft://errno/f")
+    val o = fs.create(p, true); o.write(1); o.close()
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      fs.create(p, false)
+    }
+    intercept[org.apache.hadoop.fs.ParentNotDirectoryException] {
+      fs.mkdirs(new Path("graft://errno/f/sub"))
+    }
+  }
+
   test("byte-level write/read-back round-trip (testFileIO analog)") {
     val (fs, _) = mountedFs("io")
     val p = new Path("graft://io/dir/sub/file.bin")

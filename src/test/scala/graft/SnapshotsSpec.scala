@@ -341,6 +341,22 @@ class SnapshotsSpec extends SparkSuite {
     assert(updates === Array(1L, 2L))
   }
 
+  test("commitUpdate rejects an unknown SET column instead of a silent no-op") {
+    val root = freshRoot("snap_update_badcol")
+    Snapshots.create(spark, root, Seq((1L, 10.0)).toDF("id", "a"))
+    val before = Snapshots.versions(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitUpdate(spark, root, col("id") === 1L,
+        Map("a_typo" -> lit(99.0)))
+    }
+    assert(e.getMessage.contains("a_typo"))
+    // no version was committed for the failed UPDATE
+    assert(Snapshots.versions(spark, root) === before)
+    // default session is case-insensitive: a case-variant key RESOLVES
+    Snapshots.commitUpdate(spark, root, col("id") === 1L, Map("A" -> lit(7.0)))
+    assert(Snapshots.read(spark, root).select("a").as[Double].head() === 7.0)
+  }
+
   test("changes across a compaction is empty (content-identical rewrite)") {
     val root = freshRoot("snap_cdf_compact")
     Snapshots.create(spark, root,

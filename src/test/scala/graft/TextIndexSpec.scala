@@ -50,7 +50,8 @@ class TextIndexSpec extends SparkSuite {
   }
 
   test("search reads ONLY the query terms' bucket partitions") {
-    val allBuckets = spark.read.parquet(idx).select("bucket")
+    val pdir = TextIndex.postingsDir(spark, idx)
+    val allBuckets = spark.read.parquet(pdir).select("bucket")
       .distinct().count()
     assert(allBuckets > 10, s"expected many populated buckets, got $allBuckets")
     // numFiles metric after execution = files inside the selected
@@ -62,12 +63,12 @@ class TextIndexSpec extends SparkSuite {
       .collect().map(_.getInt(0))
     assert(hitBuckets.nonEmpty && hitBuckets.length <= 3)
     val filesInHitBuckets = hitBuckets.map { b =>
-      new java.io.File(s"$idx/bucket=$b")
+      new java.io.File(s"$pdir/bucket=$b")
         .listFiles().count(_.getName.endsWith(".parquet")).toLong
     }.sum
     val prunedN = graft.operators.DataSkipping.scannedFiles(pruned)
     val totalN = graft.operators.DataSkipping.scannedFiles(
-      spark.read.parquet(idx))
+      spark.read.parquet(pdir))
     assert(prunedN > 0 && prunedN <= filesInHitBuckets,
       s"scan read $prunedN files; the ${hitBuckets.length} hit buckets hold $filesInHitBuckets")
     assert(prunedN < totalN,
@@ -133,7 +134,8 @@ class TextIndexSpec extends SparkSuite {
     TextIndex.buildIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", out)
     TextIndex.appendDocs(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", out)
     TextIndex.appendDocs(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", out)
-    def bucketFiles() = new java.io.File(out).listFiles()
+    def bucketFiles() = new java.io.File(TextIndex.postingsDir(spark, out))
+      .listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(bucketFiles().exists(_ > 1),
@@ -143,6 +145,10 @@ class TextIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val phraseBefore = TextIndex.phraseSearch(spark, out, Seq("table", "hash"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // a reader that resolved its postings generation BEFORE the
+    // compaction keeps working afterwards: the superseded generation
+    // survives one cycle as the in-flight readers' spare
+    val pinned = TextIndex.searchAll(spark, out, terms)
     TextIndex.compactIndex(spark, out)
     val files = bucketFiles()
     assert(files.nonEmpty && files.forall(_ == 1),
@@ -152,6 +158,76 @@ class TextIndexSpec extends SparkSuite {
     val phraseAfter = TextIndex.phraseSearch(spark, out, Seq("table", "hash"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(after === before && phraseAfter === phraseBefore)
+    val pinnedRows = pinned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pinnedRows === before,
+      "pre-compaction reader must still resolve the old generation")
+  }
+
+  test("maintenance is manifest-gated: uncommitted generations are invisible") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Tables.scratch("textindex_atomic")
+    TextIndex.buildIndex(docs.filter(col("doc_id") < 300), "doc_id", "text", out)
+    val terms = Seq("hash", "merge", "vector")
+    val s1 = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(s1.nonEmpty)
+    // simulate a compaction/stats refresh that crashed AFTER fully
+    // writing its new generation dirs but BEFORE the manifest commit:
+    // wrong-content dirs at higher generation numbers
+    spark.read.parquet(TextIndex.postingsDir(spark, out))
+      .filter(col("doc_id") < 10)
+      .write.partitionBy("bucket").parquet(s"$out/_postings_g99")
+    TextIndex.termStats(spark, out).withColumn("df", col("df") * 1000)
+      .write.parquet(s"$out/_term_stats_g99")
+    // readers resolve through the manifest, never by directory listing
+    // — the half-committed generations change NOTHING
+    val s2 = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(s2 === s1, "uncommitted generation leaked into a read")
+    val df1 = TextIndex.termStats(spark, out)
+      .filter(col("term") === "hash").collect().map(_.getLong(1)).toSeq
+    // a committed maintenance op still works with the orphans present
+    TextIndex.compactIndex(spark, out)
+    val s3 = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(s3 === s1)
+    val df2 = TextIndex.termStats(spark, out)
+      .filter(col("term") === "hash").collect().map(_.getLong(1)).toSeq
+    assert(df2 === df1)
+  }
+
+  test("append's stats refresh reads the sidecar, never the postings") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Tables.scratch("textindex_statsvol")
+    TextIndex.buildIndex(docs.filter(col("doc_id") < 300), "doc_id", "text", out)
+    // the merged-stats plan for a new batch: its ONLY file inputs must
+    // be the vocabulary-sized _term_stats sidecar — an O(batch + vocab)
+    // refresh, proven on the plan itself (the postings, corpus-order
+    // volume, appear nowhere)
+    val batch = Seq((9001L, "hash merge vector hash")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val plan = TextIndex.mergedStats(spark, out, statsGen = 1, batch)
+    val files = plan.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("_term_stats_g")),
+      s"stats refresh read outside the sidecar: ${files.filterNot(_.contains("_term_stats_g")).take(3).mkString(", ")}")
+    // and the end-to-end append still yields exact stats (associative
+    // df merge == from-scratch recount over the union corpus)
+    TextIndex.appendDocs(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+      "doc_id", "text", out)
+    val merged = TextIndex.termStats(spark, out)
+      .filter(col("term").isin("hash", "merge", "vector"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .filter(col("w").isin("hash", "merge", "vector"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged === direct)
   }
 
   test("absent term returns empty; stats df matches direct doc counts") {
