@@ -59,7 +59,9 @@ object IvfIndex {
   def searchTopK(
       assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbes: Int): DataFrame = {
-    // probe → its nProbes nearest centroids (tiny crossJoin)
+    // probe → its nProbes nearest centroids (tiny crossJoin). The
+    // window here is safe at any corpus size: a probe's partition holds
+    // nCentroids rows — a chosen parameter, never data-scaled.
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val wC = Window.partitionBy("probe_id").orderBy(col("cdist").asc, col("centroid_id").asc)
     val probeLists = p.crossJoin(broadcast(centroids))
@@ -67,16 +69,16 @@ object IvfIndex {
       .withColumn("crank", row_number().over(wC))
       .filter(col("crank") <= nProbes)
       .select(col("probe_id"), col("probe_vec"), col("centroid_id").as("cluster"))
-    // candidates: corpus rows in any probed list; exact re-rank
+    // candidates: corpus rows in any probed list; exact re-rank with
+    // the bounded-heap cut — a probe's candidate set is
+    // corpus/nCentroids × nProbes rows, which a row_number window
+    // would funnel into ONE sort task per probe at scale
     val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
       col("cluster"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(probeLists), Seq("cluster"))
+    val cands = c.join(broadcast(probeLists), Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id", "cos")
+    SimilaritySearch.heapTopK(cands.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
 
   /** Convenience fit+search in one call (small corpora / tests). */

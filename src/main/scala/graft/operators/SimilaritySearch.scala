@@ -25,7 +25,7 @@ object SimilaritySearch {
     * identical to the window ordering it replaces. Output:
     * (probe_id, rank, neighbor_id, `scoreCol`).
     */
-  private def heapTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+  private[operators] def heapTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.Aggregators.TopKByScore(k))
     scored.groupBy("probe_id")
       .agg(topk(col("neighbor_id"), col(scoreCol)).as("hits"))

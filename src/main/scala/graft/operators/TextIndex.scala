@@ -59,6 +59,14 @@ object TextIndex {
   private val MetaDir = "_index_meta"
   private val PostingsPrefix = "_postings_g"
   private val StatsPrefix = "_term_stats_g"
+  private val IngestTmpPrefix = "_ingest_tmp_"
+
+  /** File count for the df sidecar — vocabulary-sized data (a few
+    * bytes per distinct term), where the default shuffle-partition
+    * fan-out writes dozens of KB-sized files a per-batch refresh then
+    * re-reads and re-lists forever.
+    */
+  private val StatsFiles = 8
 
   /** Index layout version. Bump on ANY change to the tokenizer, the
     * bucket hash, or the postings schema — probe-side code refuses an
@@ -145,6 +153,7 @@ object TextIndex {
     // postings: no second tokenization pass over the corpus
     spark.read.parquet(postingsPath(path, 1))
       .groupBy("term").agg(count(lit(1)).as("df"))
+      .coalesce(StatsFiles)
       .write.mode("overwrite").parquet(statsPath(path, 1))
     // build parameters travel WITH the index — a probe that re-supplied
     // its own bucket count could silently hash into the wrong
@@ -205,14 +214,30 @@ object TextIndex {
 
   /** Incremental maintenance: index a NEW batch of documents into an
     * existing index without touching the corpus already indexed — the
-    * continuous-ingestion path. New postings append as additional files
-    * inside the live postings generation (existing posting files are
-    * never rewritten), and the df sidecar is refreshed INCREMENTALLY:
-    * the batch's per-term df merges with the previous sidecar
-    * generation (df is associative), so the stats job's input is
-    * O(batch + vocabulary) — never the postings, whose volume is
-    * corpus-order. Total cost per batch: O(new docs + vocabulary),
-    * independent of index size.
+    * continuous-ingestion path, per batch:
+    *
+    *   1. tokenize ONCE, shuffle on `bucket`, and write the batch's
+    *      postings to a private `_ingest_tmp_*` dir — the bucket-keyed
+    *      repartition yields ONE file per bucket per batch (the naive
+    *      task×bucket write leaves shuffle-parallelism × buckets files
+    *      per batch, which is what makes long ingests compaction-bound);
+    *   2. derive the batch's per-term df from the WRITTEN parquet — a
+    *      column-pruned batch-sized read; no second tokenization pass,
+    *      no caching of the positions arrays (measured ~2x slower than
+    *      the re-read at any batch size: the columnar cache encode of
+    *      the position arrays costs more than the tokenize it saves);
+    *   3. merge that df with the previous sidecar generation (df is
+    *      associative) into the NEXT stats generation — input volume
+    *      O(batch + vocabulary), NEVER the postings, whose volume is
+    *      corpus-order;
+    *   4. publish the batch postings by per-file rename into the live
+    *      generation (metadata ops; job-UUID part names cannot
+    *      collide), then commit the new stats generation.
+    *
+    * Total cost per batch: O(new docs + vocabulary), independent of
+    * index size. A crash leaves at worst an `_ingest_tmp_*` orphan or
+    * an uncommitted stats generation — both swept by [[vacuumIndex]],
+    * neither visible to readers.
     *
     * Caller contract: `docs` must be documents not already in the index
     * (same as any append-only ingest; exactly-once de-dup upstream is
@@ -231,18 +256,26 @@ object TextIndex {
     val gens = readGens(spark, path)
     // doc-disjoint batches: doc stats append too, no rewrite
     writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Append)
-    // one tokenization pass feeds BOTH the postings write and the
-    // batch-side df — cache the batch postings across the two actions
-    val batch = tokenizePostings(docs, idCol, textCol, nBuckets)
-    batch.persist()
-    try {
-      batch.write.mode("append").partitionBy("bucket")
-        .parquet(postingsPath(path, gens.postings))
-      mergedStats(spark, path, gens.stats, batch)
-        .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
-      commitGens(spark, path, gens.copy(stats = gens.stats + 1))
-      sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
-    } finally batch.unpersist()
+    val tmp = s"$path/$IngestTmpPrefix${java.util.UUID.randomUUID}"
+    tokenizePostings(docs, idCol, textCol, nBuckets)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val batchPostings = spark.read.parquet(tmp)
+    mergedStats(spark, path, gens.stats, batchPostings)
+      .coalesce(StatsFiles)
+      .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
+    val fs = fsOf(spark, path)
+    val genDir = new Path(postingsPath(path, gens.postings))
+    fs.listStatus(new Path(tmp))
+      .filter(_.getPath.getName.startsWith("bucket=")).foreach { d =>
+        val dst = new Path(genDir, d.getPath.getName)
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(d.getPath).foreach(f0 =>
+          fs.rename(f0.getPath, new Path(dst, f0.getPath.getName)))
+      }
+    fs.delete(new Path(tmp), true)
+    commitGens(spark, path, gens.copy(stats = gens.stats + 1))
+    sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
   }
 
   /** Conjunctive search: documents containing ALL `terms`, scored by
@@ -369,6 +402,38 @@ object TextIndex {
       .parquet(postingsPath(path, gens.postings + 1))
     commitGens(spark, path, gens.copy(postings = gens.postings + 1))
     sweepGens(spark, path, PostingsPrefix, keepFloor = gens.postings)
+  }
+
+  /** Delete crash-leaked generation dirs that no manifest references —
+    * a compaction or stats refresh that died after fully writing its
+    * new generation but before the manifest commit leaves a directory
+    * readers can never resolve ([[Snapshots.vacuum]]'s orphan rule
+    * applied to generations). The LIVE generation and the one
+    * immediately before it (the in-flight readers' spare) are never
+    * touched; stale `.tmp_manifest_*` files from crashed commits sweep
+    * too. `olderThanMs` guards racing an in-flight maintenance writer
+    * whose data dir legitimately precedes its manifest entry; tests
+    * pass 0. Returns the deleted names.
+    */
+  def vacuumIndex(spark: SparkSession, path: String,
+      olderThanMs: Long = 3600000L): Seq[String] = {
+    val gens = readGens(spark, path)
+    val fs = fsOf(spark, path)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def leakedGen(name: String, prefix: String, live: Int) =
+      name.startsWith(prefix) &&
+        scala.util.Try(name.stripPrefix(prefix).toInt).toOption
+          .exists(g => g != live && g != live - 1)
+    val orphans = fs.listStatus(new Path(path)).toSeq.filter { st =>
+      val n = st.getPath.getName
+      val leaked = leakedGen(n, PostingsPrefix, gens.postings) ||
+        leakedGen(n, StatsPrefix, gens.stats) ||
+        n.startsWith(IngestTmpPrefix) ||
+        n.startsWith(".tmp_manifest_")
+      leaked && st.getModificationTime <= cutoff
+    }
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.map(_.getPath.getName)
   }
 
   /** Per-term document frequencies from the persisted stats table. */

@@ -333,6 +333,13 @@ class DedupSpec extends SparkSuite {
       "embedding", k = 3, nCandidates = 20)
     assert(windows(rr).isEmpty, "quantizedRerankTopK still plans a Window cut")
     assert(rr.count() > 0)
+    // IVF: the candidate re-rank must be heap-cut too; the ONE allowed
+    // window is the centroid pick, whose per-probe partition is
+    // nCentroids rows — parameter-sized, never data-scaled
+    val ivf = graft.operators.IvfIndex.topK(emb, probes, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbes = 2)
+    assert(windows(ivf).size <= 1, "IVF re-rank still plans a Window cut")
+    assert(ivf.count() > 0)
   }
 
   test("quantized re-rank: high recall vs exact top-k, zero vectors excluded") {

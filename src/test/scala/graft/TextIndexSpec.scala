@@ -196,23 +196,61 @@ class TextIndexSpec extends SparkSuite {
     assert(df2 === df1)
   }
 
+  test("vacuumIndex removes only unreferenced generations; reads unaffected") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Tables.scratch("textindex_vacuum")
+    TextIndex.buildIndex(docs.filter(col("doc_id") < 200), "doc_id", "text", out)
+    TextIndex.appendDocs(docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+      "doc_id", "text", out) // stats gen 2 live, gen 1 = spare
+    val terms = Seq("hash", "merge", "vector")
+    val s1 = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // crash-leaked: uncommitted generations + a tmp manifest
+    spark.read.parquet(TextIndex.postingsDir(spark, out)).limit(5)
+      .write.partitionBy("bucket").parquet(s"$out/_postings_g7")
+    TextIndex.termStats(spark, out).limit(5)
+      .write.parquet(s"$out/_term_stats_g9")
+    new java.io.File(s"$out/.tmp_manifest_99").createNewFile()
+    val deleted = TextIndex.vacuumIndex(spark, out, olderThanMs = 0)
+    assert(deleted.toSet === Set("_postings_g7", "_term_stats_g9",
+      ".tmp_manifest_99"), s"vacuumed: $deleted")
+    // live + spare generations untouched, search identical
+    assert(new java.io.File(s"$out/_term_stats_g1").exists(), "spare swept")
+    assert(new java.io.File(s"$out/_term_stats_g2").exists(), "live swept")
+    val s2 = TextIndex.searchAll(spark, out, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(s2 === s1)
+    // the age guard: fresh orphans survive a default-window vacuum
+    TextIndex.termStats(spark, out).limit(1)
+      .write.parquet(s"$out/_term_stats_g9")
+    assert(TextIndex.vacuumIndex(spark, out).isEmpty)
+  }
+
   test("append's stats refresh reads the sidecar, never the postings") {
     val docs = Tables(spark, sf, "documents")
     val out = Tables.scratch("textindex_statsvol")
     TextIndex.buildIndex(docs.filter(col("doc_id") < 300), "doc_id", "text", out)
     // the merged-stats plan for a new batch: its ONLY file inputs must
-    // be the vocabulary-sized _term_stats sidecar — an O(batch + vocab)
-    // refresh, proven on the plan itself (the postings, corpus-order
-    // volume, appear nowhere)
-    val batch = Seq((9001L, "hash merge vector hash")).toDF("doc_id", "text")
+    // be the vocabulary-sized _term_stats sidecar plus the BATCH's own
+    // tmp-dir postings (exactly what appendDocs feeds it) — an
+    // O(batch + vocab) refresh, proven on the plan itself: the live
+    // postings generation, corpus-order volume, appears nowhere
+    val tmp = Tables.scratch("textindex_statsvol_batch")
+    Seq((9001L, "hash merge vector hash")).toDF("doc_id", "text")
       .select(col("doc_id"),
         posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "term")))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val plan = TextIndex.mergedStats(spark, out, statsGen = 1, batch)
+      .write.parquet(tmp)
+    val plan = TextIndex.mergedStats(spark, out, statsGen = 1,
+      spark.read.parquet(tmp))
     val files = plan.inputFiles
     assert(files.nonEmpty)
-    assert(files.forall(_.contains("_term_stats_g")),
-      s"stats refresh read outside the sidecar: ${files.filterNot(_.contains("_term_stats_g")).take(3).mkString(", ")}")
+    val allowed = (f: String) =>
+      f.contains("_term_stats_g") || f.contains("textindex_statsvol_batch")
+    assert(files.forall(allowed),
+      s"stats refresh read outside sidecar+batch: ${files.filterNot(allowed).take(3).mkString(", ")}")
+    assert(!files.exists(_.contains("_postings_g")),
+      "stats refresh touched the live postings generation")
     // and the end-to-end append still yields exact stats (associative
     // df merge == from-scratch recount over the union corpus)
     TextIndex.appendDocs(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
