@@ -151,9 +151,13 @@ object TextIndex {
     writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Overwrite)
     // df (document frequency) per term, re-read from the just-written
     // postings: no second tokenization pass over the corpus
+    // repartition, NOT coalesce: coalesce would fold the df
+    // aggregation itself down to StatsFiles tasks (it merges the
+    // upstream stages' partitions), serializing a corpus-sized agg;
+    // the extra shuffle here moves only vocabulary-sized rows
     spark.read.parquet(postingsPath(path, 1))
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .coalesce(StatsFiles)
+      .repartition(StatsFiles)
       .write.mode("overwrite").parquet(statsPath(path, 1))
     // build parameters travel WITH the index — a probe that re-supplied
     // its own bucket count could silently hash into the wrong
@@ -262,7 +266,7 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     val batchPostings = spark.read.parquet(tmp)
     mergedStats(spark, path, gens.stats, batchPostings)
-      .coalesce(StatsFiles)
+      .repartition(StatsFiles)
       .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
     val fs = fsOf(spark, path)
     val genDir = new Path(postingsPath(path, gens.postings))
