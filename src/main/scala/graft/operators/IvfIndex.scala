@@ -53,6 +53,35 @@ object IvfIndex {
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/assigned"), spark.read.parquet(s"$path/centroids"))
 
+  /** Incremental maintenance: assign NEW vectors to the EXISTING
+    * centroids (nearest-centroid, no refit) and append them to the
+    * persisted inverted lists — FAISS's add-without-train, the ingest
+    * path an index needs at scale: a per-batch k-means refit re-scans
+    * the whole corpus, while assignment is one broadcast crossJoin +
+    * `min_by` partial aggregation over the batch — O(batch ×
+    * nCentroids) work, no shuffle of anything corpus-sized, no window.
+    * Ties break by centroid id, matching the deterministic argmin the
+    * fit-time transform computes. Centroid staleness under
+    * distribution drift is the caller's rebuild-cadence policy, as in
+    * any IVF system.
+    */
+  def appendToIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cluster = newVecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2_dist(col(vecCol), col("centroid_vec")))
+      .groupBy(idCol)
+      .agg(min_by(col("centroid_id"),
+        struct(col("cdist"), col("centroid_id"))).as("cluster"))
+    // join the assignment back so EVERY caller column survives into
+    // the inverted lists (the fit-time layout keeps them too) — a
+    // batch-keyed hash join, nothing corpus-sized moves
+    newVecs.join(cluster, idCol)
+      .write.mode("append").parquet(s"$path/assigned")
+  }
+
   /** Approximate top-k over a prebuilt index (no refit): search the
     * nProbes nearest inverted lists, exact cosine re-rank.
     */

@@ -701,6 +701,26 @@ object LlmPipeline {
         .orderBy("probe_id")
     }),
 
+    // Incremental IVF maintenance: fit centroids on HALF the corpus,
+    // ingest the other half with appendToIndex — nearest-centroid
+    // assignment only, no k-means refit (FAISS add-without-train; the
+    // per-batch ingest path at scale). Probing ALL lists then makes
+    // the index path exhaustive, so the answer must equal brute-force
+    // top-5 EXACTLY — which can only happen if every appended vector
+    // actually landed in an inverted list. Exact SQL oracle.
+    "q_sim_ivf_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.Tables.scratch("ivf_incr_index")
+      IvfIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCentroids = 8, path = idx)
+      IvfIndex.appendToIndex(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      IvfIndex.searchTopK(assigned, centroids, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbes = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Int8 embedding quantization (the storage format a vector corpus
     // ships at scale: 4× smaller than float32). Per-vector max-abs
     // scaling; floor(x + 0.5) rounding — NOT round() — so both engines
@@ -1441,6 +1461,19 @@ object LlmPipeline {
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q_sim_topk" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // nProbes = nCentroids makes the incremental-IVF search exhaustive
+    // over the (fit-half ∪ appended-half) lists = the whole corpus, so
+    // the exact brute-force oracle applies verbatim
+    "q_sim_ivf_incremental" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |    ${duckCos("p.embedding", "c.embedding")} AS cos,

@@ -289,6 +289,39 @@ class DedupSpec extends SparkSuite {
     assert(hits.headOption.contains(0L), s"expected planted dup, got ${hits.toSeq}")
   }
 
+  test("ivf incremental append: no refit, appended vectors searchable") {
+    import graft.operators.IvfIndex
+    val base = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_incr_test")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    val centroidsBefore = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect().map(_.toString)
+    // append an exact clone of vec 0 — assignment must place it in
+    // vec 0's list, so a SINGLE-probe search from the clone finds it
+    IvfIndex.appendToIndex(
+      Seq((99L, base.head._2.clone)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, path)
+    assert(assigned.count() === 61)
+    // centroids untouched (no refit)
+    assert(spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect().map(_.toString).toSeq
+      === centroidsBefore.toSeq)
+    // clone and source share a cluster
+    val clusters = assigned.filter(col("vec_id").isin(0L, 99L))
+      .select("cluster").distinct().count()
+    assert(clusters === 1, "appended clone not in its source's inverted list")
+    val hit = IvfIndex.searchTopK(assigned, centroids,
+        assigned.filter(col("vec_id") === 99L).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nProbes = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(hit.headOption.contains(0L))
+  }
+
   test("salted join equals plain join") {
     import graft.operators.Partitioning
     val large = Tables(spark, sf, "lineitem")
