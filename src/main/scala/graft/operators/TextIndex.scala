@@ -55,11 +55,12 @@ import org.apache.spark.sql.functions._
   * at a time; readers need no coordination at all).
   */
 object TextIndex {
-  private val DocStatsDir = "_doc_stats"
   private val MetaDir = "_index_meta"
   private val PostingsPrefix = "_postings_g"
   private val StatsPrefix = "_term_stats_g"
+  private val DocStatsPrefix = "_doc_stats_g"
   private val IngestTmpPrefix = "_ingest_tmp_"
+  private val TombstonesDir = "_tombstones"
 
   /** File count for the df sidecar — vocabulary-sized data (a few
     * bytes per distinct term), where the default shuffle-partition
@@ -73,31 +74,36 @@ object TextIndex {
     * index whose recorded fmt it does not recognize, because probing
     * with mismatched parameters is a silent wrong-bucket miss (the same
     * failure class the DataSkipping bloom format row guards against).
-    * fmt 2 = generation dirs + manifest commit (fmt 1 was flat dirs
-    * with in-place sidecar overwrite).
+    * fmt 3 = generation dirs + manifest commit for all three rewritable
+    * artifacts (postings, df sidecar, doc-length sidecar) + tombstoned
+    * deletes (fmt 2 kept a flat append-only doc-stats dir; fmt 1 was
+    * flat dirs with in-place sidecar overwrite).
     */
-  private val Fmt = 2
+  private val Fmt = 3
 
-  /** The live (postingsGen, statsGen) pair, resolved from the highest
-    * committed manifest — the only way any read path locates data.
+  /** The live (postings, term-stats, doc-stats) generation triple,
+    * resolved from the highest committed manifest — the only way any
+    * read path locates data.
     */
-  private case class Gens(postings: Int, stats: Int)
+  private case class Gens(postings: Int, stats: Int, docs: Int)
 
   private def readGens(spark: SparkSession, path: String): Gens = {
     val seqs = Snapshots.manifestSeqs(spark, path)
     require(seqs.nonEmpty, s"no text index manifest at $path")
     val kv = Snapshots.readManifestLines(spark, path, seqs.max)
       .map(_.split("=", 2)).map(a => a(0) -> a(1).toInt).toMap
-    Gens(kv("postings"), kv("term_stats"))
+    Gens(kv("postings"), kv("term_stats"), kv("doc_stats"))
   }
 
   private def commitGens(spark: SparkSession, path: String, g: Gens): Unit =
     Snapshots.writeManifestLines(spark, path,
-      Seq(s"postings=${g.postings}", s"term_stats=${g.stats}"),
+      Seq(s"postings=${g.postings}", s"term_stats=${g.stats}",
+        s"doc_stats=${g.docs}"),
       sweep = true): Unit
 
   private def postingsPath(path: String, g: Int) = s"$path/$PostingsPrefix$g"
   private def statsPath(path: String, g: Int) = s"$path/$StatsPrefix$g"
+  private def docStatsPath(path: String, g: Int) = s"$path/$DocStatsPrefix$g"
 
   /** The live postings directory — for callers that need the raw
     * partition layout (specs assert file counts and pruning against
@@ -148,7 +154,7 @@ object TextIndex {
     val postings = tokenizePostings(docs, idCol, textCol, nBuckets)
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, 1))
-    writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Overwrite)
+    writeDocStats(docs, idCol, textCol, docStatsPath(path, 1), SaveMode.Overwrite)
     // df (document frequency) per term, re-read from the just-written
     // postings: no second tokenization pass over the corpus
     // repartition, NOT coalesce: coalesce would fold the df
@@ -166,7 +172,7 @@ object TextIndex {
     Seq((Fmt, nBuckets)).toDF("fmt", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$MetaDir")
     // single commit point: data dirs above are invisible until this
-    commitGens(spark, path, Gens(postings = 1, stats = 1))
+    commitGens(spark, path, Gens(postings = 1, stats = 1, docs = 1))
   }
 
   /** The bucket count this index was built with, from its persisted
@@ -259,7 +265,7 @@ object TextIndex {
     val nBuckets = bucketCount(spark, path)
     val gens = readGens(spark, path)
     // doc-disjoint batches: doc stats append too, no rewrite
-    writeDocStats(docs, idCol, textCol, s"$path/$DocStatsDir", SaveMode.Append)
+    writeDocStats(docs, idCol, textCol, docStatsPath(path, gens.docs), SaveMode.Append)
     val tmp = s"$path/$IngestTmpPrefix${java.util.UUID.randomUUID}"
     tokenizePostings(docs, idCol, textCol, nBuckets)
       .repartition(col("bucket"))
@@ -289,10 +295,10 @@ object TextIndex {
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAll needs at least one term")
     val postings = prunedPostings(spark, path, terms)
-    postings
+    dropTombstoned(spark, path, postings
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
-      .filter(col("n_terms") === terms.distinct.size)
+      .filter(col("n_terms") === terms.distinct.size))
       .select(col("doc_id"), col("total_tf"))
   }
 
@@ -303,9 +309,9 @@ object TextIndex {
   def searchAny(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAny needs at least one term")
-    prunedPostings(spark, path, terms)
+    dropTombstoned(spark, path, prunedPostings(spark, path, terms)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf")))
       .select(col("doc_id"), col("n_terms"), col("total_tf"))
   }
 
@@ -333,10 +339,11 @@ object TextIndex {
         (col("pa") / window).cast("long") - 1)))
     val right = side(b, "pb")
       .withColumn("band", (col("pb") / window).cast("long"))
-    left.join(right, Seq("doc_id", "band"))
-      .filter(abs(col("pa") - col("pb")) <= window)
-      .select("doc_id", "pa", "pb").distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+    dropTombstoned(spark, path,
+      left.join(right, Seq("doc_id", "band"))
+        .filter(abs(col("pa") - col("pb")) <= window)
+        .select("doc_id", "pa", "pb").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_pairs")))
   }
 
   /** The bucket-pruned postings scan for `terms` — the partition filter
@@ -375,16 +382,22 @@ object TextIndex {
         .withColumn("start", col(s"p_$i") - i)
         .select("doc_id", "start")
     }
-    slots.reduce(_.join(_, Seq("doc_id", "start")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    dropTombstoned(spark, path,
+      slots.reduce(_.join(_, Seq("doc_id", "start")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ")))
   }
 
   /** Compact the posting files: each `appendDocs` batch adds files to
     * every bucket it touches, so a long-running streaming ingest leaves
     * O(batches) small files per bucket and every search pays their open
     * cost. One shuffle keyed on `bucket` rewrites the live generation
-    * into a NEW generation with one file per bucket (content-identical
-    * — same rows, coarser layout); sidecars and meta are untouched.
+    * into a NEW generation with one file per bucket. With no pending
+    * deletes the rewrite is content-identical and sidecars are
+    * untouched; with tombstones present ([[deleteDocs]]) the rewrite
+    * ALSO physically removes the deleted docs' postings, recounts
+    * per-term df exactly, and drops their doc-length rows — the merge
+    * step of the Lucene deleted-docs contract — publishing all three
+    * new generations in one manifest commit.
     *
     * The swap is the manifest commit: the new generation is fully
     * written first, readers keep resolving the old one until the
@@ -400,12 +413,39 @@ object TextIndex {
   def compactIndex(spark: SparkSession, path: String): Unit = {
     bucketCount(spark, path) // format check before touching anything
     val gens = readGens(spark, path)
-    spark.read.parquet(postingsPath(path, gens.postings))
-      .repartition(col("bucket"))
+    val tomb = tombstones(spark, path)
+    val live = spark.read.parquet(postingsPath(path, gens.postings))
+    val kept = tomb.fold(live)(t => live.join(t, Seq("doc_id"), "left_anti"))
+    kept.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, gens.postings + 1))
-    commitGens(spark, path, gens.copy(postings = gens.postings + 1))
+    val next =
+      if (tomb.isEmpty) gens.copy(postings = gens.postings + 1)
+      else {
+        // deletes fold in: recount per-term df from the compacted
+        // postings (exact reconciliation of the one delete-stale stat)
+        // and drop tombstoned rows from the doc-length sidecar — all
+        // three generations publish in the ONE manifest commit below
+        spark.read.parquet(postingsPath(path, gens.postings + 1))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .repartition(StatsFiles)
+          .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
+        dropTombstoned(spark, path, docStats(spark, path))
+          .repartition(StatsFiles)
+          .write.mode("overwrite").parquet(docStatsPath(path, gens.docs + 1))
+        Gens(gens.postings + 1, gens.stats + 1, gens.docs + 1)
+      }
+    commitGens(spark, path, next)
+    // tombstones are folded into the new generations; re-applying them
+    // against data they no longer match is a no-op, so a crash between
+    // the commit and this delete costs nothing
+    if (tomb.nonEmpty)
+      fsOf(spark, path).delete(new Path(s"$path/$TombstonesDir"), true): Unit
     sweepGens(spark, path, PostingsPrefix, keepFloor = gens.postings)
+    if (tomb.nonEmpty) {
+      sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
+      sweepGens(spark, path, DocStatsPrefix, keepFloor = gens.docs)
+    }
   }
 
   /** Delete crash-leaked generation dirs that no manifest references —
@@ -432,6 +472,7 @@ object TextIndex {
       val n = st.getPath.getName
       val leaked = leakedGen(n, PostingsPrefix, gens.postings) ||
         leakedGen(n, StatsPrefix, gens.stats) ||
+        leakedGen(n, DocStatsPrefix, gens.docs) ||
         n.startsWith(IngestTmpPrefix) ||
         n.startsWith(".tmp_manifest_")
       leaked && st.getModificationTime <= cutoff
@@ -444,9 +485,41 @@ object TextIndex {
   def termStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(statsPath(path, readGens(spark, path).stats))
 
-  /** Per-doc token counts from the persisted stats table. */
+  /** Per-doc token counts from the persisted stats table (raw —
+    * includes tombstoned docs until the next reconciling compaction;
+    * [[bm25]] filters through the tombstones itself).
+    */
   def docStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/$DocStatsDir")
+    spark.read.parquet(docStatsPath(path, readGens(spark, path).docs))
+
+  /** Mark documents as DELETED (GDPR-erasure / retraction verb for the
+    * index): their ids append to an `_tombstones` sidecar, and every
+    * search drops them at read time — exact immediately for all
+    * tf-based results (searchAll/searchAny/phrase/proximity) and for
+    * BM25's n_docs/avgdl; per-term df keeps counting tombstoned docs
+    * until the next [[compactIndex]] physically removes their postings
+    * and recounts df exactly — Lucene's deleted-docs-bitmap + merge
+    * contract, re-expressed. O(ids) per call; nothing index-sized
+    * moves until compaction (which is O(index) anyway).
+    */
+  def deleteDocs(docIds: DataFrame, idCol: String, path: String): Unit =
+    docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(s"$path/$TombstonesDir")
+    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Drop tombstoned docs from a doc-keyed frame — a left-anti hash
+    * join against the (small, deleted-ids-sized) tombstone sidecar;
+    * identity when no deletes are pending.
+    */
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstones(spark, path).fold(df)(t =>
+      df.join(t, Seq("doc_id"), "left_anti"))
 
   /** BM25 top-k served ENTIRELY from the index — the corpus is never
     * touched at query time. Inputs per query: the terms' pruned bucket
@@ -465,7 +538,9 @@ object TextIndex {
     val dfT = termStats(spark, path)
       .filter(col("term").isin(terms.distinct: _*))
       .select(col("term"), col("df").cast("double").as("df"))
-    val dls = docStats(spark, path)
+    // live docs only: n_docs/avgdl stay delete-exact, and tombstoned
+    // docs drop out of scoring through the inner doc-length join
+    val dls = dropTombstoned(spark, path, docStats(spark, path))
     val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
     tf.join(broadcast(dfT), "term")

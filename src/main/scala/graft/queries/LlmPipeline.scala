@@ -248,6 +248,38 @@ object LlmPipeline {
           lit(identical).as("search_identical"))
     }),
 
+    // DELETE support for the index (the GDPR-erasure / retraction verb):
+    // tombstoned docs vanish from search IMMEDIATELY (exact — the
+    // oracle computes over the live corpus only), and the following
+    // compaction physically purges their postings. Invariants measured
+    // engine-side: purged (no tombstoned doc's postings survive in the
+    // compacted generation) and tombstone_exact (pre-compaction search
+    // == post-compaction search — the tombstone mask and the physical
+    // rewrite agree row for row).
+    "q_text_index_delete" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_delete_q")
+      val docs = t(s, dir, "documents")
+      TextIndex.buildIndex(docs, "doc_id", "text", idx)
+      TextIndex.deleteDocs(docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+        "doc_id", idx)
+      val terms = Seq("hash", "merge", "vector")
+      // materialize the tombstone-masked answer BEFORE compaction (the
+      // compaction retires the tombstone sidecar its plan reads)
+      val preDir = Tables.scratch("text_index_delete_pre")
+      TextIndex.searchAll(s, idx, terms).write.mode("overwrite").parquet(preDir)
+      TextIndex.compactIndex(s, idx)
+      val purged = s.read.parquet(TextIndex.postingsDir(s, idx))
+        .filter(col("doc_id") % 7 === 0).count() == 0
+      val post = TextIndex.searchAll(s, idx, terms)
+      val pre = s.read.parquet(preDir)
+      val identical = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+      post.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"),
+          lit(purged).as("purged"),
+          lit(identical).as("tombstone_exact"))
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
@@ -1167,6 +1199,23 @@ object LlmPipeline {
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang
+        |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+        |GROUP BY tf.doc_id, d.lang
+        |HAVING count(*) = 3
+        |ORDER BY tf.doc_id""".stripMargin,
+
+    // conjunctive search over the LIVE corpus only (doc_id % 7 = 0
+    // deleted); the booleans are engine-measured invariants
+    "q_text_index_delete" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang,
+        |  TRUE AS purged, TRUE AS tombstone_exact
         |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
         |GROUP BY tf.doc_id, d.lang
         |HAVING count(*) = 3

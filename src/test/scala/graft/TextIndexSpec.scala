@@ -196,6 +196,50 @@ class TextIndexSpec extends SparkSuite {
     assert(df2 === df1)
   }
 
+  test("deleteDocs: tombstoned docs vanish from every search; compaction reconciles BM25") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Tables.scratch("textindex_delete")
+    TextIndex.buildIndex(docs, "doc_id", "text", out)
+    val terms = Seq("hash", "merge", "vector")
+    val before = TextIndex.searchAll(spark, out, terms)
+      .collect().map(_.getLong(0)).toSet
+    assert(before.exists(_ % 7 == 0), "fixture should have hits to delete")
+    TextIndex.deleteDocs(docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+      "doc_id", out)
+    // exact immediately for every tf-based search
+    val after = TextIndex.searchAll(spark, out, terms)
+      .collect().map(_.getLong(0)).toSet
+    assert(after === before.filterNot(_ % 7 == 0))
+    assert(TextIndex.searchAny(spark, out, terms)
+      .collect().map(_.getLong(0)).forall(_ % 7 != 0))
+    assert(TextIndex.phraseSearch(spark, out, Seq("table", "hash"))
+      .collect().map(_.getLong(0)).forall(_ % 7 != 0))
+    assert(TextIndex.proximitySearch(spark, out, "hash", "table", 3)
+      .collect().map(_.getLong(0)).forall(_ % 7 != 0))
+    // compaction folds the tombstones in: postings physically gone,
+    // df recounted — BM25 must now equal a FRESH index built on the
+    // live docs only, score for score
+    TextIndex.compactIndex(spark, out)
+    assert(!new java.io.File(s"$out/_tombstones").exists())
+    assert(spark.read.parquet(TextIndex.postingsDir(spark, out))
+      .filter(col("doc_id") % 7 === 0).count() === 0)
+    val fresh = Tables.scratch("textindex_delete_fresh")
+    TextIndex.buildIndex(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", fresh)
+    val gotBm = TextIndex.bm25(spark, out, terms, k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val freshBm = TextIndex.bm25(spark, fresh, terms, k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    assert(gotBm.nonEmpty && gotBm === freshBm)
+    // term stats reconciled exactly too
+    val gotDf = TextIndex.termStats(spark, out)
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val freshDf = TextIndex.termStats(spark, fresh)
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotDf === freshDf)
+  }
+
   test("vacuumIndex removes only unreferenced generations; reads unaffected") {
     val docs = Tables(spark, sf, "documents")
     val out = Tables.scratch("textindex_vacuum")
