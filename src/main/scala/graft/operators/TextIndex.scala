@@ -501,6 +501,12 @@ object TextIndex {
     * and recounts df exactly — Lucene's deleted-docs-bitmap + merge
     * contract, re-expressed. O(ids) per call; nothing index-sized
     * moves until compaction (which is O(index) anyway).
+    *
+    * RE-ADDING a tombstoned doc id requires an intervening
+    * [[compactIndex]] (the tombstone masks by id and would hide the
+    * re-ingested postings too): the update protocol is retract →
+    * compact → append, as the CDC-sync query (`q_text_index_cdc`)
+    * demonstrates end-to-end.
     */
   def deleteDocs(docIds: DataFrame, idCol: String, path: String): Unit =
     docIds.select(col(idCol).cast("long").as("doc_id")).distinct()

@@ -280,6 +280,40 @@ object LlmPipeline {
           lit(identical).as("tombstone_exact"))
     }),
 
+    // CDF-driven index maintenance — the composition a production
+    // search pipeline runs: documents live in a versioned snapshot
+    // table; an UPDATE commit (append a query term to doc_id % 11 = 0)
+    // and a DELETE commit (doc_id % 13 = 0) produce v3; ONE change feed
+    // v1→v3 then drives the index — retract (delete + update_preimage
+    // ids), reconciling compaction, re-ingest (update_postimage rows).
+    // Search over the synced index must equal the corpus-side answer
+    // over the v3 live state — updates are load-bearing (the appended
+    // term changes which docs match and their tf), so a broken
+    // retract-or-reingest leg fails the hash gate.
+    "q_text_index_cdc" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val docs = t(s, dir, "documents")
+      val root = Tables.scratch("text_cdc_tbl")
+      val idx = Tables.scratch("text_cdc_idx")
+      Snapshots.create(s, root, docs.select("doc_id", "text", "lang"))
+      TextIndex.buildIndex(Snapshots.read(s, root), "doc_id", "text", idx)
+      Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
+        Map("text" -> concat(col("text"), lit(" vector"))))
+      Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
+      val ch = Snapshots.changes(s, root, 1, 3, "doc_id")
+      TextIndex.deleteDocs(
+        ch.filter(col("_change_type").isin("delete", "update_preimage"))
+          .select("doc_id"), "doc_id", idx)
+      TextIndex.compactIndex(s, idx)
+      TextIndex.appendDocs(
+        ch.filter(col("_change_type") === "update_postimage")
+          .select("doc_id", "text"), "doc_id", "text", idx)
+      TextIndex.searchAll(s, idx, Seq("hash", "merge", "vector"))
+        .join(Snapshots.read(s, root).select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"))
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
@@ -1200,6 +1234,27 @@ object LlmPipeline {
         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang
         |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+        |GROUP BY tf.doc_id, d.lang
+        |HAVING count(*) = 3
+        |ORDER BY tf.doc_id""".stripMargin,
+
+    // the v3 live state recomputed corpus-side: %11 docs carry the
+    // appended term, %13 docs are gone
+    "q_text_index_cdc" ->
+      """WITH live AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' vector' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM live),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang
+        |FROM tf JOIN live d ON tf.doc_id = d.doc_id
         |GROUP BY tf.doc_id, d.lang
         |HAVING count(*) = 3
         |ORDER BY tf.doc_id""".stripMargin,
