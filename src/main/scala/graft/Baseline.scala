@@ -221,6 +221,116 @@ object Baseline {
         .orderBy("o_orderpriority")
     }),
 
+    // q_text_index_delete control, deliverable-matched: both sides
+    // physically purge the deleted docs from a persisted postings
+    // artifact and then search it. The stock user's delete is a
+    // copy-on-write rewrite of the FLAT postings table (no tombstone
+    // verb exists for a plain parquet artifact) and their search scans
+    // every posting row; the graft side appends O(ids) tombstones,
+    // reconciles in one bucket-keyed compaction, and serves the search
+    // from the pruned partitions.
+    "q_text_index_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = Tables.scratch("baseline_delete_postings")
+      val purged = Tables.scratch("baseline_delete_postings_v2")
+      docs.select(col("doc_id"),
+          explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(post)
+      s.read.parquet(post).filter(col("doc_id") % 7 =!= 0)
+        .write.mode("overwrite").parquet(purged)
+      val terms = Seq("hash", "merge", "vector")
+      val stillThere = s.read.parquet(purged)
+        .filter(col("doc_id") % 7 === 0).count() == 0
+      def search(src: String, masked: Boolean) = {
+        val base = s.read.parquet(src)
+        (if (masked) base.filter(col("doc_id") % 7 =!= 0) else base)
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct("term").as("n_terms"), sum("tf").as("total_tf"))
+          .filter(col("n_terms") === terms.size)
+          .select("doc_id", "total_tf")
+      }
+      // same evidence the graft side produces in ITS measured time:
+      // the filter-masked answer equals the physically-purged answer
+      val pre = search(post, masked = true)
+      val cur = search(purged, masked = false)
+      val identical = pre.exceptAll(cur).isEmpty && cur.exceptAll(pre).isEmpty
+      cur
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"),
+          lit(stillThere).as("purged"), lit(identical).as("tombstone_exact"))
+    }),
+
+    // q_text_index_cdc control: BOTH sides run the identical snapshot
+    // commits (create / UPDATE / DELETE through the versioned table —
+    // common machinery, held constant) and maintain a searchable
+    // postings artifact across them; the measured variable is the
+    // INDEX-MAINTENANCE strategy alone. The stock user — no
+    // incremental maintenance verb — builds flat postings at v1 and
+    // REBUILDS them from the full v3 corpus after the commits (two
+    // full-corpus tokenizations), then full-scans; the graft side
+    // syncs its bucketed index from ONE change feed (retract /
+    // reconcile / re-ingest — only the CHANGED docs re-tokenize) and
+    // serves the pruned search.
+    "q_text_index_cdc" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val root = Tables.scratch("baseline_cdc_tbl")
+      val post = Tables.scratch("baseline_cdc_postings")
+      def rebuild(src: DataFrame): Unit =
+        src.select(col("doc_id"),
+            explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").parquet(post)
+      Snapshots.create(s, root, docs)
+      rebuild(Snapshots.read(s, root))
+      Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
+        Map("text" -> concat(col("text"), lit(" vector"))))
+      Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
+      val live = Snapshots.read(s, root)
+      rebuild(live)
+      val terms = Seq("hash", "merge", "vector")
+      s.read.parquet(post)
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("n_terms"), sum("tf").as("total_tf"))
+        .filter(col("n_terms") === terms.size)
+        .join(live.select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"))
+    }),
+
+    // q_sim_ivf_incremental control: the user without add-without-train
+    // REFITS k-means on the full corpus for every ingest batch; with
+    // the exhaustive-probe contract the search itself is the exact
+    // scan, so the pair isolates refit-vs-assign — the maintenance
+    // cost the incremental path removes.
+    "q_sim_ivf_incremental" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(8).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+      val assigned = model.transform(withVec).drop("__v")
+      val p = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("neighbor_vec"))
+      val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(probe_vec, neighbor_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            | / (sqrt(aggregate(probe_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |    * sqrt(aggregate(neighbor_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {
@@ -748,8 +858,21 @@ object Baseline {
     "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q15",
     "q_sql_tpch_q16", "q_sql_tpch_q19")
 
-  private def timeMedian3(run: () => Unit): Double = {
+  /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
+    * that localCheckpoint (dedup/clustering/snapshot proofs) leave
+    * storage blocks behind; across 76 pairs × 6 timed runs in one JVM
+    * they evict later queries' working set and skew ONLY the sides
+    * that follow them — measured ~2× inflation on the graft loop,
+    * which runs after every control has already churned the heap.
+    */
+  private def releaseLeakedBlocks(s: SparkSession): Unit = {
+    val leaked = s.sparkContext.getPersistentRDDs.values
+    if (leaked.nonEmpty) leaked.foreach(_.unpersist(blocking = true))
+  }
+
+  private def timeMedian3(s: SparkSession)(run: () => Unit): Double = {
     val ts = (0 until 3).map { _ =>
+      releaseLeakedBlocks(s)
       val t0 = System.nanoTime()
       run()
       (System.nanoTime() - t0) / 1e9
@@ -804,12 +927,18 @@ object Baseline {
         System.err.println(s"[baseline-warm] $n: ${e.getMessage}") }
       try mat(SparkEntry.queries(n)(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val base = pairs.map { case (n, fn) =>
-      n -> timeMedian3(() => mat(fn(spark, sfDir)))
+    // interleave the pair's two sides back-to-back (not two global
+    // loops): both formulations of a pair then see the same JVM age,
+    // heap state, and scratch-dir population — a global control loop
+    // followed by a global graft loop hands the graft side hundreds of
+    // prior jobs' churn that no control paid
+    val timed = pairs.map { case (n, fn) =>
+      val b = timeMedian3(spark)(() => mat(fn(spark, sfDir)))
+      val g = timeMedian3(spark)(() => mat(SparkEntry.queries(n)(spark, sfDir)))
+      (n, b, g)
     }
-    val graft = pairs.map { case (n, _) =>
-      n -> timeMedian3(() => mat(SparkEntry.queries(n)(spark, sfDir)))
-    }
+    val base = timed.map { case (n, b, _) => n -> b }
+    val graft = timed.map { case (n, _, g) => n -> g }
     def js(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(s"""{"baseline":${js(base)},"graft":${js(graft)},"sf":"$sfDir"}""")

@@ -55,7 +55,6 @@ import org.apache.spark.sql.functions._
   * at a time; readers need no coordination at all).
   */
 object TextIndex {
-  private val MetaDir = "_index_meta"
   private val PostingsPrefix = "_postings_g"
   private val StatsPrefix = "_term_stats_g"
   private val DocStatsPrefix = "_doc_stats_g"
@@ -87,17 +86,34 @@ object TextIndex {
     */
   private case class Gens(postings: Int, stats: Int, docs: Int)
 
-  private def readGens(spark: SparkSession, path: String): Gens = {
+  /** The full index descriptor. fmt and n_buckets live IN the manifest
+    * (not a parquet sidecar): resolving them is one small FS read, so
+    * the probe-side format/bucket check costs no Spark job — the
+    * former 1-row-parquet `head()` was a full job on EVERY search,
+    * append, and compaction.
+    */
+  private case class IndexState(fmt: Int, nBuckets: Int, gens: Gens)
+
+  private def readState(spark: SparkSession, path: String): IndexState = {
     val seqs = Snapshots.manifestSeqs(spark, path)
     require(seqs.nonEmpty, s"no text index manifest at $path")
     val kv = Snapshots.readManifestLines(spark, path, seqs.max)
       .map(_.split("=", 2)).map(a => a(0) -> a(1).toInt).toMap
-    Gens(kv("postings"), kv("term_stats"), kv("doc_stats"))
+    val st = IndexState(kv("fmt"), kv("n_buckets"),
+      Gens(kv("postings"), kv("term_stats"), kv("doc_stats")))
+    require(st.fmt == Fmt,
+      s"text index at $path has format ${st.fmt}; this binary speaks $Fmt only")
+    st
   }
 
-  private def commitGens(spark: SparkSession, path: String, g: Gens): Unit =
+  private def readGens(spark: SparkSession, path: String): Gens =
+    readState(spark, path).gens
+
+  private def commitGens(spark: SparkSession, path: String, nBuckets: Int,
+      g: Gens): Unit =
     Snapshots.writeManifestLines(spark, path,
-      Seq(s"postings=${g.postings}", s"term_stats=${g.stats}",
+      Seq(s"fmt=$Fmt", s"n_buckets=$nBuckets",
+        s"postings=${g.postings}", s"term_stats=${g.stats}",
         s"doc_stats=${g.docs}"),
       sweep = true): Unit
 
@@ -151,8 +167,15 @@ object TextIndex {
       path: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     fsOf(spark, path).delete(new Path(path), true)
+    // bucket-exclusive shuffle before the partitioned write: ONE file
+    // per bucket instead of write-tasks × buckets. nBuckets is the
+    // build-parallelism lever — each bucket is written by one task, so
+    // a corpus-scale build sizes nBuckets to (a multiple of) the
+    // cluster's cores, which simultaneously right-sizes the per-bucket
+    // posting files a search reads.
     val postings = tokenizePostings(docs, idCol, textCol, nBuckets)
-    postings.write.mode("overwrite").partitionBy("bucket")
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, 1))
     writeDocStats(docs, idCol, textCol, docStatsPath(path, 1), SaveMode.Overwrite)
     // df (document frequency) per term, re-read from the just-written
@@ -165,28 +188,23 @@ object TextIndex {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .repartition(StatsFiles)
       .write.mode("overwrite").parquet(statsPath(path, 1))
-    // build parameters travel WITH the index — a probe that re-supplied
-    // its own bucket count could silently hash into the wrong
-    // partitions and miss every posting
-    import docs.sparkSession.implicits._
-    Seq((Fmt, nBuckets)).toDF("fmt", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/$MetaDir")
-    // single commit point: data dirs above are invisible until this
-    commitGens(spark, path, Gens(postings = 1, stats = 1, docs = 1))
+    // single commit point: data dirs above are invisible until this.
+    // Build parameters travel IN the manifest — a probe that
+    // re-supplied its own bucket count could silently hash into the
+    // wrong partitions and miss every posting.
+    commitGens(spark, path, nBuckets, Gens(postings = 1, stats = 1, docs = 1))
   }
 
-  /** The bucket count this index was built with, from its persisted
-    * meta — never caller-supplied. Fails loudly on a missing sidecar or
-    * an unrecognized format version.
+
+  /** Doc lengths via a second tokenization of the (batch's) text.
+    * MEASURED choice over the derive-from-postings alternative
+    * (dl = sum(tf) per doc + id-anti-join for zero-token docs): at
+    * fixture document lengths the extra regex pass costs 0.2 s where
+    * the postings re-shuffle costs 0.7 s — the aggregation-and-join
+    * machinery outweighs the tokenize it avoids. A corpus of much
+    * longer documents shifts the balance; both formulations keep the
+    * zero-token-doc rows the sidecar contract requires.
     */
-  private def bucketCount(spark: SparkSession, path: String): Int = {
-    val r = spark.read.parquet(s"$path/$MetaDir").head()
-    val fmt = r.getInt(r.fieldIndex("fmt"))
-    require(fmt == Fmt,
-      s"text index at $path has format $fmt; this binary speaks $Fmt only")
-    r.getInt(r.fieldIndex("n_buckets"))
-  }
-
   private def writeDocStats(docs: DataFrame, idCol: String, textCol: String,
       dir: String, mode: SaveMode): Unit =
     docs.select(col(idCol).as("doc_id"),
@@ -262,14 +280,16 @@ object TextIndex {
     // the bucket count comes from the index being appended to — never
     // from the caller, who could otherwise split one term across two
     // bucket layouts
-    val nBuckets = bucketCount(spark, path)
-    val gens = readGens(spark, path)
-    // doc-disjoint batches: doc stats append too, no rewrite
-    writeDocStats(docs, idCol, textCol, docStatsPath(path, gens.docs), SaveMode.Append)
+    val st = readState(spark, path)
+    val nBuckets = st.nBuckets
+    val gens = st.gens
     val tmp = s"$path/$IngestTmpPrefix${java.util.UUID.randomUUID}"
     tokenizePostings(docs, idCol, textCol, nBuckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    // doc-disjoint batches: doc stats append too, no rewrite
+    writeDocStats(docs, idCol, textCol,
+      docStatsPath(path, gens.docs), SaveMode.Append)
     val batchPostings = spark.read.parquet(tmp)
     mergedStats(spark, path, gens.stats, batchPostings)
       .repartition(StatsFiles)
@@ -284,7 +304,7 @@ object TextIndex {
           fs.rename(f0.getPath, new Path(dst, f0.getPath.getName)))
       }
     fs.delete(new Path(tmp), true)
-    commitGens(spark, path, gens.copy(stats = gens.stats + 1))
+    commitGens(spark, path, nBuckets, gens.copy(stats = gens.stats + 1))
     sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
   }
 
@@ -356,10 +376,10 @@ object TextIndex {
     */
   def prunedPostings(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
-    val nBuckets = bucketCount(spark, path)
+    val st = readState(spark, path) // one manifest read: gens + params
     val distinctTerms = terms.distinct
-    spark.read.parquet(postingsDir(spark, path))
-      .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, nBuckets)): _*))
+    spark.read.parquet(postingsPath(path, st.gens.postings))
+      .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, st.nBuckets)): _*))
       .filter(col("term").isin(distinctTerms: _*))
   }
 
@@ -411,8 +431,8 @@ object TextIndex {
     * conflict-on-commit contract.
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
-    bucketCount(spark, path) // format check before touching anything
-    val gens = readGens(spark, path)
+    val st = readState(spark, path) // includes the format check
+    val gens = st.gens
     val tomb = tombstones(spark, path)
     val live = spark.read.parquet(postingsPath(path, gens.postings))
     val kept = tomb.fold(live)(t => live.join(t, Seq("doc_id"), "left_anti"))
@@ -435,7 +455,7 @@ object TextIndex {
           .write.mode("overwrite").parquet(docStatsPath(path, gens.docs + 1))
         Gens(gens.postings + 1, gens.stats + 1, gens.docs + 1)
       }
-    commitGens(spark, path, next)
+    commitGens(spark, path, st.nBuckets, next)
     // tombstones are folded into the new generations; re-applying them
     // against data they no longer match is a no-op, so a crash between
     // the commit and this delete costs nothing

@@ -232,12 +232,18 @@ object LlmPipeline {
       }
       val terms = Seq("hash", "merge", "vector")
       val nBefore = postingFiles()
-      val before = TextIndex.searchAll(s, idx, terms)
+      // pre-compaction answer materialized once; its PLAN still
+      // resolves post-compaction too (the superseded generation
+      // survives as the in-flight readers' spare), which the
+      // TextIndexSpec pinned-reader test exercises directly
+      val beforeDir = Tables.scratch("text_index_compact_before")
+      TextIndex.searchAll(s, idx, terms).write.mode("overwrite").parquet(beforeDir)
       TextIndex.compactIndex(s, idx)
       val nAfter = postingFiles()
-      val after = TextIndex.searchAll(s, idx, terms)
-      // `before` still resolves: the superseded generation survives the
-      // compaction as the in-flight readers' spare
+      val afterDir = Tables.scratch("text_index_compact_after")
+      TextIndex.searchAll(s, idx, terms).write.mode("overwrite").parquet(afterDir)
+      val before = s.read.parquet(beforeDir)
+      val after = s.read.parquet(afterDir)
       val identical = before.exceptAll(after).isEmpty &&
         after.exceptAll(before).isEmpty
       after
@@ -270,7 +276,11 @@ object LlmPipeline {
       TextIndex.compactIndex(s, idx)
       val purged = s.read.parquet(TextIndex.postingsDir(s, idx))
         .filter(col("doc_id") % 7 === 0).count() == 0
-      val post = TextIndex.searchAll(s, idx, terms)
+      // materialize the post-compaction answer ONCE — it feeds both
+      // exceptAll directions and the final output
+      val postDir = Tables.scratch("text_index_delete_post")
+      TextIndex.searchAll(s, idx, terms).write.mode("overwrite").parquet(postDir)
+      val post = s.read.parquet(postDir)
       val pre = s.read.parquet(preDir)
       val identical = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
       post.join(docs.select(col("doc_id"), col("lang")), "doc_id")
@@ -300,7 +310,12 @@ object LlmPipeline {
       Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
         Map("text" -> concat(col("text"), lit(" vector"))))
       Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
-      val ch = Snapshots.changes(s, root, 1, 3, "doc_id")
+      // materialize the feed ONCE — its full-outer diff join would
+      // otherwise recompute under each maintenance leg's action
+      val chDir = Tables.scratch("text_cdc_feed")
+      Snapshots.changes(s, root, 1, 3, "doc_id")
+        .write.mode("overwrite").parquet(chDir)
+      val ch = s.read.parquet(chDir)
       TextIndex.deleteDocs(
         ch.filter(col("_change_type").isin("delete", "update_preimage"))
           .select("doc_id"), "doc_id", idx)
