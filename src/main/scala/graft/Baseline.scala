@@ -57,11 +57,25 @@ object Baseline {
       val terms = Seq("hash", "merge", "vector")
       val docs = t(s, dir, "documents")
       val out = Tables.scratch("baseline_text_postings")
-      docs
-        .select(col("doc_id"),
-          explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // capability-matched (the same round-8/9 protocol the bm25 and
+      // phrase pairs follow): the graft artifact is the full retrieval
+      // index — positional postings + doc lengths + term dfs — so the
+      // stock twin materializes the equivalent flat artifacts, not a
+      // frequency-only subset of them
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
         .write.mode("overwrite").parquet(out)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_text_doclen"))
+      s.read.parquet(out).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_text_df"))
       s.read.parquet(out)
         .filter(col("term").isin(terms: _*))
         .groupBy("doc_id")
@@ -171,17 +185,31 @@ object Baseline {
     // aggregate. The graft side additionally maintains the version
     // manifest and proves the audit property (v1 still serves the
     // deleted rows, v2 does not) inside its measured time.
+    // q_table_delete control, deliverable-matched (same rule as the
+    // update pair): the graft side's deliverable is an AUDITABLE
+    // delete — the pre-delete version stays readable and audit_ok is
+    // measured from BOTH versions in its own time — so the stock twin
+    // keeps the old copy (CoW), writes the filtered new copy, and runs
+    // the same two audit counts.
     "q_table_delete" -> ((s, dir) => {
+      val oldDir = Tables.scratch("baseline_delete_v1")
       val out = Tables.scratch("baseline_delete_cow")
-      t(s, dir, "orders")
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").parquet(oldDir)
+      orders
         .filter(col("o_orderpriority") =!= "1-URGENT")
         .write.mode("overwrite").parquet(out)
+      val deletedAtV1 = s.read.parquet(oldDir)
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      val deletedAtV2 = s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      val auditOk = deletedAtV1 > 0 && deletedAtV2 == 0
       s.read.parquet(out)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
             / 100.0).as("total"))
-        .withColumn("audit_ok", lit(true))
+        .withColumn("audit_ok", lit(auditOk))
         .orderBy("o_orderstatus")
     }),
 
@@ -232,11 +260,24 @@ object Baseline {
     "q_text_index_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val post = Tables.scratch("baseline_delete_postings")
+      val dlDir = Tables.scratch("baseline_delete_doclen")
       val purged = Tables.scratch("baseline_delete_postings_v2")
-      docs.select(col("doc_id"),
-          explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // capability-matched artifact (round-9 protocol): POSITIONAL
+      // postings + doc lengths + term dfs, flat single-dir layout —
+      // the full retrieval capability the graft index carries
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
         .write.mode("overwrite").parquet(post)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(dlDir)
+      s.read.parquet(post).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_delete_df"))
       s.read.parquet(post).filter(col("doc_id") % 7 =!= 0)
         .write.mode("overwrite").parquet(purged)
       val terms = Seq("hash", "merge", "vector")
@@ -279,11 +320,25 @@ object Baseline {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val root = Tables.scratch("baseline_cdc_tbl")
       val post = Tables.scratch("baseline_cdc_postings")
-      def rebuild(src: DataFrame): Unit =
-        src.select(col("doc_id"),
-            explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // capability-matched rebuild (round-9 protocol): each rebuild
+      // re-materializes the positional postings + doc lengths + dfs
+      // the graft index maintains incrementally
+      def rebuild(src: DataFrame): Unit = {
+        val toks = src.select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("toks"))
+        toks.select(col("doc_id"),
+            posexplode(col("toks")).as(Seq("pos", "term")))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
           .write.mode("overwrite").parquet(post)
+        toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+          .write.mode("overwrite")
+          .parquet(Tables.scratch("baseline_cdc_doclen"))
+        s.read.parquet(post).groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite")
+          .parquet(Tables.scratch("baseline_cdc_df"))
+      }
       Snapshots.create(s, root, docs)
       rebuild(Snapshots.read(s, root))
       Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
