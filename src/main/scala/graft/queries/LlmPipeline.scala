@@ -441,6 +441,30 @@ object LlmPipeline {
         .orderBy("source")
     }),
 
+    // Stratified sampling, EXACT k per stratum with NO window: docs
+    // rank within their language by a cross-engine-reproducible md5
+    // order and the bounded-heap TopKByScore aggregate keeps the k
+    // smallest — partial aggregation, O(n log k) map-side, so a
+    // 100 TB stratum never funnels into one sort task (the window
+    // formulation q_text_mixture keeps is the percentage form; this
+    // is the fixed-budget form a training-mix spec asks for).
+    "q_sample_stratified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val topk = udaf(new Aggregators.TopKByScore(5))
+      val scored = docs.select(col("lang"), col("doc_id"),
+        expr("cast(conv(substring(md5(cast(concat('strat:', cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint)")
+          .as("u32"))
+        .withColumn("score", -col("u32").cast("double"))
+      scored.groupBy("lang")
+        .agg(topk(col("doc_id"), col("score")).as("hits"))
+        .select(col("lang"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("lang"), (col("pos") + 1).as("rank"),
+          col("hit.id").as("doc_id"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .orderBy("lang", "rank")
+        .select("lang", "rank", "doc_id", "n_chars")
+    }),
+
     // Stratified training-mix sampling: per source, keep the top 20%
     // of docs by length (word count), deterministic doc_id tiebreak —
     // the window form runs one shuffle per stratum key and never
@@ -1335,6 +1359,20 @@ object LlmPipeline {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |    * max_w < n_chars * 1288490188
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the heap keeps the k SMALLEST u32 per stratum, ties by doc_id —
+    // identical to this window's ordering
+    "q_sample_stratified" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u32, doc_id) AS rank
+        |  FROM s)
+        |SELECT lang, rank, doc_id, n_chars FROM r
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT event_type, count(*) AS n,
