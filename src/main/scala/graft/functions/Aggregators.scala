@@ -59,25 +59,81 @@ object Aggregators {
     * pairs per group through partial aggregation — an O(n·log k)
     * alternative to a full window sort for top-k-per-group at scale.
     * Deterministic: ties broken by ascending id.
+    *
+    * The buffer is a BINARY MIN-HEAP over two fixed arrays whose root
+    * is the current WORST member (lowest score; largest id among score
+    * ties): a full buffer rejects a non-qualifying row with ONE root
+    * comparison (the overwhelmingly common case once the heap warms
+    * up) and admits a qualifying one in O(log k) — the per-row list
+    * re-sort this replaces cost O(k log k) on the hottest inner loop
+    * of the ANN scale path (`quantizedRerankTopK` stage 1 runs it once
+    * per corpus row). The arrays ride the ExpressionEncoder, not a
+    * Kryo blob, so spills serialize columnar.
     */
   class TopKByScore(k: Int)
-      extends Aggregator[(Long, Double), List[(Double, Long)], Seq[TopKHit]] {
-    private def insert(buf: List[(Double, Long)], e: (Double, Long)): List[(Double, Long)] = {
-      // sorted desc by (score, then id asc via negated comparison)
-      val merged = (e :: buf).sortBy { case (s, id) => (-s, id) }
-      merged.take(k)
+      extends Aggregator[(Long, Double), TopKBuf, Seq[TopKHit]] {
+    require(k >= 1, "TopKByScore needs k >= 1")
+    // (s1, i1) ranks strictly below (s2, i2) in the final desc-score /
+    // asc-id order — the heap invariant: every parent ranks <= its
+    // children, so the root is the eviction candidate
+    private def below(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && i1 > i2)
+    private def swap(b: TopKBuf, i: Int, j: Int): Unit = {
+      val s = b.scores(i); b.scores(i) = b.scores(j); b.scores(j) = s
+      val d = b.ids(i); b.ids(i) = b.ids(j); b.ids(j) = d
     }
-    override def zero: List[(Double, Long)] = Nil
-    override def reduce(b: List[(Double, Long)], in: (Long, Double)): List[(Double, Long)] =
-      insert(b, (in._2, in._1))
-    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
-      (a ++ b).sortBy { case (s, id) => (-s, id) }.take(k)
-    override def finish(b: List[(Double, Long)]): Seq[TopKHit] =
-      b.map { case (s, id) => TopKHit(id, s) }
-    override def bufferEncoder: Encoder[List[(Double, Long)]] =
-      Encoders.kryo[List[(Double, Long)]]
+    private def siftUp(b: TopKBuf, start: Int): Unit = {
+      var i = start
+      while (i > 0 && below(b.scores(i), b.ids(i),
+          b.scores((i - 1) / 2), b.ids((i - 1) / 2))) {
+        swap(b, i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    private def siftDown(b: TopKBuf): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < b.n && below(b.scores(l), b.ids(l), b.scores(m), b.ids(m))) m = l
+        if (r < b.n && below(b.scores(r), b.ids(r), b.scores(m), b.ids(m))) m = r
+        if (m == i) done = true
+        else { swap(b, i, m); i = m }
+      }
+    }
+    private def insert(b: TopKBuf, s: Double, id: Long): TopKBuf = {
+      if (b.n < k) {
+        b.scores(b.n) = s; b.ids(b.n) = id; b.n += 1
+        siftUp(b, b.n - 1)
+      } else if (below(b.scores(0), b.ids(0), s, id)) {
+        b.scores(0) = s; b.ids(0) = id
+        siftDown(b)
+      }
+      b
+    }
+    override def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+    override def reduce(b: TopKBuf, in: (Long, Double)): TopKBuf =
+      insert(b, in._2, in._1)
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      if (a.n == 0) b
+      else {
+        var i = 0
+        while (i < b.n) { insert(a, b.scores(i), b.ids(i)); i += 1 }
+        a
+      }
+    }
+    override def finish(b: TopKBuf): Seq[TopKHit] =
+      (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+        .sortBy { case (s, id) => (-s, id) }
+        .map { case (s, id) => TopKHit(id, s) }
+    override def bufferEncoder: Encoder[TopKBuf] = ExprEnc.topkBuf
     override def outputEncoder: Encoder[Seq[TopKHit]] = ExprEnc.topkSeq
   }
+
+  /** TopKByScore's heap buffer: parallel (score, id) arrays of
+    * capacity k with `n` live slots in heap order.
+    */
+  case class TopKBuf(scores: Array[Double], ids: Array[Long], var n: Int)
 
   case class TopKHit(id: Long, score: Double)
 
@@ -110,6 +166,7 @@ object Aggregators {
     val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
     val doubleSeq: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
     val topkSeq: Encoder[Seq[TopKHit]] = ExpressionEncoder[Seq[TopKHit]]()
+    val topkBuf: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
     val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 }

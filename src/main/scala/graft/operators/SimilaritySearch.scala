@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorExpressions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY §2.B.9).
@@ -36,7 +35,13 @@ object SimilaritySearch {
 
   /** Exact cosine top-k: for each probe vector, the k nearest corpus
     * vectors (excluding self). Probes must be small enough to
-    * broadcast; corpus side streams through one codegen'd stage.
+    * broadcast; corpus side streams through one codegen'd stage into
+    * the bounded-heap cut — exactness comes from scoring EVERY corpus
+    * row, not from how the top k are kept, so the baseline shares
+    * [[heapTopK]] with the approximate variants and no per-probe
+    * corpus-sized sort task exists anywhere in the family (the window
+    * formulation survives only as a spec-level cross-check in
+    * DedupSpec).
     */
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame,
@@ -45,11 +50,7 @@ object SimilaritySearch {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id", "cos")
+    heapTopK(scored.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
 
   /** LSH-bucketed approximate top-k: `nTables` independent hyperplane

@@ -53,6 +53,22 @@ import org.apache.spark.sql.functions._
   * rename fails rather than clobbers, so racing maintenance jobs
   * surface as a commit conflict (operationally: one maintenance writer
   * at a time; readers need no coordination at all).
+  *
+  * == Deletes and updates: sequence-scoped tombstones ==
+  *
+  * Every ingest (build = 1, each append bumps by 1) carries a
+  * monotonic SEQUENCE number recorded in the manifest and stamped on
+  * every posting and doc-length row it writes. A delete records
+  * `(doc_id, seq = live manifest seq)` in the `_tombstones` sidecar,
+  * and readers mask only rows with `row.seq <= tombstone.seq` — the
+  * per-segment deleted-docs contract of a merge-based index (e.g.
+  * Lucene), re-expressed on parquet. The payoff is UPDATE maintenance
+  * that is O(changes): retract (tombstone the old ids) then re-ingest
+  * (append the new text at a HIGHER seq) — the re-ingested postings
+  * outrank the tombstone and are visible immediately, with NO
+  * intervening compaction. Compaction remains a cadence/space policy
+  * (fold tombstones physically, recount df exactly), never a
+  * correctness prerequisite for updates.
   */
 object TextIndex {
   private val PostingsPrefix = "_postings_g"
@@ -73,12 +89,16 @@ object TextIndex {
     * index whose recorded fmt it does not recognize, because probing
     * with mismatched parameters is a silent wrong-bucket miss (the same
     * failure class the DataSkipping bloom format row guards against).
-    * fmt 3 = generation dirs + manifest commit for all three rewritable
-    * artifacts (postings, df sidecar, doc-length sidecar) + tombstoned
-    * deletes (fmt 2 kept a flat append-only doc-stats dir; fmt 1 was
-    * flat dirs with in-place sidecar overwrite).
+    * fmt 4 = sequence-scoped tombstones (ingest seq stamped on every
+    * posting/doc-stats row; tombstones mask `seq <= tombstone.seq`
+    * only), doc length denormalized into posting rows, and corpus
+    * stats (n_docs, sum_dl) maintained transactionally in the manifest
+    * — BM25 touches ONLY pruned postings + the df sidecar (fmt 3 was
+    * generation dirs + manifest commit + id-only tombstones; fmt 2 a
+    * flat append-only doc-stats dir; fmt 1 flat dirs with in-place
+    * sidecar overwrite).
     */
-  private val Fmt = 3
+  private val Fmt = 4
 
   /** The live (postings, term-stats, doc-stats) generation triple,
     * resolved from the highest committed manifest — the only way any
@@ -86,35 +106,45 @@ object TextIndex {
     */
   private case class Gens(postings: Int, stats: Int, docs: Int)
 
-  /** The full index descriptor. fmt and n_buckets live IN the manifest
-    * (not a parquet sidecar): resolving them is one small FS read, so
-    * the probe-side format/bucket check costs no Spark job — the
-    * former 1-row-parquet `head()` was a full job on EVERY search,
-    * append, and compaction.
+  /** The full index descriptor. Everything lives IN the manifest (not
+    * a parquet sidecar): resolving it is one small FS read, so the
+    * probe-side format/bucket check — and now BM25's corpus scalars —
+    * cost no Spark job (the former 1-row-parquet `head()` was a full
+    * job on EVERY search; the former doc-stats aggregate was an
+    * O(docs) scan on every BM25 query).
+    *
+    * `seq` is the ingest sequence (see the tombstone contract above);
+    * `nDocs`/`sumDl` are the LIVE corpus totals — build sets them,
+    * append adds its batch, delete subtracts the retracted live docs,
+    * compaction recounts them exactly from the rewritten sidecar.
     */
-  private case class IndexState(fmt: Int, nBuckets: Int, gens: Gens)
+  private case class IndexState(fmt: Int, nBuckets: Int, seq: Long,
+      nDocs: Long, sumDl: Long, gens: Gens)
 
   private def readState(spark: SparkSession, path: String): IndexState = {
     val seqs = Snapshots.manifestSeqs(spark, path)
     require(seqs.nonEmpty, s"no text index manifest at $path")
     val kv = Snapshots.readManifestLines(spark, path, seqs.max)
-      .map(_.split("=", 2)).map(a => a(0) -> a(1).toInt).toMap
-    val st = IndexState(kv("fmt"), kv("n_buckets"),
-      Gens(kv("postings"), kv("term_stats"), kv("doc_stats")))
-    require(st.fmt == Fmt,
-      s"text index at $path has format ${st.fmt}; this binary speaks $Fmt only")
-    st
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    val fmt = kv("fmt").toInt
+    require(fmt == Fmt,
+      s"text index at $path has format $fmt; this binary speaks $Fmt only")
+    IndexState(fmt, kv("n_buckets").toInt, kv("seq").toLong,
+      kv("n_docs").toLong, kv("sum_dl").toLong,
+      Gens(kv("postings").toInt, kv("term_stats").toInt,
+        kv("doc_stats").toInt))
   }
 
   private def readGens(spark: SparkSession, path: String): Gens =
     readState(spark, path).gens
 
-  private def commitGens(spark: SparkSession, path: String, nBuckets: Int,
-      g: Gens): Unit =
+  private def commitState(spark: SparkSession, path: String,
+      st: IndexState): Unit =
     Snapshots.writeManifestLines(spark, path,
-      Seq(s"fmt=$Fmt", s"n_buckets=$nBuckets",
-        s"postings=${g.postings}", s"term_stats=${g.stats}",
-        s"doc_stats=${g.docs}"),
+      Seq(s"fmt=$Fmt", s"n_buckets=${st.nBuckets}", s"seq=${st.seq}",
+        s"n_docs=${st.nDocs}", s"sum_dl=${st.sumDl}",
+        s"postings=${st.gens.postings}", s"term_stats=${st.gens.stats}",
+        s"doc_stats=${st.gens.docs}"),
       sweep = true): Unit
 
   private def postingsPath(path: String, g: Int) = s"$path/$PostingsPrefix$g"
@@ -157,11 +187,12 @@ object TextIndex {
 
   /** One pass over `docs`: tokenize, count per-(doc, term), bucket by
     * term hash, write partitioned postings + per-term df stats + the
-    * per-doc lengths ([[DocStatsDir]]) that let BM25 be served entirely
-    * from the index. `dl` counts ALL tokens (not just distinct terms),
-    * and zero-token documents keep their row — corpus-side n_docs /
-    * avgdl must be recoverable from the sidecar alone. Drops any
-    * existing index at `path`.
+    * per-doc lengths ([[docStats]]) that keep corpus stats exact. `dl`
+    * counts ALL tokens (not just distinct terms) and is DENORMALIZED
+    * onto every posting row (one long, dictionary-encoded to almost
+    * nothing in parquet), so BM25 never joins a doc-length table;
+    * zero-token documents keep their sidecar row — corpus-side n_docs
+    * and sum(dl) must count them. Drops any existing index at `path`.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
@@ -173,11 +204,12 @@ object TextIndex {
     // a corpus-scale build sizes nBuckets to (a multiple of) the
     // cluster's cores, which simultaneously right-sizes the per-bucket
     // posting files a search reads.
-    val postings = tokenizePostings(docs, idCol, textCol, nBuckets)
+    val postings = tokenizePostings(docs, idCol, textCol, nBuckets, seq = 1L)
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, 1))
-    writeDocStats(docs, idCol, textCol, docStatsPath(path, 1), SaveMode.Overwrite)
+    writeDocStats(docs, idCol, textCol, docStatsPath(path, 1),
+      SaveMode.Overwrite, seq = 1L)
     // df (document frequency) per term, re-read from the just-written
     // postings: no second tokenization pass over the corpus
     // repartition, NOT coalesce: coalesce would fold the df
@@ -188,13 +220,25 @@ object TextIndex {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .repartition(StatsFiles)
       .write.mode("overwrite").parquet(statsPath(path, 1))
+    // corpus totals off the just-written (column-pruned) sidecar — the
+    // manifest is their home from here on; every maintenance commit
+    // keeps them exact
+    val (n, dl) = docTotals(spark.read.parquet(docStatsPath(path, 1)))
     // single commit point: data dirs above are invisible until this.
     // Build parameters travel IN the manifest — a probe that
     // re-supplied its own bucket count could silently hash into the
     // wrong partitions and miss every posting.
-    commitGens(spark, path, nBuckets, Gens(postings = 1, stats = 1, docs = 1))
+    commitState(spark, path, IndexState(Fmt, nBuckets, seq = 1L,
+      nDocs = n, sumDl = dl, Gens(postings = 1, stats = 1, docs = 1)))
   }
 
+  /** (row count, sum of dl) of a doc-stats frame — the two corpus
+    * scalars the manifest carries for BM25.
+    */
+  private def docTotals(ds: DataFrame): (Long, Long) = {
+    val r = ds.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Doc lengths via a second tokenization of the (batch's) text.
     * MEASURED choice over the derive-from-postings alternative
@@ -206,9 +250,10 @@ object TextIndex {
     * zero-token-doc rows the sidecar contract requires.
     */
   private def writeDocStats(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, mode: SaveMode): Unit =
+      dir: String, mode: SaveMode, seq: Long): Unit =
     docs.select(col(idCol).as("doc_id"),
-        size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
+        size(Dedup.tokens(col(textCol))).cast("long").as("dl"),
+        lit(seq).as("seq"))
       .write.mode(mode).parquet(dir)
 
   /** Postings are POSITIONAL: alongside tf, each (doc, term) row keeps
@@ -216,15 +261,20 @@ object TextIndex {
     * queries consume. One posexplode pass; tf = size(positions), so the
     * frequency-only consumers (searchAll, bm25) pay nothing extra at
     * query time (column pruning drops `positions` from their scans).
+    * `dl` (the doc's TOTAL token count) rides the grouping key — it is
+    * functionally dependent on doc_id, so widening the key costs
+    * nothing and saves the per-doc join BM25 would otherwise need.
     */
   private def tokenizePostings(docs: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int): DataFrame =
+      textCol: String, nBuckets: Int, seq: Long): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "term")))
-      .groupBy("doc_id", "term")
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("seq", lit(seq))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
 
   /** The merged df-stats plan for an append: existing sidecar
@@ -244,11 +294,12 @@ object TextIndex {
     * existing index without touching the corpus already indexed — the
     * continuous-ingestion path, per batch:
     *
-    *   1. tokenize ONCE, shuffle on `bucket`, and write the batch's
-    *      postings to a private `_ingest_tmp_*` dir — the bucket-keyed
-    *      repartition yields ONE file per bucket per batch (the naive
-    *      task×bucket write leaves shuffle-parallelism × buckets files
-    *      per batch, which is what makes long ingests compaction-bound);
+    *   1. tokenize ONCE (stamped with the NEXT ingest seq), shuffle on
+    *      `bucket`, and write the batch's postings to a private
+    *      `_ingest_tmp_*` dir — the bucket-keyed repartition yields ONE
+    *      file per bucket per batch (the naive task×bucket write leaves
+    *      shuffle-parallelism × buckets files per batch, which is what
+    *      makes long ingests compaction-bound);
     *   2. derive the batch's per-term df from the WRITTEN parquet — a
     *      column-pruned batch-sized read; no second tokenization pass,
     *      no caching of the positions arrays (measured ~2x slower than
@@ -258,67 +309,98 @@ object TextIndex {
     *      associative) into the NEXT stats generation — input volume
     *      O(batch + vocabulary), NEVER the postings, whose volume is
     *      corpus-order;
-    *   4. publish the batch postings by per-file rename into the live
-    *      generation (metadata ops; job-UUID part names cannot
-    *      collide), then commit the new stats generation.
+    *   4. publish by per-file rename into the live generations
+    *      (metadata ops; job-UUID part names cannot collide) — the
+    *      batch postings first, its doc-stats rows last — then commit
+    *      the manifest (new stats generation, bumped seq, corpus totals
+    *      grown by the batch).
     *
     * Total cost per batch: O(new docs + vocabulary), independent of
-    * index size. A crash leaves at worst an `_ingest_tmp_*` orphan or
-    * an uncommitted stats generation — both swept by [[vacuumIndex]],
-    * neither visible to readers.
+    * index size. Crash windows, honestly: before any rename — only an
+    * `_ingest_tmp_*` orphan and an uncommitted stats generation, both
+    * swept by [[vacuumIndex]], neither visible to readers. AFTER the
+    * renames start but before the manifest commit — the batch's
+    * published files are visible to tf-based search (per-file parquet
+    * visibility, the documented append contract) while the manifest's
+    * seq/corpus totals still exclude the batch, so BM25 under-counts
+    * n_docs until the append is re-run or the next maintenance commit;
+    * both sidecar artifacts stage in the tmp dir and publish in this
+    * same window, so no ordering leaves doc-stats rows for docs that
+    * have no postings.
     *
-    * Caller contract: `docs` must be documents not already in the index
-    * (same as any append-only ingest; exactly-once de-dup upstream is
+    * Caller contract: `docs` must not be LIVE in the index — new
+    * doc_ids, or tombstoned ones being re-ingested (the update path:
+    * their new rows carry a seq above the tombstone's and are visible
+    * immediately; exactly-once de-dup upstream is
     * `q_dedup_incremental`'s job).
     */
   def appendDocs(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
-    // first batch of a streaming ingest: no index yet — bootstrap one
     val spark = docs.sparkSession
-    if (Snapshots.manifestSeqs(spark, path).isEmpty)
+    if (Snapshots.manifestSeqs(spark, path).isEmpty) {
+      // first batch of a streaming ingest: no index yet — bootstrap
+      // one, but ONLY into virgin ground. A non-empty dir without a
+      // manifest is an unrecognized (legacy/corrupted) layout;
+      // buildIndex would silently DELETE it and replace it with an
+      // index of just this batch — refuse loudly instead.
+      val fs = fsOf(spark, path)
+      val p = new Path(path)
+      require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+        s"$path is non-empty but has no index manifest — refusing to " +
+          "bootstrap over an unrecognized layout; rebuild explicitly " +
+          "with buildIndex")
       return buildIndex(docs, idCol, textCol, path)
+    }
     // the bucket count comes from the index being appended to — never
     // from the caller, who could otherwise split one term across two
     // bucket layouts
     val st = readState(spark, path)
-    val nBuckets = st.nBuckets
-    val gens = st.gens
+    val newSeq = st.seq + 1
     val tmp = s"$path/$IngestTmpPrefix${java.util.UUID.randomUUID}"
-    tokenizePostings(docs, idCol, textCol, nBuckets)
+    tokenizePostings(docs, idCol, textCol, st.nBuckets, newSeq)
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    // doc-disjoint batches: doc stats append too, no rewrite
-    writeDocStats(docs, idCol, textCol,
-      docStatsPath(path, gens.docs), SaveMode.Append)
-    val batchPostings = spark.read.parquet(tmp)
-    mergedStats(spark, path, gens.stats, batchPostings)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/postings")
+    // the batch's doc-stats STAGE in the same tmp dir (publishing them
+    // straight into the live generation would put dl rows for
+    // postings-less docs on disk if this append crashes pre-publish)
+    writeDocStats(docs, idCol, textCol, s"$tmp/docstats",
+      SaveMode.Overwrite, newSeq)
+    val batchPostings = spark.read.parquet(s"$tmp/postings")
+    mergedStats(spark, path, st.gens.stats, batchPostings)
       .repartition(StatsFiles)
-      .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
+      .write.mode("overwrite").parquet(statsPath(path, st.gens.stats + 1))
+    val (batchN, batchDl) = docTotals(spark.read.parquet(s"$tmp/docstats"))
     val fs = fsOf(spark, path)
-    val genDir = new Path(postingsPath(path, gens.postings))
-    fs.listStatus(new Path(tmp))
+    val genDir = new Path(postingsPath(path, st.gens.postings))
+    fs.listStatus(new Path(s"$tmp/postings"))
       .filter(_.getPath.getName.startsWith("bucket=")).foreach { d =>
         val dst = new Path(genDir, d.getPath.getName)
         if (!fs.exists(dst)) fs.mkdirs(dst)
         fs.listStatus(d.getPath).foreach(f0 =>
           fs.rename(f0.getPath, new Path(dst, f0.getPath.getName)))
       }
+    val docsDir = new Path(docStatsPath(path, st.gens.docs))
+    fs.listStatus(new Path(s"$tmp/docstats"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f0 => fs.rename(f0.getPath, new Path(docsDir, f0.getPath.getName)))
     fs.delete(new Path(tmp), true)
-    commitGens(spark, path, nBuckets, gens.copy(stats = gens.stats + 1))
-    sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
+    commitState(spark, path, st.copy(seq = newSeq,
+      nDocs = st.nDocs + batchN, sumDl = st.sumDl + batchDl,
+      gens = st.gens.copy(stats = st.gens.stats + 1)))
+    sweepGens(spark, path, StatsPrefix, keepFloor = st.gens.stats)
   }
 
   /** Conjunctive search: documents containing ALL `terms`, scored by
-    * total tf. Only the terms' bucket partitions are read.
+    * total tf. Only the terms' bucket partitions are read; tombstoned
+    * postings are masked inside [[prunedPostings]].
     */
   def searchAll(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAll needs at least one term")
-    val postings = prunedPostings(spark, path, terms)
-    dropTombstoned(spark, path, postings
+    prunedPostings(spark, path, terms)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
-      .filter(col("n_terms") === terms.distinct.size))
+      .filter(col("n_terms") === terms.distinct.size)
       .select(col("doc_id"), col("total_tf"))
   }
 
@@ -329,9 +411,9 @@ object TextIndex {
   def searchAny(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAny needs at least one term")
-    dropTombstoned(spark, path, prunedPostings(spark, path, terms)
+    prunedPostings(spark, path, terms)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf")))
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
       .select(col("doc_id"), col("n_terms"), col("total_tf"))
   }
 
@@ -359,11 +441,10 @@ object TextIndex {
         (col("pa") / window).cast("long") - 1)))
     val right = side(b, "pb")
       .withColumn("band", (col("pb") / window).cast("long"))
-    dropTombstoned(spark, path,
-      left.join(right, Seq("doc_id", "band"))
-        .filter(abs(col("pa") - col("pb")) <= window)
-        .select("doc_id", "pa", "pb").distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("n_pairs")))
+    left.join(right, Seq("doc_id", "band"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .select("doc_id", "pa", "pb").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
   }
 
   /** The bucket-pruned postings scan for `terms` — the partition filter
@@ -372,15 +453,18 @@ object TextIndex {
     * generation is resolved through the manifest ONCE, here — the scan
     * then stays pinned to that immutable-until-swept directory for the
     * query's whole life (snapshot-consistent reads under concurrent
-    * compaction).
+    * compaction). Tombstone masking happens HERE, at posting-row
+    * granularity, so every search verb (AND/OR/phrase/proximity/BM25)
+    * inherits delete- and update-exactness from the one access path.
     */
   def prunedPostings(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     val st = readState(spark, path) // one manifest read: gens + params
     val distinctTerms = terms.distinct
-    spark.read.parquet(postingsPath(path, st.gens.postings))
-      .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, st.nBuckets)): _*))
-      .filter(col("term").isin(distinctTerms: _*))
+    maskDeleted(spark, path,
+      spark.read.parquet(postingsPath(path, st.gens.postings))
+        .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, st.nBuckets)): _*))
+        .filter(col("term").isin(distinctTerms: _*)))
   }
 
   /** Exact phrase search from the positional postings: documents where
@@ -402,9 +486,8 @@ object TextIndex {
         .withColumn("start", col(s"p_$i") - i)
         .select("doc_id", "start")
     }
-    dropTombstoned(spark, path,
-      slots.reduce(_.join(_, Seq("doc_id", "start")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_occ")))
+    slots.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
   }
 
   /** Compact the posting files: each `appendDocs` batch adds files to
@@ -414,10 +497,12 @@ object TextIndex {
     * into a NEW generation with one file per bucket. With no pending
     * deletes the rewrite is content-identical and sidecars are
     * untouched; with tombstones present ([[deleteDocs]]) the rewrite
-    * ALSO physically removes the deleted docs' postings, recounts
-    * per-term df exactly, and drops their doc-length rows — the merge
-    * step of the Lucene deleted-docs contract — publishing all three
-    * new generations in one manifest commit.
+    * ALSO physically purges the masked postings (seq-scoped: a
+    * re-ingested doc's newer rows survive), recounts per-term df
+    * exactly, rewrites the doc-length sidecar to the live rows, and
+    * recomputes the manifest corpus totals from it — the merge step of
+    * the Lucene deleted-docs contract — publishing all three new
+    * generations in one manifest commit.
     *
     * The swap is the manifest commit: the new generation is fully
     * written first, readers keep resolving the old one until the
@@ -435,27 +520,33 @@ object TextIndex {
     val gens = st.gens
     val tomb = tombstones(spark, path)
     val live = spark.read.parquet(postingsPath(path, gens.postings))
-    val kept = tomb.fold(live)(t => live.join(t, Seq("doc_id"), "left_anti"))
+    val kept = maskDeleted(spark, path, live)
     kept.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, gens.postings + 1))
     val next =
-      if (tomb.isEmpty) gens.copy(postings = gens.postings + 1)
+      if (tomb.isEmpty) st.copy(gens = gens.copy(postings = gens.postings + 1))
       else {
         // deletes fold in: recount per-term df from the compacted
         // postings (exact reconciliation of the one delete-stale stat)
-        // and drop tombstoned rows from the doc-length sidecar — all
-        // three generations publish in the ONE manifest commit below
+        // and drop masked rows from the doc-length sidecar — all
+        // three generations publish in the ONE manifest commit below,
+        // with the corpus totals recounted from the rewritten sidecar
+        // (self-healing: any drift the incremental adds/subtracts
+        // could ever accumulate dies here)
         spark.read.parquet(postingsPath(path, gens.postings + 1))
           .groupBy("term").agg(count(lit(1)).as("df"))
           .repartition(StatsFiles)
           .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
-        dropTombstoned(spark, path, docStats(spark, path))
+        maskDeleted(spark, path, docStats(spark, path))
           .repartition(StatsFiles)
           .write.mode("overwrite").parquet(docStatsPath(path, gens.docs + 1))
-        Gens(gens.postings + 1, gens.stats + 1, gens.docs + 1)
+        val (n, dl) = docTotals(
+          spark.read.parquet(docStatsPath(path, gens.docs + 1)))
+        st.copy(nDocs = n, sumDl = dl,
+          gens = Gens(gens.postings + 1, gens.stats + 1, gens.docs + 1))
       }
-    commitGens(spark, path, st.nBuckets, next)
+    commitState(spark, path, next)
     // tombstones are folded into the new generations; re-applying them
     // against data they no longer match is a no-op, so a crash between
     // the commit and this delete costs nothing
@@ -468,16 +559,21 @@ object TextIndex {
     }
   }
 
-  /** Delete crash-leaked generation dirs that no manifest references —
-    * a compaction or stats refresh that died after fully writing its
-    * new generation but before the manifest commit leaves a directory
-    * readers can never resolve ([[Snapshots.vacuum]]'s orphan rule
-    * applied to generations). The LIVE generation and the one
-    * immediately before it (the in-flight readers' spare) are never
-    * touched; stale `.tmp_manifest_*` files from crashed commits sweep
-    * too. `olderThanMs` guards racing an in-flight maintenance writer
-    * whose data dir legitimately precedes its manifest entry; tests
-    * pass 0. Returns the deleted names.
+  /** Delete crash-leaked artifacts that no manifest references — a
+    * maintenance job that died after fully writing its new generation
+    * but before the manifest commit leaves a directory readers can
+    * never resolve ([[Snapshots.vacuum]]'s orphan rule applied to
+    * generations). Swept: generation dirs STRICTLY BELOW the reader
+    * spare (live-1), `_ingest_tmp_*` orphans, and stale
+    * `.tmp_manifest_*` files. Generations NUMBERED ABOVE the live one
+    * are deliberately NOT candidates — they are indistinguishable from
+    * an in-flight maintenance writer's about-to-commit output, and
+    * deleting one would publish a missing directory when its manifest
+    * lands; a crashed higher generation is reclaimed instead by the
+    * next successful maintenance op, which overwrites that generation
+    * number on its way to the commit. `olderThanMs` additionally
+    * age-guards everything swept; tests pass 0. Returns the deleted
+    * names.
     */
   def vacuumIndex(spark: SparkSession, path: String,
       olderThanMs: Long = 3600000L): Seq[String] = {
@@ -487,7 +583,7 @@ object TextIndex {
     def leakedGen(name: String, prefix: String, live: Int) =
       name.startsWith(prefix) &&
         scala.util.Try(name.stripPrefix(prefix).toInt).toOption
-          .exists(g => g != live && g != live - 1)
+          .exists(_ < live - 1)
     val orphans = fs.listStatus(new Path(path)).toSeq.filter { st =>
       val n = st.getPath.getName
       val leaked = leakedGen(n, PostingsPrefix, gens.postings) ||
@@ -506,76 +602,109 @@ object TextIndex {
     spark.read.parquet(statsPath(path, readGens(spark, path).stats))
 
   /** Per-doc token counts from the persisted stats table (raw —
-    * includes tombstoned docs until the next reconciling compaction;
-    * [[bm25]] filters through the tombstones itself).
+    * includes tombstone-masked rows until the next reconciling
+    * compaction; mask with the same seq rule via [[prunedPostings]]'s
+    * helper if live-only rows are needed).
     */
   def docStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(docStatsPath(path, readGens(spark, path).docs))
 
   /** Mark documents as DELETED (GDPR-erasure / retraction verb for the
-    * index): their ids append to an `_tombstones` sidecar, and every
-    * search drops them at read time — exact immediately for all
-    * tf-based results (searchAll/searchAny/phrase/proximity) and for
-    * BM25's n_docs/avgdl; per-term df keeps counting tombstoned docs
-    * until the next [[compactIndex]] physically removes their postings
-    * and recounts df exactly — Lucene's deleted-docs-bitmap + merge
-    * contract, re-expressed. O(ids) per call; nothing index-sized
-    * moves until compaction (which is O(index) anyway).
+    * index): each id appends to the `_tombstones` sidecar stamped with
+    * the CURRENT manifest seq, and every read path masks postings with
+    * `seq <= tombstone.seq` — exact immediately for all tf-based
+    * results (searchAll/searchAny/phrase/proximity) and, via the
+    * manifest corpus totals this call commits, for BM25's
+    * n_docs/avgdl; per-term df keeps counting tombstoned docs until
+    * the next [[compactIndex]] physically purges their postings and
+    * recounts df exactly — Lucene's deleted-docs-bitmap + merge
+    * contract, re-expressed.
     *
-    * RE-ADDING a tombstoned doc id requires an intervening
-    * [[compactIndex]] (the tombstone masks by id and would hide the
-    * re-ingested postings too): the update protocol is retract →
-    * compact → append, as the CDC-sync query (`q_text_index_cdc`)
-    * demonstrates end-to-end.
+    * RE-ADDING a deleted doc needs NO compaction: [[appendDocs]] bumps
+    * the ingest seq past the tombstone, so the re-ingested postings
+    * are visible the moment they publish — the update protocol is
+    * retract → re-ingest, O(changes), as `q_text_index_cdc` runs
+    * end-to-end.
+    *
+    * Cost: O(ids) for the tombstone write plus ONE column-pruned scan
+    * of the doc-length sidecar to subtract exactly the retracted LIVE
+    * docs from the manifest totals (ids already dead or absent
+    * subtract nothing, so the verb is idempotent). The tombstone file
+    * lands before the manifest commit: a crash between them leaves the
+    * docs masked from search but the corpus totals un-shrunk until the
+    * delete is re-run or the next reconciling compaction.
     */
-  def deleteDocs(docIds: DataFrame, idCol: String, path: String): Unit =
-    docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+  def deleteDocs(docIds: DataFrame, idCol: String, path: String): Unit = {
+    val spark = docIds.sparkSession
+    val st = readState(spark, path)
+    val ids = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // totals adjustment BEFORE the new tombstones land: live rows only
+    // (prior tombstones already subtracted their docs)
+    val (delN, delDl) = docTotals(
+      maskDeleted(spark, path, docStats(spark, path))
+        .join(ids, Seq("doc_id"), "left_semi"))
+    ids.withColumn("seq", lit(st.seq))
       .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
+    commitState(spark, path,
+      st.copy(nDocs = st.nDocs - delN, sumDl = st.sumDl - delDl))
+  }
 
+  /** The per-doc tombstone horizon: `(doc_id, del_seq = max seq)` over
+    * the sidecar — broadcast-sized (deleted ids), uniquely-named
+    * columns so the anti-join condition in [[maskDeleted]] resolves
+    * without ambiguity.
+    */
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(s"$path/$TombstonesDir")
-    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    if (fsOf(spark, path).exists(p))
+      Some(spark.read.parquet(p.toString)
+        .groupBy(col("doc_id").as("del_doc_id"))
+        .agg(max("seq").as("del_seq")))
     else None
   }
 
-  /** Drop tombstoned docs from a doc-keyed frame — a left-anti hash
-    * join against the (small, deleted-ids-sized) tombstone sidecar;
-    * identity when no deletes are pending.
+  /** Mask tombstoned rows out of a (doc_id, seq)-carrying frame — a
+    * broadcast hash ANTI join on doc_id with the seq horizon as the
+    * join's extra condition: a row survives unless some tombstone for
+    * its doc is AT OR ABOVE its ingest seq. Rows re-ingested after the
+    * delete carry a higher seq and pass — the whole point of
+    * seq-scoping. Identity when no deletes are pending.
     */
-  private def dropTombstoned(spark: SparkSession, path: String,
+  private def maskDeleted(spark: SparkSession, path: String,
       df: DataFrame): DataFrame =
     tombstones(spark, path).fold(df)(t =>
-      df.join(t, Seq("doc_id"), "left_anti"))
+      df.join(broadcast(t),
+        col("doc_id") === col("del_doc_id") && col("seq") <= col("del_seq"),
+        "left_anti"))
 
   /** BM25 top-k served ENTIRELY from the index — the corpus is never
-    * touched at query time. Inputs per query: the terms' pruned bucket
-    * partitions (postings), the df sidecar filtered to the terms
-    * (broadcast-sized), the doc-length sidecar (O(docs), doc-keyed hash
-    * join — deliberately NOT broadcast: it grows with the corpus), and
-    * one corpus-stats scalar (n_docs, avgdl) off the doc sidecar.
-    * Same formula and constants as `q_text_bm25` (k1=1.2, b=0.75),
-    * computed from identical integers, so scores match the corpus-side
+    * touched at query time, and neither is any doc-length table: the
+    * per-query inputs are the terms' pruned bucket partitions (whose
+    * rows carry the denormalized `dl`) and the df sidecar filtered to
+    * the terms (broadcast-sized). The corpus scalars (n_docs, avgdl)
+    * come off the MANIFEST — zero Spark jobs, exact under append and
+    * delete because every maintenance commit maintains them. Same
+    * formula and constants as `q_text_bm25` (k1=1.2, b=0.75), computed
+    * from identical integers — avgdl is the same sum/count double
+    * division Spark's `avg` performs — so scores match the corpus-side
     * computation exactly.
     */
   def bm25(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
+    val st = readState(spark, path)
+    val nDocs = st.nDocs.toDouble
+    val avgdl = if (st.nDocs == 0) 0.0 else st.sumDl.toDouble / st.nDocs.toDouble
     val tf = prunedPostings(spark, path, terms)
-      .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+      .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"),
+        col("dl").cast("double").as("dl"))
     val dfT = termStats(spark, path)
       .filter(col("term").isin(terms.distinct: _*))
       .select(col("term"), col("df").cast("double").as("df"))
-    // live docs only: n_docs/avgdl stay delete-exact, and tombstoned
-    // docs drop out of scoring through the inner doc-length join
-    val dls = dropTombstoned(spark, path, docStats(spark, path))
-    val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl"))
     tf.join(broadcast(dfT), "term")
-      .join(dls, "doc_id")
-      .crossJoin(broadcast(stats))
       .withColumn("contrib",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1) *
           col("tf") * lit(2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
       .groupBy("doc_id").agg(sum("contrib").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)

@@ -294,12 +294,16 @@ object LlmPipeline {
     // search pipeline runs: documents live in a versioned snapshot
     // table; an UPDATE commit (append a query term to doc_id % 11 = 0)
     // and a DELETE commit (doc_id % 13 = 0) produce v3; ONE change feed
-    // v1→v3 then drives the index — retract (delete + update_preimage
-    // ids), reconciling compaction, re-ingest (update_postimage rows).
-    // Search over the synced index must equal the corpus-side answer
-    // over the v3 live state — updates are load-bearing (the appended
-    // term changes which docs match and their tf), so a broken
-    // retract-or-reingest leg fails the hash gate.
+    // v1→v3 then drives the index with O(changes) work — retract
+    // (tombstone the delete + update_preimage ids), re-ingest
+    // (update_postimage rows at a higher ingest seq). NO compaction in
+    // the sync path: sequence-scoped tombstones mask only the old
+    // postings, so the re-ingested text is visible the moment it
+    // lands — compaction is left to cadence policy, off the per-sync
+    // cost. Search over the synced index must equal the corpus-side
+    // answer over the v3 live state — updates are load-bearing (the
+    // appended term changes which docs match and their tf), so a
+    // broken retract-or-reingest leg fails the hash gate.
     "q_text_index_cdc" -> ((s, dir) => {
       import graft.operators.Snapshots
       val docs = t(s, dir, "documents")
@@ -319,7 +323,6 @@ object LlmPipeline {
       TextIndex.deleteDocs(
         ch.filter(col("_change_type").isin("delete", "update_preimage"))
           .select("doc_id"), "doc_id", idx)
-      TextIndex.compactIndex(s, idx)
       TextIndex.appendDocs(
         ch.filter(col("_change_type") === "update_postimage")
           .select("doc_id", "text"), "doc_id", "text", idx)
@@ -466,21 +469,57 @@ object LlmPipeline {
     }),
 
     // Stratified training-mix sampling: per source, keep the top 20%
-    // of docs by length (word count), deterministic doc_id tiebreak —
-    // the window form runs one shuffle per stratum key and never
-    // collects to the driver.
+    // of docs by length (word count), deterministic doc_id tiebreak.
+    // THRESHOLD form, no window anywhere: one aggregate over
+    // (source, n_words) — word-count-DOMAIN-sized, never corpus-sized
+    // — walks each source's histogram down to the admission threshold
+    // T (the n_words of the ceil(0.2·n)-th ranked doc) on the driver
+    // (histogram rows = sources × distinct word counts, bounded
+    // metadata, the same class as q_dedup_semantic's max-id read).
+    // The corpus then passes ONE broadcast-joined filter: everything
+    // above T is in; the boundary tie band (n_words == T, smallest
+    // doc_ids win) is an O(band) bounded-heap cut — so no stratum ever
+    // funnels into a single window-sort task (the failure shape of
+    // row_number over partitionBy(source) at 100 TB, where ~corpus/5
+    // rows land in one task).
     "q_text_mixture" -> ((s, dir) => {
+      import s.implicits._
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_words"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("n_words").desc, col("doc_id").asc)
-      val wc = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      docs
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_src", count(lit(1)).over(wc))
-        .filter(col("rn") <= ceil(col("n_src") * lit(0.2)))
+      val hist = docs.groupBy("source", "n_words").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      // per source: admission threshold T, and how many tie-band rows
+      // at exactly T still fit under the ceil(0.2·n) budget
+      val perSource = hist.groupBy(_._1).map { case (src, rows) =>
+        val n = rows.map(_._3).sum
+        val k = math.ceil(n * 0.2).toLong
+        var cum = 0L; var thresh = 0; var need = 0L
+        val it = rows.sortBy(-_._2).iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (_, w0, c) = it.next()
+          if (cum + c >= k) { thresh = w0; need = k - cum; found = true }
+          else cum += c
+        }
+        (src, thresh, need)
+      }.toSeq
+      val stats = broadcast(perSource.toDF("source", "w_thresh", "need"))
+      val joined = docs.join(stats, "source")
+      val above = joined.filter(col("n_words") > col("w_thresh"))
         .select("source", "doc_id", "n_words")
+      val maxNeed = math.max(1L, perSource.map(_._3).max).toInt
+      val topk = udaf(new Aggregators.TopKByScore(maxNeed))
+      val bandPick = joined.filter(col("n_words") === col("w_thresh"))
+        .withColumn("score", -col("doc_id").cast("double"))
+        .groupBy("source", "w_thresh", "need")
+        .agg(topk(col("doc_id"), col("score")).as("hits"))
+        .select(col("source"), col("w_thresh"), col("need"),
+          posexplode(col("hits")).as(Seq("pos", "hit")))
+        .filter(col("pos") < col("need"))
+        .select(col("source"), col("hit.id").as("doc_id"),
+          col("w_thresh").as("n_words"))
+      above.unionByName(bandPick)
         .orderBy("source", "doc_id")
     }),
 
@@ -952,8 +991,9 @@ object LlmPipeline {
 
     // Sequence packing: greedy offset-bucketing of documents into
     // fixed token-budget training sequences per source (window cumsum
-    // → bucket id → per-sequence stats). The per-source window keeps
-    // partitions independent — the 100 TB form shards by source shard.
+    // → bucket id → per-sequence stats). The per-source window is the
+    // SMALL-STRATUM twin; `q_text_pack_sharded` below is the 100 TB
+    // form whose window partitions are shard-bounded.
     "q_text_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 256
@@ -963,6 +1003,41 @@ object LlmPipeline {
           TextFunctions.wordCount(col("text")).as("n_tok"))
         .withColumn("cum", sum("n_tok").over(w))
         .withColumn("seq_id", floor((col("cum") - col("n_tok")) / budget))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "seq_id")
+    }),
+
+    // Sequence packing, SHARDED — the 100 TB form: documents pack
+    // within (source, shard) where shard = a deterministic doc_id
+    // range bucket, so every cumsum window partition is shard-bounded
+    // (span docs max) instead of stratum-sized; no sequence crosses a
+    // shard boundary (each shard's last sequence closes partially
+    // full — the training-shard contract). Global sequence ids come
+    // from a per-shard BASE: the second window runs over the SHARD
+    // LIST (corpus/span rows — at scale, span is sized so this is
+    // thousands of rows per source, metadata-order), never over docs.
+    "q_text_pack_sharded" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 256
+      val span = 200
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.wordCount(col("text")).as("n_tok"),
+          floor(col("doc_id") / span).as("shard"))
+      val wS = Window.partitionBy("source", "shard").orderBy("doc_id")
+      val local = toks
+        .withColumn("cum", sum("n_tok").over(wS))
+        .withColumn("local_seq", floor((col("cum") - col("n_tok")) / budget))
+      val wShards = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = local.groupBy("source", "shard")
+        .agg((max("local_seq") + 1).as("n_seqs"))
+        .withColumn("base", coalesce(sum("n_seqs").over(wShards), lit(0L)))
+      local.join(broadcast(bases.select("source", "shard", "base")),
+          Seq("source", "shard"))
+        .withColumn("seq_id", col("base") + col("local_seq"))
         .groupBy("source", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tokens"),
           min("doc_id").as("first_doc"))
@@ -1755,6 +1830,29 @@ object LlmPipeline {
         |SELECT source, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS seq_id,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
         |FROM cum GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
+
+    "q_text_pack_sharded" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tok,
+        |    CAST(floor(doc_id / 200) AS BIGINT) AS shard
+        |  FROM documents),
+        |loc AS (
+        |  SELECT doc_id, source, shard, n_tok,
+        |    CAST(floor((CAST(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) / 256.0) AS BIGINT) AS local_seq
+        |  FROM toks),
+        |bases AS (
+        |  SELECT source, shard,
+        |    COALESCE(CAST(sum(n_seqs) OVER (PARTITION BY source ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS base
+        |  FROM (SELECT source, shard, max(local_seq) + 1 AS n_seqs
+        |        FROM loc GROUP BY source, shard))
+        |SELECT l.source, CAST(b.base + l.local_seq AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(l.n_tok) AS BIGINT) AS seq_tokens,
+        |  min(l.doc_id) AS first_doc
+        |FROM loc l JOIN bases b ON l.source = b.source AND l.shard = b.shard
+        |GROUP BY l.source, seq_id ORDER BY l.source, seq_id""".stripMargin,
 
     "q_text_line_dedup" ->
       """WITH segs AS (

@@ -362,6 +362,24 @@ class DedupSpec extends SparkSuite {
       k = 3, nBits = 5, nTables = 8)
     assert(windows(ann).isEmpty, "lshTopK still plans a Window cut")
     assert(ann.count() > 0)
+    // the exact baseline shares the heap cut too — and a one-off
+    // window formulation (row_number over the scored join) is the
+    // cross-check that the heap keeps exactly the window's rows
+    val bf = SimilaritySearch.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+    assert(windows(bf).isEmpty, "bruteForceTopK still plans a Window cut")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val windowed = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))),
+        col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.functions.VectorExpressions.cosine_sim(col("pv"), col("nv")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val heap = bf.select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(heap === windowed, "heap cut diverged from the window formulation")
     val rr = SimilaritySearch.quantizedRerankTopK(emb, probes, "vec_id",
       "embedding", k = 3, nCandidates = 20)
     assert(windows(rr).isEmpty, "quantizedRerankTopK still plans a Window cut")

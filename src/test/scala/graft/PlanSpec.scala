@@ -306,6 +306,40 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q_text_mixture's threshold form plans with NO window at all") {
+    // the percentage-form stratified mix must never row_number over
+    // partitionBy(source): ~corpus/|sources| rows would sort in one
+    // task at 100 TB. The threshold form is histogram + broadcast
+    // filter + bounded-heap tie band — Window-free by construction.
+    val df = SparkEntry.queries("q_text_mixture")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "threshold-form mixture still plans a Window")
+    assert(df.count() > 0)
+  }
+
+  test("q_text_pack_sharded windows partition by (source, shard), never source alone") {
+    // the cumsum window must be shard-bounded (span docs max); the
+    // base window runs over the shard list. A window partitioned by
+    // source alone is the stratum-sized straggler this form removes.
+    val df = SparkEntry.queries("q_text_pack_sharded")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        (w.partitionSpec.flatMap(_.references.map(_.name)),
+          w.orderSpec.flatMap(_.references.map(_.name)))
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { case (partCols, orderCols) =>
+      // doc-granularity cumsum must partition by shard too; the only
+      // source-alone window is the per-shard base, whose rows ARE the
+      // shard list (it orders by shard, not by doc)
+      assert(partCols.contains("shard") || orderCols == Seq("shard"),
+        s"stratum-sized window: partitionBy=$partCols orderBy=$orderCols")
+    }
+    assert(df.count() > 0)
+  }
+
   test("funnel's three windows + per-user groupBy share ONE user_id exchange") {
     val plan = planOf(SparkEntry.queries("q_funnel_conversion")(spark, sf))
     // stages stack on the same partitioning: one hash exchange on

@@ -240,7 +240,7 @@ class TextIndexSpec extends SparkSuite {
     assert(gotDf === freshDf)
   }
 
-  test("vacuumIndex removes only unreferenced generations; reads unaffected") {
+  test("vacuumIndex sweeps only BELOW the reader spare; higher gens are writer-protected") {
     val docs = Tables(spark, sf, "documents")
     val out = Tables.scratch("textindex_vacuum")
     TextIndex.buildIndex(docs.filter(col("doc_id") < 200), "doc_id", "text", out)
@@ -249,15 +249,26 @@ class TextIndexSpec extends SparkSuite {
     val terms = Seq("hash", "merge", "vector")
     val s1 = TextIndex.searchAll(spark, out, terms)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    // crash-leaked: uncommitted generations + a tmp manifest
+    // leak zoo: generations NEWER than live (indistinguishable from an
+    // in-flight maintenance writer's about-to-commit output — must
+    // SURVIVE), one below the spare, an ingest tmp, a tmp manifest
     spark.read.parquet(TextIndex.postingsDir(spark, out)).limit(5)
       .write.partitionBy("bucket").parquet(s"$out/_postings_g7")
     TextIndex.termStats(spark, out).limit(5)
       .write.parquet(s"$out/_term_stats_g9")
+    TextIndex.termStats(spark, out).limit(5)
+      .write.parquet(s"$out/_term_stats_g0")
+    TextIndex.termStats(spark, out).limit(1)
+      .write.parquet(s"$out/_ingest_tmp_crashed")
     new java.io.File(s"$out/.tmp_manifest_99").createNewFile()
     val deleted = TextIndex.vacuumIndex(spark, out, olderThanMs = 0)
-    assert(deleted.toSet === Set("_postings_g7", "_term_stats_g9",
+    assert(deleted.toSet === Set("_term_stats_g0", "_ingest_tmp_crashed",
       ".tmp_manifest_99"), s"vacuumed: $deleted")
+    // the higher-numbered dirs were NOT treated as leaked — deleting
+    // them could publish a missing directory under a slow writer whose
+    // manifest commit is still in flight
+    assert(new java.io.File(s"$out/_postings_g7").exists(), "writer-protected gen swept")
+    assert(new java.io.File(s"$out/_term_stats_g9").exists(), "writer-protected gen swept")
     // live + spare generations untouched, search identical
     assert(new java.io.File(s"$out/_term_stats_g1").exists(), "spare swept")
     assert(new java.io.File(s"$out/_term_stats_g2").exists(), "live swept")
@@ -266,8 +277,73 @@ class TextIndexSpec extends SparkSuite {
     assert(s2 === s1)
     // the age guard: fresh orphans survive a default-window vacuum
     TextIndex.termStats(spark, out).limit(1)
-      .write.parquet(s"$out/_term_stats_g9")
+      .write.parquet(s"$out/_term_stats_g0")
     assert(TextIndex.vacuumIndex(spark, out).isEmpty)
+  }
+
+  test("seq-scoped tombstones: delete → re-ingest is visible with NO compaction") {
+    val docs = Seq(
+      (1L, "hash merge"), (2L, "hash vector"), (3L, "merge vector hash")
+    ).toDF("doc_id", "text")
+    val out = Tables.scratch("textindex_seqtomb")
+    TextIndex.buildIndex(docs, "doc_id", "text", out, nBuckets = 8)
+    // UPDATE doc 2: retract, then re-ingest the new text — the whole
+    // protocol; no compactIndex anywhere before the final fold
+    TextIndex.deleteDocs(Seq(2L).toDF("doc_id"), "doc_id", out)
+    assert(TextIndex.searchAll(spark, out, Seq("hash"))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    TextIndex.appendDocs(Seq((2L, "hash hash merge")).toDF("doc_id", "text"),
+      "doc_id", "text", out)
+    // visible immediately with the NEW tf: the re-ingested postings
+    // carry a seq above the tombstone's and pass the mask
+    val hits = TextIndex.searchAll(spark, out, Seq("hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(new java.io.File(s"$out/_tombstones").exists(),
+      "protocol must not have needed a reconciling compaction")
+    // positional queries see only the new text's offsets
+    val ph = TextIndex.phraseSearch(spark, out, Seq("hash", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ph === Map(1L -> 1L, 2L -> 1L))
+    // a SECOND delete tombstones at the bumped seq — masks the
+    // re-ingested rows too
+    TextIndex.deleteDocs(Seq(2L).toDF("doc_id"), "doc_id", out)
+    assert(TextIndex.searchAll(spark, out, Seq("hash"))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // compaction stays a cadence op: folding now purges doc 2 fully,
+    // and BM25 equals a fresh index over the live docs — manifest
+    // corpus totals and recounted df both exact
+    TextIndex.compactIndex(spark, out)
+    assert(spark.read.parquet(TextIndex.postingsDir(spark, out))
+      .filter(col("doc_id") === 2L).count() === 0)
+    val fresh = Tables.scratch("textindex_seqtomb_fresh")
+    TextIndex.buildIndex(docs.filter(col("doc_id") =!= 2L),
+      "doc_id", "text", fresh, nBuckets = 8)
+    val gotBm = TextIndex.bm25(spark, out, Seq("hash"), k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val freshBm = TextIndex.bm25(spark, fresh, Seq("hash"), k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    assert(gotBm.nonEmpty && gotBm === freshBm)
+  }
+
+  test("appendDocs bootstraps only into virgin ground; manifest-less layouts refuse") {
+    val out = Tables.scratch("textindex_bootstrap_guard")
+    // unrecognized layout: data present, no manifest — a legacy index
+    // or one whose manifest was lost. Silent rebuild = data loss.
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/_postings_g1")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.appendDocs(Seq((2L, "y")).toDF("doc_id", "text"),
+        "doc_id", "text", out)
+    }
+    assert(ex.getMessage.contains("refusing to bootstrap"))
+    assert(new java.io.File(s"$out/_postings_g1").exists(),
+      "the unrecognized layout must be left untouched")
+    // an absent dir still bootstraps the streaming first batch
+    val virgin = Tables.scratch("textindex_bootstrap_virgin")
+    TextIndex.appendDocs(Seq((1L, "hash merge")).toDF("doc_id", "text"),
+      "doc_id", "text", virgin)
+    assert(TextIndex.searchAll(spark, virgin, Seq("hash")).count() === 1)
   }
 
   test("append's stats refresh reads the sidecar, never the postings") {
