@@ -1144,6 +1144,19 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // REAL image codec in the resize slot (java.awt + ImageIO, pure
+    // JVM): per-doc deterministic PNG bitmaps, decoded and
+    // nearest-neighbor-downsampled 2x per partition. The bitmap's
+    // channels follow a closed-form pixel formula, so the oracle
+    // recomputes the RESIZED image's exact channel sums in SQL — the
+    // decode, the stride, and the sample coordinates are all
+    // value-checked, not just row counts.
+    "q_multimodal_image_resize" -> ((s, dir) => {
+      val imgs = Multimodal.withImagePayload(t(s, dir, "documents"), "doc_id")
+      Multimodal.imageResize(imgs, factor = 2)
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: binary payload → FrameSize-byte frames → every
     // 2nd frame kept; per-doc sampled counts/bytes are oracle-derivable
     // from payload length, so the explode plumbing is value-checked.
@@ -1914,6 +1927,25 @@ object LlmPipeline {
         |  CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_resized,
         |  md5(regexp_replace(text, '(.).{0,3}', '\1', 'gs')) AS resized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the engine decodes REAL PNGs; the oracle re-derives the resized
+    // pixels from the bitmap's closed-form channel formulas
+    // (r=(7x+13y+id)%256, g=(3x+id)%256, b=(5y+id)%256 at source
+    // coords (2x, 2y)) — value equality proves the decode+resample
+    "q_multimodal_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(32 + doc_id % 16 AS BIGINT) AS w,
+        |         CAST(24 + doc_id % 8 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(w // 2)) AS x FROM dims),
+        |pxy AS (SELECT doc_id, w, h, x, unnest(range(h // 2)) AS y FROM px)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+        |  CAST(w // 2 AS INTEGER) AS dst_w, CAST(h // 2 AS INTEGER) AS dst_h,
+        |  CAST(sum((2*x*7 + 2*y*13 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*x*3 + doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((2*y*5 + doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // sampled frames = indices 0,2,4,…; each 256 bytes except a partial
     // last frame (index n_frames-1), which is sampled iff its index is

@@ -388,6 +388,21 @@ class TextIndexSpec extends SparkSuite {
     assert(merged === direct)
   }
 
+  test("bm25 reads pruned postings + df sidecar ONLY — no doc-stats file in the plan") {
+    // fmt 4 denormalizes dl onto posting rows and keeps n_docs/sum_dl
+    // in the manifest, so a query's scan set must not contain the
+    // doc-length sidecar (formerly an O(docs) read on EVERY query)
+    val files = TextIndex.bm25(spark, idx, Seq("hash", "merge", "vector"), k = 10)
+      .inputFiles
+    assert(files.nonEmpty)
+    assert(!files.exists(_.contains("_doc_stats")),
+      "bm25 still scans the doc-length sidecar")
+    assert(files.forall(f =>
+      f.contains("_postings_g") || f.contains("_term_stats_g")),
+      s"bm25 read outside the index: ${files.filterNot(f =>
+        f.contains("_postings_g") || f.contains("_term_stats_g")).take(3).mkString(", ")}")
+  }
+
   test("absent term returns empty; stats df matches direct doc counts") {
     assert(TextIndex.searchAll(spark, idx,
       Seq("zzz_not_a_token_zzz")).count() === 0)
