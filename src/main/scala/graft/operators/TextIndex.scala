@@ -100,6 +100,37 @@ object TextIndex {
     */
   private val Fmt = 4
 
+  /** Explicit artifact schemas: every index read DECLARES its schema
+    * instead of inferring — no footer sampling at planning time (at
+    * scale, inference opens files before the query even plans), and
+    * empty artifacts (empty first batch, all-empty-text batch, empty
+    * corpus) read as empty frames instead of failing inference.
+    */
+  private val PostingsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", LongType),
+      StructField("term", StringType), StructField("tf", LongType),
+      StructField("positions", ArrayType(IntegerType)),
+      StructField("seq", LongType), StructField("bucket", IntegerType)))
+  }
+  private val StatsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType)))
+  }
+  private val DocStatsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", LongType),
+      StructField("seq", LongType)))
+  }
+  private val TombSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("seq", LongType)))
+  }
+
   /** The live (postings, term-stats, doc-stats) generation triple,
     * resolved from the highest committed manifest — the only way any
     * read path locates data.
@@ -208,7 +239,7 @@ object TextIndex {
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, 1))
-    writeDocStats(docs, idCol, textCol, docStatsPath(path, 1),
+    val (n, dl) = writeDocStats(docs, idCol, textCol, docStatsPath(path, 1),
       SaveMode.Overwrite, seq = 1L)
     // df (document frequency) per term, re-read from the just-written
     // postings: no second tokenization pass over the corpus
@@ -216,14 +247,10 @@ object TextIndex {
     // aggregation itself down to StatsFiles tasks (it merges the
     // upstream stages' partitions), serializing a corpus-sized agg;
     // the extra shuffle here moves only vocabulary-sized rows
-    spark.read.parquet(postingsPath(path, 1))
+    spark.read.schema(PostingsSchema).parquet(postingsPath(path, 1))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .repartition(StatsFiles)
       .write.mode("overwrite").parquet(statsPath(path, 1))
-    // corpus totals off the just-written (column-pruned) sidecar — the
-    // manifest is their home from here on; every maintenance commit
-    // keeps them exact
-    val (n, dl) = docTotals(spark.read.parquet(docStatsPath(path, 1)))
     // single commit point: data dirs above are invisible until this.
     // Build parameters travel IN the manifest — a probe that
     // re-supplied its own bucket count could silently hash into the
@@ -248,13 +275,22 @@ object TextIndex {
     * machinery outweighs the tokenize it avoids. A corpus of much
     * longer documents shifts the balance; both formulations keep the
     * zero-token-doc rows the sidecar contract requires.
+    *
+    * Returns the batch's (row count, sum of dl) — collected as an
+    * `observe` metric DURING the write job, so the manifest corpus
+    * totals cost no second pass over the batch.
     */
   private def writeDocStats(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, mode: SaveMode, seq: Long): Unit =
-    docs.select(col(idCol).as("doc_id"),
+      dir: String, mode: SaveMode, seq: Long): (Long, Long) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"doc_totals_${java.util.UUID.randomUUID}")
+    docs.select(col(idCol).cast("long").as("doc_id"),
         size(Dedup.tokens(col(textCol))).cast("long").as("dl"),
         lit(seq).as("seq"))
+      .observe(obs, count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"))
       .write.mode(mode).parquet(dir)
+    (obs.get("n").asInstanceOf[Long], obs.get("dl").asInstanceOf[Long])
+  }
 
   /** Postings are POSITIONAL: alongside tf, each (doc, term) row keeps
     * the sorted token offsets of the term — what phrase and proximity
@@ -268,7 +304,8 @@ object TextIndex {
   private def tokenizePostings(docs: DataFrame, idCol: String,
       textCol: String, nBuckets: Int, seq: Long): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("doc_id", "dl", "term")
@@ -286,7 +323,7 @@ object TextIndex {
     */
   private[graft] def mergedStats(spark: SparkSession, path: String,
       statsGen: Int, batchPostings: DataFrame): DataFrame =
-    spark.read.parquet(statsPath(path, statsGen))
+    spark.read.schema(StatsSchema).parquet(statsPath(path, statsGen))
       .unionByName(batchPostings.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
 
@@ -362,32 +399,39 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/postings")
     // the batch's doc-stats STAGE in the same tmp dir (publishing them
     // straight into the live generation would put dl rows for
-    // postings-less docs on disk if this append crashes pre-publish)
-    writeDocStats(docs, idCol, textCol, s"$tmp/docstats",
-      SaveMode.Overwrite, newSeq)
-    val batchPostings = spark.read.parquet(s"$tmp/postings")
-    mergedStats(spark, path, st.gens.stats, batchPostings)
-      .repartition(StatsFiles)
-      .write.mode("overwrite").parquet(statsPath(path, st.gens.stats + 1))
-    val (batchN, batchDl) = docTotals(spark.read.parquet(s"$tmp/docstats"))
+    // postings-less docs on disk if this append crashes pre-publish);
+    // the batch totals ride the write as observe metrics
+    val (batchN, batchDl) = writeDocStats(docs, idCol, textCol,
+      s"$tmp/docstats", SaveMode.Overwrite, newSeq)
     val fs = fsOf(spark, path)
+    val bucketDirs = fs.listStatus(new Path(s"$tmp/postings"))
+      .filter(_.getPath.getName.startsWith("bucket="))
+    // an all-empty batch (a streaming source can deliver one) touches
+    // no postings and no stats generation — only the seq/totals commit
+    val newStatsGen = bucketDirs.nonEmpty
+    if (newStatsGen)
+      mergedStats(spark, path, st.gens.stats,
+          spark.read.schema(PostingsSchema).parquet(s"$tmp/postings"))
+        .repartition(StatsFiles)
+        .write.mode("overwrite").parquet(statsPath(path, st.gens.stats + 1))
     val genDir = new Path(postingsPath(path, st.gens.postings))
-    fs.listStatus(new Path(s"$tmp/postings"))
-      .filter(_.getPath.getName.startsWith("bucket=")).foreach { d =>
-        val dst = new Path(genDir, d.getPath.getName)
-        if (!fs.exists(dst)) fs.mkdirs(dst)
-        fs.listStatus(d.getPath).foreach(f0 =>
-          fs.rename(f0.getPath, new Path(dst, f0.getPath.getName)))
-      }
+    bucketDirs.foreach { d =>
+      val dst = new Path(genDir, d.getPath.getName)
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      fs.listStatus(d.getPath).foreach(f0 =>
+        fs.rename(f0.getPath, new Path(dst, f0.getPath.getName)))
+    }
     val docsDir = new Path(docStatsPath(path, st.gens.docs))
     fs.listStatus(new Path(s"$tmp/docstats"))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .foreach(f0 => fs.rename(f0.getPath, new Path(docsDir, f0.getPath.getName)))
     fs.delete(new Path(tmp), true)
+    val stats1 = if (newStatsGen) st.gens.stats + 1 else st.gens.stats
     commitState(spark, path, st.copy(seq = newSeq,
       nDocs = st.nDocs + batchN, sumDl = st.sumDl + batchDl,
-      gens = st.gens.copy(stats = st.gens.stats + 1)))
-    sweepGens(spark, path, StatsPrefix, keepFloor = st.gens.stats)
+      gens = st.gens.copy(stats = stats1)))
+    if (newStatsGen)
+      sweepGens(spark, path, StatsPrefix, keepFloor = st.gens.stats)
   }
 
   /** Conjunctive search: documents containing ALL `terms`, scored by
@@ -462,7 +506,7 @@ object TextIndex {
     val st = readState(spark, path) // one manifest read: gens + params
     val distinctTerms = terms.distinct
     maskDeleted(spark, path,
-      spark.read.parquet(postingsPath(path, st.gens.postings))
+      spark.read.schema(PostingsSchema).parquet(postingsPath(path, st.gens.postings))
         .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, st.nBuckets)): _*))
         .filter(col("term").isin(distinctTerms: _*)))
   }
@@ -519,7 +563,7 @@ object TextIndex {
     val st = readState(spark, path) // includes the format check
     val gens = st.gens
     val tomb = tombstones(spark, path)
-    val live = spark.read.parquet(postingsPath(path, gens.postings))
+    val live = spark.read.schema(PostingsSchema).parquet(postingsPath(path, gens.postings))
     val kept = maskDeleted(spark, path, live)
     kept.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -534,7 +578,7 @@ object TextIndex {
         // with the corpus totals recounted from the rewritten sidecar
         // (self-healing: any drift the incremental adds/subtracts
         // could ever accumulate dies here)
-        spark.read.parquet(postingsPath(path, gens.postings + 1))
+        spark.read.schema(PostingsSchema).parquet(postingsPath(path, gens.postings + 1))
           .groupBy("term").agg(count(lit(1)).as("df"))
           .repartition(StatsFiles)
           .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
@@ -542,7 +586,7 @@ object TextIndex {
           .repartition(StatsFiles)
           .write.mode("overwrite").parquet(docStatsPath(path, gens.docs + 1))
         val (n, dl) = docTotals(
-          spark.read.parquet(docStatsPath(path, gens.docs + 1)))
+          spark.read.schema(DocStatsSchema).parquet(docStatsPath(path, gens.docs + 1)))
         st.copy(nDocs = n, sumDl = dl,
           gens = Gens(gens.postings + 1, gens.stats + 1, gens.docs + 1))
       }
@@ -599,7 +643,7 @@ object TextIndex {
 
   /** Per-term document frequencies from the persisted stats table. */
   def termStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(statsPath(path, readGens(spark, path).stats))
+    spark.read.schema(StatsSchema).parquet(statsPath(path, readGens(spark, path).stats))
 
   /** Per-doc token counts from the persisted stats table (raw —
     * includes tombstone-masked rows until the next reconciling
@@ -607,7 +651,7 @@ object TextIndex {
     * helper if live-only rows are needed).
     */
   def docStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(docStatsPath(path, readGens(spark, path).docs))
+    spark.read.schema(DocStatsSchema).parquet(docStatsPath(path, readGens(spark, path).docs))
 
   /** Mark documents as DELETED (GDPR-erasure / retraction verb for the
     * index): each id appends to the `_tombstones` sidecar stamped with
@@ -657,7 +701,7 @@ object TextIndex {
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(s"$path/$TombstonesDir")
     if (fsOf(spark, path).exists(p))
-      Some(spark.read.parquet(p.toString)
+      Some(spark.read.schema(TombSchema).parquet(p.toString)
         .groupBy(col("doc_id").as("del_doc_id"))
         .agg(max("seq").as("del_seq")))
     else None

@@ -484,9 +484,12 @@ object LlmPipeline {
     // rows land in one task).
     "q_text_mixture" -> ((s, dir) => {
       import s.implicits._
+      // tokenize ONCE: three consumers (histogram, above-threshold
+      // filter, tie band) read the 3-column checkpoint, not the text
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_words"))
+        .localCheckpoint()
       val hist = docs.groupBy("source", "n_words").agg(count(lit(1)).as("cnt"))
         .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       // per source: admission threshold T, and how many tie-band rows
