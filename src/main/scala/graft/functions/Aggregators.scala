@@ -75,9 +75,17 @@ object Aggregators {
     require(k >= 1, "TopKByScore needs k >= 1")
     // (s1, i1) ranks strictly below (s2, i2) in the final desc-score /
     // asc-id order — the heap invariant: every parent ranks <= its
-    // children, so the root is the eviction candidate
-    private def below(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    // children, so the root is the eviction candidate. TOTAL order via
+    // Double.compare: `<` is false both ways for NaN, so a NaN that
+    // reached the root would block every further admission for its
+    // group; Double.compare ranks NaN above every real score — the
+    // same "NaN is greatest" order Spark's window sort uses, so a NaN
+    // score (e.g. cosine of a zero-norm vector) degrades one rank slot,
+    // never the whole group.
+    private def below(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
     private def swap(b: TopKBuf, i: Int, j: Int): Unit = {
       val s = b.scores(i); b.scores(i) = b.scores(j); b.scores(j) = s
       val d = b.ids(i); b.ids(i) = b.ids(j); b.ids(j) = d
@@ -124,7 +132,10 @@ object Aggregators {
     }
     override def finish(b: TopKBuf): Seq[TopKHit] =
       (0 until b.n).map(i => (b.scores(i), b.ids(i)))
-        .sortBy { case (s, id) => (-s, id) }
+        // the same total order the heap maintains (best first): a
+        // `sortBy(-s)` twin would send NaN last while the heap ranked
+        // it first — the two must never disagree
+        .sortWith { case ((s1, i1), (s2, i2)) => below(s2, i2, s1, i1) }
         .map { case (s, id) => TopKHit(id, s) }
     override def bufferEncoder: Encoder[TopKBuf] = ExprEnc.topkBuf
     override def outputEncoder: Encoder[Seq[TopKHit]] = ExprEnc.topkSeq

@@ -46,8 +46,13 @@ import org.apache.spark.sql.functions._
   *     more maintenance cycle (readers that resolved it mid-query keep
   *     working), then swept;
   *   - posting APPENDS add files inside the live generation without a
-  *     generation bump — per-file parquet visibility, the same contract
-  *     as any file-stream source directory.
+  *     generation bump, but they become VISIBLE only at the batch's
+  *     manifest commit: every published file name carries its ingest
+  *     seq (`s<seq>-part-…`) and every reader masks rows with
+  *     `seq > manifest seq`, so a batch that crashed between its file
+  *     renames and its commit is invisible — and the re-run first
+  *     purges those orphaned above-seq files before publishing again,
+  *     so a crashed append can never leave duplicate posting rows.
   *
   * Writer concurrency follows the Snapshots contract: the manifest
   * rename fails rather than clobbers, so racing maintenance jobs
@@ -89,16 +94,20 @@ object TextIndex {
     * index whose recorded fmt it does not recognize, because probing
     * with mismatched parameters is a silent wrong-bucket miss (the same
     * failure class the DataSkipping bloom format row guards against).
-    * fmt 4 = sequence-scoped tombstones (ingest seq stamped on every
-    * posting/doc-stats row; tombstones mask `seq <= tombstone.seq`
-    * only), doc length denormalized into posting rows, and corpus
-    * stats (n_docs, sum_dl) maintained transactionally in the manifest
-    * — BM25 touches ONLY pruned postings + the df sidecar (fmt 3 was
-    * generation dirs + manifest commit + id-only tombstones; fmt 2 a
-    * flat append-only doc-stats dir; fmt 1 flat dirs with in-place
-    * sidecar overwrite).
+    * fmt 5 = fmt 4 plus the seq-CEILING visibility rule (readers mask
+    * `seq > manifest seq`, append files are named `s<seq>-…` so a
+    * crashed batch is purgeable before its re-run) and the tombstone
+    * count carried in the manifest (`n_tombs`, the mask-strategy
+    * switch). fmt 4 = sequence-scoped tombstones (ingest seq stamped
+    * on every posting/doc-stats row; tombstones mask
+    * `seq <= tombstone.seq` only), doc length denormalized into
+    * posting rows, and corpus stats (n_docs, sum_dl) maintained
+    * transactionally in the manifest — BM25 touches ONLY pruned
+    * postings + the df sidecar (fmt 3 was generation dirs + manifest
+    * commit + id-only tombstones; fmt 2 a flat append-only doc-stats
+    * dir; fmt 1 flat dirs with in-place sidecar overwrite).
     */
-  private val Fmt = 4
+  private val Fmt = 5
 
   /** Explicit artifact schemas: every index read DECLARES its schema
     * instead of inferring — no footer sampling at planning time (at
@@ -146,11 +155,15 @@ object TextIndex {
     *
     * `seq` is the ingest sequence (see the tombstone contract above);
     * `nDocs`/`sumDl` are the LIVE corpus totals — build sets them,
-    * append adds its batch, delete subtracts the retracted live docs,
-    * compaction recounts them exactly from the rewritten sidecar.
+    * append adds its batch, delete recounts them under the new
+    * tombstones, compaction recounts them exactly from the rewritten
+    * sidecar. `nTombs` is the tombstone sidecar's ROW count (grown by
+    * each delete, zeroed when compaction folds the sidecar) — the
+    * mask-strategy switch: past [[tombBroadcastMax]] rows the
+    * tombstone horizon stops being broadcast.
     */
   private case class IndexState(fmt: Int, nBuckets: Int, seq: Long,
-      nDocs: Long, sumDl: Long, gens: Gens)
+      nDocs: Long, sumDl: Long, nTombs: Long, gens: Gens)
 
   private def readState(spark: SparkSession, path: String): IndexState = {
     val seqs = Snapshots.manifestSeqs(spark, path)
@@ -161,7 +174,7 @@ object TextIndex {
     require(fmt == Fmt,
       s"text index at $path has format $fmt; this binary speaks $Fmt only")
     IndexState(fmt, kv("n_buckets").toInt, kv("seq").toLong,
-      kv("n_docs").toLong, kv("sum_dl").toLong,
+      kv("n_docs").toLong, kv("sum_dl").toLong, kv("n_tombs").toLong,
       Gens(kv("postings").toInt, kv("term_stats").toInt,
         kv("doc_stats").toInt))
   }
@@ -174,6 +187,7 @@ object TextIndex {
     Snapshots.writeManifestLines(spark, path,
       Seq(s"fmt=$Fmt", s"n_buckets=${st.nBuckets}", s"seq=${st.seq}",
         s"n_docs=${st.nDocs}", s"sum_dl=${st.sumDl}",
+        s"n_tombs=${st.nTombs}",
         s"postings=${st.gens.postings}", s"term_stats=${st.gens.stats}",
         s"doc_stats=${st.gens.docs}"),
       sweep = true): Unit
@@ -256,7 +270,51 @@ object TextIndex {
     // re-supplied its own bucket count could silently hash into the
     // wrong partitions and miss every posting.
     commitState(spark, path, IndexState(Fmt, nBuckets, seq = 1L,
-      nDocs = n, sumDl = dl, Gens(postings = 1, stats = 1, docs = 1)))
+      nDocs = n, sumDl = dl, nTombs = 0L,
+      Gens(postings = 1, stats = 1, docs = 1)))
+  }
+
+  /** Broadcast ceiling for the tombstone horizon, in sidecar rows —
+    * settable per session via `graft.textindex.tombBroadcastMax`. A
+    * tombstone row is two longs, so the default (1M rows, ~16 MB)
+    * sits under Spark's own broadcast comfort zone; an index whose
+    * deletes outrun compaction past this point masks through a
+    * shuffled anti-join instead of shipping the horizon to every task.
+    */
+  private def tombBroadcastMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.textindex.tombBroadcastMax")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Published-append file names are `s<seq>-<part name>`; anything
+    * matching with seq ABOVE the committed manifest seq is a crashed
+    * batch's orphan.
+    */
+  private val AppendFileRe = "^s([0-9]+)-.*".r
+
+  private def orphanSeqOf(name: String): Option[Long] = name match {
+    case AppendFileRe(s) => Some(s.toLong)
+    case _ => None
+  }
+
+  /** Delete data files a crashed append renamed into `dir` (any
+    * nesting — postings bucket dirs sit one level down) whose encoded
+    * seq exceeds the committed manifest seq. Files from build or
+    * compaction carry no seq prefix and are never candidates: their
+    * generations publish atomically through the manifest swap.
+    */
+  private def purgeOrphanFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, committedSeq: Long, olderThanMs: Long = 0L): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st0 =>
+      if (st0.isDirectory) purgeOrphanFiles(fs, st0.getPath, committedSeq, olderThanMs)
+      else orphanSeqOf(st0.getPath.getName) match {
+        case Some(s) if s > committedSeq && st0.getModificationTime <= cutoff =>
+          fs.delete(st0.getPath, false)
+          Seq(st0.getPath.getName)
+        case _ => Seq.empty
+      }
+    }
   }
 
   /** (row count, sum of dl) of a doc-stats frame — the two corpus
@@ -301,7 +359,7 @@ object TextIndex {
     * functionally dependent on doc_id, so widening the key costs
     * nothing and saves the per-doc join BM25 would otherwise need.
     */
-  private def tokenizePostings(docs: DataFrame, idCol: String,
+  private[graft] def tokenizePostings(docs: DataFrame, idCol: String,
       textCol: String, nBuckets: Int, seq: Long): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -357,13 +415,17 @@ object TextIndex {
     * `_ingest_tmp_*` orphan and an uncommitted stats generation, both
     * swept by [[vacuumIndex]], neither visible to readers. AFTER the
     * renames start but before the manifest commit — the batch's
-    * published files are visible to tf-based search (per-file parquet
-    * visibility, the documented append contract) while the manifest's
-    * seq/corpus totals still exclude the batch, so BM25 under-counts
-    * n_docs until the append is re-run or the next maintenance commit;
-    * both sidecar artifacts stage in the tmp dir and publish in this
-    * same window, so no ordering leaves doc-stats rows for docs that
-    * have no postings.
+    * published files sit in the live generation but every reader masks
+    * `seq > manifest seq`, so NOTHING of the half-published batch is
+    * visible (search, BM25 totals, df all still agree). The re-run is
+    * then safe by construction: it first purges the crashed batch's
+    * `s<seq>-` files (seq above the committed manifest) before
+    * publishing its own — without that purge a re-run would duplicate
+    * every posting row of the batch at the same seq, permanently
+    * corrupting tf sums, phrase counts, and the df recount. Both
+    * sidecar artifacts stage in the tmp dir and publish in this same
+    * window, so no ordering leaves doc-stats rows for docs that have
+    * no postings.
     *
     * Caller contract: `docs` must not be LIVE in the index — new
     * doc_ids, or tombstoned ones being re-ingested (the update path:
@@ -393,6 +455,13 @@ object TextIndex {
     // bucket layouts
     val st = readState(spark, path)
     val newSeq = st.seq + 1
+    // a PRIOR append that crashed mid-publish left `s<seq>-` files
+    // above the committed seq — masked from every reader, but this
+    // batch publishes at that same seq, so purge them first or the
+    // commit below would make both copies visible at once
+    val fs0 = fsOf(spark, path)
+    purgeOrphanFiles(fs0, new Path(postingsPath(path, st.gens.postings)), st.seq)
+    purgeOrphanFiles(fs0, new Path(docStatsPath(path, st.gens.docs)), st.seq)
     val tmp = s"$path/$IngestTmpPrefix${java.util.UUID.randomUUID}"
     tokenizePostings(docs, idCol, textCol, st.nBuckets, newSeq)
       .repartition(col("bucket"))
@@ -414,17 +483,20 @@ object TextIndex {
           spark.read.schema(PostingsSchema).parquet(s"$tmp/postings"))
         .repartition(StatsFiles)
         .write.mode("overwrite").parquet(statsPath(path, st.gens.stats + 1))
+    // publish under seq-prefixed names: the name IS the crash-recovery
+    // metadata (purgeable without opening a footer), and the reader's
+    // seq ceiling keeps the batch invisible until the commit below
     val genDir = new Path(postingsPath(path, st.gens.postings))
     bucketDirs.foreach { d =>
       val dst = new Path(genDir, d.getPath.getName)
       if (!fs.exists(dst)) fs.mkdirs(dst)
       fs.listStatus(d.getPath).foreach(f0 =>
-        fs.rename(f0.getPath, new Path(dst, f0.getPath.getName)))
+        fs.rename(f0.getPath, new Path(dst, s"s$newSeq-${f0.getPath.getName}")))
     }
     val docsDir = new Path(docStatsPath(path, st.gens.docs))
     fs.listStatus(new Path(s"$tmp/docstats"))
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(f0 => fs.rename(f0.getPath, new Path(docsDir, f0.getPath.getName)))
+      .foreach(f0 => fs.rename(f0.getPath, new Path(docsDir, s"s$newSeq-${f0.getPath.getName}")))
     fs.delete(new Path(tmp), true)
     val stats1 = if (newStatsGen) st.gens.stats + 1 else st.gens.stats
     commitState(spark, path, st.copy(seq = newSeq,
@@ -505,10 +577,14 @@ object TextIndex {
       terms: Seq[String]): DataFrame = {
     val st = readState(spark, path) // one manifest read: gens + params
     val distinctTerms = terms.distinct
-    maskDeleted(spark, path,
+    maskDeleted(spark, path, st,
       spark.read.schema(PostingsSchema).parquet(postingsPath(path, st.gens.postings))
         .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, st.nBuckets)): _*))
-        .filter(col("term").isin(distinctTerms: _*)))
+        .filter(col("term").isin(distinctTerms: _*))
+        // seq CEILING: rows above the committed manifest seq belong to
+        // an append that has not (or never will have) committed — the
+        // crash-window invisibility half of the append contract
+        .filter(col("seq") <= st.seq))
   }
 
   /** Exact phrase search from the positional postings: documents where
@@ -564,12 +640,14 @@ object TextIndex {
     val gens = st.gens
     val tomb = tombstones(spark, path)
     val live = spark.read.schema(PostingsSchema).parquet(postingsPath(path, gens.postings))
-    val kept = maskDeleted(spark, path, live)
+      .filter(col("seq") <= st.seq) // crashed-append orphans die here too
+    val kept = maskDeleted(spark, path, st, live)
     kept.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, gens.postings + 1))
     val next =
-      if (tomb.isEmpty) st.copy(gens = gens.copy(postings = gens.postings + 1))
+      if (tomb.isEmpty)
+        st.copy(nTombs = 0L, gens = gens.copy(postings = gens.postings + 1))
       else {
         // deletes fold in: recount per-term df from the compacted
         // postings (exact reconciliation of the one delete-stale stat)
@@ -582,12 +660,13 @@ object TextIndex {
           .groupBy("term").agg(count(lit(1)).as("df"))
           .repartition(StatsFiles)
           .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
-        maskDeleted(spark, path, docStats(spark, path))
+        maskDeleted(spark, path, st,
+            docStats(spark, path).filter(col("seq") <= st.seq))
           .repartition(StatsFiles)
           .write.mode("overwrite").parquet(docStatsPath(path, gens.docs + 1))
         val (n, dl) = docTotals(
           spark.read.schema(DocStatsSchema).parquet(docStatsPath(path, gens.docs + 1)))
-        st.copy(nDocs = n, sumDl = dl,
+        st.copy(nDocs = n, sumDl = dl, nTombs = 0L,
           gens = Gens(gens.postings + 1, gens.stats + 1, gens.docs + 1))
       }
     commitState(spark, path, next)
@@ -615,15 +694,26 @@ object TextIndex {
     * deleting one would publish a missing directory when its manifest
     * lands; a crashed higher generation is reclaimed instead by the
     * next successful maintenance op, which overwrites that generation
-    * number on its way to the commit. `olderThanMs` additionally
+    * number on its way to the commit. Also swept: `s<seq>-` data
+    * files inside the LIVE generations whose seq exceeds the
+    * committed manifest seq — a crashed append's half-published
+    * batch (already invisible to readers via the seq ceiling;
+    * reclaimed eagerly by the next append, or here by age).
+    * `olderThanMs` additionally
     * age-guards everything swept; tests pass 0. Returns the deleted
     * names.
     */
   def vacuumIndex(spark: SparkSession, path: String,
       olderThanMs: Long = 3600000L): Seq[String] = {
-    val gens = readGens(spark, path)
+    val st0 = readState(spark, path)
+    val gens = st0.gens
     val fs = fsOf(spark, path)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphanFiles =
+      purgeOrphanFiles(fs, new Path(postingsPath(path, gens.postings)),
+        st0.seq, olderThanMs) ++
+      purgeOrphanFiles(fs, new Path(docStatsPath(path, gens.docs)),
+        st0.seq, olderThanMs)
     def leakedGen(name: String, prefix: String, live: Int) =
       name.startsWith(prefix) &&
         scala.util.Try(name.stripPrefix(prefix).toInt).toOption
@@ -638,7 +728,7 @@ object TextIndex {
       leaked && st.getModificationTime <= cutoff
     }
     orphans.foreach(st => fs.delete(st.getPath, true))
-    orphans.map(_.getPath.getName)
+    orphanFiles ++ orphans.map(_.getPath.getName)
   }
 
   /** Per-term document frequencies from the persisted stats table. */
@@ -671,26 +761,34 @@ object TextIndex {
     * end-to-end.
     *
     * Cost: O(ids) for the tombstone write plus ONE column-pruned scan
-    * of the doc-length sidecar to subtract exactly the retracted LIVE
-    * docs from the manifest totals (ids already dead or absent
-    * subtract nothing, so the verb is idempotent). The tombstone file
-    * lands before the manifest commit: a crash between them leaves the
-    * docs masked from search but the corpus totals un-shrunk until the
-    * delete is re-run or the next reconciling compaction.
+    * of the doc-length sidecar that RECOUNTS the live totals under the
+    * full tombstone horizon (new tombstones included). The recount —
+    * not an incremental subtract — is what makes the verb genuinely
+    * idempotent ACROSS crashes: an incremental form computed from the
+    * pre-delete live set re-runs as a no-op once its own tombstones
+    * are on disk (they mask the docs out of the live set), leaving the
+    * totals permanently inflated after a crash between the tombstone
+    * write and the manifest commit; the recount derives the same exact
+    * totals from (sidecar, tombstones) alone, so tombstones land
+    * first, then the commit, and a re-run after ANY crash point
+    * reconciles. Same input volume either way: one scan of the
+    * (doc_id, dl, seq) sidecar.
     */
   def deleteDocs(docIds: DataFrame, idCol: String, path: String): Unit = {
     val spark = docIds.sparkSession
     val st = readState(spark, path)
     val ids = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    // totals adjustment BEFORE the new tombstones land: live rows only
-    // (prior tombstones already subtracted their docs)
-    val (delN, delDl) = docTotals(
-      maskDeleted(spark, path, docStats(spark, path))
-        .join(ids, Seq("doc_id"), "left_semi"))
+    val obs = org.apache.spark.sql.Observation(
+      s"tomb_count_${java.util.UUID.randomUUID}")
     ids.withColumn("seq", lit(st.seq))
+      .observe(obs, count(lit(1)).as("n"))
       .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
-    commitState(spark, path,
-      st.copy(nDocs = st.nDocs - delN, sumDl = st.sumDl - delDl))
+    // recount the live corpus totals AFTER the tombstones are durable:
+    // exact by construction under re-runs and prior deletes alike
+    val (n, dl) = docTotals(maskDeleted(spark, path, st,
+      docStats(spark, path).filter(col("seq") <= st.seq)))
+    commitState(spark, path, st.copy(nDocs = n, sumDl = dl,
+      nTombs = st.nTombs + obs.get("n").asInstanceOf[Long]))
   }
 
   /** The per-doc tombstone horizon: `(doc_id, del_seq = max seq)` over
@@ -708,18 +806,28 @@ object TextIndex {
   }
 
   /** Mask tombstoned rows out of a (doc_id, seq)-carrying frame — a
-    * broadcast hash ANTI join on doc_id with the seq horizon as the
-    * join's extra condition: a row survives unless some tombstone for
-    * its doc is AT OR ABOVE its ingest seq. Rows re-ingested after the
-    * delete carry a higher seq and pass — the whole point of
-    * seq-scoping. Identity when no deletes are pending.
+    * hash ANTI join on doc_id with the seq horizon as the join's extra
+    * condition: a row survives unless some tombstone for its doc is AT
+    * OR ABOVE its ingest seq. Rows re-ingested after the delete carry
+    * a higher seq and pass — the whole point of seq-scoping. Identity
+    * when no deletes are pending.
+    *
+    * Join strategy comes off the MANIFEST's tombstone count: up to
+    * [[tombBroadcastMax]] rows the horizon broadcasts (deleted-id
+    * sets are normally tiny next to a posting scan); past it — an
+    * index whose deletes outrun its compaction cadence — the mask
+    * falls back to an unhinted anti-join, which Spark shuffles, so
+    * the horizon never has to fit on every executor at once.
     */
   private def maskDeleted(spark: SparkSession, path: String,
-      df: DataFrame): DataFrame =
-    tombstones(spark, path).fold(df)(t =>
-      df.join(broadcast(t),
+      st: IndexState, df: DataFrame): DataFrame =
+    tombstones(spark, path).fold(df) { t =>
+      val horizon =
+        if (st.nTombs <= tombBroadcastMax(spark)) broadcast(t) else t
+      df.join(horizon,
         col("doc_id") === col("del_doc_id") && col("seq") <= col("del_seq"),
-        "left_anti"))
+        "left_anti")
+    }
 
   /** BM25 top-k served ENTIRELY from the index — the corpus is never
     * touched at query time, and neither is any doc-length table: the

@@ -470,20 +470,22 @@ object LlmPipeline {
 
     // Stratified training-mix sampling: per source, keep the top 20%
     // of docs by length (word count), deterministic doc_id tiebreak.
-    // THRESHOLD form, no window anywhere: one aggregate over
-    // (source, n_words) — word-count-DOMAIN-sized, never corpus-sized
-    // — walks each source's histogram down to the admission threshold
-    // T (the n_words of the ceil(0.2·n)-th ranked doc) on the driver
-    // (histogram rows = sources × distinct word counts, bounded
-    // metadata, the same class as q_dedup_semantic's max-id read).
-    // The corpus then passes ONE broadcast-joined filter: everything
+    // THRESHOLD form: one aggregate over (source, n_words) — word-
+    // count-DOMAIN-sized, never corpus-sized — and the admission
+    // threshold T (the n_words of the ceil(0.2·n)-th ranked doc) is
+    // selected DISTRIBUTIVELY by a cumulative window over that
+    // histogram: every window partition holds a source's DISTINCT
+    // word counts (domain-bounded — tens of thousands of rows for any
+    // real corpus, regardless of corpus row count), so nothing
+    // corpus-sized ever funnels into one sort task and NOTHING is
+    // collected to the driver but the 1-row maxNeed scalar. The
+    // corpus then passes ONE broadcast-joined filter: everything
     // above T is in; the boundary tie band (n_words == T, smallest
-    // doc_ids win) is an O(band) bounded-heap cut — so no stratum ever
-    // funnels into a single window-sort task (the failure shape of
-    // row_number over partitionBy(source) at 100 TB, where ~corpus/5
-    // rows land in one task).
+    // doc_ids win) is an O(band) bounded-heap cut — row_number over
+    // partitionBy(source), the shape this replaces, would put
+    // ~corpus/|sources| rows in one task at 100 TB.
     "q_text_mixture" -> ((s, dir) => {
-      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       // tokenize ONCE: three consumers (histogram, above-threshold
       // filter, tie band) read the 3-column checkpoint, not the text
       val docs = t(s, dir, "documents")
@@ -491,27 +493,26 @@ object LlmPipeline {
           size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_words"))
         .localCheckpoint()
       val hist = docs.groupBy("source", "n_words").agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-      // per source: admission threshold T, and how many tie-band rows
-      // at exactly T still fit under the ceil(0.2·n) budget
-      val perSource = hist.groupBy(_._1).map { case (src, rows) =>
-        val n = rows.map(_._3).sum
-        val k = math.ceil(n * 0.2).toLong
-        var cum = 0L; var thresh = 0; var need = 0L
-        val it = rows.sortBy(-_._2).iterator
-        var found = false
-        while (it.hasNext && !found) {
-          val (_, w0, c) = it.next()
-          if (cum + c >= k) { thresh = w0; need = k - cum; found = true }
-          else cum += c
-        }
-        (src, thresh, need)
-      }.toSeq
-      val stats = broadcast(perSource.toDF("source", "w_thresh", "need"))
-      val joined = docs.join(stats, "source")
+      val wSrc = Window.partitionBy("source")
+      val wCum = Window.partitionBy("source").orderBy(col("n_words").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // the histogram row containing the k-th ranked doc: T = its
+      // n_words; `need` = how many tie-band docs at exactly T still
+      // fit under the budget
+      val stats = hist
+        .withColumn("k", ceil(sum("cnt").over(wSrc) * 0.2))
+        .withColumn("cum_above", coalesce(sum("cnt").over(wCum), lit(0L)))
+        .filter(col("cum_above") < col("k") &&
+          col("cum_above") + col("cnt") >= col("k"))
+        .select(col("source"), col("n_words").as("w_thresh"),
+          (col("k") - col("cum_above")).as("need"))
+      val joined = docs.join(broadcast(stats), "source")
       val above = joined.filter(col("n_words") > col("w_thresh"))
         .select("source", "doc_id", "n_words")
-      val maxNeed = math.max(1L, perSource.map(_._3).max).toInt
+      // heap capacity for the tie-band cut — the one driver scalar;
+      // empty-corpus-safe (max over zero rows coalesces to 1)
+      val maxNeed = stats.agg(coalesce(max("need"), lit(1L)))
+        .head().getLong(0).max(1L).toInt
       val topk = udaf(new Aggregators.TopKByScore(maxNeed))
       val bandPick = joined.filter(col("n_words") === col("w_thresh"))
         .withColumn("score", -col("doc_id").cast("double"))
@@ -1019,8 +1020,17 @@ object LlmPipeline {
     // shard boundary (each shard's last sequence closes partially
     // full — the training-shard contract). Global sequence ids come
     // from a per-shard BASE: the second window runs over the SHARD
-    // LIST (corpus/span rows — at scale, span is sized so this is
-    // thousands of rows per source, metadata-order), never over docs.
+    // LIST, never over docs.
+    //
+    // SIZING RULE for `span` (the one parameter that carries the 100 TB
+    // contract): the base window's per-source partition holds
+    // idRange/span rows, so span must be chosen with
+    //   sources × (idRange / span) ≲ 10^6   (metadata-order shard list)
+    //   span × avg doc tokens ≲ executor task memory (cumsum partition)
+    // e.g. 10^11 docs with span = 10^5 → 10^6 shard rows total — a
+    // KB-scale window input — while each cumsum partition sorts 10^5
+    // rows. Both bounds are plan-asserted in PlanSpec ("bases window
+    // input is shard-list-sized").
     "q_text_pack_sharded" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 256

@@ -348,6 +348,38 @@ class DedupSpec extends SparkSuite {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("TopKByScore: a NaN score never blocks admissions and ranks like Spark's NaN-greatest") {
+    // cosine of a zero-norm vector yields NaN; with `<` as the heap
+    // order NaN at the root is incomparable both ways and freezes the
+    // heap for its whole group. The total order (Double.compare) must
+    // keep admitting and must rank NaN where Spark's window sort would
+    // (NaN above every real score, id tiebreak).
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.TopKByScore(2))
+    // NaN arrives FIRST so it sits at the root when the real scores stream in
+    val rows = Seq((1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.8),
+      (1L, 13L, 0.7)).toDF("probe_id", "neighbor_id", "score")
+      .coalesce(1) // one partition: deterministic arrival order
+    val got = rows.groupBy("probe_id")
+      .agg(topk(col("neighbor_id"), col("score")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("pos"), col("hit.id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    // Spark's desc sort ranks NaN first, then 0.9
+    assert(got === Seq((0, 10L), (1, 11L)),
+      s"NaN blocked or misranked the heap: $got")
+    // and with k below the NaN count the real scores still win slots
+    val topk1 = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.TopKByScore(3))
+    val many = Seq((1L, 20L, Double.NaN), (1L, 21L, 0.5), (1L, 22L, 0.6),
+      (1L, 23L, 0.4)).toDF("probe_id", "neighbor_id", "score").coalesce(1)
+    val got3 = many.groupBy("probe_id")
+      .agg(topk1(col("neighbor_id"), col("score")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("hit.id")).as[Long].collect().toSet
+    assert(got3 === Set(20L, 22L, 21L), s"admissions after NaN lost: $got3")
+  }
+
   test("ann and re-rank cuts are heap aggregates: no Window in the plan") {
     // the row_number-window cut puts a probe's ENTIRE scored corpus in
     // one task's sort at scale; both candidate cuts must plan as

@@ -306,17 +306,41 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
-  test("q_text_mixture's threshold form plans with NO window at all") {
+  test("q_text_mixture windows run ONLY over the aggregated histogram, never corpus rows") {
     // the percentage-form stratified mix must never row_number over
     // partitionBy(source): ~corpus/|sources| rows would sort in one
-    // task at 100 TB. The threshold form is histogram + broadcast
-    // filter + bounded-heap tie band — Window-free by construction.
+    // task at 100 TB. The threshold form's only windows are the
+    // cumulative threshold selection over the (source, n_words)
+    // HISTOGRAM — every window's input subtree must therefore contain
+    // the reducing Aggregate, proving its partition rows are domain-
+    // sized (distinct word counts per source), not corpus-sized; the
+    // corpus-side tie cut stays a bounded-heap aggregate, and nothing
+    // histogram-sized is collected to the driver (the 1-row maxNeed
+    // scalar is the only collect).
     val df = SparkEntry.queries("q_text_mixture")(spark, sf)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.isEmpty, "threshold-form mixture still plans a Window")
+    assert(windows.nonEmpty, "distributive threshold selection disappeared")
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"mixture window runs over un-aggregated (corpus-order) input:\n$w")
+    }
     assert(df.count() > 0)
+  }
+
+  test("q_text_mixture on an EMPTY documents table returns an empty frame, no crash") {
+    // the former driver-side threshold walk crashed on .max of an
+    // empty per-source list; the distributive form must short-circuit
+    // to an empty result like the window form it replaced
+    val emptyDir = Tables.scratch("mixture_empty_root")
+    Tables(spark, sf, "documents").limit(0)
+      .write.mode("overwrite").parquet(Tables.path(emptyDir, "documents"))
+    val df = SparkEntry.queries("q_text_mixture")(spark, emptyDir)
+    assert(df.count() === 0)
   }
 
   test("q_text_pack_sharded windows partition by (source, shard), never source alone") {
@@ -338,6 +362,32 @@ class PlanSpec extends SparkSuite {
         s"stratum-sized window: partitionBy=$partCols orderBy=$orderCols")
     }
     assert(df.count() > 0)
+    // the sizing rule made checkable: the base window's input is the
+    // SHARD LIST — an Aggregate over (source, shard) must sit below
+    // any source-partitioned window, and its row count is bounded by
+    // idRange/span (+1 per source), metadata-order by construction
+    val baseWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if !w.partitionSpec.flatMap(_.references.map(_.name)).contains("shard") => w
+    }
+    assert(baseWindows.nonEmpty)
+    baseWindows.foreach { w =>
+      val aggs = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.nonEmpty,
+        s"base window runs over un-aggregated (doc-order) input:\n$w")
+    }
+    val span = 200
+    val docs = Tables(spark, sf, "documents")
+    val nShardRows = docs.select(col("source"), floor(col("doc_id") / span))
+      .distinct().count()
+    val idRange = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val nSources = docs.select("source").distinct().count()
+    assert(nShardRows <= nSources * (idRange / span + 1),
+      s"shard list exceeds the sources x idRange/span bound: $nShardRows")
+    assert(nShardRows < docs.count(),
+      "shard list is corpus-order — span is missized for this corpus")
   }
 
   test("funnel's three windows + per-user groupBy share ONE user_id exchange") {

@@ -414,4 +414,82 @@ class TextIndexSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(stats === direct)
   }
+
+  test("crashed append: invisible before commit, re-run leaves NO duplicate postings") {
+    val out = Tables.scratch("textindex_crash_append")
+    TextIndex.buildIndex(Seq((1L, "hash merge")).toDF("doc_id", "text"),
+      "doc_id", "text", out, nBuckets = 8)
+    // simulate an append of doc 2 that crashed AFTER renaming its
+    // posting files into the live generation but BEFORE the manifest
+    // commit: same tokenize, same seq stamp, same s<seq>- publish
+    // names — only the commit is missing
+    val batch = Seq((2L, "hash vector")).toDF("doc_id", "text")
+    val tmp = Tables.scratch("textindex_crash_tmp")
+    TextIndex.tokenizePostings(batch, "doc_id", "text", nBuckets = 8, seq = 2L)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val genDir = new org.apache.hadoop.fs.Path(TextIndex.postingsDir(spark, out))
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.startsWith("bucket=")).foreach { d =>
+        val dst = new org.apache.hadoop.fs.Path(genDir, d.getPath.getName)
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(d.getPath).foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dst,
+            s"s2-${f.getPath.getName}")))
+      }
+    // seq CEILING: the half-published batch (seq 2 > manifest seq 1)
+    // is invisible to every search verb
+    assert(TextIndex.searchAll(spark, out, Seq("vector")).count() === 0,
+      "crashed batch leaked into search before its commit")
+    assert(TextIndex.searchAll(spark, out, Seq("hash"))
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    // the RE-RUN publishes the batch for real; without the orphan
+    // purge both copies would commit at seq 2 and tf would double
+    TextIndex.appendDocs(batch, "doc_id", "text", out)
+    val hits = TextIndex.searchAll(spark, out, Seq("hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits === Map(1L -> 1L, 2L -> 1L),
+      s"re-run after crash duplicated postings: $hits")
+    val dfStats = TextIndex.termStats(spark, out)
+      .filter(col("term") === "vector").collect().map(_.getLong(1))
+    assert(dfStats.toSeq === Seq(1L), "df counted the crashed batch's rows")
+  }
+
+  test("tombstone horizon past the broadcast ceiling masks via a shuffled anti-join, still exact") {
+    val out = Tables.scratch("textindex_tomb_guard")
+    TextIndex.buildIndex(
+      (1L to 8L).map(i => (i, s"hash term$i")).toDF("doc_id", "text"),
+      "doc_id", "text", out, nBuckets = 8)
+    spark.conf.set("graft.textindex.tombBroadcastMax", "2")
+    try {
+      TextIndex.deleteDocs((3L to 6L).toDF("doc_id"), "doc_id", out)
+      val q = TextIndex.searchAll(spark, out, Seq("hash"))
+      assert(q.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 7L, 8L))
+      // the mask's LeftAnti join must NOT be broadcast once the
+      // manifest's n_tombs exceeds the ceiling
+      q.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case other => (other +: other.children.flatMap(allNodes)) ++
+          other.subqueries.flatMap(allNodes)
+      }
+      val antiBroadcasts = allNodes(q.queryExecution.executedPlan).collect {
+        case b: BroadcastHashJoinExec if b.joinType == LeftAnti => b
+      }
+      assert(antiBroadcasts.isEmpty,
+        "tombstone mask still broadcasts past the ceiling")
+    } finally spark.conf.unset("graft.textindex.tombBroadcastMax")
+    // and back under the ceiling the broadcast path returns (cheap
+    // sanity that the switch reads the manifest count, not the conf
+    // default): 4 tombstone rows > default? no — default is 1M, so
+    // the same search now broadcasts again
+    val again = TextIndex.searchAll(spark, out, Seq("hash"))
+    assert(again.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 7L, 8L))
+  }
 }
