@@ -386,6 +386,76 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_sim_ivf_pq control: the same deliverable (persist a k-means
+    // index, search it, verify vs exact) WITHOUT the two graft layout
+    // moves — the assigned corpus lands as FLAT parquet (no cluster
+    // partitioning, no int8 codes), so the search must (a) read the
+    // whole persisted corpus and filter probed clusters with a JOIN
+    // instead of planning-time partition pruning, and (b) score every
+    // candidate with the full-width float cosine instead of the
+    // quarter-width coarse codes. The pair isolates layout + code
+    // denormalization, the two things IVF-PQ-lite adds.
+    "q_sim_ivf_pq" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val out = Tables.scratch("baseline_ivf_flat")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(16).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+      model.transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(s"$out/assigned")
+      val cents = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      import s.implicits._
+      cents.toSeq.toDF("centroid_id", "centroid_vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+      val assigned = s.read.parquet(s"$out/assigned")
+      val centroids = s.read.parquet(s"$out/centroids")
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      def l2(a: String, b: String) = expr(
+        s"sqrt(aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val wC = Window.partitionBy("probe_id").orderBy(col("cdist").asc, col("centroid_id").asc)
+      val probeLists = p.crossJoin(broadcast(centroids))
+        .withColumn("cdist", l2("probe_vec", "centroid_vec"))
+        .withColumn("crank", row_number().over(wC))
+        .filter(col("crank") <= 8)
+        .select(col("probe_id"), col("probe_vec"), col("centroid_id").as("cluster"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("neighbor_vec"), col("cluster"))
+      val scored = c.join(broadcast(probeLists), Seq("cluster"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      val pq = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+      val cEx = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"))
+      val exScored = cEx.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+      val exact = exScored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+      val gaps = pq.join(
+          exact.select(col("probe_id"), col("rank"), col("cos").as("exact_cos")),
+          Seq("probe_id", "rank"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_ret"),
+          max(col("exact_cos") - col("cos")).as("max_gap"))
+      exact.filter(col("rank") === 1)
+        .select(col("probe_id"), col("cos").as("exact_top1_cos"))
+        .join(gaps, Seq("probe_id"), "left_outer")
+        .select(col("probe_id"), col("exact_top1_cos"),
+          (coalesce(col("n_ret"), lit(0L)) === 5 &&
+            coalesce(col("max_gap"), lit(1.0)) <= lit(0.1)).as("pq_ok"))
+        .orderBy("probe_id")
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {
@@ -911,7 +981,12 @@ object Baseline {
     // identical ANSI text on a stock session)
     "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q8", "q_sql_tpch_q9",
     "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q15",
-    "q_sql_tpch_q16", "q_sql_tpch_q19")
+    "q_sql_tpch_q16", "q_sql_tpch_q19",
+    // round-12 additions: the sharded pack is stock windows/joins end
+    // to end, and the image-resize codec is plain mapPartitions +
+    // java.awt ImageIO — the formulation a stock user writes verbatim,
+    // so the control IS the identical plan (variance pair)
+    "q_text_pack_sharded", "q_multimodal_image_resize")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

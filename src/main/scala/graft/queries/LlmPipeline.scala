@@ -869,6 +869,42 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF-PQ-lite: the quantized two-stage re-rank COMPOSED with the
+    // cluster-partitioned index layout — stage 1 scores the probed
+    // lists' int8 codes (partition-pruned scan at 1/4 float width),
+    // stage 2 exact-cosine re-ranks the surviving candidates from the
+    // float column of the same pruned files; the corpus table is never
+    // read at query time (inputFiles-asserted in DedupSpec). Same
+    // derived oracle as q_sim_ivf: exact top-1 cosine plus per-probe
+    // completeness + cosine-gap bound (nProbes=8/16, nCandidates=50
+    // measures max_gap ≈ 0.05 here; bound 0.1 — the PQ cut adds no
+    // gap beyond IVF's because the re-rank is exact and nCandidates
+    // covers the probed lists' true top-5 comfortably).
+    "q_sim_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.Tables.scratch("ivf_pq_index")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 16, path = idx)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      val probes = emb.filter(col("vec_id") < 10)
+      val pq = IvfIndex.searchTopKQuantized(assigned, centroids, probes,
+        "vec_id", "embedding", k = 5, nProbes = 8, nCandidates = 50)
+      val exact = SimilaritySearch.bruteForceTopK(
+        emb, probes, "vec_id", "embedding", k = 5)
+      val gaps = pq.join(
+          exact.select(col("probe_id"), col("rank"), col("cos").as("exact_cos")),
+          Seq("probe_id", "rank"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_ret"),
+          max(col("exact_cos") - col("cos")).as("max_gap"))
+      exact.filter(col("rank") === 1)
+        .select(col("probe_id"), col("cos").as("exact_top1_cos"))
+        .join(gaps, Seq("probe_id"), "left_outer")
+        .select(col("probe_id"), col("exact_top1_cos"),
+          (coalesce(col("n_ret"), lit(0L)) === 5 &&
+            coalesce(col("max_gap"), lit(1.0)) <= lit(0.1)).as("pq_ok"))
+        .orderBy("probe_id")
+    }),
+
     // Int8 embedding quantization (the storage format a vector corpus
     // ships at scale: 4× smaller than float32). Per-vector max-abs
     // scaling; floor(x + 0.5) rounding — NOT round() — so both engines
@@ -1660,6 +1696,14 @@ object LlmPipeline {
       s"""SELECT p.vec_id AS probe_id,
          |  max(${duckCos("p.embedding", "c.embedding")}) AS exact_top1_cos,
          |  TRUE AS ivf_ok
+         |FROM embeddings p, embeddings c
+         |WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+         |GROUP BY p.vec_id ORDER BY probe_id""".stripMargin,
+
+    "q_sim_ivf_pq" ->
+      s"""SELECT p.vec_id AS probe_id,
+         |  max(${duckCos("p.embedding", "c.embedding")}) AS exact_top1_cos,
+         |  TRUE AS pq_ok
          |FROM embeddings p, embeddings c
          |WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
          |GROUP BY p.vec_id ORDER BY probe_id""".stripMargin,

@@ -322,6 +322,64 @@ class DedupSpec extends SparkSuite {
     assert(hit.headOption.contains(0L))
   }
 
+  test("ivf search I/O is partition-pruned to the probed lists; PQ search reads index files only") {
+    import graft.operators.{DataSkipping, IvfIndex}
+    val base = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding").repartition(4)
+    val path = Tables.scratch("ivf_pruned_index")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 8, path = path)
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, path)
+    val probes = df.filter(col("vec_id") < 3)
+    // the probed-cluster restriction searchTopK applies must prune at
+    // PLANNING time: the scan's numFiles equals the on-disk file count
+    // of the probed cluster directories alone — the q_table_skip_scan
+    // observable applied to the inverted-list layout
+    val probed = IvfIndex.probedClusterIds(centroids, probes,
+      "vec_id", "embedding", nProbes = 2)
+    assert(probed.nonEmpty && probed.size < 8)
+    def parquetFilesUnder(c: Int): Long = {
+      val d = new java.io.File(s"$path/assigned/cluster=$c")
+      if (!d.exists()) 0L
+      else d.listFiles().count(_.getName.endsWith(".parquet")).toLong
+    }
+    val expectFiles = probed.map(parquetFilesUnder).sum
+    val totalFiles = (0 until 8).map(parquetFilesUnder).sum
+    val scanned = DataSkipping.scannedFiles(
+      assigned.filter(col("cluster").isin(probed: _*)))
+    assert(scanned === expectFiles,
+      s"probed-list scan read $scanned files, expected $expectFiles")
+    assert(scanned < totalFiles,
+      "pruning read every inverted list — partition filter not applied")
+    // the search itself stays correct over the pruned layout
+    val hit = IvfIndex.searchTopK(assigned, centroids,
+        Seq((999L, base.head._2.clone)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nProbes = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(hit.headOption.contains(0L))
+    // IVF-PQ-lite: probing ALL lists with a corpus-wide candidate
+    // budget makes the two-stage path exhaustive — it must equal
+    // brute force EXACTLY (the re-rank is exact cosine)
+    val pq = IvfIndex.searchTopKQuantized(assigned, centroids, probes,
+      "vec_id", "embedding", k = 5, nProbes = 8, nCandidates = 200)
+    val exact = graft.operators.SimilaritySearch.bruteForceTopK(
+      df, probes, "vec_id", "embedding", k = 5)
+    val pqRows = pq.select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exRows = exact.select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(pqRows === exRows, "exhaustive PQ search diverged from brute force")
+    // and the ENTIRE two-stage query reads index files only — the
+    // corpus table never appears in its input set (probes here are
+    // in-memory, so every file input must be an index artifact)
+    val files = pq.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("ivf_pruned_index")),
+      s"PQ search read outside the index: ${files.filterNot(_.contains("ivf_pruned_index")).take(3).mkString(", ")}")
+  }
+
   test("salted join equals plain join") {
     import graft.operators.Partitioning
     val large = Tables(spark, sf, "lineitem")
