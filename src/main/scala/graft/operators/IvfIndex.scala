@@ -61,7 +61,9 @@ object IvfIndex {
   /** Int8 codes for the coarse pass, denormalized onto the inverted
     * lists at write time (identical formula to `q_embed_quantize`:
     * per-vector max-abs scale, floor(x+0.5) half-up rounding — exact
-    * integers, reproducible cross-engine). Zero-norm vectors keep
+    * integers, reproducible cross-engine). Stored as array<tinyint> —
+    * a QUARTER of the float column's bytes, which is the whole point
+    * of scanning codes in the coarse pass. Zero-norm vectors keep
     * their row (scale 0, all-zero code): an index must not silently
     * drop corpus rows, and the coarse score simply ranks them last.
     */
@@ -71,8 +73,8 @@ object IvfIndex {
     .withColumn("q_code", when(col("q_scale") > 0,
         transform(col(vecCol), x =>
           floor(x.cast("double") * (lit(127.0) / col("q_scale")) + lit(0.5))
-            .cast("long")))
-      .otherwise(transform(col(vecCol), _ => lit(0L))))
+            .cast("byte")))
+      .otherwise(transform(col(vecCol), _ => lit(0).cast("byte"))))
 
   /** Persist a fitted index under `path`: the cluster-assigned corpus
     * written `partitionBy("cluster")` — one partition directory per
@@ -84,7 +86,13 @@ object IvfIndex {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, path: String, seed: Long = 42L): Unit = {
     val (assigned, centroids) = fit(corpus, idCol, vecCol, nCentroids, seed)
+    // cluster-exclusive shuffle before the partitioned write: ONE file
+    // per inverted list instead of write-tasks × clusters small files
+    // (the TextIndex bucket rule) — nCentroids doubles as the build's
+    // write-parallelism lever, exactly how an IVF sizes itself: more
+    // data → more lists → more parallel writers AND smaller probes
     withCodes(assigned, vecCol)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -122,6 +130,7 @@ object IvfIndex {
     // the inverted lists (the fit-time layout keeps them too) — a
     // batch-keyed hash join, nothing corpus-sized moves
     withCodes(newVecs.join(cluster, idCol), vecCol)
+      .repartition(col("cluster")) // one file per touched list per batch
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$path/assigned")
   }
@@ -220,7 +229,9 @@ object IvfIndex {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("qdot",
         aggregate(zip_with(col("p_code"), col("q_code"),
-          (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+          // explicit widening: tinyint × tinyint must not multiply in
+          // byte arithmetic (−127·−127 overflows a byte)
+          (a, b) => a.cast("long") * b.cast("long")), lit(0L), (acc, v) => acc + v))
       .withColumn("approx",
         col("qdot").cast("double") * col("p_scale") * col("q_scale") / lit(16129.0))
     val candIds = SimilaritySearch.heapTopK(

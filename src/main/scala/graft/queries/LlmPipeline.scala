@@ -475,16 +475,20 @@ object LlmPipeline {
     // threshold T (the n_words of the ceil(0.2·n)-th ranked doc) is
     // selected DISTRIBUTIVELY by a cumulative window over that
     // histogram: every window partition holds a source's DISTINCT
-    // word counts (domain-bounded — tens of thousands of rows for any
-    // real corpus, regardless of corpus row count), so nothing
-    // corpus-sized ever funnels into one sort task and NOTHING is
-    // collected to the driver but the 1-row maxNeed scalar. The
+    // word counts (domain-bounded regardless of corpus row count), so
+    // nothing corpus-sized ever funnels into one sort task. The
+    // driver collects ONLY the selection's |sources| result rows
+    // (one (T, need) pair per source — strictly bounded, unlike the
+    // former sources×distinct-word-counts histogram collect), reusing
+    // them for both the broadcast filter literals and the tie-band
+    // heap capacity, so the threshold job runs exactly once. The
     // corpus then passes ONE broadcast-joined filter: everything
     // above T is in; the boundary tie band (n_words == T, smallest
     // doc_ids win) is an O(band) bounded-heap cut — row_number over
     // partitionBy(source), the shape this replaces, would put
     // ~corpus/|sources| rows in one task at 100 TB.
     "q_text_mixture" -> ((s, dir) => {
+      import s.implicits._
       import org.apache.spark.sql.expressions.Window
       // tokenize ONCE: three consumers (histogram, above-threshold
       // filter, tie band) read the 3-column checkpoint, not the text
@@ -498,21 +502,21 @@ object LlmPipeline {
         .rowsBetween(Window.unboundedPreceding, -1)
       // the histogram row containing the k-th ranked doc: T = its
       // n_words; `need` = how many tie-band docs at exactly T still
-      // fit under the budget
-      val stats = hist
+      // fit under the budget. |sources| rows collected.
+      val perSource = hist
         .withColumn("k", ceil(sum("cnt").over(wSrc) * 0.2))
         .withColumn("cum_above", coalesce(sum("cnt").over(wCum), lit(0L)))
         .filter(col("cum_above") < col("k") &&
           col("cum_above") + col("cnt") >= col("k"))
         .select(col("source"), col("n_words").as("w_thresh"),
           (col("k") - col("cum_above")).as("need"))
-      val joined = docs.join(broadcast(stats), "source")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      val stats = broadcast(perSource.toDF("source", "w_thresh", "need"))
+      val joined = docs.join(stats, "source")
       val above = joined.filter(col("n_words") > col("w_thresh"))
         .select("source", "doc_id", "n_words")
-      // heap capacity for the tie-band cut — the one driver scalar;
-      // empty-corpus-safe (max over zero rows coalesces to 1)
-      val maxNeed = stats.agg(coalesce(max("need"), lit(1L)))
-        .head().getLong(0).max(1L).toInt
+      // heap capacity for the tie-band cut — empty-corpus-safe
+      val maxNeed = perSource.map(_._3).maxOption.getOrElse(1L).max(1L).toInt
       val topk = udaf(new Aggregators.TopKByScore(maxNeed))
       val bandPick = joined.filter(col("n_words") === col("w_thresh"))
         .withColumn("score", -col("doc_id").cast("double"))

