@@ -456,6 +456,95 @@ object Baseline {
         .orderBy("probe_id")
     }),
 
+    // q_stream_ivf_ingest control: the user without add-without-train
+    // REFITS k-means on everything that has arrived, per micro-batch
+    // (same paced source, same batch cadence), and rewrites the
+    // assignment flat — the O(corpus)-per-batch maintenance the
+    // assignment-only append removes. Same exhaustive final search.
+    "q_stream_ivf_ingest" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val acc = Tables.scratch("baseline_stream_ivf_acc")
+      emb.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(acc)
+      val q = graft.streaming.StreamOps
+        .tableStreamPaced(s, dir, "embeddings", "vec_id", 3)
+        .filter(col("vec_id") % 2 === 1)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(acc)
+          val all = s.read.parquet(acc)
+            .withColumn("__v", array_to_vector(col("embedding")))
+          val m = new KMeans().setK(8).setSeed(42L)
+            .setFeaturesCol("__v").setPredictionCol("cluster").fit(all)
+          m.transform(all).drop("__v")
+            .write.mode("overwrite")
+            .parquet(Tables.scratch("baseline_stream_ivf_idx"))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val assigned = s.read.parquet(Tables.scratch("baseline_stream_ivf_idx"))
+      val p = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("neighbor_vec"))
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .withColumn("multi_batch", lit(true))
+        .select("probe_id", "rank", "neighbor_id", "cos", "multi_batch")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // q_sim_ivf_rebalance control: the user without the split verb
+    // fixes hot-centroid skew by REBUILDING the whole index — a full
+    // k-means refit over the corpus at doubled k, rewritten flat —
+    // where the rebalance reads and rewrites only the hot lists.
+    // Same exhaustive final search.
+    "q_sim_ivf_rebalance" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val out = Tables.scratch("baseline_ivf_rebuild")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      // the "skewed" first build the user is repairing
+      new KMeans().setK(4).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+        .transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(out)
+      // the repair: full refit at doubled k, full rewrite
+      val m2 = new KMeans().setK(8).setSeed(43L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+      m2.transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(out)
+      val assigned = s.read.parquet(out)
+      val p = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("neighbor_vec"))
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .withColumn("rebalance_ok", lit(true))
+        .select("probe_id", "rank", "neighbor_id", "cos", "rebalance_ok")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_udaf_weighted_avg control: stock sum(x*w)/sum(w) instead of the
     // typed Aggregator.
     "q_udaf_weighted_avg" -> ((s, dir) => {

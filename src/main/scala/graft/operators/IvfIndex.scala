@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.functions.VectorExpressions._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,9 +99,48 @@ object IvfIndex {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Load a persisted index: (assigned corpus, centroids). */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/assigned"), spark.read.parquet(s"$path/centroids"))
+  // ── centroid generations ──────────────────────────────────────────
+  // [[rebalanceIndex]] republishes the centroid table; the swap must be
+  // atomic for readers (a search plans against ONE coherent centroid
+  // set) and safe against concurrent maintenance. Same discipline as
+  // TextIndex/Snapshots: the new generation's data directory is written
+  // fully, then a zero-byte `_cgen_<n>` marker is created with
+  // fail-if-exists — the marker IS the commit (two racing rebalances
+  // cannot both create it), and readers resolve max(committed marker).
+  // Generation 0 is the [[buildIndex]] layout (`centroids`, no marker),
+  // so indexes that were never rebalanced need no manifest at all.
+
+  private val CGenPrefix = "_cgen_"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def centroidsGenPath(path: String, gen: Int): String =
+    if (gen == 0) s"$path/centroids" else s"$path/centroids_g$gen"
+
+  /** Live centroid generation: the max committed `_cgen_<n>` marker,
+    * or 0 (the plain buildIndex layout).
+    */
+  def liveCentroidGen(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(CGenPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(CGenPrefix).toInt).toOption)
+      .foldLeft(0)(math.max)
+  }
+
+  /** Load a persisted index: (assigned corpus, LIVE centroids).
+    * Retired inverted lists a past [[rebalanceIndex]] left on disk are
+    * harmless through this API: every search restricts the scan to
+    * `cluster IN (<probed ids>)` and only live centroids are ever
+    * probed, so an unreferenced list's files are planned away with the
+    * unprobed ones. [[vacuumIndex]] reclaims them.
+    */
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(centroidsGenPath(path, liveCentroidGen(spark, path))))
 
   /** Incremental maintenance: assign NEW vectors to the EXISTING
     * centroids (nearest-centroid, no refit) and append them to the
@@ -119,7 +159,7 @@ object IvfIndex {
   def appendToIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = newVecs.sparkSession
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = loadIndex(spark, path)._2
     val cluster = newVecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .withColumn("cdist", l2_dist(col(vecCol), col("centroid_vec")))
@@ -133,6 +173,150 @@ object IvfIndex {
       .repartition(col("cluster")) // one file per touched list per batch
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$path/assigned")
+  }
+
+  /** Per-list row counts of the LIVE inverted lists — the skew
+    * diagnostic [[rebalanceIndex]] acts on. nCentroids rows
+    * (parameter-sized, never data-sized), so collecting it is a
+    * metadata read.
+    */
+  def listSizes(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    val (assigned, centroids) = loadIndex(spark, path)
+    val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val counted = assigned.filter(col("cluster").isin(live: _*))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // empty lists report 0: a centroid with no rows is still live
+    live.sorted.map(c => (c, counted.getOrElse(c, 0L)))
+  }
+
+  /** Split oversized inverted lists — the maintenance verb for
+    * hot-centroid skew. Real corpora drift: a centroid that captures a
+    * dense region accumulates a list far above corpus/nCentroids, and
+    * every search probing it pays that list's scan — the IVF promise
+    * (probe cost ≈ corpus/nCentroids × nProbes) quietly erodes. The
+    * standard repair (FAISS re-trains; Milvus/Vespa re-shard) is to
+    * split the hot lists without touching the cold ones.
+    *
+    * Each list whose size exceeds `maxListFactor × mean` is split by a
+    * seeded 2-means fitted on THAT LIST ONLY (a partition-pruned read —
+    * O(hot lists) total, never O(corpus)), and its rows land in TWO
+    * FRESH cluster ids appended as new partition directories. Fresh
+    * ids — not reusing the hot id — is what makes the publish atomic:
+    * the new directories are invisible (no centroid references them)
+    * until the single centroid-generation commit retires the hot
+    * centroids and adds the sub-centroids, at which point every new
+    * search plans against the split layout and never probes the
+    * retired lists again. A crash anywhere before the marker commit
+    * leaves the old generation fully live and the orphan directories
+    * unreferenced (re-run to completion, [[vacuumIndex]] to reclaim);
+    * in-flight searches that planned against the old generation keep
+    * reading the retired lists, which stay on disk until vacuum — the
+    * TextIndex reader-spare discipline.
+    *
+    * Returns the split (retired) cluster ids; empty when the index is
+    * already balanced. Run at cadence until empty — a grotesquely hot
+    * list halves per pass.
+    */
+  def rebalanceIndex(spark: SparkSession, path: String, vecCol: String,
+      maxListFactor: Double = 2.0, seed: Long = 42L): Seq[Int] = {
+    // re-run repair FIRST (the appendDocs purge-before-republish rule):
+    // a prior rebalance that crashed after appending its sub-lists but
+    // before its commit left orphan directories in exactly the fresh
+    // ids THIS run will allocate — appending into them again would
+    // duplicate every moved row. Purge unreferenced lists up front
+    // (no age guard: rebalance is a single-writer maintenance verb,
+    // like compaction — concurrency is excluded by the CAS commit).
+    purgeUnreferencedLists(spark, path, olderThanMs = 0L, keepSpare = true)
+    val (assigned, centroids) = loadIndex(spark, path)
+    val sizes = listSizes(spark, path)
+    if (sizes.isEmpty) return Seq.empty
+    val mean = sizes.map(_._2).sum.toDouble / sizes.size
+    // a 2-means needs two rows; a 1-row list can never be a hot spot
+    val hot = sizes.filter(s => s._2 > maxListFactor * mean && s._2 >= 2)
+      .map(_._1)
+    if (hot.isEmpty) return Seq.empty
+    var nextId = centroids.agg(max("centroid_id")).head().getInt(0)
+    val newCents = Seq.newBuilder[(Int, Array[Float])]
+    hot.foreach { h =>
+      // ONE list's rows — the probed-cluster partition filter prunes
+      // the scan to this list's files, so a split reads what it splits
+      val rows = assigned.filter(col("cluster") === h)
+        .withColumn("__v", array_to_vector(col(vecCol)))
+      val model = new KMeans().setK(2).setSeed(seed)
+        .setFeaturesCol("__v").setPredictionCol("__sub").fit(rows)
+      val ids = Seq(nextId + 1, nextId + 2); nextId += 2
+      model.transform(rows).drop("__v")
+        .withColumn("cluster",
+          when(col("__sub") === 0, lit(ids(0))).otherwise(lit(ids(1))))
+        .drop("__sub")
+        .repartition(col("cluster")) // one file per sub-list
+        .write.mode("append").partitionBy("cluster")
+        .parquet(s"$path/assigned")
+      model.clusterCenters.zipWithIndex.foreach { case (c, i) =>
+        newCents += ((ids(i), c.toArray.map(_.toFloat))) }
+    }
+    // ONE commit covering every split: write the next centroid
+    // generation fully, then CAS the marker. Keep the previous
+    // generation as the in-flight readers' spare; sweep older ones.
+    import spark.implicits._
+    val gen = liveCentroidGen(spark, path)
+    val updated = centroids.filter(!col("centroid_id").isin(hot: _*))
+      .unionByName(newCents.result().toDF("centroid_id", "centroid_vec"))
+    updated.coalesce(1).write.mode("overwrite")
+      .parquet(centroidsGenPath(path, gen + 1))
+    val fs = fsOf(spark, path)
+    val marker = new Path(s"$path/$CGenPrefix${gen + 1}")
+    val created = try { fs.createNewFile(marker) } catch {
+      case _: java.io.IOException => false }
+    if (!created)
+      throw new IllegalStateException(
+        s"concurrent IVF maintenance: commit marker $marker already exists")
+    (1 until gen).foreach { g =>
+      fs.delete(new Path(centroidsGenPath(path, g)), true)
+      fs.delete(new Path(s"$path/$CGenPrefix$g"), false)
+    }
+    hot
+  }
+
+  /** Reclaim inverted lists the LIVE centroid generation no longer
+    * references: lists retired by committed [[rebalanceIndex]] runs
+    * and orphan sub-lists of a rebalance that crashed before its
+    * commit. Age-guarded like Snapshots.vacuum — the guard is what
+    * protects in-flight readers that planned against the previous
+    * generation (the internal pre-split repair instead keeps the
+    * spare generation's lists unconditionally, since the orphans it
+    * must remove are referenced by NO committed generation). Returns
+    * the deleted directory names.
+    */
+  def vacuumIndex(spark: SparkSession, path: String,
+      olderThanMs: Long = 3600000L): Seq[String] =
+    purgeUnreferencedLists(spark, path, olderThanMs, keepSpare = false)
+
+  private def purgeUnreferencedLists(spark: SparkSession, path: String,
+      olderThanMs: Long, keepSpare: Boolean): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val gen = liveCentroidGen(spark, path)
+    val refGens =
+      if (keepSpare) math.max(0, gen - 1) to gen else gen to gen
+    val referenced = refGens.flatMap { g =>
+      val p = centroidsGenPath(path, g)
+      if (fs.exists(new Path(p)))
+        spark.read.parquet(p).select("centroid_id")
+          .collect().map(_.getInt(0)).toSeq
+      else Seq.empty
+    }.toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dirs = fs.listStatus(new Path(s"$path/assigned")).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("cluster=") &&
+          scala.util.Try(n.stripPrefix("cluster=").toInt).toOption
+            .exists(!referenced.contains(_)) &&
+          st.getModificationTime <= cutoff
+      }
+    dirs.foreach(st => fs.delete(st.getPath, true))
+    dirs.map(_.getPath.getName)
   }
 
   /** Each probe's nProbes nearest centroids: (probe_id, probe_vec,

@@ -116,6 +116,67 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // STREAMING near-dup ingest — continuous dedup during corpus
+    // arrival, the composition a 100 TB ingestion pipeline actually
+    // runs: the signature index is bootstrapped on the existing corpus
+    // (doc_id % 5 != 0), the rest arrives as paced micro-batches, and
+    // each batch (a) reports its near-dup pairs against everything
+    // ingested so far — new×(old ∪ new) band joins only, existing-
+    // corpus pairs never regenerate — and (b) appends its signatures.
+    // The index is PARTITIONED BY ingest seq, so a batch's "old" side
+    // is a partition-pruned read and both per-batch writes are
+    // dynamic-partition overwrites of THEIR OWN partition — a retried
+    // micro-batch replaces rather than duplicates (idempotent, the
+    // foreachBatch at-least-once contract). The union of per-batch
+    // pair reports must equal the ONE-SHOT incremental result (every
+    // pair touching a new doc, exact jaccard): same oracle as
+    // q_dedup_incremental. A new×new pair across batches is found
+    // exactly once — when its later batch arrives.
+    "q_stream_dedup_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxPath = graft.Tables.scratch("stream_dedup_index")
+      val pairsPath = graft.Tables.scratch("stream_dedup_pairs")
+      Dedup.signatureIndex(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleSize = 2)
+        .withColumn("ingest", lit(0L))
+        .write.mode("overwrite").partitionBy("ingest").parquet(idxPath)
+      // seed the pair log's schema so a zero-pair stream still reads
+      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+        .withColumn("ingest", lit(0L))
+        .write.mode("overwrite").partitionBy("ingest").parquet(pairsPath)
+      val q = graft.streaming.StreamOps
+        .tableStreamPaced(s, dir, "documents", "doc_id", 3)
+        .filter(col("doc_id") % 5 === 0)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val seq = bid + 1
+          Dedup.signatureIndex(batch, "doc_id", "text", shingleSize = 2)
+            .withColumn("ingest", lit(seq))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest").parquet(idxPath)
+          val idx = s.read.parquet(idxPath)
+          Dedup.incrementalNearDups(
+              idx.filter(col("ingest") < seq).drop("ingest"),
+              idx.filter(col("ingest") === seq).drop("ingest"),
+              threshold = 0.8)
+            .withColumn("ingest", lit(seq))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest").parquet(pairsPath)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      s.read.parquet(pairsPath)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .withColumn("multi_batch", lit(nBatches >= 3))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // END-TO-END corpus dedup — the operation a pipeline user actually
     // runs: near-dup pairs → connected components → keep ONE
     // representative (min doc_id) per cluster plus every unduplicated
@@ -909,6 +970,67 @@ object LlmPipeline {
         .orderBy("probe_id")
     }),
 
+    // Streaming IVF ingest — the vector twin of q_stream_text_index:
+    // the quantizer is fitted ONCE on the bootstrap half of the
+    // corpus; the other half arrives as paced micro-batches and each
+    // batch lands in the inverted lists via appendToIndex (nearest-
+    // centroid assignment only, O(batch × nCentroids) — the
+    // continuous-ingest path a vector index needs at scale, where a
+    // per-batch k-means refit would re-scan the corpus). Probing ALL
+    // lists afterwards makes the index path exhaustive, so the answer
+    // must equal brute-force top-5 EXACTLY — only possible if every
+    // streamed vector actually landed in a live list.
+    "q_stream_ivf_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.Tables.scratch("stream_ivf_index")
+      IvfIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCentroids = 8, path = idx)
+      val q = graft.streaming.StreamOps
+        .tableStreamPaced(s, dir, "embeddings", "vec_id", 3)
+        .filter(col("vec_id") % 2 === 1)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfIndex.appendToIndex(batch, "vec_id", "embedding", idx)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      IvfIndex.searchTopK(assigned, centroids, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbes = 8)
+        .withColumn("multi_batch", lit(nBatches >= 3))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF list REBALANCE — the skew-maintenance verb: a built index is
+    // deliberately skewed small (nCentroids=4, so at least one list
+    // sits far above the mean), rebalanceIndex splits every list above
+    // 1.25× mean into two fresh sub-lists (2-means fitted on the hot
+    // list ONLY — a partition-pruned read) and retires the hot
+    // centroids in ONE atomic centroid-generation commit. Exhaustive
+    // probing over the LIVE centroid set must then equal brute-force
+    // top-5 EXACTLY — which holds only if the split moved every row
+    // exactly once and retired lists are truly invisible.
+    // `rebalance_ok` asserts the maintenance effect itself: either
+    // nothing was hot (balanced already) or the max live list SHRANK.
+    "q_sim_ivf_rebalance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.Tables.scratch("ivf_rebal_index")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 4, path = idx)
+      val maxBefore = IvfIndex.listSizes(s, idx).map(_._2).max
+      val split = IvfIndex.rebalanceIndex(s, idx, "embedding", maxListFactor = 1.25)
+      val sizesAfter = IvfIndex.listSizes(s, idx)
+      val ok = split.isEmpty || sizesAfter.map(_._2).max < maxBefore
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      val nLive = sizesAfter.size
+      IvfIndex.searchTopK(assigned, centroids, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbes = nLive)
+        .withColumn("rebalance_ok", lit(ok))
+        .orderBy("probe_id", "rank")
+    }),
+
     // Int8 embedding quantization (the storage format a vector corpus
     // ships at scale: 4× smaller than float32). Per-vector max-abs
     // scaling; floor(x + 0.5) rounding — NOT round() — so both engines
@@ -1288,6 +1410,15 @@ object LlmPipeline {
     "q_dedup_incremental" ->
       s"""WITH $gramIndexCte
         |SELECT doc_a, doc_b, jaccard FROM jpairs
+        |WHERE jaccard >= 0.8
+        |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the streamed per-batch union must equal the one-shot incremental
+    // result exactly; multi_batch proves ≥3 paced micro-batches ran
+    "q_stream_dedup_ingest" ->
+      s"""WITH $gramIndexCte
+        |SELECT doc_a, doc_b, jaccard, true AS multi_batch FROM jpairs
         |WHERE jaccard >= 0.8
         |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -1781,6 +1912,32 @@ object LlmPipeline {
     // the exact brute-force oracle applies verbatim
     "q_sim_ivf_incremental" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // streamed-ingest IVF probed exhaustively = the whole corpus: the
+    // same exact brute-force oracle; multi_batch is the engine-side
+    // proof the ingest actually arrived in ≥3 paced micro-batches
+    "q_stream_ivf_ingest" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos, true AS multi_batch FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // rebalanced IVF probed exhaustively over the LIVE centroid set =
+    // the whole corpus moved exactly once: same exact oracle;
+    // rebalance_ok is the engine-side max-list-shrank proof
+    "q_sim_ivf_rebalance" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos, true AS rebalance_ok FROM (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |    ${duckCos("p.embedding", "c.embedding")} AS cos,
          |    row_number() OVER (PARTITION BY p.vec_id
