@@ -1072,10 +1072,12 @@ object Baseline {
     "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q15",
     "q_sql_tpch_q16", "q_sql_tpch_q19",
     // round-12 additions: the sharded pack is stock windows/joins end
-    // to end, and the image-resize codec is plain mapPartitions +
-    // java.awt ImageIO — the formulation a stock user writes verbatim,
-    // so the control IS the identical plan (variance pair)
-    "q_text_pack_sharded", "q_multimodal_image_resize")
+    // to end, the image-resize codec is plain mapPartitions +
+    // java.awt ImageIO, and the vocab encode is a TakeOrdered + one
+    // HOF transform — formulations a stock user writes verbatim, so
+    // the control IS the identical plan (variance pair)
+    "q_text_pack_sharded", "q_multimodal_image_resize",
+    "q_text_vocab_encode")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

@@ -1155,6 +1155,40 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary build + id-encoding — the corpus→trainer step: mine
+    // the top-V tokens by corpus frequency (rank desc count, asc token
+    // — fully deterministic), assign ids 1..V by rank, and encode every
+    // document as its id sequence (OOV → 0). The vocab is PARAMETER-
+    // sized (V rows — the one driver collect), ships to every task as
+    // a broadcast map literal, and the encode itself is a single
+    // codegen'd `transform` over the token array — no explode, no
+    // join, no shuffle on the corpus side at any scale. Top-V selection
+    // is a TakeOrdered over the (token, count) aggregate: vocabulary-
+    // domain-sized input, never corpus rows.
+    "q_text_vocab_encode" -> ((s, dir) => {
+      val V = 256
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\W+"), t => length(t) > 0).as("toks"))
+      val vocab = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(V)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getString(0), (i + 1).toLong) }.toMap
+      val vmap = typedlit(vocab)
+      toks
+        .withColumn("ids", transform(col("toks"),
+          tk => coalesce(element_at(vmap, tk), lit(0L))))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(filter(col("ids"), i => i === 0L)).cast("long").as("n_oov"),
+          aggregate(col("ids"), lit(0L), (a, v) => a + v).as("ids_sum"),
+          coalesce(element_at(col("ids"), 1), lit(-1L)).as("first_id"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: greedy offset-bucketing of documents into
     // fixed token-budget training sequences per source (window cumsum
     // → bucket id → per-sequence stats). The per-source window is the
@@ -2004,6 +2038,35 @@ object LlmPipeline {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
         |  n_chars = length(text) AS chars_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // vocab rank is fully ordered (count desc, token asc), so the
+    // top-256 set and every id agree across engines exactly
+    "q_text_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |cnt AS (SELECT w, count(*) AS n FROM flat GROUP BY w),
+        |vocab AS (
+        |  SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS id
+        |  FROM cnt ORDER BY n DESC, w ASC LIMIT 256),
+        |enc AS (
+        |  SELECT f.doc_id,
+        |    CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |    CAST(sum(coalesce(v.id, 0)) AS BIGINT) AS ids_sum
+        |  FROM flat f LEFT JOIN vocab v ON f.w = v.w GROUP BY f.doc_id),
+        |fw AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN len(t.toks) = 0 THEN CAST(-1 AS BIGINT)
+        |         ELSE CAST(coalesce(v.id, 0) AS BIGINT) END AS first_id
+        |  FROM tok t LEFT JOIN vocab v ON t.toks[1] = v.w)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+        |  coalesce(e.n_oov, CAST(0 AS BIGINT)) AS n_oov,
+        |  coalesce(e.ids_sum, CAST(0 AS BIGINT)) AS ids_sum,
+        |  fw.first_id
+        |FROM tok t LEFT JOIN enc e USING (doc_id) JOIN fw USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_perplexity" ->
       """WITH tok AS (

@@ -450,6 +450,29 @@ class DedupSpec extends SparkSuite {
     assert(exhaustive() === exact, "post-rerun exhaustive search diverged")
   }
 
+  test("streaming dedup index: a batch's old-side read is pruned to prior ingest partitions") {
+    import graft.operators.{DataSkipping, Dedup}
+    val docs = (0L until 40L).map(i => (i, s"alpha beta gamma delta epsilon doc$i"))
+      .toDF("doc_id", "text")
+    val path = Tables.scratch("stream_dedup_prune_test")
+    // three ingest generations, the q_stream_dedup_ingest layout
+    Seq(0L, 1L, 2L).foreach { g =>
+      Dedup.signatureIndex(docs.filter(col("doc_id") % 3 === g),
+          "doc_id", "text", shingleSize = 2)
+        .withColumn("ingest", lit(g))
+        .write.mode(if (g == 0) "overwrite" else "append")
+        .partitionBy("ingest").parquet(path)
+    }
+    val idx = spark.read.parquet(path)
+    def files(pred: org.apache.spark.sql.Column): Long =
+      DataSkipping.scannedFiles(idx.filter(pred))
+    val all = files(lit(true))
+    val old = files(col("ingest") < 2)
+    assert(old < all, "ingest partition filter did not prune the old-side scan")
+    assert(files(col("ingest") === 2) < old,
+      "single-generation read not pruned below the old side")
+  }
+
   test("salted join equals plain join") {
     import graft.operators.Partitioning
     val large = Tables(spark, sf, "lineitem")
