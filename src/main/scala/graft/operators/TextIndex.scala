@@ -192,6 +192,14 @@ object TextIndex {
         s"doc_stats=${st.gens.docs}"),
       sweep = true): Unit
 
+  /** The manifest's LIVE corpus totals (n_docs, sum_dl) — the BM25
+    * inputs, read straight off the committed manifest with zero jobs.
+    */
+  def corpusTotals(spark: SparkSession, path: String): (Long, Long) = {
+    val st = readState(spark, path)
+    (st.nDocs, st.sumDl)
+  }
+
   private def postingsPath(path: String, g: Int) = s"$path/$PostingsPrefix$g"
   private def statsPath(path: String, g: Int) = s"$path/$StatsPrefix$g"
   private def docStatsPath(path: String, g: Int) = s"$path/$DocStatsPrefix$g"

@@ -281,6 +281,40 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.vacuumIndex(spark, out).isEmpty)
   }
 
+  test("re-delivered ingest batch is exactly-once under the retract guard (upsert composition)") {
+    // foreachBatch is at-least-once: a batch whose appendDocs committed
+    // but whose streaming offset did not will be DELIVERED AGAIN on
+    // restart. The retract-then-append composition (deleteDocs on the
+    // batch ids, then appendDocs) makes re-delivery an upsert — the
+    // tombstone masks the first copy, the re-append lands above the
+    // horizon, and exactly one live copy survives any number of
+    // deliveries. A naked re-append, by contrast, doubles every tf —
+    // the hazard the guard removes (both arms measured here).
+    val batch = Seq((1L, "hash merge hash"), (2L, "hash vector")).toDF("doc_id", "text")
+    val out = Tables.scratch("textindex_redeliver")
+    def ingestGuarded(): Unit = {
+      TextIndex.deleteDocs(batch.select("doc_id"), "doc_id", out)
+      TextIndex.appendDocs(batch, "doc_id", "text", out)
+    }
+    TextIndex.appendDocs(batch, "doc_id", "text", out) // first delivery
+    def tf(): Map[Long, Long] = TextIndex.searchAll(spark, out, Seq("hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val once = tf()
+    assert(once === Map(1L -> 2L, 2L -> 1L))
+    ingestGuarded() // re-delivery 1
+    ingestGuarded() // re-delivery 2
+    assert(tf() === once, "guarded re-delivery changed the live tf")
+    // manifest totals also exactly-once (BM25's n_docs/sum_dl inputs)
+    assert(TextIndex.corpusTotals(spark, out)._1 === 2L)
+    // the naked re-append CORRUPTS — duplicate posting rows break the
+    // conjunctive matched-terms invariant (searchAll counts term rows
+    // per doc, so a doubled doc no longer matches n_terms exactly and
+    // vanishes). Measured here to document why the guard is
+    // load-bearing for at-least-once delivery.
+    TextIndex.appendDocs(batch, "doc_id", "text", out)
+    assert(tf() !== once, "naked re-delivery silently looked exactly-once")
+  }
+
   test("seq-scoped tombstones: delete → re-ingest is visible with NO compaction") {
     val docs = Seq(
       (1L, "hash merge"), (2L, "hash vector"), (3L, "merge vector hash")
