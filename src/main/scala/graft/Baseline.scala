@@ -456,6 +456,56 @@ object Baseline {
         .orderBy("probe_id")
     }),
 
+    // q_sim_ivf_delete control: the user without tombstones erases by
+    // copy-on-write — the whole flat index rewritten minus the deleted
+    // rows (twice: once masked-equivalent, once as the audit copy the
+    // graft side's pre/post bit-identity check also delivers) — then
+    // the same exhaustive search.
+    "q_sim_ivf_delete" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val out = Tables.scratch("baseline_ivf_cow")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      new KMeans().setK(8).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+        .transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      // CoW erase; the deliverable also includes the graft side's
+      // audit evidence — a pre-rewrite (filter-masked) search, a
+      // post-rewrite search, and their bit-identity — so the control
+      // produces the same three artifacts, not just the erased copy
+      val v1 = s.read.parquet(s"$out/v1")
+      v1.filter(col("vec_id") % 7 =!= 0)
+        .write.mode("overwrite").parquet(s"$out/v2")
+      val assigned = s.read.parquet(s"$out/v2")
+      val purged = assigned.filter(col("vec_id") % 7 === 0).count() == 0
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      def search(src: DataFrame) =
+        src.select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"))
+          .join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+          .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("probe_id", "rank", "neighbor_id", "cos")
+      search(v1.filter(col("vec_id") % 7 =!= 0))
+        .write.mode("overwrite").parquet(s"$out/pre")
+      search(assigned).write.mode("overwrite").parquet(s"$out/post")
+      val pre = s.read.parquet(s"$out/pre")
+      val post = s.read.parquet(s"$out/post")
+      val identical = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+      post
+        .withColumn("purged", lit(purged))
+        .withColumn("compact_identical", lit(identical))
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_stream_ivf_ingest control: the user without add-without-train
     // REFITS k-means on everything that has arrived, per micro-batch
     // (same paced source, same batch cadence), and rewrites the

@@ -142,6 +142,19 @@ object IvfIndex {
     (spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(centroidsGenPath(path, liveCentroidGen(spark, path))))
 
+  /** Load the LIVE view of a persisted index: like [[loadIndex]] but
+    * with pending [[deleteFromIndex]] tombstones masked out of the
+    * assigned corpus (broadcast anti-join — identity when no deletes
+    * are pending, and the mask sits ABOVE the scan so probed-cluster
+    * partition pruning is unaffected). Searches over a mutated index
+    * should read through this; maintenance verbs read raw.
+    */
+  def loadLive(spark: SparkSession, path: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val (assigned, centroids) = loadIndex(spark, path)
+    (maskDeleted(spark, path, assigned, idCol), centroids)
+  }
+
   /** Incremental maintenance: assign NEW vectors to the EXISTING
     * centroids (nearest-centroid, no refit) and append them to the
     * persisted inverted lists — FAISS's add-without-train, the ingest
@@ -175,15 +188,100 @@ object IvfIndex {
       .parquet(s"$path/assigned")
   }
 
-  /** Per-list row counts of the LIVE inverted lists — the skew
+  // ── deletion (retraction) ─────────────────────────────────────────
+
+  private val TombstonesDir = "tombstones"
+
+  /** Retract vectors from a persisted index — the GDPR-erasure /
+    * unlearning verb, O(deleted ids): one tombstone append, no list is
+    * read or rewritten. Every read path ([[searchTopK]],
+    * [[searchTopKQuantized]], [[listSizes]], [[rebalanceIndex]]) masks
+    * tombstoned ids with a broadcast anti-join, so deletion is visible
+    * immediately and exactly; [[compactLists]] later folds the
+    * tombstones into the physical layout. Tombstones mask by id, so
+    * RE-ADDING a retracted id needs the reconciling [[compactLists]]
+    * between retract and append (the seq-scoped upgrade TextIndex fmt-4
+    * applies would lift this — documented trade: the vector-index
+    * update pattern is rebuild-or-append, not per-id churn).
+    */
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("del_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
+
+  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(s"$path/$TombstonesDir")
+    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Anti-join the tombstone set out of an index frame. Identity when
+    * no deletes are pending; broadcast-sized otherwise (deleted ids are
+    * tiny next to a list scan — an index whose deletes outrun its
+    * compaction cadence should compact, not ship a giant horizon).
+    */
+  private def maskDeleted(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String): DataFrame =
+    tombstonesOf(spark, path) match {
+      case Some(t) =>
+        df.join(broadcast(t), df(idCol) === t("del_id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold pending tombstones into the physical layout: every live list
+    * is rewritten without its masked rows (one dynamic-partition
+    * overwrite — only live partitions are touched), lists left empty
+    * are dropped, and the tombstone sidecar is cleared LAST. Crash-safe
+    * by mask idempotence: at any interruption point the surviving
+    * tombstones still mask whatever a half-done rewrite left behind,
+    * so reads stay exact and a re-run completes the fold.
+    */
+  def compactLists(spark: SparkSession, path: String, idCol: String): Unit = {
+    if (tombstonesOf(spark, path).isEmpty) return
+    val (assigned, centroids) = loadIndex(spark, path)
+    val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val kept = maskDeleted(spark, path,
+      assigned.filter(col("cluster").isin(live: _*)), idCol)
+    // which lists still have rows once the mask applies — observed ON
+    // the rewrite job itself: a dir the dynamic overwrite never
+    // touches still holds its stale rows (post-write state can't
+    // tell), and a separate pre-count would scan the masked index
+    // twice. collect_set(cluster) carries nCentroids values: metadata.
+    val obs = org.apache.spark.sql.Observation(
+      s"ivf_compact_${java.util.UUID.randomUUID}")
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      kept.observe(obs, collect_set(col("cluster")).as("clusters"))
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$path/assigned")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val nonEmpty = obs.get("clusters")
+      .asInstanceOf[scala.collection.Seq[Int]].toSet
+    // a list whose rows were ALL deleted produces no output partition,
+    // so the dynamic overwrite never replaces its directory — drop it
+    // explicitly (BEFORE the tombstones clear, so a crash here still
+    // masks the leftover rows)
+    val fs = fsOf(spark, path)
+    live.filterNot(nonEmpty).foreach { c =>
+      fs.delete(new Path(s"$path/assigned/cluster=$c"), true) }
+    fs.delete(new Path(s"$path/$TombstonesDir"), true): Unit
+  }
+
+  /** Per-list LIVE row counts (tombstones masked) — the skew
     * diagnostic [[rebalanceIndex]] acts on. nCentroids rows
     * (parameter-sized, never data-sized), so collecting it is a
     * metadata read.
     */
-  def listSizes(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+  def listSizes(spark: SparkSession, path: String,
+      idCol: String): Seq[(Int, Long)] = {
     val (assigned, centroids) = loadIndex(spark, path)
     val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
-    val counted = assigned.filter(col("cluster").isin(live: _*))
+    val counted = maskDeleted(spark, path,
+        assigned.filter(col("cluster").isin(live: _*)), idCol)
       .groupBy("cluster").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     // empty lists report 0: a centroid with no rows is still live
@@ -218,8 +316,9 @@ object IvfIndex {
     * already balanced. Run at cadence until empty — a grotesquely hot
     * list halves per pass.
     */
-  def rebalanceIndex(spark: SparkSession, path: String, vecCol: String,
-      maxListFactor: Double = 2.0, seed: Long = 42L): Seq[Int] = {
+  def rebalanceIndex(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, maxListFactor: Double = 2.0,
+      seed: Long = 42L): Seq[Int] = {
     // re-run repair FIRST (the appendDocs purge-before-republish rule):
     // a prior rebalance that crashed after appending its sub-lists but
     // before its commit left orphan directories in exactly the fresh
@@ -229,7 +328,7 @@ object IvfIndex {
     // like compaction — concurrency is excluded by the CAS commit).
     purgeUnreferencedLists(spark, path, olderThanMs = 0L, keepSpare = true)
     val (assigned, centroids) = loadIndex(spark, path)
-    val sizes = listSizes(spark, path)
+    val sizes = listSizes(spark, path, idCol)
     if (sizes.isEmpty) return Seq.empty
     val mean = sizes.map(_._2).sum.toDouble / sizes.size
     // a 2-means needs two rows; a 1-row list can never be a hot spot
@@ -240,8 +339,10 @@ object IvfIndex {
     val newCents = Seq.newBuilder[(Int, Array[Float])]
     hot.foreach { h =>
       // ONE list's rows — the probed-cluster partition filter prunes
-      // the scan to this list's files, so a split reads what it splits
-      val rows = assigned.filter(col("cluster") === h)
+      // the scan to this list's files, so a split reads what it splits.
+      // Tombstoned rows fold out here for free (the split IS a rewrite)
+      val rows = maskDeleted(spark, path,
+          assigned.filter(col("cluster") === h), idCol)
         .withColumn("__v", array_to_vector(col(vecCol)))
       val model = new KMeans().setK(2).setSeed(seed)
         .setFeaturesCol("__v").setPredictionCol("__sub").fit(rows)
@@ -364,7 +465,10 @@ object IvfIndex {
     // candidates: corpus rows in any probed list; exact re-rank with
     // the bounded-heap cut — a probe's candidate set is
     // corpus/nCentroids × nProbes rows, which a row_number window
-    // would funnel into ONE sort task per probe at scale
+    // would funnel into ONE sort task per probe at scale. (Pending
+    // tombstones are masked upstream when the caller loads the index
+    // through [[loadLive]] — the partition pruning this scan relies on
+    // survives the mask, an anti-join above the filtered scan.)
     val c = assigned.filter(col("cluster").isin(probed: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
         col("cluster"))

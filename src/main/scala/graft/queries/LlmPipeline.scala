@@ -1019,15 +1019,54 @@ object LlmPipeline {
       val emb = t(s, dir, "embeddings")
       val idx = graft.Tables.scratch("ivf_rebal_index")
       IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 4, path = idx)
-      val maxBefore = IvfIndex.listSizes(s, idx).map(_._2).max
-      val split = IvfIndex.rebalanceIndex(s, idx, "embedding", maxListFactor = 1.25)
-      val sizesAfter = IvfIndex.listSizes(s, idx)
+      val maxBefore = IvfIndex.listSizes(s, idx, "vec_id").map(_._2).max
+      val split = IvfIndex.rebalanceIndex(s, idx, "vec_id", "embedding", maxListFactor = 1.25)
+      val sizesAfter = IvfIndex.listSizes(s, idx, "vec_id")
       val ok = split.isEmpty || sizesAfter.map(_._2).max < maxBefore
       val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
       val nLive = sizesAfter.size
       IvfIndex.searchTopK(assigned, centroids, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nProbes = nLive)
         .withColumn("rebalance_ok", lit(ok))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF DELETE — retraction for the vector index (GDPR-erasure /
+    // unlearning): deleteFromIndex is an O(deleted ids) tombstone
+    // append; the live view (loadLive) masks immediately with a
+    // broadcast anti-join ABOVE the pruned scan, and compactLists
+    // later folds the tombstones physically (live lists rewritten
+    // without masked rows, emptied lists dropped, sidecar cleared
+    // last — crash-safe by mask idempotence). Exhaustive probing must
+    // equal brute force over the REMAINING corpus exactly, both
+    // before compaction (mask semantics) and after (purge preserved
+    // the answer bit-for-bit): purged + compact_identical are the
+    // measured engine-side invariants, the q_text_index_delete shape.
+    "q_sim_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.Tables.scratch("ivf_del_index")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+      IvfIndex.deleteFromIndex(
+        emb.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", idx)
+      val probes = emb.filter(col("vec_id") < 10)
+      def searchLive() = {
+        val (a, c) = IvfIndex.loadLive(s, idx, "vec_id")
+        IvfIndex.searchTopK(a, c, probes, "vec_id", "embedding",
+          k = 5, nProbes = 8)
+      }
+      val preDir = graft.Tables.scratch("ivf_del_pre")
+      searchLive().write.mode("overwrite").parquet(preDir)
+      IvfIndex.compactLists(s, idx, "vec_id")
+      val purged = IvfIndex.loadIndex(s, idx)._1
+        .filter(col("vec_id") % 7 === 0).count() == 0
+      val postDir = graft.Tables.scratch("ivf_del_post")
+      searchLive().write.mode("overwrite").parquet(postDir)
+      val pre = s.read.parquet(preDir)
+      val post = s.read.parquet(postDir)
+      val identical = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+      post
+        .withColumn("purged", lit(purged))
+        .withColumn("compact_identical", lit(identical))
         .orderBy("probe_id", "rank")
     }),
 
@@ -1965,6 +2004,19 @@ object LlmPipeline {
          |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
          |  FROM embeddings p, embeddings c
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // deleted-IVF probed exhaustively = brute force over the REMAINING
+    // corpus; purged/compact_identical are engine-side invariants
+    "q_sim_ivf_delete" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos,
+         |  true AS purged, true AS compact_identical FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id % 7 <> 0 AND c.vec_id <> p.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     // rebalanced IVF probed exhaustively over the LIVE centroid set =

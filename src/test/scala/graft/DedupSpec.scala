@@ -392,7 +392,7 @@ class DedupSpec extends SparkSuite {
     val df = (hotRegion ++ scattered).toDF("vec_id", "embedding")
     val path = Tables.scratch("ivf_rebal_test")
     IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
-    val before = IvfIndex.listSizes(spark, path)
+    val before = IvfIndex.listSizes(spark, path, "vec_id")
     assert(before.map(_._2).sum === 100L)
     val probes = df.filter(col("vec_id") < 3)
     def exhaustive(): Seq[(Long, Int, Long)] = {
@@ -406,11 +406,11 @@ class DedupSpec extends SparkSuite {
         "vec_id", "embedding", k = 5)
       .select("probe_id", "rank", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
-    val split = IvfIndex.rebalanceIndex(spark, path, "embedding",
+    val split = IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
       maxListFactor = 1.5)
     assert(split.nonEmpty, s"planted skew not split: sizes $before")
     assert(IvfIndex.liveCentroidGen(spark, path) === 1)
-    val after = IvfIndex.listSizes(spark, path)
+    val after = IvfIndex.listSizes(spark, path, "vec_id")
     // every row moved exactly once; the hottest list genuinely shrank;
     // retired ids left the live centroid set
     assert(after.map(_._2).sum === 100L, s"rows lost/duplicated: $after")
@@ -423,13 +423,13 @@ class DedupSpec extends SparkSuite {
     val swept = IvfIndex.vacuumIndex(spark, path, olderThanMs = 0L)
     assert(split.forall(h => swept.contains(s"cluster=$h")), s"vacuum missed: $swept")
     assert(exhaustive() === exact, "post-vacuum search diverged")
-    assert(IvfIndex.listSizes(spark, path).map(_._2).sum === 100L)
+    assert(IvfIndex.listSizes(spark, path, "vec_id").map(_._2).sum === 100L)
     // crash drill: a rebalance that appended sub-lists but died before
     // its commit must be invisible, and the re-run must not duplicate
     // the moved rows. Simulate by committing a second split, then
     // deleting its marker + centroid generation (crash rewound to just
     // before the commit — the orphan sub-list dirs remain).
-    val split2 = IvfIndex.rebalanceIndex(spark, path, "embedding",
+    val split2 = IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
       maxListFactor = 1.0) // anything above the mean splits
     assert(split2.nonEmpty)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -439,15 +439,74 @@ class DedupSpec extends SparkSuite {
     assert(IvfIndex.liveCentroidGen(spark, path) === 1,
       "uncommitted generation became visible")
     assert(exhaustive() === exact, "crashed rebalance changed the gen-1 answer")
-    assert(IvfIndex.listSizes(spark, path).map(_._2).sum === 100L)
+    assert(IvfIndex.listSizes(spark, path, "vec_id").map(_._2).sum === 100L)
     // the re-run purges the orphans before splitting — no duplicates
-    val split3 = IvfIndex.rebalanceIndex(spark, path, "embedding",
+    val split3 = IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
       maxListFactor = 1.0)
     assert(split3.nonEmpty)
     assert(IvfIndex.liveCentroidGen(spark, path) === 2)
-    assert(IvfIndex.listSizes(spark, path).map(_._2).sum === 100L,
+    assert(IvfIndex.listSizes(spark, path, "vec_id").map(_._2).sum === 100L,
       "crash re-run duplicated moved rows")
     assert(exhaustive() === exact, "post-rerun exhaustive search diverged")
+  }
+
+  test("ivf delete: mask immediate, compaction folds + drops emptied lists, re-add after compact") {
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val base = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_delete_test")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    val probes = df.filter(col("vec_id") >= 57L)
+    def exhaustiveLive(): Seq[(Long, Int, Long)] = {
+      val (a, c) = IvfIndex.loadLive(spark, path, "vec_id")
+      IvfIndex.searchTopK(a, c, probes, "vec_id", "embedding",
+          k = 5, nProbes = c.count().toInt)
+        .select("probe_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    }
+    def brute(remaining: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      SimilaritySearch.bruteForceTopK(remaining, probes, "vec_id", "embedding", k = 5)
+        .select("probe_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    // retract a third of the corpus: visible immediately, exactly
+    IvfIndex.deleteFromIndex(
+      df.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", path)
+    val live1 = df.filter(col("vec_id") % 3 =!= 0)
+    assert(IvfIndex.listSizes(spark, path, "vec_id").map(_._2).sum === 40L)
+    assert(exhaustiveLive() === brute(live1), "masked search diverged")
+    // fold: physically purged, sidecar cleared, answer bit-identical
+    val preFold = exhaustiveLive()
+    IvfIndex.compactLists(spark, path, "vec_id")
+    val raw = IvfIndex.loadIndex(spark, path)._1
+    assert(raw.filter(col("vec_id") % 3 === 0).count() === 0L, "purge incomplete")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(exhaustiveLive() === preFold, "compaction changed the answer")
+    // delete EVERY row of one list: its directory is dropped at fold
+    val c0 = raw.groupBy("cluster").count().orderBy(col("count").asc)
+      .head().getInt(0)
+    val inC0 = raw.filter(col("cluster") === c0).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(inC0.nonEmpty)
+    IvfIndex.deleteFromIndex(inC0.toSeq.toDF("vec_id"), "vec_id", path)
+    IvfIndex.compactLists(spark, path, "vec_id")
+    assert(!new java.io.File(s"$path/assigned/cluster=$c0").exists(),
+      "emptied inverted list's directory survived the fold")
+    val live2 = live1.filter(!col("vec_id").isin(inC0.toSeq: _*))
+    assert(exhaustiveLive() === brute(live2))
+    // re-add a retracted vector AFTER the fold: findable again (the
+    // documented tombstones-mask-by-id constraint, reconciled)
+    IvfIndex.appendToIndex(
+      Seq((0L, base.head._2.clone)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val clone = Seq((999L, base.head._2.clone)).toDF("vec_id", "embedding")
+    val (a2, c2) = IvfIndex.loadLive(spark, path, "vec_id")
+    val hit = IvfIndex.searchTopK(a2, c2, clone, "vec_id", "embedding",
+        k = 1, nProbes = c2.count().toInt)
+      .select("neighbor_id").as[Long].collect()
+    assert(hit.headOption.contains(0L), s"re-added vector not findable: ${hit.toSeq}")
   }
 
   test("streaming dedup index: a batch's old-side read is pruned to prior ingest partitions") {
