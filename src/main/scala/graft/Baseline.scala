@@ -456,6 +456,58 @@ object Baseline {
         .orderBy("probe_id")
     }),
 
+    // q_sim_ivf_cdc control: the user without O(changes) sync rebuilds
+    // the WHOLE index from the mutated table's live state — same
+    // snapshot commits and change-feed deliverable, then a full
+    // k-means refit + flat rewrite where the graft side tombstones +
+    // appends only the changed rows. Same exhaustive final search.
+    "q_sim_ivf_cdc" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("baseline_ivf_cdc_tbl")
+      val out = Tables.scratch("baseline_ivf_cdc_idx")
+      Snapshots.create(s, root, emb.select("vec_id", "embedding"))
+      // v1 bootstrap build (the index that exists before the changes)
+      val v1 = Snapshots.read(s, root)
+        .withColumn("__v", array_to_vector(col("embedding")))
+      new KMeans().setK(8).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(v1)
+        .transform(v1).drop("__v")
+        .write.mode("overwrite").parquet(out)
+      Snapshots.commitUpdate(s, root, col("vec_id") % 11 === 0,
+        Map("embedding" -> reverse(col("embedding"))))
+      Snapshots.commitDelete(s, root, col("vec_id") % 13 === 0)
+      val chDir = Tables.scratch("baseline_ivf_cdc_feed")
+      Snapshots.changes(s, root, 1, 3, "vec_id")
+        .write.mode("overwrite").parquet(chDir)
+      s.read.parquet(chDir).count() // the feed deliverable, consumed
+      // the sync: full refit + rewrite from the live state
+      val live = Snapshots.read(s, root)
+        .withColumn("__v", array_to_vector(col("embedding")))
+      new KMeans().setK(8).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(live)
+        .transform(live).drop("__v")
+        .write.mode("overwrite").parquet(out)
+      val assigned = s.read.parquet(out)
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("neighbor_vec"))
+        .join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_sim_ivf_delete control: the user without tombstones erases by
     // copy-on-write — the whole flat index rewritten minus the deleted
     // rows (twice: once masked-equivalent, once as the audit copy the

@@ -92,7 +92,16 @@ object IvfIndex {
     // (the TextIndex bucket rule) — nCentroids doubles as the build's
     // write-parallelism lever, exactly how an IVF sizes itself: more
     // data → more lists → more parallel writers AND smaller probes
+    // idempotent init: a rebuild over a previously-used path must not
+    // inherit stale tombstones or seq markers
+    val fs = fsOf(corpus.sparkSession, path)
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(p => p.getName.startsWith(SeqPrefix) ||
+          p.getName == TombstonesDir)
+        .foreach(fs.delete(_, true))
     withCodes(assigned, vecCol)
+      .withColumn("ingest_seq", lit(0L))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned")
@@ -131,16 +140,82 @@ object IvfIndex {
       .foldLeft(0)(math.max)
   }
 
-  /** Load a persisted index: (assigned corpus, LIVE centroids).
-    * Retired inverted lists a past [[rebalanceIndex]] left on disk are
-    * harmless through this API: every search restricts the scan to
-    * `cluster IN (<probed ids>)` and only live centroids are ever
-    * probed, so an unreferenced list's files are planned away with the
-    * unprobed ones. [[vacuumIndex]] reclaims them.
+  // ── ingest sequences ──────────────────────────────────────────────
+  // Every row carries the `ingest_seq` of the batch that wrote it
+  // (build = 0). An append RESERVES its seq first (`_seq_<n>.reserved`
+  // marker, fail-if-exists), writes its rows, then COMMITS by renaming
+  // the marker to `_seq_<n>`. Readers admit only rows whose seq is at
+  // or below the max committed seq and not a crashed reservation — so
+  // a batch that died between its parquet write and its commit is
+  // invisible, and the re-run (which reserves a FRESH seq past the
+  // orphan) can never make duplicates visible. Tombstones are
+  // seq-scoped (`del_seq` = max committed at delete time): a row
+  // survives unless a tombstone for its id sits AT OR ABOVE its own
+  // ingest seq, which makes retract → re-ingest O(changes) with no
+  // compaction in between — the TextIndex fmt-4 discipline applied to
+  // the vector index. [[compactLists]] folds tombstones, squashes
+  // surviving rows to the max committed seq, and clears stale markers.
+
+  private val SeqPrefix = "_seq_"
+  private val ReservedSuffix = ".reserved"
+
+  /** (committed seqs, crashed/in-flight reserved seqs) from the root
+    * markers. Build-time rows (seq 0) are implicitly committed.
     */
-  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/assigned"),
+  private def seqMarkers(spark: SparkSession, path: String): (Set[Long], Set[Long]) = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) return (Set.empty, Set.empty)
+    val names = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(SeqPrefix)).toSeq
+    def num(n: String, suffix: String) =
+      scala.util.Try(n.stripPrefix(SeqPrefix).stripSuffix(suffix).toLong).toOption
+    (names.filterNot(_.endsWith(ReservedSuffix)).flatMap(num(_, "")).toSet,
+      names.filter(_.endsWith(ReservedSuffix)).flatMap(num(_, ReservedSuffix)).toSet)
+  }
+
+  /** Max committed ingest seq (0 for a never-appended index). */
+  def maxCommittedSeq(spark: SparkSession, path: String): Long =
+    seqMarkers(spark, path)._1.foldLeft(0L)(math.max)
+
+  private def reserveSeq(spark: SparkSession, path: String): Long = {
+    val (committed, reserved) = seqMarkers(spark, path)
+    val next = (committed ++ reserved).foldLeft(0L)(math.max) + 1
+    val fs = fsOf(spark, path)
+    if (!fs.createNewFile(new Path(s"$path/$SeqPrefix$next$ReservedSuffix")))
+      throw new IllegalStateException(
+        s"concurrent IVF append: seq $next already reserved")
+    next
+  }
+
+  private def commitSeq(spark: SparkSession, path: String, seq: Long): Unit = {
+    val fs = fsOf(spark, path)
+    if (!fs.rename(new Path(s"$path/$SeqPrefix$seq$ReservedSuffix"),
+        new Path(s"$path/$SeqPrefix$seq")))
+      throw new IllegalStateException(s"IVF seq commit failed for $seq")
+  }
+
+  /** Load a persisted index: (assigned corpus at COMMITTED visibility,
+    * LIVE centroids). The visibility filter admits rows with
+    * `ingest_seq <= max committed` minus crashed reservations, so a
+    * half-published append is never served. Retired inverted lists a
+    * past [[rebalanceIndex]] left on disk are harmless through this
+    * API: every search restricts the scan to `cluster IN (<probed
+    * ids>)` and only live centroids are ever probed, so an
+    * unreferenced list's files are planned away with the unprobed
+    * ones. [[vacuumIndex]] reclaims them.
+    */
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val (committed, reserved) = seqMarkers(spark, path)
+    val maxC = committed.foldLeft(0L)(math.max)
+    val raw = spark.read.parquet(s"$path/assigned")
+    val visible0 = raw.filter(col("ingest_seq") <= maxC)
+    val visible =
+      if (reserved.isEmpty) visible0
+      else visible0.filter(!col("ingest_seq").isin(reserved.toSeq: _*))
+    (visible,
       spark.read.parquet(centroidsGenPath(path, liveCentroidGen(spark, path))))
+  }
 
   /** Load the LIVE view of a persisted index: like [[loadIndex]] but
     * with pending [[deleteFromIndex]] tombstones masked out of the
@@ -179,13 +254,20 @@ object IvfIndex {
       .groupBy(idCol)
       .agg(min_by(col("centroid_id"),
         struct(col("cdist"), col("centroid_id"))).as("cluster"))
+    // reserve → write → commit: the batch's rows are invisible (seq
+    // above the committed ceiling) until the marker rename lands, so a
+    // crash mid-append publishes nothing and the re-run's FRESH seq
+    // can't collide with the orphan rows
+    val seq = reserveSeq(spark, path)
     // join the assignment back so EVERY caller column survives into
     // the inverted lists (the fit-time layout keeps them too) — a
     // batch-keyed hash join, nothing corpus-sized moves
     withCodes(newVecs.join(cluster, idCol), vecCol)
+      .withColumn("ingest_seq", lit(seq))
       .repartition(col("cluster")) // one file per touched list per batch
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$path/assigned")
+    commitSeq(spark, path, seq)
   }
 
   // ── deletion (retraction) ─────────────────────────────────────────
@@ -194,27 +276,38 @@ object IvfIndex {
 
   /** Retract vectors from a persisted index — the GDPR-erasure /
     * unlearning verb, O(deleted ids): one tombstone append, no list is
-    * read or rewritten. Every read path ([[searchTopK]],
-    * [[searchTopKQuantized]], [[listSizes]], [[rebalanceIndex]]) masks
-    * tombstoned ids with a broadcast anti-join, so deletion is visible
-    * immediately and exactly; [[compactLists]] later folds the
-    * tombstones into the physical layout. Tombstones mask by id, so
-    * RE-ADDING a retracted id needs the reconciling [[compactLists]]
-    * between retract and append (the seq-scoped upgrade TextIndex fmt-4
-    * applies would lift this — documented trade: the vector-index
-    * update pattern is rebuild-or-append, not per-id churn).
+    * read or rewritten. Tombstones are SEQ-SCOPED — each carries the
+    * max committed ingest seq at delete time, and the mask removes a
+    * row only if a tombstone for its id sits at or above the row's own
+    * ingest seq. Deletion is therefore visible immediately and
+    * exactly, AND a later [[appendToIndex]] re-adding the same id is
+    * visible the moment it lands (its rows carry a higher seq) — no
+    * compaction in the update path, the TextIndex fmt-4 discipline.
+    * Every read path ([[loadLive]], and [[listSizes]] /
+    * [[rebalanceIndex]] internally) applies the mask as a broadcast
+    * anti-join; [[compactLists]] later folds tombstones physically.
     */
-  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    val seq = maxCommittedSeq(ids.sparkSession, path)
     ids.select(col(idCol).cast("long").as("del_id")).distinct()
+      .withColumn("del_seq", lit(seq))
       .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
+  }
 
+  /** Per-id tombstone horizon: (del_id, del_seq = max over that id's
+    * tombstones).
+    */
   private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(s"$path/$TombstonesDir")
-    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    if (fsOf(spark, path).exists(p))
+      Some(spark.read.parquet(p.toString)
+        .groupBy("del_id").agg(max("del_seq").as("del_seq")))
     else None
   }
 
-  /** Anti-join the tombstone set out of an index frame. Identity when
+  /** Anti-join the tombstone horizon out of an index frame: a row dies
+    * only when a tombstone for its id is AT OR ABOVE the row's ingest
+    * seq — re-ingested rows carry a higher seq and pass. Identity when
     * no deletes are pending; broadcast-sized otherwise (deleted ids are
     * tiny next to a list scan — an index whose deletes outrun its
     * compaction cadence should compact, not ship a giant horizon).
@@ -223,7 +316,9 @@ object IvfIndex {
       df: DataFrame, idCol: String): DataFrame =
     tombstonesOf(spark, path) match {
       case Some(t) =>
-        df.join(broadcast(t), df(idCol) === t("del_id"), "left_anti")
+        df.join(broadcast(t),
+          df(idCol) === t("del_id") && df("ingest_seq") <= t("del_seq"),
+          "left_anti")
       case None => df
     }
 
@@ -239,8 +334,16 @@ object IvfIndex {
     if (tombstonesOf(spark, path).isEmpty) return
     val (assigned, centroids) = loadIndex(spark, path)
     val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val maxC = maxCommittedSeq(spark, path)
+    // surviving rows squash to the max committed seq, which lets the
+    // stale seq markers retire below. Safe against the rewrite-done/
+    // tombstones-not-yet-cleared crash window: a re-added row's
+    // tombstone necessarily sits STRICTLY below maxC (its re-ingest
+    // committed a higher seq), so the squashed row still clears the
+    // horizon; fully-dead ids have no rows left to mask.
     val kept = maskDeleted(spark, path,
-      assigned.filter(col("cluster").isin(live: _*)), idCol)
+        assigned.filter(col("cluster").isin(live: _*)), idCol)
+      .withColumn("ingest_seq", lit(maxC))
     // which lists still have rows once the mask applies — observed ON
     // the rewrite job itself: a dir the dynamic overwrite never
     // touches still holds its stale rows (post-write state can't
@@ -268,7 +371,16 @@ object IvfIndex {
     val fs = fsOf(spark, path)
     live.filterNot(nonEmpty).foreach { c =>
       fs.delete(new Path(s"$path/assigned/cluster=$c"), true) }
-    fs.delete(new Path(s"$path/$TombstonesDir"), true): Unit
+    fs.delete(new Path(s"$path/$TombstonesDir"), true)
+    // marker hygiene, LAST: every surviving row now sits at maxC, so
+    // finals below maxC and crashed reservations (whose orphan rows
+    // this rewrite just dropped) can retire. Partial deletion here is
+    // harmless — visibility only needs the max final marker.
+    val (committed, reserved) = seqMarkers(spark, path)
+    committed.filter(_ < maxC).foreach(s =>
+      fs.delete(new Path(s"$path/$SeqPrefix$s"), false))
+    reserved.foreach(s =>
+      fs.delete(new Path(s"$path/$SeqPrefix$s$ReservedSuffix"), false))
   }
 
   /** Per-list LIVE row counts (tombstones masked) — the skew

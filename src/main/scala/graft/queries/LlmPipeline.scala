@@ -1070,6 +1070,48 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // CDF-driven VECTOR index maintenance — the composition a
+    // production embedding pipeline runs, and the payoff of the
+    // seq-scoped IVF tombstones: embeddings live in a versioned
+    // snapshot table; an UPDATE commit (re-embedding: vec_id % 11 = 0
+    // vectors are replaced — reverse() stands in for the new model's
+    // output) and a DELETE commit (vec_id % 13 = 0) produce v3; ONE
+    // change feed v1→v3 then syncs the index with O(changes) work —
+    // retract (tombstone the deleted + update_preimage ids), re-ingest
+    // (update_postimage rows at a higher ingest seq). NO compaction
+    // and NO refit in the sync path: the re-ingested vectors are
+    // visible the moment their seq commits. Exhaustive probing over
+    // the synced live index must equal brute force over the v3 live
+    // state — the update term is load-bearing (reversed vectors rank
+    // differently), so a sync that missed a leg cannot pass.
+    "q_sim_ivf_cdc" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val emb = t(s, dir, "embeddings")
+      val root = graft.Tables.scratch("ivf_cdc_tbl")
+      val idx = graft.Tables.scratch("ivf_cdc_idx")
+      Snapshots.create(s, root, emb.select("vec_id", "embedding"))
+      IvfIndex.buildIndex(Snapshots.read(s, root),
+        "vec_id", "embedding", nCentroids = 8, path = idx)
+      Snapshots.commitUpdate(s, root, col("vec_id") % 11 === 0,
+        Map("embedding" -> reverse(col("embedding"))))
+      Snapshots.commitDelete(s, root, col("vec_id") % 13 === 0)
+      // materialize the feed once (its diff join feeds both legs)
+      val chDir = graft.Tables.scratch("ivf_cdc_feed")
+      Snapshots.changes(s, root, 1, 3, "vec_id")
+        .write.mode("overwrite").parquet(chDir)
+      val ch = s.read.parquet(chDir)
+      IvfIndex.deleteFromIndex(
+        ch.filter(col("_change_type").isin("delete", "update_preimage"))
+          .select("vec_id"), "vec_id", idx)
+      IvfIndex.appendToIndex(
+        ch.filter(col("_change_type") === "update_postimage")
+          .select("vec_id", "embedding"), "vec_id", "embedding", idx)
+      val (a, c) = IvfIndex.loadLive(s, idx, "vec_id")
+      IvfIndex.searchTopK(a, c, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbes = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Int8 embedding quantization (the storage format a vector corpus
     // ships at scale: 4× smaller than float32). Per-vector max-abs
     // scaling; floor(x + 0.5) rounding — NOT round() — so both engines
@@ -2003,6 +2045,24 @@ object LlmPipeline {
          |    row_number() OVER (PARTITION BY p.vec_id
          |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
          |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // CDC-synced IVF probed exhaustively = brute force over the v3
+    // live state (updates applied, deletes gone) — the oracle
+    // recomputes the re-embedding (reverse) and the erasure directly
+    "q_sim_ivf_cdc" ->
+      s"""WITH live AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 11 = 0 THEN list_reverse(embedding)
+         |         ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 13 <> 0)
+         |SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, live c
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 

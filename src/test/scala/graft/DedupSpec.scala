@@ -509,6 +509,67 @@ class DedupSpec extends SparkSuite {
     assert(hit.headOption.contains(0L), s"re-added vector not findable: ${hit.toSeq}")
   }
 
+  test("ivf seq-scoped tombstones: update needs no compaction; crashed append invisible and rerun-safe") {
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val base = (0L until 40L).map { i =>
+      val rnd = new scala.util.Random(i + 1000)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_seq_test")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    val probes = df.filter(col("vec_id") >= 37L)
+    def exhaustiveLive(): Seq[(Long, Int, Long)] = {
+      val (a, c) = IvfIndex.loadLive(spark, path, "vec_id")
+      IvfIndex.searchTopK(a, c, probes, "vec_id", "embedding",
+          k = 5, nProbes = c.count().toInt)
+        .select("probe_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    }
+    def brute(remaining: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      SimilaritySearch.bruteForceTopK(remaining, probes, "vec_id", "embedding", k = 5)
+        .select("probe_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    // UPDATE vector 5 — retract, then re-ingest replacement text, with
+    // NO compaction anywhere in the protocol: the re-ingested rows
+    // carry a seq above the tombstone's and pass the mask
+    val rnd5 = new scala.util.Random(9999)
+    val newVec = Array.fill(16)(rnd5.nextFloat() - 0.5f)
+    IvfIndex.deleteFromIndex(Seq(5L).toDF("vec_id"), "vec_id", path)
+    IvfIndex.appendToIndex(Seq((5L, newVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val live1 = df.filter(col("vec_id") =!= 5L)
+      .unionByName(Seq((5L, newVec)).toDF("vec_id", "embedding"))
+    assert(exhaustiveLive() === brute(live1),
+      "update (retract + re-ingest, no compaction) diverged")
+    // crashed append drill: append, then rewind its commit marker to
+    // the reserved state — the batch must vanish, and the re-run must
+    // publish exactly one visible copy
+    val v100 = Array.fill(16)(0.33f)
+    IvfIndex.appendToIndex(Seq((100L, v100)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val m = IvfIndex.maxCommittedSeq(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_seq_$m"),
+      new org.apache.hadoop.fs.Path(s"$path/_seq_$m.reserved")))
+    assert(IvfIndex.maxCommittedSeq(spark, path) < m)
+    assert(exhaustiveLive() === brute(live1),
+      "uncommitted append batch became visible")
+    IvfIndex.appendToIndex(Seq((100L, v100)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val live2 = live1.unionByName(Seq((100L, v100)).toDF("vec_id", "embedding"))
+    assert(exhaustiveLive() === brute(live2), "re-run append diverged")
+    val copies = IvfIndex.loadIndex(spark, path)._1
+      .filter(col("vec_id") === 100L).count()
+    assert(copies === 1L, s"re-run published $copies visible copies")
+    // compaction folds everything and the answer is unchanged
+    IvfIndex.compactLists(spark, path, "vec_id")
+    assert(exhaustiveLive() === brute(live2), "post-compaction diverged")
+    assert(IvfIndex.loadIndex(spark, path)._1
+      .filter(col("vec_id") === 5L).count() === 1L)
+  }
+
   test("streaming dedup index: a batch's old-side read is pruned to prior ingest partitions") {
     import graft.operators.{DataSkipping, Dedup}
     val docs = (0L until 40L).map(i => (i, s"alpha beta gamma delta epsilon doc$i"))
