@@ -81,6 +81,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_text_search",
         "graft_text_search(indexPath, 'terms ...') - conjunctive index search"),
       GraftExtensions.textSearchTvfBuilder))
+
+    // SQL surface for index-served vector search:
+    //   SELECT * FROM graft_ann_search('/path/to/ivf', '/path/to/probes', 5, 8)
+    // resolves to IvfIndex.searchTopK over the LIVE index view
+    // (committed seqs, tombstones masked) — the probed-cluster
+    // partition pruning and the bounded-heap cut both survive into
+    // SQL, and joins/filters compose on top. Probe tables follow the
+    // embeddings schema convention: (vec_id, embedding).
+    ext.injectTableFunction((FunctionIdentifier("graft_ann_search"),
+      info("graft_ann_search",
+        "graft_ann_search(indexPath, probesPath, k, nProbes) - IVF ANN top-k"),
+      GraftExtensions.annSearchTvfBuilder))
   }
 }
 
@@ -130,6 +142,25 @@ object GraftExtensions {
       val terms = strArg(es(1), "graft_text_search terms")
         .split("\\s+").toSeq.filter(_.nonEmpty)
       graft.operators.TextIndex.searchAll(SparkSession.active, path, terms)
+        .queryExecution.analyzed
+    }
+
+  /** The graft_ann_search TVF: IVF top-k over the live view of a
+    * persisted index, as a SQL-composable relation. Schema convention:
+    * index and probe tables carry (vec_id, embedding).
+    */
+  val annSearchTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      if (es.length != 4) throw new IllegalArgumentException(
+        s"graft_ann_search expects (indexPath, probesPath, k, nProbes); got ${es.length} args")
+      val idx = strArg(es.head, "graft_ann_search indexPath")
+      val probes = strArg(es(1), "graft_ann_search probesPath")
+      val k = intArg(es(2), "graft_ann_search k")
+      val nProbes = intArg(es(3), "graft_ann_search nProbes")
+      val s = SparkSession.active
+      val (a, c) = graft.operators.IvfIndex.loadLive(s, idx, "vec_id")
+      graft.operators.IvfIndex.searchTopK(a, c, s.read.parquet(probes),
+          "vec_id", "embedding", k, nProbes)
         .queryExecution.analyzed
     }
 

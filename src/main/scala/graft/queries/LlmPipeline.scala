@@ -250,6 +250,25 @@ object LlmPipeline {
            |ORDER BY t.doc_id""".stripMargin)
     }),
 
+    // SQL surface for the VECTOR index — the graft_ann_search TVF
+    // resolves to the partition-pruned IVF search over the index's
+    // LIVE view, composable with plain SQL on top (here: a join back
+    // to the probes relation and a rank filter). Exhaustive probing
+    // (nProbes = nCentroids) makes the exact brute-force oracle apply.
+    "q_sql_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Tables.scratch("ivf_sql_index")
+      val probes = Tables.scratch("ivf_sql_probes")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+      emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(probes)
+      s.sql(
+        s"""SELECT probe_id, rank, neighbor_id, cos
+           |FROM graft_ann_search('$idx', '$probes', 5, 8)
+           |WHERE rank <= 3
+           |ORDER BY probe_id, rank""".stripMargin)
+    }),
+
     // Exact phrase search from the positional postings — consecutive
     // token offsets, occurrence-counted, corpus never read at query
     // time. The same persisted index serves conjunctive, BM25, and
@@ -2047,6 +2066,18 @@ object LlmPipeline {
          |  FROM embeddings p, embeddings c
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // the SQL TVF's exhaustive search with the rank<=3 SQL filter on
+    // top = brute-force top-3 exactly
+    "q_sql_ann" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     // CDC-synced IVF probed exhaustively = brute force over the v3
     // live state (updates applied, deletes gone) — the oracle
