@@ -148,9 +148,17 @@ object Dedup {
     // candidate joins, verification) — materialize it once; the OLD
     // index is already parquet-backed, so re-reads are cheap
     val newIdx = newIdx0.localCheckpoint()
-    val allB = index.select(col("doc"), explode(col("bands")).as("band"))
-      .union(newIdx.select(col("doc"), explode(col("bands")).as("band")))
     val newB = newIdx.select(col("doc"), explode(col("bands")).as("band"))
+    // every downstream consumer (band stats, both candidate joins)
+    // only ever looks at bands the NEW batch occupies — restrict the
+    // old∪new exploded view to those up front, so a batch's work is
+    // O(new bands' postings), not O(index): without this, the stats
+    // aggregation alone re-scans the whole persisted index per
+    // incremental batch, which at streaming cadence is the corpus
+    // re-scan the incremental path exists to avoid
+    val allB = index.select(col("doc"), explode(col("bands")).as("band"))
+      .union(newB)
+      .join(newB.select("band").distinct(), Seq("band"), "left_semi")
     val stats = allB.groupBy("band").agg(count(lit(1)).as("__bucket_n"))
     val ok = stats.filter(col("__bucket_n") <= maxBucket).select("band")
     val big = stats.filter(col("__bucket_n") > maxBucket).select("band")
