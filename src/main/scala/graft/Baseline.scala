@@ -1179,7 +1179,7 @@ object Baseline {
     // HOF transform — formulations a stock user writes verbatim, so
     // the control IS the identical plan (variance pair)
     "q_text_pack_sharded", "q_multimodal_image_resize",
-    "q_text_vocab_encode")
+    "q_text_vocab_encode", "q_text_dataset_card")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

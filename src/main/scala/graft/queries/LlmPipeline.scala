@@ -1255,6 +1255,25 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Per-source dataset card — the corpus-composition rollup every
+    // training run records (docs, token volume, length profile,
+    // language spread per source). One partial-aggregated groupBy over
+    // |sources| keys; no window, no collect beyond the result itself.
+    "q_text_dataset_card" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("long").as("n_words"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_words"),
+          sum("n_chars").as("total_chars"),
+          avg("n_words").as("avg_words"),
+          max("n_words").as("max_words"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    }),
+
     // Vocabulary build + id-encoding — the corpus→trainer step: mine
     // the top-V tokens by corpus frequency (rank desc count, asc token
     // — fully deterministic), assign ids 1..V by rank, and encode every
@@ -2181,6 +2200,16 @@ object LlmPipeline {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_est,
         |  n_chars = length(text) AS chars_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_dataset_card" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS total_words,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  avg(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))) AS avg_words,
+        |  CAST(max(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS max_words,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // vocab rank is fully ordered (count desc, token asc), so the
     // top-256 set and every id agree across engines exactly
