@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: reciprocal-rank fusion (RRF) of the two persisted
+  * index access paths — a lexical leg served by the inverted text
+  * index ([[TextIndex.bm25]]: manifest totals, term-pruned postings)
+  * and a vector leg served by the cluster-partitioned IVF index
+  * ([[IvfIndex.searchTopK]]: probed-list partition pruning). This is
+  * the RAG-retrieval shape: one query = a term set plus an embedding;
+  * the answer is one fused ranking per probe.
+  *
+  * RRF (Cormack et al., SIGIR'09): score(d) = Σ_legs 1/(k0 + rank_leg(d)),
+  * summed over the legs that retrieved d in their top-n. Fusion is a
+  * UNION of per-leg contribution rows + one groupBy — deliberately NOT
+  * a full-outer join, which cannot broadcast either side and would add
+  * a join for every extra leg. At scale every stage is bounded:
+  *   - the BM25 leg is O(postings-of-terms) index I/O and its ranking
+  *     window runs over the already-`limit(n)`-ed rows (≤ n, driver-
+  *     bounded), never over the corpus;
+  *   - the vector leg inherits the IVF layout's partition pruning and
+  *     the bounded-heap cut (shuffle carries O(probes × n) rows);
+  *   - the text leg is replicated to probes by a broadcast crossJoin
+  *     of an ≤ n-row frame — the corpus is never rescanned;
+  *   - the fused cut reuses the same heap aggregator, so no per-probe
+  *     sort task materializes the candidate union.
+  * Candidate set per probe = union of both legs' top-n (standard RRF —
+  * docs outside both top-n lists score 0 and cannot enter the fused
+  * top-k for k ≤ n). The vector leg excludes the probe's own vector
+  * (self-match); the text leg has no self notion, so a probe's own
+  * document may still surface through its lexical rank.
+  */
+object HybridSearch {
+
+  /** Fused top-k per probe. `n` is the per-leg retrieval depth, `k`
+    * the fused cut, `k0` the RRF smoothing constant (60 in the paper).
+    * Ties in the fused score (common: a rank-r-text-only doc and a
+    * rank-r-vector-only doc score identically) break by ascending
+    * doc id, in both the heap cut and the oracle. Output:
+    * (probe_id, rank, doc_id, rrf).
+    */
+  def rrfTopK(spark: SparkSession, textIndexPath: String,
+      assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
+      terms: Seq[String], idCol: String, vecCol: String,
+      n: Int, k: Int, nProbes: Int, k0: Int = 60): DataFrame = {
+    // lexical leg: BM25 off the persisted index; the window input is
+    // the limit(n) result, so the single-partition rank is n-bounded
+    val textTop = TextIndex.bm25(spark, textIndexPath, terms, n)
+      .withColumn("leg_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("leg_rank"))
+    // vector leg: IVF search (partition-pruned lists, heap cut)
+    val vecTop = IvfIndex.searchTopK(assigned, centroids, probes,
+        idCol, vecCol, n, nProbes)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("leg_rank"))
+    val pid = probes.select(col(idCol).as("probe_id"))
+    val contrib = pid.crossJoin(broadcast(textTop))
+      .unionByName(vecTop)
+      .select(col("probe_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0) + col("leg_rank")).cast("double")).as("contrib"))
+    // ≤ 2 contribution rows per (probe, doc): the sum is order-free
+    // bit-identically (IEEE addition of two positive doubles commutes)
+    val fused = contrib.groupBy("probe_id", "doc_id")
+      .agg(sum("contrib").as("rrf"))
+    SimilaritySearch.heapTopK(
+        fused.select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rrf")),
+        "rrf", k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id").as("doc_id"),
+        col("rrf"))
+  }
+}

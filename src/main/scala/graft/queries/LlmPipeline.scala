@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Aggregators, TextFunctions, VectorExpressions}
-import graft.operators.{Dedup, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
+import graft.operators.{Dedup, HybridSearch, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -267,6 +267,29 @@ object LlmPipeline {
            |FROM graft_ann_search('$idx', '$probes', 5, 8)
            |WHERE rank <= 3
            |ORDER BY probe_id, rank""".stripMargin)
+    }),
+
+    // Hybrid retrieval (the RAG-search shape): ONE query = a term set
+    // + a probe embedding; the lexical leg is BM25 served from the
+    // persisted inverted index, the vector leg is the cluster-
+    // partitioned IVF search, and the two rankings fuse by reciprocal-
+    // rank fusion (union + groupBy, heap cut — no outer join, no
+    // corpus-sized window; see HybridSearch). Exhaustive probing
+    // (nProbes = nCentroids) makes the vector leg exact, so the whole
+    // fused ranking has an EXACT SQL oracle: brute-force cosine ranks
+    // + corpus-side BM25 ranks + the same 1/(60+r) sum.
+    "q_hybrid_search_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val tidx = Tables.scratch("hybrid_text_index")
+      val vidx = Tables.scratch("hybrid_vec_index")
+      TextIndex.buildIndex(docs, "doc_id", "text", tidx)
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 16, path = vidx)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, vidx)
+      HybridSearch.rrfTopK(s, tidx, assigned, centroids,
+        emb.filter(col("vec_id") < 5), Seq("hash", "merge", "vector"),
+        "vec_id", "embedding", n = 50, k = 10, nProbes = 16)
+        .orderBy("probe_id", "rank")
     }),
 
     // Exact phrase search from the positional postings — consecutive
@@ -1666,6 +1689,51 @@ object LlmPipeline {
         |FROM tf, df, s WHERE tf.w = df.w
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Exact RRF oracle: corpus-side BM25 ranks (identical formula to
+    // q_text_bm25_index) + brute-force cosine ranks per probe, fused
+    // by the same 1/(60+r) sum. DOUBLE casts force double division
+    // (a bare 1.0/bigint would type DECIMAL in DuckDB); ties break by
+    // doc id ascending in both rankers and the fused cut, exactly as
+    // the heap aggregator does.
+    "q_hybrid_search_rrf" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |bm_scores AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln((st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM tf, dfs, st WHERE tf.w = dfs.w GROUP BY tf.doc_id),
+         |bm AS (SELECT doc_id, trank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
+         |  FROM bm_scores) WHERE trank <= 50),
+         |vr AS (SELECT probe_id, neighbor_id, vrank FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS vrank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id) WHERE vrank <= 50),
+         |contrib AS (
+         |  SELECT probes.probe_id, bm.doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + bm.trank AS DOUBLE) AS c
+         |  FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5) probes, bm
+         |  UNION ALL
+         |  SELECT probe_id, neighbor_id AS doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + vrank AS DOUBLE) AS c FROM vr),
+         |fused AS (SELECT probe_id, doc_id, sum(c) AS rrf FROM contrib GROUP BY 1, 2)
+         |SELECT probe_id, rank, doc_id, rrf FROM (
+         |  SELECT probe_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
     "q_text_bm25" ->
       """WITH d AS (

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, HybridSearch, IvfIndex, SimilaritySearch, TextIndex}
 import org.apache.spark.sql.functions._
 
 /** Operator-level behavior on planted duplicates. */
@@ -722,5 +722,61 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.nonEmpty)
     assert(!got.exists { case (p, n) => p == 9999L || n == 9999L })
+  }
+
+  test("hybrid rrf fusion equals per-leg ranks fused in scala; ties break by doc id") {
+    // 8 docs: ids 0-3 carry the query terms with DISTINCT lexical
+    // strength (term repetitions); vectors put ids 4-7 nearest the
+    // probe — so the legs overlap only partially and both exclusive
+    // and shared members exist in the fused candidate set.
+    val docs = (0L to 7L).map { i =>
+      val lex = if (i <= 3) ("hash " * (4 - i).toInt) + "merge filler" else "plain filler text"
+      (i, lex)
+    }.toDF("doc_id", "text")
+    val vecs = (0L to 7L).map { i =>
+      // probe is id 0; ids 4-7 get vectors closest to it
+      val x = if (i >= 4) 1.0f else 0.1f * i
+      (i, Array(x, 1.0f - x, 0.3f))
+    }.toDF("vec_id", "embedding")
+    val tidx = Tables.scratch("hybrid_spec_tidx")
+    val vidx = Tables.scratch("hybrid_spec_vidx")
+    TextIndex.buildIndex(docs, "doc_id", "text", tidx)
+    IvfIndex.buildIndex(vecs, "vec_id", "embedding", nCentroids = 2, path = vidx)
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, vidx)
+    val probes = vecs.filter(col("vec_id") === 0L)
+    val n = 4
+    val got = HybridSearch.rrfTopK(spark, tidx, assigned, centroids, probes,
+        Seq("hash", "merge"), "vec_id", "embedding", n = n, k = 8, nProbes = 2)
+      .orderBy("rank")
+      .select("doc_id", "rrf").as[(Long, Double)].collect().toSeq
+
+    // scala-side reference: fuse the two legs' ranks independently
+    val textRanks = TextIndex.bm25(spark, tidx, Seq("hash", "merge"), n)
+      .orderBy(col("score").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq.zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val vecRanks = SimilaritySearch.bruteForceTopK(vecs, probes,
+        "vec_id", "embedding", k = n)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq.zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val want = (textRanks.keySet ++ vecRanks.keySet).toSeq
+      .map { d =>
+        val c = textRanks.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vecRanks.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (d, c)
+      }
+      .sortBy { case (d, c) => (-c, d) }
+    assert(got == want, s"got $got want $want")
+    // both-leg members must outrank every single-leg member whose best
+    // leg rank is no better
+    assert(textRanks.keySet.intersect(vecRanks.keySet).isEmpty ||
+      got.head._2 >= got.last._2)
+    // a text-only doc and a vector-only doc at the SAME leg rank tie on
+    // rrf and must order by ascending doc id
+    val tied = want.groupBy(_._2).filter(_._2.size > 1).values.flatten.toSeq
+    if (tied.nonEmpty) {
+      val gotTied = got.filter(g => tied.exists(_._1 == g._1)).map(_._1)
+      assert(gotTied == gotTied.sorted, s"tie order not by doc id: $gotTied")
+    }
   }
 }
