@@ -386,6 +386,90 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_hybrid_search_rrf control: the same deliverable (persist a
+    // text retrieval index AND a k-means vector index, then serve one
+    // RRF-fused ranking per probe) with the stock flat layouts — the
+    // BM25 leg scans every posting row of the flat postings table (no
+    // bucket pruning, stats recomputed from the doclen artifact
+    // instead of a manifest), the vector leg scans the whole flat
+    // assigned table (no cluster partition pruning), and every cut is
+    // a row_number window instead of the bounded-heap aggregate. The
+    // pair isolates what the hybrid path inherits from the two index
+    // layouts plus the fusion shape.
+    "q_hybrid_search_rrf" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      // text artifacts, flat (the bm25 pair's layout)
+      val post = Tables.scratch("baseline_hybrid_postings")
+      val dls = Tables.scratch("baseline_hybrid_doclen")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(post)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(dls)
+      // vector artifacts, flat (the ivf pairs' layout)
+      val vout = Tables.scratch("baseline_hybrid_ivf")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(16).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+      model.transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(s"$vout/assigned")
+      import s.implicits._
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+        .toDF("centroid_id", "centroid_vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vout/centroids")
+      // BM25 leg from the flat artifacts, window-ranked
+      val terms = Seq("hash", "merge", "vector")
+      val tf = s.read.parquet(post).filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val dl = s.read.parquet(dls)
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      val wT = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val textTop = tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+        .withColumn("leg_rank", row_number().over(wT))
+        .filter(col("leg_rank") <= 50)
+        .select("doc_id", "leg_rank")
+      // vector leg: exhaustive scan of the flat persisted index
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val p = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val cv = s.read.parquet(s"$vout/assigned")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("neighbor_vec"))
+      val wV = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("doc_id").asc)
+      val vecTop = cv.join(broadcast(p), col("probe_id") =!= col("doc_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+        .withColumn("leg_rank", row_number().over(wV))
+        .filter(col("leg_rank") <= 50)
+        .select("probe_id", "doc_id", "leg_rank")
+      // RRF fusion, window cut
+      val contrib = p.select("probe_id").crossJoin(broadcast(textTop))
+        .unionByName(vecTop)
+        .select(col("probe_id"), col("doc_id"),
+          (lit(1.0) / (lit(60) + col("leg_rank")).cast("double")).as("c"))
+      val wF = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id").asc)
+      contrib.groupBy("probe_id", "doc_id").agg(sum("c").as("rrf"))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 10)
+        .select("probe_id", "rank", "doc_id", "rrf")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_sim_ivf_pq control: the same deliverable (persist a k-means
     // index, search it, verify vs exact) WITHOUT the two graft layout
     // moves — the assigned corpus lands as FLAT parquet (no cluster
