@@ -386,6 +386,35 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_text_decontaminate_fuzzy control: the stock user's fuzzy
+    // decontamination — inverted-index enumeration of EVERY cross
+    // gram collision (the oracle's shape in Spark), jaccard from
+    // per-pair collision counts, no prefix filter and no positional
+    // pruning: every (train, bench) pair sharing ANY bigram reaches
+    // the aggregate, where the graft side only aggregates pairs whose
+    // rarest-first prefixes collide.
+    "q_text_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), array_distinct(
+        graft.operators.Dedup.shingles(
+          graft.operators.Dedup.tokens(col("text")), 2)).as("g"))
+      val e = grams.select(col("doc_id"), size(col("g")).as("sz"),
+        explode(col("g")).as("gram"))
+      val tr = e.filter(col("doc_id") % 10 =!= 0)
+        .select(col("gram"), col("doc_id"), col("sz").as("sz_a"))
+      val be = e.filter(col("doc_id") % 10 === 0)
+        .select(col("gram"), col("doc_id").as("bench_id"), col("sz").as("sz_b"))
+      tr.join(be, Seq("gram"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).cast("double").as("inter"),
+          max("sz_a").as("sz_a"), max("sz_b").as("sz_b"))
+        .withColumn("jaccard",
+          col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_id", "bench_id", "jaccard")
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // q_hybrid_search_rrf control: the same deliverable (persist a
     // text retrieval index AND a k-means vector index, then serve one
     // RRF-fused ranking per probe) with the stock flat layouts — the

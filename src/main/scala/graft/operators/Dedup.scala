@@ -266,6 +266,63 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** CROSS-TABLE exact similarity join — [[prefixJaccardJoin]]'s
+    * prefix-filter completeness argument applied between two relations
+    * (fuzzy decontamination: training corpus × benchmark set). Both
+    * sides' prefixes are built under ONE shared global gram order
+    * (document frequency over the union, gram as tiebreak) — the
+    * prefix lemma requires the two documents of a qualifying pair to
+    * order their grams identically, and then guarantees their prefixes
+    * intersect, so joining LEFT prefixes against RIGHT prefixes only
+    * is still a complete candidate generator while never materializing
+    * within-side candidates — at scale the within-corpus near-dup
+    * pairs (the dedup problem, solved elsewhere) vastly outnumber the
+    * cross-side hits this operator is after. Length-ratio and PPJoin
+    * positional filters apply unchanged; candidates verify by exact
+    * jaccard, so results carry no LSH recall loss and are
+    * oracle-exact. Output: (doc_a ∈ left, doc_b ∈ right, jaccard) —
+    * ids may overlap across the two relations.
+    */
+  def crossJaccardJoin(
+      left: DataFrame, right: DataFrame, idCol: String,
+      gramsCol: String, threshold: Double): DataFrame = {
+    def side(df: DataFrame, tag: Int) =
+      df.select(col(idCol).as("doc"), array_distinct(col(gramsCol)).as("grams"),
+        lit(tag).as("side"))
+    // one materialization feeds df counts, both prefix builds, and
+    // both verification sides (the prefixJaccardJoin rule)
+    val u = side(left, 0).unionByName(side(right, 1)).localCheckpoint()
+    val exploded = u.select(col("side"), col("doc"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val dfCounts = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val w = Window.partitionBy("side", "doc").orderBy(col("gram_df").asc, col("gram").asc)
+    val prefixes = exploded.join(dfCounts, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val pa = prefixes.filter(col("side") === 0)
+      .select(col("gram"), col("doc").as("doc_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
+    val pb = prefixes.filter(col("side") === 1)
+      .select(col("gram"), col("doc").as("doc_b"), col("sz").as("sz_b"), col("rn").as("rn_b"))
+    val minOverlap =
+      ceil(lit(threshold) * (col("sz_a") + col("sz_b")) / lit(1.0 + threshold))
+    val cands = pa.join(pb, Seq("gram"))
+      .filter(least(col("sz_a"), col("sz_b")) >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("k"),
+        max("rn_a").as("imax"), max("rn_b").as("jmax"),
+        max("sz_a").as("sz_a"), max("sz_b").as("sz_b"))
+      .filter(col("k") + least(col("sz_a") - col("imax"), col("sz_b") - col("jmax")) >= minOverlap)
+      .select("doc_a", "doc_b")
+    cands
+      .join(u.filter(col("side") === 0)
+        .select(col("doc").as("doc_a"), col("grams").as("g_a")), Seq("doc_a"))
+      .join(u.filter(col("side") === 1)
+        .select(col("doc").as("doc_b"), col("grams").as("g_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard_tokens(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash near-dup: 64-bit simhash, banded into 4×16-bit chunks
     * (pigeonhole: hamming distance ≤3 ⇒ at least one chunk equal),
     * verified with bit_count(xor) ≤ maxHamming.

@@ -1443,6 +1443,28 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination — the near-dup complement of the exact
+    // 8-gram containment check above: a benchmark document that was
+    // paraphrased or lightly edited into the training corpus shares no
+    // long exact gram but keeps a high bigram-jaccard. Cross-table
+    // prefix-filtered similarity join (Dedup.crossJaccardJoin): both
+    // sides' prefixes under ONE shared gram order, candidates are
+    // train-prefix × bench-prefix collisions ONLY (within-corpus dup
+    // pairs never materialize), verified by exact jaccard — complete,
+    // no LSH recall loss, hence the EXACT oracle below.
+    "q_text_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.shingles(Dedup.tokens(col("text")), 2).as("grams"))
+      Dedup.crossJaccardJoin(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "grams", threshold = 0.8)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_id"),
+          col("jaccard"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Winnowing fingerprints (rolling-hash document sketch) with a
     // DERIVED oracle: hash values are custom, but winnowing's
     // structural guarantees are length-derivable — with k=7, w=10 a
@@ -2425,6 +2447,18 @@ object LlmPipeline {
         |         WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench))
         |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM cont) AS contaminated
         |FROM documents d WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // exact bigram-jaccard between every (train, bench) doc pair via
+    // the shared inverted-index CTE; the prefix-filtered cross join
+    // must reproduce it verbatim (completeness has no recall term)
+    "q_text_decontaminate_fuzzy" ->
+      s"""WITH $gramIndexCte
+         |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+         |  CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS bench_id,
+         |  jaccard
+         |FROM jpairs
+         |WHERE jaccard >= 0.8 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |ORDER BY doc_id, bench_id""".stripMargin,
 
     "q_sql_cosine" ->
       s"""SELECT a.vec_id AS vid, ${duckCos("a.embedding", "b.embedding")} AS cos

@@ -724,6 +724,48 @@ class DedupSpec extends SparkSuite {
     assert(!got.exists { case (p, n) => p == 9999L || n == 9999L })
   }
 
+  test("cross jaccard join: complete vs brute force, cross-side only, ids may collide") {
+    import graft.operators.Dedup.{shingles, tokens}
+    // train 1-4, bench 100-101; 1↔100 near-dup (cross hit), 1↔2 exact
+    // dup WITHIN train (must never surface), 3 unrelated
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated content about something else entirely here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text").select(col("doc_id"),
+      shingles(tokens(col("text")), 2).as("grams"))
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "different benchmark text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text").select(col("doc_id"),
+      shingles(tokens(col("text")), 2).as("grams"))
+    val got = Dedup.crossJaccardJoin(train, bench, "doc_id", "grams", 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force reference over the cross product
+    val tg = train.select(col("doc_id"), array_distinct(col("grams")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val bg = bench.select(col("doc_id"), array_distinct(col("grams")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (a, ga) <- tg; (b, gb) <- bg
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      if j >= 0.7
+    } yield (a, b, j)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.exists(_._1 == 1L)) // the planted cross hit is real
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L)) // no within-side pair
+    // id collision across relations: bench doc with a TRAIN id must
+    // still join as a bench-side doc, not alias the train doc
+    val benchClash = bench.withColumn("doc_id",
+      when(col("doc_id") === 100L, lit(3L)).otherwise(col("doc_id")))
+    val clash = Dedup.crossJaccardJoin(train, benchClash, "doc_id", "grams", 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clash.contains((1L, 3L)) && clash.contains((2L, 3L)) &&
+      clash.contains((4L, 3L)), s"clash pairs: $clash")
+  }
+
   test("hybrid rrf fusion equals per-leg ranks fused in scala; ties break by doc id") {
     // 8 docs: ids 0-3 carry the query terms with DISTINCT lexical
     // strength (term repetitions); vectors put ids 4-7 nearest the
