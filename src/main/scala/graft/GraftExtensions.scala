@@ -93,6 +93,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_ann_search",
         "graft_ann_search(indexPath, probesPath, k, nProbes) - IVF ANN top-k"),
       GraftExtensions.annSearchTvfBuilder))
+
+    // SQL surface for hybrid retrieval: RRF fusion of the two index-
+    // served legs (HybridSearch.rrfTopK) —
+    //   SELECT * FROM graft_hybrid_search(textIdx, vecIdx, probes,
+    //                                     'terms ...', n, k, nProbes)
+    // Both legs keep their layouts' pruning (term buckets / probed
+    // cluster partitions) and the fused cut stays a heap aggregate;
+    // joins/filters compose on top in SQL.
+    ext.injectTableFunction((FunctionIdentifier("graft_hybrid_search"),
+      info("graft_hybrid_search",
+        "graft_hybrid_search(textIndexPath, vecIndexPath, probesPath, " +
+          "'terms ...', n, k, nProbes) - RRF-fused hybrid top-k"),
+      GraftExtensions.hybridSearchTvfBuilder))
   }
 }
 
@@ -161,6 +174,30 @@ object GraftExtensions {
       val (a, c) = graft.operators.IvfIndex.loadLive(s, idx, "vec_id")
       graft.operators.IvfIndex.searchTopK(a, c, s.read.parquet(probes),
           "vec_id", "embedding", k, nProbes)
+        .queryExecution.analyzed
+    }
+
+  /** The graft_hybrid_search TVF: RRF-fused hybrid retrieval over a
+    * persisted text index and the live view of a persisted vector
+    * index, as a SQL-composable relation.
+    */
+  val hybridSearchTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      if (es.length != 7) throw new IllegalArgumentException(
+        "graft_hybrid_search expects (textIndexPath, vecIndexPath, " +
+          s"probesPath, terms, n, k, nProbes); got ${es.length} args")
+      val tidx = strArg(es.head, "graft_hybrid_search textIndexPath")
+      val vidx = strArg(es(1), "graft_hybrid_search vecIndexPath")
+      val probes = strArg(es(2), "graft_hybrid_search probesPath")
+      val terms = strArg(es(3), "graft_hybrid_search terms")
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      val n = intArg(es(4), "graft_hybrid_search n")
+      val k = intArg(es(5), "graft_hybrid_search k")
+      val nProbes = intArg(es(6), "graft_hybrid_search nProbes")
+      val s = SparkSession.active
+      val (a, c) = graft.operators.IvfIndex.loadLive(s, vidx, "vec_id")
+      graft.operators.HybridSearch.rrfTopK(s, tidx, a, c,
+          s.read.parquet(probes), terms, "vec_id", "embedding", n, k, nProbes)
         .queryExecution.analyzed
     }
 

@@ -292,6 +292,31 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // SQL surface for the hybrid path — graft_hybrid_search resolves
+    // to the same fused plan as q_hybrid_search_rrf, and plain SQL
+    // composes on top (a rank filter + a join back to the documents
+    // table for the source attribute): the full RAG retrieval round
+    // trip as one SQL statement.
+    "q_sql_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val tidx = Tables.scratch("hybrid_sql_tidx")
+      val vidx = Tables.scratch("hybrid_sql_vidx")
+      val probes = Tables.scratch("hybrid_sql_probes")
+      TextIndex.buildIndex(docs, "doc_id", "text", tidx)
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 16, path = vidx)
+      emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(probes)
+      docs.select("doc_id", "source").createOrReplaceTempView("hybrid_sql_docs")
+      s.sql(
+        s"""SELECT h.probe_id, h.rank, h.doc_id, h.rrf, d.source
+           |FROM graft_hybrid_search('$tidx', '$vidx', '$probes',
+           |                         'hash merge vector', 50, 10, 16) h
+           |JOIN hybrid_sql_docs d ON h.doc_id = d.doc_id
+           |WHERE h.rank <= 5
+           |ORDER BY h.probe_id, h.rank""".stripMargin)
+    }),
+
     // Exact phrase search from the positional postings — consecutive
     // token offsets, occurrence-counted, corpus never read at query
     // time. The same persisted index serves conjunctive, BM25, and
@@ -1756,6 +1781,51 @@ object LlmPipeline {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // the hybrid oracle wrapped by the same SQL the engine composes on
+    // top of the TVF (rank filter + documents join)
+    "q_sql_hybrid" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |bm_scores AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln((st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM tf, dfs, st WHERE tf.w = dfs.w GROUP BY tf.doc_id),
+         |bm AS (SELECT doc_id, trank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
+         |  FROM bm_scores) WHERE trank <= 50),
+         |vr AS (SELECT probe_id, neighbor_id, vrank FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS vrank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id) WHERE vrank <= 50),
+         |contrib AS (
+         |  SELECT probes.probe_id, bm.doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + bm.trank AS DOUBLE) AS c
+         |  FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5) probes, bm
+         |  UNION ALL
+         |  SELECT probe_id, neighbor_id AS doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + vrank AS DOUBLE) AS c FROM vr),
+         |fused AS (SELECT probe_id, doc_id, sum(c) AS rrf FROM contrib GROUP BY 1, 2),
+         |hybrid AS (
+         |  SELECT probe_id, rank, doc_id, rrf FROM (
+         |    SELECT probe_id, doc_id, rrf,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
+         |    FROM fused))
+         |SELECT h.probe_id, h.rank, h.doc_id, h.rrf, dd.source
+         |FROM hybrid h JOIN documents dd ON h.doc_id = dd.doc_id
+         |WHERE h.rank <= 5
+         |ORDER BY h.probe_id, h.rank""".stripMargin,
 
     "q_text_bm25" ->
       """WITH d AS (
