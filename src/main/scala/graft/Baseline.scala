@@ -386,6 +386,52 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_text_prf_search control: both retrieval rounds from the stock
+    // flat layout (the bm25 pair's artifacts — every posting row
+    // scanned per round, stats recomputed from the doclen artifact),
+    // same integer-metric expansion off the forward table. The graft
+    // side's two rounds read only the query terms' bucket partitions
+    // and take stats off the manifest.
+    "q_text_prf_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = Tables.scratch("baseline_prf_postings")
+      val dls = Tables.scratch("baseline_prf_doclen")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(post)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(dls)
+      val dl = s.read.parquet(dls)
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      def bm25Round(terms: Seq[String], k: Int) = {
+        val tf = s.read.parquet(post).filter(col("term").isin(terms: _*))
+          .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(dfT), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+              col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id").agg(sum("contrib").as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k)
+      }
+      val seed = Seq("hash", "merge", "vector")
+      val feedback = bm25Round(seed, 10).select("doc_id")
+      val expansion = docs.join(feedback, "doc_id")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+        .filter(!col("term").isin(seed: _*))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(5)
+        .select("term").collect().map(_.getString(0)).toSeq
+      bm25Round(seed ++ expansion, 20)
+    }),
+
     // q_text_decontaminate_fuzzy control: the stock user's fuzzy
     // decontamination — inverted-index enumeration of EVERY cross
     // gram collision (the oracle's shape in Spark), jaccard from

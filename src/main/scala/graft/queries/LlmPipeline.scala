@@ -339,6 +339,35 @@ object LlmPipeline {
       TextIndex.bm25(s, idx, Seq("hash", "merge", "vector"), k = 20)
     }),
 
+    // Pseudo-relevance-feedback search (Rocchio-style query
+    // expansion): round 1 retrieves the seed terms' BM25 top-10 from
+    // the persisted index; the expansion terms are the feedback docs'
+    // most frequent non-seed tokens — an INTEGER selection metric
+    // (total occurrences desc, term asc), deliberately not a float
+    // tf-idf sum, so the cut point cannot drift between engines;
+    // round 2 re-runs index-served BM25 with seed + expansion. Access
+    // paths at scale: round 1 and 2 are term-bucket-pruned index
+    // reads; the feedback fetch is a doc-id semi-join against the
+    // forward table (the inverted index is the wrong access path for
+    // doc→terms); the one driver collect is the m=5 expansion term
+    // list (parameter-sized — BM25 needs driver literals for bucket
+    // pruning anyway).
+    "q_text_prf_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Tables.scratch("text_index_prf")
+      TextIndex.buildIndex(docs, "doc_id", "text", idx)
+      val seed = Seq("hash", "merge", "vector")
+      val feedback = TextIndex.bm25(s, idx, seed, k = 10).select("doc_id")
+      val expansion = docs.join(feedback, "doc_id")
+        .select(explode(Dedup.tokens(col("text"))).as("term"))
+        .filter(!col("term").isin(seed: _*))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(5)
+        .select("term").collect().map(_.getString(0)).toSeq
+      TextIndex.bm25(s, idx, seed ++ expansion, k = 20)
+    }),
+
     // Index maintenance end-to-end: three streaming-style ingest
     // batches leave O(batches) files per bucket; compactIndex rewrites
     // the live postings generation to one file per bucket behind the
@@ -1781,6 +1810,44 @@ object LlmPipeline {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // PRF: round-1 BM25 → top-10 feedback docs → top-5 non-seed terms
+    // by the integer occurrence metric → round-2 BM25 with the
+    // expanded term set; both BM25 rounds are the proven-exact formula
+    "q_text_prf_search" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+         |tf1 AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |        WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+         |dfs1 AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf1 GROUP BY w),
+         |bm1 AS (
+         |  SELECT tf1.doc_id,
+         |    sum(ln((st.n_docs - dfs1.df + 0.5) / (dfs1.df + 0.5) + 1)
+         |        * tf1.tf * 2.2 / (tf1.tf + 1.2 * (0.25 + 0.75 * tf1.dl / st.avgdl))) AS score
+         |  FROM tf1, dfs1, st WHERE tf1.w = dfs1.w GROUP BY tf1.doc_id),
+         |fb AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM bm1) WHERE r <= 10),
+         |exp AS (
+         |  SELECT w AS term FROM tok JOIN fb USING (doc_id)
+         |  WHERE w NOT IN ('hash', 'merge', 'vector')
+         |  GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 5),
+         |terms2 AS (SELECT term FROM exp
+         |           UNION SELECT unnest(['hash', 'merge', 'vector'])),
+         |tf2 AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |        WHERE w IN (SELECT term FROM terms2) GROUP BY 1, 2, 3),
+         |dfs2 AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY w)
+         |SELECT tf2.doc_id,
+         |  sum(ln((st.n_docs - dfs2.df + 0.5) / (dfs2.df + 0.5) + 1)
+         |      * tf2.tf * 2.2 / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / st.avgdl))) AS score
+         |FROM tf2, dfs2, st WHERE tf2.w = dfs2.w
+         |GROUP BY tf2.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // the hybrid oracle wrapped by the same SQL the engine composes on
     // top of the TVF (rank filter + documents join)
