@@ -488,4 +488,44 @@ class PlanSpec extends SparkSuite {
         s"$q did not decorrelate:\n${plan.take(2000)}")
     }
   }
+
+  test("hybrid rrf: every window is bounded (lexical limit(n) / centroid rank); fusion has no outer join") {
+    // the RRF fusion must stay union + groupBy + heap cut: a full-
+    // outer-join fusion cannot broadcast either side, and any window
+    // over the fused candidates would funnel a probe's whole candidate
+    // union into one sort task. The single allowed Window is the BM25
+    // leg's rank over its already-limit(n)-ed rows.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q_hybrid_search_rrf")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: logical.Window => w }
+    // two bounded windows are legitimate: the BM25 leg's rank over its
+    // limit(n) rows, and the IVF probe-list centroid rank (nCentroids
+    // rows per probe). Any window whose input reads the inverted lists
+    // (the `assigned` corpus layout) is the at-scale sort-task bug.
+    assert(windows.size <= 2, s"unexpected windows: ${windows.size}")
+    windows.foreach { w =>
+      val limited = w.child.collect {
+        case l: logical.GlobalLimit => l
+        case l: logical.LocalLimit => l
+      }.nonEmpty
+      val readsLists = w.child.collectLeaves().exists(_.toString.contains("assigned"))
+      assert(limited || !readsLists,
+        s"window over un-limited inverted-list input:\n${w.child.toString.take(800)}")
+    }
+    val outer = plan.collect {
+      case j: logical.Join if j.joinType.sql.contains("OUTER") => j
+    }
+    assert(outer.isEmpty, "fusion plans an outer join")
+    assert(!planOf(df).contains("CartesianProduct"))
+  }
+
+  test("fuzzy decontamination: all joins equi — no cartesian, no nested loop") {
+    // candidate generation is the prefix-gram equi-join; verification
+    // joins back by doc id. A cartesian or BNLJ anywhere means the
+    // cross-table similarity join degenerated to all-pairs.
+    val plan = planOf(SparkEntry.queries("q_text_decontaminate_fuzzy")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
 }
