@@ -386,6 +386,36 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_embedding_drift control: the stock user's drift report — the
+    // two version states land as two plain parquet dirs (no snapshot
+    // manifest, no time travel), centroids via posexplode + per-dim
+    // avg (no UDAF), same double cosine. Deliverable-matched: both
+    // sides persist two versions and emit the per-label report.
+    "q_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val v1d = Tables.scratch("baseline_drift_v1")
+      val v2d = Tables.scratch("baseline_drift_v2")
+      emb.select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(v1d)
+      emb.select(col("vec_id"),
+          when(col("vec_id") % 11 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"), col("label"))
+        .write.mode("overwrite").parquet(v2d)
+      def cents(path: String, cn: String) = s.read.parquet(path)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v").cast("double")).as(cn))
+      val n = s.read.parquet(v1d).groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      cents(v1d, "c1").join(cents(v2d, "c2"), Seq("label", "pos"))
+        .groupBy("label")
+        .agg(sum(col("c1") * col("c2")).as("dot"),
+          sum(col("c1") * col("c1")).as("s1"),
+          sum(col("c2") * col("c2")).as("s2"))
+        .join(n, Seq("label"))
+        .select(col("label"), col("n_vecs"),
+          (col("dot") / (sqrt(col("s1")) * sqrt(col("s2")))).as("drift_cos"))
+        .orderBy("label")
+    }),
+
     // q_text_prf_search control: both retrieval rounds from the stock
     // flat layout (the bm25 pair's artifacts — every posting row
     // scanned per round, stats recomputed from the doclen artifact),

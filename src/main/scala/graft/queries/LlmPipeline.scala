@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Aggregators, TextFunctions, VectorExpressions}
 import graft.operators.{Dedup, HybridSearch, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators (SURVEY §2.B.9): dedup (exact, MinHash-
@@ -1238,6 +1238,37 @@ object LlmPipeline {
         .agg(centroid(col("embedding")).as("centroid"))
         .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
         .orderBy("label", "pos")
+    }),
+
+    // Embedding DRIFT report — the model-migration monitor: embeddings
+    // live in a versioned snapshot table; a re-embedding UPDATE commit
+    // produces v2; the report compares per-label centroids between v1
+    // and the live version (cosine of the two centroid vectors +
+    // population). One groupBy per version over |labels| keys, a
+    // |labels|-row join, double math end-to-end — no window, no
+    // collect. The v1 read goes through snapshot time travel, so the
+    // same query works across any version pair.
+    "q_embedding_drift" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val emb = t(s, dir, "embeddings")
+      val root = Tables.scratch("emb_drift_tbl")
+      Snapshots.create(s, root, emb.select("vec_id", "embedding", "label"))
+      Snapshots.commitUpdate(s, root, col("vec_id") % 11 === 0,
+        Map("embedding" -> reverse(col("embedding"))))
+      val centroid = udaf(Aggregators.VectorCentroid)
+      def cents(df: DataFrame) = df.groupBy("label")
+        .agg(centroid(col("embedding")).as("c"), count(lit(1)).as("n"))
+      val v1 = cents(Snapshots.read(s, root, Some(1)))
+      val v2 = cents(Snapshots.read(s, root))
+      def dotD(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      v1.select(col("label"), col("c").as("c1"), col("n").as("n_vecs"))
+        .join(v2.select(col("label"), col("c").as("c2")), Seq("label"))
+        .withColumn("drift_cos",
+          dotD(col("c1"), col("c2")) /
+            (sqrt(dotD(col("c1"), col("c1"))) * sqrt(dotD(col("c2"), col("c2")))))
+        .select("label", "n_vecs", "drift_cos")
+        .orderBy("label")
     }),
 
     // Language-ID heuristic (stopword/CJK based).
@@ -2660,6 +2691,36 @@ object LlmPipeline {
         |FROM documents ORDER BY doc_id""".stripMargin
   ) ++ Map(
     // centroid: per-dimension mean, positional unnest (lockstep)
+    // v2 recomputed from the deterministic re-embedding (list_reverse
+    // for vec_id % 11 = 0); centroids as per-dimension double avgs,
+    // drift as the cosine of the two centroid vectors
+    "q_embedding_drift" ->
+      """WITH v1 AS (
+        |  SELECT label, pos, avg(v) AS c1
+        |  FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+        |          CAST(unnest(embedding) AS DOUBLE) AS v
+        |        FROM embeddings)
+        |  GROUP BY 1, 2),
+        |src2 AS (
+        |  SELECT label,
+        |    CASE WHEN vec_id % 11 = 0 THEN list_reverse(embedding)
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |v2 AS (
+        |  SELECT label, pos, avg(v) AS c2
+        |  FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+        |          CAST(unnest(embedding) AS DOUBLE) AS v
+        |        FROM src2)
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT v1.label, sum(c1 * c2) AS dot,
+        |    sum(c1 * c1) AS s1, sum(c2 * c2) AS s2
+        |  FROM v1 JOIN v2 ON v1.label = v2.label AND v1.pos = v2.pos
+        |  GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT j.label, n.n_vecs, dot / (sqrt(s1) * sqrt(s2)) AS drift_cos
+        |FROM j JOIN n USING (label) ORDER BY label""".stripMargin,
+
     "q_embed_centroid" ->
       """SELECT label, pos, avg(v) AS v
         |FROM (SELECT label,
