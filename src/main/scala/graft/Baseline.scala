@@ -386,6 +386,30 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_text_boolean_index control: same boolean algebra served from
+    // the stock flat postings artifact — every posting row scanned
+    // for the term filter where the graft side reads 4 bucket
+    // partitions of the real index.
+    "q_text_boolean_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = Tables.scratch("baseline_bool_postings")
+      docs.select(col("doc_id"),
+          explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(post)
+      val posts = s.read.parquet(post)
+        .filter(col("term").isin("hash", "merge", "vector", "table"))
+        .select("doc_id", "term").distinct()
+      def d(term: String) = posts.filter(col("term") === term).select("doc_id")
+      val a = d("hash").join(d("merge"), Seq("doc_id"), "left_semi")
+      val b = d("vector").join(d("table"), Seq("doc_id"), "left_anti")
+      a.select(col("doc_id"), lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionByName(b.select(col("doc_id"), lit(0).as("in_a"), lit(1).as("in_b")))
+        .groupBy("doc_id")
+        .agg((max("in_a") === 1).as("in_first"), (max("in_b") === 1).as("in_second"))
+        .orderBy("doc_id")
+    }),
+
     // q_embedding_drift control: the stock user's drift report — the
     // two version states land as two plain parquet dirs (no snapshot
     // manifest, no time travel), centroids via posexplode + per-dim
@@ -1368,7 +1392,10 @@ object Baseline {
     // HOF transform — formulations a stock user writes verbatim, so
     // the control IS the identical plan (variance pair)
     "q_text_pack_sharded", "q_multimodal_image_resize",
-    "q_text_vocab_encode", "q_text_dataset_card")
+    "q_text_vocab_encode", "q_text_dataset_card",
+    // retention cohorts: two keyed aggregates + a user-keyed join —
+    // stock end to end (variance pair)
+    "q_events_retention")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

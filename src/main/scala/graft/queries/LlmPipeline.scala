@@ -339,6 +339,30 @@ object LlmPipeline {
       TextIndex.bm25(s, idx, Seq("hash", "merge", "vector"), k = 20)
     }),
 
+    // Boolean query algebra over the persisted index:
+    // (hash AND merge) OR (vector AND NOT table). ONE pruned postings
+    // scan fetches all four terms' buckets; AND is a doc-id semi-join,
+    // AND NOT an anti-join, OR a union + groupBy — set algebra on
+    // doc-keyed candidate rows, the corpus never read. NOT is safe
+    // index-served because it subtracts from a positive term's doc
+    // set (never "all docs minus"), so the result stays
+    // candidate-sized.
+    "q_text_boolean_index" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_bool")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      val posts = TextIndex.prunedPostings(s, idx,
+          Seq("hash", "merge", "vector", "table"))
+        .select("doc_id", "term").distinct()
+      def docs(term: String) = posts.filter(col("term") === term).select("doc_id")
+      val a = docs("hash").join(docs("merge"), Seq("doc_id"), "left_semi")
+      val b = docs("vector").join(docs("table"), Seq("doc_id"), "left_anti")
+      a.select(col("doc_id"), lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionByName(b.select(col("doc_id"), lit(0).as("in_a"), lit(1).as("in_b")))
+        .groupBy("doc_id")
+        .agg((max("in_a") === 1).as("in_first"), (max("in_b") === 1).as("in_second"))
+        .orderBy("doc_id")
+    }),
+
     // Pseudo-relevance-feedback search (Rocchio-style query
     // expansion): round 1 retrieves the seed terms' BM25 top-10 from
     // the persisted index; the expansion terms are the feedback docs'
@@ -1841,6 +1865,23 @@ object LlmPipeline {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // boolean algebra mirrored as set ops over the distinct doc-term
+    // incidence
+    "q_text_boolean_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |a AS (SELECT doc_id FROM tok WHERE w = 'hash'
+        |      INTERSECT SELECT doc_id FROM tok WHERE w = 'merge'),
+        |b AS (SELECT doc_id FROM tok WHERE w = 'vector'
+        |      EXCEPT SELECT doc_id FROM tok WHERE w = 'table'),
+        |u AS (SELECT doc_id, 1 AS in_a, 0 AS in_b FROM a
+        |      UNION ALL SELECT doc_id, 0, 1 FROM b)
+        |SELECT doc_id, max(in_a) = 1 AS in_first, max(in_b) = 1 AS in_second
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // PRF: round-1 BM25 → top-10 feedback docs → top-5 non-seed terms
     // by the integer occurrence metric → round-2 BM25 with the

@@ -193,6 +193,32 @@ object Windows {
           sum(when(col("fp").isNotNull,
             unix_micros(col("fp")) - unix_micros(col("fv"))))
             .as("total_convert_us"))
+    }),
+
+    // Retention cohorts — the product-analytics rollup: users grouped
+    // by first-seen week; for each (cohort, week-offset) the count of
+    // cohort members active that week and the retention rate. Shapes:
+    // one user-keyed groupBy (first week), a user-keyed join, one
+    // (cohort, offset)-keyed aggregate — |users| and |cohorts×weeks|
+    // keys, no window, no collect; both week fields are Monday-
+    // truncated so the day diff is an exact multiple of 7.
+    "q_events_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          // DATE-typed week (DuckDB's date_trunc('week') convention)
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      val act = ev.distinct()
+      val m = act.join(first, Seq("user_id"))
+        .withColumn("offset",
+          (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+        .groupBy("cohort", "offset")
+        .agg(countDistinct("user_id").as("n_active"))
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+      m.join(sizes, Seq("cohort"))
+        .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort")).as("rate"))
+        .orderBy("cohort", "offset")
     })
   )
 
@@ -325,6 +351,20 @@ object Windows {
         |  CAST(sum(CASE WHEN fp IS NOT NULL
         |    THEN epoch_us(fp) - epoch_us(fv) END) AS BIGINT)
         |    AS total_convert_us
-        |FROM per_user""".stripMargin
+        |FROM per_user""".stripMargin,
+
+    // date_diff('week', ...) on Monday-truncated weeks equals the
+    // engine's day-diff / 7 exactly
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |m AS (SELECT cohort, CAST(date_diff('week', cohort, wk) AS BIGINT) AS "offset",
+        |        count(DISTINCT a.user_id) AS n_active
+        |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1)
+        |SELECT m.cohort, m."offset", m.n_active, c.n_cohort,
+        |  CAST(m.n_active AS DOUBLE) / c.n_cohort AS rate
+        |FROM m JOIN c USING (cohort) ORDER BY cohort, "offset"""".stripMargin
   )
 }
