@@ -386,6 +386,47 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_card_incremental control: the user without IVM — same
+    // materialized v1 card and the same two version states (two plain
+    // parquet writes standing in for the commits), but the refreshed
+    // card comes from a FULL rescan of the mutated corpus instead of
+    // an O(changes) delta merge. Deliverable-matched: both sides
+    // persist the v1 view and emit the refreshed card.
+    "q_card_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      def wordsOf(c: org.apache.spark.sql.Column) =
+        size(filter(split(c, "\\s+"), x => length(x) > 0)).cast("long")
+      def card(df: DataFrame) = df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wordsOf(col("text"))).as("total_words"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+      // three version dirs — the scenario's history is create →
+      // UPDATE commit → DELETE commit, and the stock user keeping
+      // versions writes each one
+      val v1d = Tables.scratch("baseline_card_v1")
+      val v2d = Tables.scratch("baseline_card_v2")
+      val v3d = Tables.scratch("baseline_card_v3")
+      docs.write.mode("overwrite").parquet(v1d)
+      val view = Tables.scratch("baseline_card_view")
+      card(s.read.parquet(v1d)).write.mode("overwrite").parquet(view)
+      s.read.parquet(v1d)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" vector"))).otherwise(col("text")))
+        .write.mode("overwrite").parquet(v2d)
+      s.read.parquet(v2d)
+        .filter(col("doc_id") % 13 =!= 0)
+        .write.mode("overwrite").parquet(v3d)
+      // the control's refresh IS the full recompute, so the graft
+      // side's incremental-equals-full audit has no control analog
+      // (comparing full to full proves nothing); the graft side pays
+      // that extra compare on top of its O(changes) refresh
+      card(s.read.parquet(v3d))
+        .withColumn("avg_words",
+          col("total_words").cast("double") / col("n_docs"))
+        .withColumn("ivm_ok", lit(true))
+        .orderBy("source")
+    }),
+
     // q_text_boolean_index control: same boolean algebra served from
     // the stock flat postings artifact — every posting row scanned
     // for the term filter where the graft side reads 4 bucket

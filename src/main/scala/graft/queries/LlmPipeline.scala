@@ -1406,6 +1406,73 @@ object LlmPipeline {
         .orderBy("source")
     }),
 
+    // INCREMENTAL dataset-card maintenance (incremental view
+    // maintenance): the per-source card is a materialized view of
+    // delta-able aggregates (count / sum words / sum chars); after an
+    // UPDATE commit (append ' vector': doc_id % 11 = 0) and a DELETE
+    // commit (doc_id % 13 = 0), ONE change feed v1→v3 refreshes it —
+    // +1-signed rows for insert/update_postimage, −1 for delete/
+    // update_preimage, one |sources|-keyed aggregate over O(changes)
+    // rows, then a |sources|-row merge into the stored card. Everything
+    // DOWNSTREAM of the feed is O(changes); the feed itself is this
+    // CoW layout's version diff (Snapshots.changes — O(versions
+    // compared), matching the dimension-scale table the layout
+    // serves). On a logged-CDF or partition-sharded source
+    // (PartitionedSnapshots) the identical delta-merge consumes the
+    // pruned feed unchanged and the whole refresh is O(changes).
+    // `ivm_ok` is the engine-side proof: the incrementally-maintained
+    // card must equal the full recompute bit-for-bit (avg derives
+    // from the sums at read time — ratios of delta-able sums stay
+    // exact under IVM where a stored avg would not).
+    "q_card_incremental" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = Tables.scratch("card_incr_tbl")
+      Snapshots.create(s, root,
+        t(s, dir, "documents").select("doc_id", "source", "text"))
+      def wordsOf(c: Column) =
+        size(filter(split(c, "\\s+"), x => length(x) > 0)).cast("long")
+      def card(df: DataFrame) = df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wordsOf(col("text"))).as("total_words"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+      val view = Tables.scratch("card_incr_view")
+      card(Snapshots.read(s, root)).write.mode("overwrite").parquet(view)
+      Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
+        Map("text" -> concat(col("text"), lit(" vector"))))
+      Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
+      val deltas = Snapshots.changes(s, root, 1, 3, "doc_id")
+        .select(col("source"),
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L).as("sign"),
+          wordsOf(col("text")).as("w"),
+          length(col("text")).cast("long").as("c"))
+        .groupBy("source")
+        .agg(sum("sign").as("d_docs"), sum(col("sign") * col("w")).as("d_words"),
+          sum(col("sign") * col("c")).as("d_chars"))
+      // refresh the stored view IN PLACE (the IVM verb's deliverable),
+      // materializing once — the audit's two exceptAll passes must not
+      // re-run the change-feed join per consumer
+      val view2 = Tables.scratch("card_incr_view2")
+      s.read.parquet(view)
+        .join(deltas, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+          (coalesce(col("total_words"), lit(0L)) + coalesce(col("d_words"), lit(0L))).as("total_words"),
+          (coalesce(col("total_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).as("total_chars"))
+        .filter(col("n_docs") > 0)
+        .write.mode("overwrite").parquet(view2)
+      val fullDir = Tables.scratch("card_incr_full")
+      card(Snapshots.read(s, root)).write.mode("overwrite").parquet(fullDir)
+      val incr = s.read.parquet(view2)
+      val full = s.read.parquet(fullDir)
+      val ivmOk = incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty
+      incr
+        .withColumn("avg_words",
+          col("total_words").cast("double") / col("n_docs"))
+        .withColumn("ivm_ok", lit(ivmOk))
+        .orderBy("source")
+    }),
+
     // Vocabulary build + id-encoding — the corpus→trainer step: mine
     // the top-V tokens by corpus frequency (rank desc count, asc token
     // — fully deterministic), assign ids 1..V by rank, and encode every
@@ -1865,6 +1932,24 @@ object LlmPipeline {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // recomputes the final card from the deterministically-mutated
+    // state; ivm_ok TRUE is the engine-side incremental-equals-full
+    // proof carried into the compared output
+    "q_card_incremental" ->
+      """WITH v3 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' vector' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                           x -> len(x) > 0))) AS BIGINT) AS total_words,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                           x -> len(x) > 0))) AS DOUBLE) / count(*) AS avg_words,
+        |  true AS ivm_ok
+        |FROM v3 GROUP BY source ORDER BY source""".stripMargin,
 
     // boolean algebra mirrored as set ops over the distinct doc-term
     // incidence
