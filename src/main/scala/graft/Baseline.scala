@@ -386,6 +386,102 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_hybrid_cdc control: the user without O(changes) maintenance —
+    // the same three version states (plain parquet dirs), then BOTH
+    // retrieval artifacts rebuilt IN FULL from the mutated corpus
+    // (flat postings + doclen re-tokenized; k-means REFIT + flat
+    // rewrite) and the hybrid served from the flat layouts with
+    // window cuts. Deliverable-matched end to end: versioned states,
+    // both indexes current, one fused ranking per probe.
+    "q_hybrid_cdc" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val v1d = Tables.scratch("baseline_hcdc_v1")
+      val v2d = Tables.scratch("baseline_hcdc_v2")
+      val v3d = Tables.scratch("baseline_hcdc_v3")
+      t(s, dir, "documents").select("doc_id", "text")
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .write.mode("overwrite").parquet(v1d)
+      s.read.parquet(v1d)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" vector"))).otherwise(col("text")))
+        .withColumn("embedding", when(col("doc_id") % 11 === 0,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+        .write.mode("overwrite").parquet(v2d)
+      s.read.parquet(v2d).filter(col("doc_id") % 13 =!= 0)
+        .write.mode("overwrite").parquet(v3d)
+      val live = s.read.parquet(v3d)
+      // capability-matched rebuild (the round-9 CDC-pair protocol):
+      // the indexes were SERVING at v1 — the stock user without
+      // incremental sync re-materializes BOTH artifacts per refresh,
+      // so the control builds at v1 and again from the mutated state
+      val post = Tables.scratch("baseline_hcdc_postings")
+      val dls = Tables.scratch("baseline_hcdc_doclen")
+      val vout = Tables.scratch("baseline_hcdc_ivf")
+      def rebuild(src: DataFrame): Unit = {
+        val toks = src.select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("toks"))
+        toks.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").parquet(post)
+        toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(dls)
+        val withVec = src.withColumn("__v", array_to_vector(col("embedding")))
+        val model = new KMeans().setK(8).setSeed(42L)
+          .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+        model.transform(withVec).drop("__v")
+          .select("doc_id", "embedding", "cluster")
+          .write.mode("overwrite").parquet(s"$vout/assigned")
+      }
+      rebuild(s.read.parquet(v1d))
+      rebuild(live)
+      // BM25 leg from the flat artifacts
+      val terms = Seq("hash", "merge", "vector")
+      val tf = s.read.parquet(post).filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val dl = s.read.parquet(dls)
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      val wT = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val textTop = tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+        .withColumn("leg_rank", row_number().over(wT))
+        .filter(col("leg_rank") <= 50)
+        .select("doc_id", "leg_rank")
+      // vector leg: exhaustive scan of the rebuilt flat index
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val p = live.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val cv = s.read.parquet(s"$vout/assigned")
+        .select(col("doc_id"), col("embedding").as("neighbor_vec"))
+      val wV = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("doc_id").asc)
+      val vecTop = cv.join(broadcast(p), col("probe_id") =!= col("doc_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+        .withColumn("leg_rank", row_number().over(wV))
+        .filter(col("leg_rank") <= 50)
+        .select("probe_id", "doc_id", "leg_rank")
+      val contrib = p.select("probe_id").crossJoin(broadcast(textTop))
+        .unionByName(vecTop)
+        .select(col("probe_id"), col("doc_id"),
+          (lit(1.0) / (lit(60) + col("leg_rank")).cast("double")).as("c"))
+      val wF = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id").asc)
+      contrib.groupBy("probe_id", "doc_id").agg(sum("c").as("rrf"))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 10)
+        .select("probe_id", "rank", "doc_id", "rrf")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_card_incremental control: the user without IVM — same
     // materialized v1 card and the same two version states (two plain
     // parquet writes standing in for the commits), but the refreshed

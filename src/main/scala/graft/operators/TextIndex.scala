@@ -838,16 +838,23 @@ object TextIndex {
     }
 
   /** BM25 top-k served ENTIRELY from the index — the corpus is never
-    * touched at query time, and neither is any doc-length table: the
-    * per-query inputs are the terms' pruned bucket partitions (whose
-    * rows carry the denormalized `dl`) and the df sidecar filtered to
-    * the terms (broadcast-sized). The corpus scalars (n_docs, avgdl)
-    * come off the MANIFEST — zero Spark jobs, exact under append and
-    * delete because every maintenance commit maintains them. Same
-    * formula and constants as `q_text_bm25` (k1=1.2, b=0.75), computed
-    * from identical integers — avgdl is the same sum/count double
-    * division Spark's `avg` performs — so scores match the corpus-side
-    * computation exactly.
+    * touched at query time, and neither is any doc-length table or
+    * sidecar: the per-query input is exactly the terms' pruned bucket
+    * partitions (whose rows carry the denormalized `dl`), and the
+    * per-term df aggregates from those SAME masked rows — a live doc
+    * contributes exactly one surviving posting row per term (tombstone
+    * masking removes every superseded seq), so the count is the true
+    * live df with NO recount debt after deletes or retract→re-ingest
+    * updates (the df SIDECAR, by documented contract, keeps counting
+    * tombstoned docs until compaction — it serves corpus-wide jobs
+    * like TF-IDF, not this query-term path). The corpus scalars
+    * (n_docs, avgdl) come off the MANIFEST — zero Spark jobs, exact
+    * under append and delete because every maintenance commit
+    * maintains them. Same formula and constants as `q_text_bm25`
+    * (k1=1.2, b=0.75), computed from identical integers — avgdl is
+    * the same sum/count double division Spark's `avg` performs — so
+    * scores match the corpus-side computation exactly, including
+    * under mutation (q_hybrid_cdc's hash gate covers exactly that).
     */
   def bm25(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
@@ -857,9 +864,11 @@ object TextIndex {
     val tf = prunedPostings(spark, path, terms)
       .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"),
         col("dl").cast("double").as("dl"))
-    val dfT = termStats(spark, path)
-      .filter(col("term").isin(terms.distinct: _*))
-      .select(col("term"), col("df").cast("double").as("df"))
+    // second consumer of the same pruned scan — column pruning hands
+    // the df pass just the term/mask columns of the terms' buckets, so
+    // exactness costs one narrow re-read of pruned partitions, not a
+    // sidecar whose counts go stale under tombstones
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfT), "term")
       .withColumn("contrib",
         log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1) *

@@ -513,6 +513,54 @@ object LlmPipeline {
         .select(col("doc_id"), col("total_tf"), col("lang"))
     }),
 
+    // The full RAG stack under mutation — the round's composition
+    // capper: ONE versioned table holds (doc_id, text, embedding);
+    // ONE UPDATE commit mutates BOTH modalities (append a query term
+    // + re-embed via reverse), a DELETE commit retracts docs; ONE
+    // change feed v1→v3 then syncs BOTH persisted indexes with
+    // O(changes) maintenance (seq-scoped tombstone retract +
+    // re-ingest, no compaction, no refit in either index), and the
+    // RRF-fused hybrid search over the synced indexes must equal the
+    // hybrid ranking recomputed from the mutated corpus EXACTLY
+    // (exhaustive probing makes the vector leg exact; both mutation
+    // legs are load-bearing — a missed text retract, vector
+    // re-ingest, or erasure in EITHER index shifts a fused rank and
+    // fails the hash gate).
+    "q_hybrid_cdc" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = Tables.scratch("hybrid_cdc_tbl")
+      val tidx = Tables.scratch("hybrid_cdc_tidx")
+      val vidx = Tables.scratch("hybrid_cdc_vidx")
+      Snapshots.create(s, root,
+        t(s, dir, "documents").select("doc_id", "text")
+          .join(t(s, dir, "embeddings")
+            .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id"))
+      val v1 = Snapshots.read(s, root)
+      TextIndex.buildIndex(v1, "doc_id", "text", tidx)
+      IvfIndex.buildIndex(v1, "doc_id", "embedding", nCentroids = 8, path = vidx)
+      Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
+        Map("text" -> concat(col("text"), lit(" vector")),
+          "embedding" -> reverse(col("embedding"))))
+      Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
+      val chDir = Tables.scratch("hybrid_cdc_feed")
+      Snapshots.changes(s, root, 1, 3, "doc_id")
+        .write.mode("overwrite").parquet(chDir)
+      val ch = s.read.parquet(chDir)
+      val retract = ch.filter(col("_change_type").isin("delete", "update_preimage"))
+      TextIndex.deleteDocs(retract.select("doc_id"), "doc_id", tidx)
+      IvfIndex.deleteFromIndex(retract.select("doc_id"), "doc_id", vidx)
+      val reingest = ch.filter(col("_change_type") === "update_postimage")
+      TextIndex.appendDocs(reingest.select("doc_id", "text"), "doc_id", "text", tidx)
+      IvfIndex.appendToIndex(reingest.select("doc_id", "embedding"),
+        "doc_id", "embedding", vidx)
+      val (a, c) = IvfIndex.loadLive(s, vidx, "doc_id")
+      val probes = Snapshots.read(s, root).filter(col("doc_id") < 5)
+        .select("doc_id", "embedding")
+      HybridSearch.rrfTopK(s, tidx, a, c, probes, Seq("hash", "merge", "vector"),
+          "doc_id", "embedding", n = 50, k = 10, nProbes = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
@@ -1967,6 +2015,55 @@ object LlmPipeline {
         |      UNION ALL SELECT doc_id, 0, 1 FROM b)
         |SELECT doc_id, max(in_a) = 1 AS in_first, max(in_b) = 1 AS in_second
         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the hybrid oracle over the deterministically-mutated corpus:
+    // text || ' vector' and list_reverse(embedding) for doc_id % 11,
+    // doc_id % 13 erased — both legs recomputed from that state
+    "q_hybrid_cdc" ->
+      s"""WITH m AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 11 = 0 THEN d.text || ' vector' ELSE d.text END AS text,
+         |    CASE WHEN d.doc_id % 11 = 0 THEN list_reverse(e.embedding)
+         |         ELSE e.embedding END AS embedding
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |  WHERE d.doc_id % 13 <> 0),
+         |d2 AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS toks
+         |  FROM m),
+         |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d2),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |bm_scores AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln((st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM tf, dfs, st WHERE tf.w = dfs.w GROUP BY tf.doc_id),
+         |bm AS (SELECT doc_id, trank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
+         |  FROM bm_scores) WHERE trank <= 50),
+         |vr AS (SELECT probe_id, neighbor_id, vrank FROM (
+         |  SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.doc_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.doc_id ASC) AS vrank
+         |  FROM m p, m c
+         |  WHERE p.doc_id < 5 AND c.doc_id <> p.doc_id) WHERE vrank <= 50),
+         |contrib AS (
+         |  SELECT probes.probe_id, bm.doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + bm.trank AS DOUBLE) AS c
+         |  FROM (SELECT doc_id AS probe_id FROM m WHERE doc_id < 5) probes, bm
+         |  UNION ALL
+         |  SELECT probe_id, neighbor_id AS doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + vrank AS DOUBLE) AS c FROM vr),
+         |fused AS (SELECT probe_id, doc_id, sum(c) AS rrf FROM contrib GROUP BY 1, 2)
+         |SELECT probe_id, rank, doc_id, rrf FROM (
+         |  SELECT probe_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
     // PRF: round-1 BM25 → top-10 feedback docs → top-5 non-seed terms
     // by the integer occurrence metric → round-2 BM25 with the

@@ -422,19 +422,22 @@ class TextIndexSpec extends SparkSuite {
     assert(merged === direct)
   }
 
-  test("bm25 reads pruned postings + df sidecar ONLY — no doc-stats file in the plan") {
+  test("bm25 reads pruned postings ONLY — no doc-stats or df-sidecar file in the plan") {
     // fmt 4 denormalizes dl onto posting rows and keeps n_docs/sum_dl
-    // in the manifest, so a query's scan set must not contain the
-    // doc-length sidecar (formerly an O(docs) read on EVERY query)
+    // in the manifest; df aggregates from the same masked pruned rows
+    // (the sidecar's counts go stale under tombstones — documented
+    // contract), so a query's scan set is exactly the terms' posting
+    // partitions: no doc-length sidecar, no term-stats sidecar
     val files = TextIndex.bm25(spark, idx, Seq("hash", "merge", "vector"), k = 10)
       .inputFiles
     assert(files.nonEmpty)
     assert(!files.exists(_.contains("_doc_stats")),
       "bm25 still scans the doc-length sidecar")
-    assert(files.forall(f =>
-      f.contains("_postings_g") || f.contains("_term_stats_g")),
-      s"bm25 read outside the index: ${files.filterNot(f =>
-        f.contains("_postings_g") || f.contains("_term_stats_g")).take(3).mkString(", ")}")
+    assert(!files.exists(_.contains("_term_stats")),
+      "bm25 still scans the df sidecar (stale under tombstones)")
+    assert(files.forall(_.contains("_postings_g")),
+      s"bm25 read outside the postings: ${files.filterNot(
+        _.contains("_postings_g")).take(3).mkString(", ")}")
   }
 
   test("absent term returns empty; stats df matches direct doc counts") {
