@@ -386,6 +386,28 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_decontaminate_incremental control: the user without a
+    // persisted contamination index — every ingest batch re-processes
+    // the BENCHMARK set from scratch (re-tokenize, re-derive the
+    // shared gram order, rebuild bench prefixes) inside a one-shot
+    // cross join per batch. Deliverable-matched: the same two batch
+    // reports, unioned.
+    "q_decontaminate_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.Dedup.shingles(
+          graft.operators.Dedup.tokens(col("text")), 2).as("grams"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val b1 = graft.operators.Dedup.crossJaccardJoin(
+        train.filter(col("doc_id") % 2 === 0), bench, "doc_id", "grams", 0.8)
+      val b2 = graft.operators.Dedup.crossJaccardJoin(
+        train.filter(col("doc_id") % 2 =!= 0), bench, "doc_id", "grams", 0.8)
+      b1.unionByName(b2)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_id"),
+          col("jaccard"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // q_hybrid_cdc control: the user without O(changes) maintenance —
     // the same three version states (plain parquet dirs), then BOTH
     // retrieval artifacts rebuilt IN FULL from the mutated corpus

@@ -1689,6 +1689,33 @@ object LlmPipeline {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // INCREMENTAL fuzzy decontamination — the production shape of the
+    // previous query: the benchmark set is processed ONCE into a
+    // persisted contamination index (frozen bench-df prefix order,
+    // prefix rows, verification arrays); ingest batches are then
+    // checked in O(batch × collisions) with no benchmark re-read. Two
+    // disjoint batches checked separately; the UNION of their results
+    // must equal the one-shot cross join (the oracle is the same
+    // exact-jaccard recompute), which only holds if the frozen-order
+    // prefix check is complete per batch.
+    "q_decontaminate_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.shingles(Dedup.tokens(col("text")), 2).as("grams"))
+      val idx = Tables.scratch("contamination_idx")
+      Dedup.buildContaminationIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "grams", 0.8, idx)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val b1 = Dedup.checkContamination(
+        train.filter(col("doc_id") % 2 === 0), "doc_id", "grams", 0.8, idx)
+      val b2 = Dedup.checkContamination(
+        train.filter(col("doc_id") % 2 =!= 0), "doc_id", "grams", 0.8, idx)
+      b1.unionByName(b2)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_id"),
+          col("jaccard"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Winnowing fingerprints (rolling-hash document sketch) with a
     // DERIVED oracle: hash values are custom, but winnowing's
     // structural guarantees are length-derivable — with k=7, w=10 a
@@ -2843,6 +2870,17 @@ object LlmPipeline {
     // the shared inverted-index CTE; the prefix-filtered cross join
     // must reproduce it verbatim (completeness has no recall term)
     "q_text_decontaminate_fuzzy" ->
+      s"""WITH $gramIndexCte
+         |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+         |  CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS bench_id,
+         |  jaccard
+         |FROM jpairs
+         |WHERE jaccard >= 0.8 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // identical one-shot oracle as q_text_decontaminate_fuzzy: per-
+    // batch completeness means the union of batch checks reproduces it
+    "q_decontaminate_incremental" ->
       s"""WITH $gramIndexCte
          |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_id,
          |  CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS bench_id,

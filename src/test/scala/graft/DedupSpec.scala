@@ -766,6 +766,34 @@ class DedupSpec extends SparkSuite {
       clash.contains((4L, 3L)), s"clash pairs: $clash")
   }
 
+  test("contamination index: frozen-order batch checks equal the one-shot cross join") {
+    import graft.operators.Dedup.{shingles, tokens}
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      .select(col("doc_id"), shingles(tokens(col("text")), 2).as("grams"))
+    val bench = mk(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "different benchmark text with no overlap at all whatsoever")))
+    // batch 2's doc is ALL bench-unseen grams except the planted match
+    // — exercises the coalesce(df, 0) leg of the frozen order
+    val batch1 = mk(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated content about something else entirely here")))
+    val batch2 = mk(Seq(
+      (4L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (5L, "brand new tokens nowhere in the benchmark vocabulary whatsoever")))
+    val idx = Tables.scratch("contamination_spec_idx")
+    Dedup.buildContaminationIndex(bench, "doc_id", "grams", 0.7, idx)
+    val got = Dedup.checkContamination(batch1, "doc_id", "grams", 0.7, idx)
+      .unionByName(Dedup.checkContamination(batch2, "doc_id", "grams", 0.7, idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.crossJaccardJoin(
+        batch1.unionByName(batch2), bench, "doc_id", "grams", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 100L, 1.0)))
+    assert(want.exists(p => p._1 == 4L && p._2 == 100L)) // cross-batch hit
+  }
+
   test("hybrid rrf fusion equals per-leg ranks fused in scala; ties break by doc id") {
     // 8 docs: ids 0-3 carry the query terms with DISTINCT lexical
     // strength (term repetitions); vectors put ids 4-7 nearest the
