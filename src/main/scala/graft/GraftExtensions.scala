@@ -94,6 +94,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_ann_search(indexPath, probesPath, k, nProbes) - IVF ANN top-k"),
       GraftExtensions.annSearchTvfBuilder))
 
+    // Index observability in SQL:
+    //   SELECT * FROM graft_index_stats('/path/to/index')
+    // one manifest-served row (totals, seq, tombstone horizon, live
+    // generations) — zero jobs at any index size.
+    ext.injectTableFunction((FunctionIdentifier("graft_index_stats"),
+      info("graft_index_stats",
+        "graft_index_stats(indexPath) - one-row live manifest view"),
+      GraftExtensions.indexStatsTvfBuilder))
+
     // SQL surface for hybrid retrieval: RRF fusion of the two index-
     // served legs (HybridSearch.rrfTopK) —
     //   SELECT * FROM graft_hybrid_search(textIdx, vecIdx, probes,
@@ -174,6 +183,16 @@ object GraftExtensions {
       val (a, c) = graft.operators.IvfIndex.loadLive(s, idx, "vec_id")
       graft.operators.IvfIndex.searchTopK(a, c, s.read.parquet(probes),
           "vec_id", "embedding", k, nProbes)
+        .queryExecution.analyzed
+    }
+
+  /** The graft_index_stats TVF: the one-row manifest view. */
+  val indexStatsTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"graft_index_stats expects (indexPath); got ${es.length} args")
+      graft.operators.TextIndex.indexStats(SparkSession.active,
+          strArg(es.head, "graft_index_stats indexPath"))
         .queryExecution.analyzed
     }
 

@@ -740,6 +740,23 @@ object TextIndex {
   }
 
   /** Per-term document frequencies from the persisted stats table. */
+  /** One-row observability view of the live manifest — fmt, bucket
+    * count, committed seq, corpus totals (with the derived avgdl), the
+    * tombstone horizon, and the live artifact generations. Manifest
+    * read only: zero Spark jobs, O(1) at any index size — the row an
+    * operator dashboards or a planner consults before choosing a
+    * compaction cadence.
+    */
+  def indexStats(spark: SparkSession, path: String): DataFrame = {
+    val st = readState(spark, path)
+    import spark.implicits._
+    Seq((st.fmt, st.nBuckets, st.seq, st.nDocs, st.sumDl,
+      if (st.nDocs == 0) 0.0 else st.sumDl.toDouble / st.nDocs.toDouble,
+      st.nTombs, st.gens.postings, st.gens.stats, st.gens.docs))
+      .toDF("fmt", "n_buckets", "seq", "n_docs", "sum_dl", "avgdl",
+        "n_tombs", "postings_gen", "stats_gen", "doc_stats_gen")
+  }
+
   def termStats(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(StatsSchema).parquet(statsPath(path, readGens(spark, path).stats))
 

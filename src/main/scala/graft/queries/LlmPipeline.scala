@@ -339,6 +339,22 @@ object LlmPipeline {
       TextIndex.bm25(s, idx, Seq("hash", "merge", "vector"), k = 20)
     }),
 
+    // Index observability in SQL: graft_index_stats serves the live
+    // manifest as a one-row relation — zero jobs at any index size.
+    // Built, then mutated by a delete, so the compared row proves the
+    // totals are MAINTAINED state (n_docs/sum_dl shrink, the tombstone
+    // horizon grows), not build-time constants.
+    "q_sql_index_stats" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_stats_q")
+      val docs = t(s, dir, "documents")
+      TextIndex.buildIndex(docs, "doc_id", "text", idx)
+      TextIndex.deleteDocs(
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id", idx)
+      s.sql(
+        s"""SELECT n_docs, sum_dl, avgdl, n_tombs
+           |FROM graft_index_stats('$idx')""".stripMargin)
+    }),
+
     // Boolean query algebra over the persisted index:
     // (hash AND merge) OR (vector AND NOT table). ONE pruned postings
     // scan fetches all four terms' buckets; AND is a doc-id semi-join,
@@ -2025,6 +2041,22 @@ object LlmPipeline {
         |                           x -> len(x) > 0))) AS DOUBLE) / count(*) AS avg_words,
         |  true AS ivm_ok
         |FROM v3 GROUP BY source ORDER BY source""".stripMargin,
+
+    // live totals recomputed from the surviving docs; n_tombs = the
+    // retracted id count
+    "q_sql_index_stats" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |                    t -> len(t) > 0)) AS dl
+        |  FROM documents)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS sum_dl,
+        |  CAST(sum(dl) FILTER (WHERE doc_id % 7 <> 0) AS DOUBLE)
+        |    / count(*) FILTER (WHERE doc_id % 7 <> 0) AS avgdl,
+        |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_tombs
+        |FROM l""".stripMargin,
 
     // boolean algebra mirrored as set ops over the distinct doc-term
     // incidence
