@@ -590,6 +590,31 @@ object IvfIndex {
     SimilaritySearch.heapTopK(cands.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
 
+  /** Radius (range) search over a prebuilt index — FAISS
+    * `range_search` / Milvus radius query: ALL neighbors whose cosine
+    * similarity is at least `minCos`, not a fixed k. Same access path
+    * as [[searchTopK]] — the probed-cluster restriction is a partition
+    * filter, so I/O is O(probed lists) — but the cut is the threshold
+    * itself: a simple filter, no heap, no window, output sized by the
+    * match set. The verb top-k can't express: "everything this
+    * similar", the dedup/recall shape (near-dup mining uses exactly
+    * this with a jaccard/cosine floor).
+    */
+  def searchRadius(
+      assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, nProbes: Int): DataFrame = {
+    val pl = probeLists(centroids, probes, idCol, vecCol, nProbes)
+    val probed = pl.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    val c = assigned.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+        col("cluster"))
+    c.join(broadcast(pl), Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
+      .filter(col("cos") >= minCos)
+      .select("probe_id", "neighbor_id", "cos")
+  }
+
   /** IVF-PQ-lite two-stage search over a [[buildIndex]] layout: the
     * coarse pass scores the PROBED lists' int8 codes (the same
     * `cluster IN` partition pruning as [[searchTopK]], but the scan

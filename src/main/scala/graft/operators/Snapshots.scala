@@ -114,6 +114,15 @@ object Snapshots {
   private def writeManifest(spark: SparkSession, root: String, vs: Seq[Int]): Unit =
     writeManifestLines(spark, root, vs.sorted.map(_.toString), sweep = true): Unit
 
+  /** Next fresh version number — GLOBAL across main and every branch
+    * ref, so a commit on any ref can never write into a `v_N` dir
+    * another ref already staged (the data-dir namespace is shared even
+    * though histories are per-ref).
+    */
+  private def nextVersion(spark: SparkSession, root: String): Int =
+    (versions(spark, root) ++
+      branches(spark, root).flatMap(branchVersions(spark, root, _))).max + 1
+
   // ---- transactional per-file column stats -------------------------
   //
   // Registered stats columns make the table maintain an Iceberg-style
@@ -223,7 +232,7 @@ object Snapshots {
       updates: DataFrame, key: String, evolveSchema: Boolean = false): Int = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot table at $root")
-    val next = vs.max + 1
+    val next = nextVersion(spark, root)
     val merged =
       if (evolveSchema) Upsert.mergeEvolve(read(spark, root), updates, key)
       else Upsert.merge(read(spark, root), updates, key)
@@ -254,7 +263,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot table at $root")
-    val next = vs.max + 1
+    val next = nextVersion(spark, root)
     val remaining = read(spark, root).filter(not(coalesce(predicate, lit(false))))
     val statCols = statsColumns(spark, root)
     val shaped =
@@ -282,7 +291,7 @@ object Snapshots {
     require(set.nonEmpty, "commitUpdate needs at least one assignment")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot table at $root")
-    val next = vs.max + 1
+    val next = nextVersion(spark, root)
     val cur = read(spark, root)
     // SQL UPDATE fails analysis on an unknown SET target; a silent
     // no-op commit would be strictly worse. Match with the session's
@@ -330,7 +339,7 @@ object Snapshots {
     val vs = versions(spark, root)
     require(vs.contains(toVersion),
       s"version $toVersion not in manifest (have ${vs.mkString(",")})")
-    val next = vs.max + 1
+    val next = nextVersion(spark, root)
     val f = fs(spark, root)
     org.apache.hadoop.fs.FileUtil.copy(
       f, new Path(versionPath(root, toVersion)),
@@ -438,7 +447,7 @@ object Snapshots {
     val cur = vs.max
     val (nBefore, totalBytes) = fileStats(spark, root, cur)
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val next = cur + 1
+    val next = nextVersion(spark, root)
     val cur0 = spark.read.parquet(versionPath(root, cur))
     val statCols = statsColumns(spark, root)
     val shaped =
@@ -480,13 +489,169 @@ object Snapshots {
       .orderBy("version")
   }
 
+  // ---- branches: named refs / write-audit-publish ------------------
+  //
+  // Iceberg-style branch refs over the same immutable `v_N` dirs: a
+  // branch is its OWN manifest chain (`_branch.<name>.v_<seq>`, same
+  // tmp+rename-onto-fresh-name commit protocol as main), initialized
+  // to main's history up to the fork version. Staged commits allocate
+  // GLOBALLY fresh version numbers (max over main + every branch), so
+  // branch and main data dirs never collide, and they are recorded
+  // ONLY in the branch manifest — invisible to every main reader until
+  // [[fastForward]] publishes the branch ref as main's manifest in one
+  // atomic swap. This is the write-audit-publish pattern: stage on a
+  // branch, audit the staged snapshot (expectations / row checks),
+  // publish by fast-forward, or walk away and [[dropBranch]].
+
+  private def branchManifestPrefix(name: String) = s"_branch.$name.v_"
+
+  private def requireBranchName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"branch name must be [A-Za-z0-9_-]+: '$name'")
+
+  private def branchSeqs(spark: SparkSession, root: String, name: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    val prefix = branchManifestPrefix(name)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt).toOption)
+      .toSeq.sorted
+  }
+
+  private def writeBranchManifest(spark: SparkSession, root: String,
+      name: String, vs: Seq[Int], expectFirst: Boolean = false): Unit = {
+    val f = fs(spark, root)
+    val seqs = branchSeqs(spark, root, name)
+    require(!expectFirst || seqs.isEmpty, s"branch '$name' already exists at $root")
+    val next = if (seqs.isEmpty) 1 else seqs.max + 1
+    val tmp = new Path(root, s".tmp_branch_${name}_$next")
+    val out = f.create(tmp, true)
+    try out.write(vs.sorted.map(_.toString).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename onto a fresh name is the atomic commit; a lost race (two
+    // creators, two committers) surfaces as a conflict, never a clobber
+    if (!f.rename(tmp, new Path(root, branchManifestPrefix(name) + next))) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"branch manifest commit conflict for '$name' at $root seq $next")
+    }
+    seqs.filter(_ < next - 1)
+      .foreach(s => f.delete(new Path(root, branchManifestPrefix(name) + s), false))
+  }
+
+  /** Names of the table's live branches. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("_branch."))
+      .flatMap { n =>
+        val body = n.stripPrefix("_branch.")
+        val i = body.lastIndexOf(".v_")
+        if (i > 0) Some(body.substring(0, i)) else None
+      }.toSeq.distinct.sorted
+  }
+
+  /** The branch's committed versions (its visible history), ascending. */
+  def branchVersions(spark: SparkSession, root: String, name: String): Seq[Int] = {
+    val seqs = branchSeqs(spark, root, name)
+    require(seqs.nonEmpty, s"no branch '$name' at $root")
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, branchManifestPrefix(name) + seqs.max))
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      new String(bytes, StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(_.toInt).toSeq.sorted
+    } finally in.close()
+  }
+
+  /** Fork a branch from main at `at` (default: the current head). The
+    * branch starts with main's history up to the fork version; staged
+    * commits land on the branch only.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      at: Option[Int] = None): Unit = {
+    requireBranchName(name)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val atV = at.getOrElse(vs.max)
+    require(vs.contains(atV), s"fork version $atV not in manifest")
+    writeBranchManifest(spark, root, name, vs.filter(_ <= atV), expectFirst = true)
+  }
+
+  /** Read the branch head (or a specific version on the branch). */
+  def readBranch(spark: SparkSession, root: String, name: String,
+      version: Option[Int] = None): DataFrame = {
+    val bvs = branchVersions(spark, root, name)
+    val v = version.getOrElse(bvs.max)
+    require(bvs.contains(v), s"version $v not on branch '$name' (have ${bvs.mkString(",")})")
+    spark.read.parquet(versionPath(root, v))
+  }
+
+  /** Commit `df` wholesale as the branch's next version — the staging
+    * verb of write-audit-publish. The version number is allocated
+    * globally (max over main + every branch) so data dirs never
+    * collide; the commit is recorded only in the branch's manifest, so
+    * main readers cannot see it. Registered stats columns get the same
+    * clustered-rewrite + sidecar treatment as main commits, so a
+    * published branch version prunes identically. Returns the version.
+    */
+  def commitToBranch(spark: SparkSession, root: String, name: String,
+      df: DataFrame): Int = {
+    val bvs = branchVersions(spark, root, name) // also validates the branch
+    val next = nextVersion(spark, root)
+    val statCols = statsColumns(spark, root)
+    val shaped =
+      if (statCols.isEmpty) df
+      else clustered(df, statCols, dataFiles(spark, root, bvs.max).length)
+    shaped.write.parquet(versionPath(root, next))
+    if (statCols.nonEmpty) writeColumnStats(spark, root, next, statCols)
+    writeBranchManifest(spark, root, name, bvs :+ next)
+    next
+  }
+
+  /** Publish the branch: atomically swap MAIN's manifest to the
+    * branch's history. Requires main to be an ancestor of the branch
+    * (main's versions are a prefix of the branch's) — if main advanced
+    * since the fork the publish is not a fast-forward and the caller
+    * must rebase (re-stage off the new head). Returns the new main
+    * head version. The branch ref stays; [[dropBranch]] retires it.
+    */
+  def fastForward(spark: SparkSession, root: String, name: String): Int = {
+    val bvs = branchVersions(spark, root, name)
+    val mvs = versions(spark, root)
+    require(bvs.startsWith(mvs),
+      s"main advanced since the fork of '$name' " +
+        s"(main ${mvs.mkString(",")} is not a prefix of branch ${bvs.mkString(",")}); rebase")
+    if (bvs != mvs) writeManifest(spark, root, bvs)
+    bvs.max
+  }
+
+  /** Retire a branch ref. Its staged-but-unpublished version dirs
+    * become orphans that [[vacuum]] reclaims (age-guarded).
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    branchSeqs(spark, root, name).foreach(s =>
+      f.delete(new Path(root, branchManifestPrefix(name) + s), false))
+  }
+
   /** Delete crash-leaked `v_N` directories that no manifest ever
     * published (Iceberg's `remove_orphan_files`): a crash between
     * `commitMerge`'s data write and its manifest swap leaves a `v_N`
     * dir that readers can never resolve and `expire` never touches (it
     * only deletes versions DROPPED from the manifest). Also sweeps
-    * stale `.tmp_manifest_*` files from crashed manifest writes.
-    * Returns the deleted directory/file names.
+    * stale `.tmp_manifest_*` / `.tmp_branch_*` files from crashed
+    * manifest writes. Returns the deleted directory/file names.
+    *
+    * Versions referenced by ANY live branch ref count as live — a
+    * staged-but-unpublished branch commit is resolvable through its
+    * branch and must survive vacuum until [[dropBranch]] retires the
+    * ref.
     *
     * `olderThanMs` guards against racing an in-flight commit (whose
     * data dir legitimately precedes its manifest entry): only orphans
@@ -495,13 +660,15 @@ object Snapshots {
     */
   def vacuum(spark: SparkSession, root: String, olderThanMs: Long = 3600000L): Seq[String] = {
     val f = fs(spark, root)
-    val live = versions(spark, root).toSet
+    val live = versions(spark, root).toSet ++
+      branches(spark, root).flatMap(branchVersions(spark, root, _))
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = f.listStatus(new Path(root)).toSeq.filter { st =>
       val n = st.getPath.getName
       val leakedData = st.isDirectory && n.startsWith("v_") &&
         scala.util.Try(n.stripPrefix("v_").toInt).toOption.exists(!live.contains(_))
-      val leakedTmp = !st.isDirectory && n.startsWith(".tmp_manifest_")
+      val leakedTmp = !st.isDirectory &&
+        (n.startsWith(".tmp_manifest_") || n.startsWith(".tmp_branch_"))
       (leakedData || leakedTmp) && st.getModificationTime <= cutoff
     }
     orphans.foreach(st => f.delete(st.getPath, true))
@@ -524,7 +691,13 @@ object Snapshots {
     if (drop.nonEmpty) {
       writeManifest(spark, root, keep)
       val f = fs(spark, root)
-      drop.foreach(v => f.delete(new Path(versionPath(root, v)), true))
+      // a version expired from MAIN may still be resolvable through a
+      // live branch ref (a fork below the expiry horizon) — drop it
+      // from main's history but keep its data until the branch retires
+      val branchLive = branches(spark, root)
+        .flatMap(branchVersions(spark, root, _)).toSet
+      drop.filterNot(branchLive.contains)
+        .foreach(v => f.delete(new Path(versionPath(root, v)), true))
     }
     drop
   }

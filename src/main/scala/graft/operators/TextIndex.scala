@@ -618,6 +618,62 @@ object TextIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Index-served snippet/highlight selection: for each document
+    * matching ALL `terms` (conjunctive, like [[searchAll]]), the best
+    * `width`-token window — the one covering the most query-term
+    * occurrences, ties to the earliest start. Computed ENTIRELY from
+    * the positional postings (the same pruned, tombstone-masked read
+    * as every other verb): no document text is scanned; the caller
+    * joins `doc_id` back to a forward table only to render the chosen
+    * offsets. That inversion is the point at scale — highlighting by
+    * re-reading and re-tokenizing every hit document is a corpus-sized
+    * text scan, while this is arithmetic on hit-sized posting rows.
+    *
+    * Window scoring uses the proximity-search banding trick: every
+    * matched position is a candidate window START; occurrences land in
+    * a window iff `start <= pos < start + width`, so pairing starts
+    * with occupants is an equi-join on the width-sized band (a
+    * position's window can only reach into its own band and the next),
+    * never a per-doc cross product of all positions.
+    *
+    * Output: (doc_id, snip_start, snip_hits) — snip_start the chosen
+    * window's first token offset (0-based, the tokenizer's posexplode
+    * coordinates), snip_hits the query-term occurrences it covers.
+    */
+  def snippets(spark: SparkSession, path: String, terms: Seq[String],
+      width: Int): DataFrame = {
+    require(terms.nonEmpty, "snippets needs at least one term")
+    require(width >= 1, "width must be >= 1")
+    val postings = prunedPostings(spark, path, terms)
+    // conjunctive gate first: only docs containing every term get a
+    // snippet (the searchAll contract), and the position work below
+    // runs on the gated, hit-sized rows only
+    val matched = postings.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.distinct.size)
+      .select("doc_id")
+    val pos = postings.join(matched, Seq("doc_id"))
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val starts = pos.select(col("doc_id"), col("pos").as("start"))
+      .withColumn("band", (col("start") / width).cast("long"))
+    val occupants = pos
+      .withColumn("band", explode(array(
+        (col("pos") / width).cast("long"),
+        (col("pos") / width).cast("long") - 1)))
+    val windowed = starts.join(occupants, Seq("doc_id", "band"))
+      .filter(col("pos") >= col("start") && col("pos") < col("start") + width)
+      .groupBy("doc_id", "start")
+      .agg(count(lit(1)).as("n_hits"))
+    // best window per doc: most hits, earliest start on ties —
+    // a max_by over the (n_hits, -start) order, no window sort
+    windowed.groupBy("doc_id")
+      .agg(max_by(struct(col("start"), col("n_hits")),
+        struct(col("n_hits"), -col("start"))).as("best"))
+      .select(col("doc_id"), col("best.start").as("snip_start"),
+        col("best.n_hits").as("snip_hits"))
+  }
+
   /** Compact the posting files: each `appendDocs` batch adds files to
     * every bucket it touches, so a long-running streaming ingest leaves
     * O(batches) small files per bucket and every search pays their open

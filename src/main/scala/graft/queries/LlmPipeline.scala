@@ -379,6 +379,41 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Faceted search (the search-UI shape every retrieval stack
+    // serves): conjunctive index hits + per-facet rollups in one
+    // query. The hit set comes off the pruned, tombstone-masked
+    // postings read (searchAll); the facet attributes live in the
+    // FORWARD table — the right access path for doc→attribute — so
+    // facets are a HIT-KEYED join (hit-sized, never corpus-sized)
+    // followed by a facet-cardinality groupBy. Output is the facet
+    // table itself: per (source, lang) bucket, matching-doc count and
+    // their total tf.
+    "q_text_faceted_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Tables.scratch("text_index_facet")
+      TextIndex.buildIndex(docs, "doc_id", "text", idx)
+      TextIndex.searchAll(s, idx, Seq("hash", "merge", "vector"))
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_hits"), sum("total_tf").as("facet_tf"))
+        .orderBy("source", "lang")
+    }),
+
+    // Index-served snippet selection: each conjunctive hit's best
+    // 8-token highlight window (most query-term occurrences, earliest
+    // start on ties), computed from the positional postings ALONE —
+    // the document text is never read or re-tokenized, the inversion
+    // that makes highlighting hit-sized instead of corpus-sized. The
+    // banded start×occupant join is the proximity-search trick: a
+    // window only reaches its own width-band and the next, so scoring
+    // is an equi-join, not a per-doc position cross product.
+    "q_text_snippet" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_snip")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.snippets(s, idx, Seq("hash", "merge", "vector"), width = 8)
+        .orderBy("doc_id")
+    }),
+
     // Pseudo-relevance-feedback search (Rocchio-style query
     // expansion): round 1 retrieves the seed terms' BM25 top-10 from
     // the persisted index; the expansion terms are the feedback docs'
@@ -575,6 +610,62 @@ object LlmPipeline {
       HybridSearch.rrfTopK(s, tidx, a, c, probes, Seq("hash", "merge", "vector"),
           "doc_id", "embedding", n = 50, k = 10, nProbes = 8)
         .orderBy("probe_id", "rank")
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN across the whole stack — the GDPR erasure
+    // verb no single layer provides alone. A snapshot DELETE is not
+    // forgetting (time travel still serves the rows); an index
+    // tombstone is not forgetting (the posting/list files still hold
+    // the content). One id set is erased from EVERY surface, each via
+    // its layer's own verbs: the versioned table (DELETE commit +
+    // expire, so no resolvable version contains the ids), the text
+    // index (tombstone + reconciling compaction — postings physically
+    // purged, df/totals recounted), and the vector index (tombstone +
+    // list fold — rows physically gone from the cluster partitions).
+    // forget_ok audits PHYSICAL residue: raw reads of the surviving
+    // table version, the live posting files, and the live inverted
+    // lists must all show ZERO rows for the forgotten ids — masked is
+    // not enough. Deliverable: per-source rollup of the surviving
+    // corpus, exact SQL oracle.
+    "q_forget" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = Tables.scratch("forget_tbl")
+      val tidx = Tables.scratch("forget_tidx")
+      val vidx = Tables.scratch("forget_vidx")
+      val corpus = t(s, dir, "documents").select("doc_id", "text", "source", "n_chars")
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      Snapshots.create(s, root, corpus)
+      TextIndex.buildIndex(Snapshots.read(s, root), "doc_id", "text", tidx)
+      IvfIndex.buildIndex(Snapshots.read(s, root), "doc_id", "embedding",
+        nCentroids = 8, path = vidx)
+      val isForgotten = col("doc_id") % 17 === 0
+      val ids = corpus.filter(isForgotten).select("doc_id")
+      // table: DELETE commit, then expire history + vacuum orphans so
+      // NO resolvable version serves the ids
+      Snapshots.commitDelete(s, root, isForgotten)
+      Snapshots.expire(s, root, retain = 1)
+      // text index: tombstone (exact immediately) + reconciling
+      // compaction (physical purge of the posting rows)
+      TextIndex.deleteDocs(ids, "doc_id", tidx)
+      TextIndex.compactIndex(s, tidx)
+      // vector index: tombstone + list fold (physical purge)
+      IvfIndex.deleteFromIndex(ids, "doc_id", vidx)
+      IvfIndex.compactLists(s, vidx, "doc_id")
+      // audit PHYSICAL residue on every surface, raw reads — no masks
+      val tableResidue = Snapshots.read(s, root).filter(isForgotten).count()
+      val histResidue = Snapshots.versions(s, root).size - 1
+      val postResidue = s.read.parquet(TextIndex.postingsDir(s, tidx))
+        .join(ids, "doc_id").count()
+      val listResidue = s.read.parquet(s"$vidx/assigned")
+        .join(ids, Seq("doc_id"), "left_semi").count()
+      val forgotten =
+        tableResidue == 0 && histResidue == 0 && postResidue == 0 && listResidue == 0
+      Snapshots.read(s, root)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("forget_ok", lit(forgotten))
+        .orderBy("source")
     }),
 
     "q_text_bm25" -> ((s, dir) => {
@@ -1152,6 +1243,45 @@ object LlmPipeline {
           (coalesce(col("n_ret"), lit(0L)) === 5 &&
             coalesce(col("max_gap"), lit(1.0)) <= lit(0.1)).as("pq_ok"))
         .orderBy("probe_id")
+    }),
+
+    // FILTERED vector search (the "where label = X" ANN every vector
+    // store fields): the metadata predicate composes with the index as
+    // a PRE-filter on the pruned lists scan — label is a payload
+    // column OF the inverted lists (buildIndex persists every caller
+    // column), so the predicate pushes down into the same
+    // partition-pruned parquet read and candidates are filtered before
+    // any distance math. Post-filtering a top-k would be WRONG (k
+    // shrinks or empties when the filter is selective); pre-filtering
+    // keeps k exact over the eligible corpus. Exhaustive probing makes
+    // the index path exact → brute-force-over-the-filtered-corpus
+    // oracle.
+    "q_sim_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Tables.scratch("ivf_filtered_index")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      IvfIndex.searchTopK(assigned.filter(col("label") === 3), centroids,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbes = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Radius (range) search — FAISS range_search: ALL neighbors at
+    // cosine >= 0.3, not a fixed k. Same pruned index access path as
+    // searchTopK but the cut is the threshold itself: a filter, no
+    // heap, no window, output sized by the match set — the shape
+    // near-dup mining and recall sweeps need ("everything this
+    // similar"), which top-k cannot express. Exhaustive probing →
+    // exact threshold-join oracle.
+    "q_sim_range_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Tables.scratch("ivf_range_index")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      IvfIndex.searchRadius(assigned, centroids, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", minCos = 0.3, nProbes = 8)
+        .orderBy("probe_id", "neighbor_id")
     }),
 
     // Streaming IVF ingest — the vector twin of q_stream_text_index:
@@ -2535,6 +2665,81 @@ object LlmPipeline {
          |FROM embeddings p, embeddings c
          |WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
          |GROUP BY p.vec_id ORDER BY probe_id""".stripMargin,
+
+    // exhaustive probing + the label pre-filter → exact brute force
+    // over the eligible (label = 3) corpus
+    "q_sim_filtered_ann" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = 3)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // exhaustive probing → the radius cut is an exact threshold join
+    "q_sim_range_search" ->
+      s"""SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  ${duckCos("p.embedding", "c.embedding")} AS cos
+         |FROM embeddings p, embeddings c
+         |WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+         |  AND ${duckCos("p.embedding", "c.embedding")} >= 0.3
+         |ORDER BY probe_id, neighbor_id""".stripMargin,
+
+    "q_text_faceted_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2),
+        |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+        |         FROM tf GROUP BY doc_id HAVING count(*) = 3)
+        |SELECT d.source, d.lang, count(*) AS n_hits,
+        |  CAST(sum(h.total_tf) AS BIGINT) AS facet_tf
+        |FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+        |GROUP BY d.source, d.lang
+        |ORDER BY d.source, d.lang""".stripMargin,
+
+    // positions via the zipped unnest (0-based range — the same
+    // coordinates as Spark's posexplode); window membership replayed
+    // as the start×occupant join; best window = most hits, earliest
+    // start
+    "q_text_snippet" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS w,
+        |               unnest(range(len(toks))) AS pos FROM d),
+        |m AS (SELECT doc_id, w, pos FROM tok
+        |      WHERE w IN ('hash', 'merge', 'vector')),
+        |full_docs AS (SELECT doc_id FROM m GROUP BY doc_id
+        |              HAVING count(DISTINCT w) = 3),
+        |wnd AS (
+        |  SELECT a.doc_id, a.pos AS start, count(*) AS n_hits
+        |  FROM m a
+        |  JOIN m b ON a.doc_id = b.doc_id
+        |          AND b.pos >= a.pos AND b.pos < a.pos + 8
+        |  JOIN full_docs f ON f.doc_id = a.doc_id
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, start, n_hits,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n_hits DESC, start ASC) AS rn FROM wnd)
+        |SELECT doc_id, CAST(start AS BIGINT) AS snip_start,
+        |       CAST(n_hits AS BIGINT) AS snip_hits
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_forget" ->
+      """SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS forget_ok
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE d.doc_id % 17 <> 0
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id, greatest(len(text) - 6, 0) AS n_grams,

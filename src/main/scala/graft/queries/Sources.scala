@@ -365,6 +365,47 @@ object Sources {
         .orderBy("o_orderpriority")
     }),
 
+    // Branches + write-audit-publish (Iceberg's WAP pattern, the
+    // staging workflow ETL pipelines run on every load): fork an
+    // `audit` branch, stage a re-pricing commit ON THE BRANCH (a
+    // globally-allocated v_N recorded only in the branch ref — main
+    // readers cannot resolve it), audit the STAGED snapshot (row-count
+    // conservation + no non-positive prices), then publish by
+    // fast-forwarding main's manifest to the branch in one atomic
+    // swap. wap_ok asserts the protocol's three claims: isolation
+    // (main's history was untouched while staged), audit (the checks
+    // passed pre-publish), and publication (main's head now IS the
+    // staged version).
+    "q_table_branch" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = tmp("snap_branch")
+      Snapshots.create(s, root, t(s, dir, "orders"))
+      Snapshots.createBranch(s, root, "audit")
+      val staged = Snapshots.readBranch(s, root, "audit")
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      val stagedV = Snapshots.commitToBranch(s, root, "audit", staged)
+      // isolation: the staged version is resolvable ONLY via the branch
+      val mainBefore = Snapshots.versions(s, root)
+      val isolated = mainBefore == Seq(1) &&
+        Snapshots.branchVersions(s, root, "audit") == Seq(1, stagedV)
+      // audit the staged snapshot before anything publishes
+      val b = Snapshots.readBranch(s, root, "audit")
+      val auditPassed = b.count() == Snapshots.read(s, root).count() &&
+        b.filter(col("o_totalprice") <= 0).count() == 0
+      val published = Snapshots.fastForward(s, root, "audit")
+      val wapOk = isolated && auditPassed &&
+        Snapshots.versions(s, root).max == published && published == stagedV
+      Snapshots.read(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .withColumn("wap_ok", lit(wapOk))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_table_merge" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       // insert keys offset by max(o_orderkey): collision-free at every
@@ -1223,6 +1264,18 @@ object Sources {
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN '2-HIGH'
         |         ELSE o_orderpriority END AS o_orderpriority,
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.05
+        |         ELSE o_totalprice END AS p
+        |  FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_table_branch" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |  TRUE AS wap_ok
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
         |         ELSE o_totalprice END AS p
         |  FROM orders)
         |GROUP BY o_orderpriority

@@ -849,4 +849,72 @@ class DedupSpec extends SparkSuite {
       assert(gotTied == gotTied.sorted, s"tie order not by doc id: $gotTied")
     }
   }
+
+  test("filtered ANN: label pre-filter exact over the eligible corpus; predicate pushed into the pruned scan") {
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 120L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f), (i % 4).toInt)
+    }
+    val df = base.toDF("vec_id", "embedding", "label")
+    val path = Tables.scratch("ivf_filter_test")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, path)
+    val probes = df.filter(col("vec_id") < 3)
+    // exhaustive probing + pre-filter == brute force over label==2 only
+    val got = IvfIndex.searchTopK(assigned.filter(col("label") === 2),
+        centroids, probes, "vec_id", "embedding", k = 5, nProbes = 4)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val want = SimilaritySearch.bruteForceTopK(
+        df.filter(col("label") === 2), probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === want, "filtered search diverged from filtered brute force")
+    // every neighbor is eligible (the pre-filter is load-bearing: a
+    // post-filtered top-k would return ineligible rows or short lists)
+    assert(got.size === 15) // 3 probes x k=5 — k survives the filter
+    // the label predicate reaches the parquet scan as a pushed filter
+    val q = IvfIndex.searchTopK(assigned.filter(col("label") === 2),
+      centroids, probes, "vec_id", "embedding", k = 5, nProbes = 2)
+    q.collect()
+    val scans = q.queryExecution.executedPlan.toString()
+    assert(scans.contains("PushedFilters") && scans.contains("label"),
+      "label predicate not pushed into the index scan")
+  }
+
+  test("radius search: exhaustive probing equals the brute-force threshold join; partial probes are a subset") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorExpressions.cosine_sim
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 100L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_radius_test")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, path)
+    val probes = df.filter(col("vec_id") < 5)
+    val tau = 0.25
+    def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = pairs(IvfIndex.searchRadius(assigned, centroids, probes,
+      "vec_id", "embedding", minCos = tau, nProbes = 4))
+    val brute = pairs(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pv"))
+      .crossJoin(df.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .filter(cosine_sim(col("pv"), col("nv")) >= tau)
+      .select(col("probe_id"), col("neighbor_id")))
+    assert(brute.nonEmpty, "fixture should produce pairs above the threshold")
+    assert(exhaustive === brute, "exhaustive radius search diverged from brute force")
+    // fewer probes can only shrink the result (candidate subset), and
+    // everything returned still clears the threshold
+    val partial = IvfIndex.searchRadius(assigned, centroids, probes,
+      "vec_id", "embedding", minCos = tau, nProbes = 1)
+    assert(pairs(partial).subsetOf(brute))
+    assert(partial.select("cos").collect().forall(_.getDouble(0) >= tau))
+  }
 }

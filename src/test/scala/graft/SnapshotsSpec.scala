@@ -365,6 +365,65 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.changes(spark, root, 1, v2, "id").isEmpty)
   }
 
+  test("branches: staged commits invisible to main; fast-forward publishes; diverged main rejects") {
+    val root = freshRoot("snap_branch_spec")
+    Snapshots.create(spark, root, Seq((1L, 10), (2L, 20)).toDF("k", "v"))
+    Snapshots.createBranch(spark, root, "audit")
+    // duplicate branch names are a commit conflict, not a clobber
+    intercept[IllegalArgumentException] {
+      Snapshots.createBranch(spark, root, "audit")
+    }
+    val stagedV = Snapshots.commitToBranch(spark, root, "audit",
+      Snapshots.readBranch(spark, root, "audit").withColumn("v", col("v") + 1))
+    // isolation: main's manifest and head content are untouched
+    assert(Snapshots.versions(spark, root) === Seq(1))
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, Int)].collect()
+      === Array((1L, 10), (2L, 20)))
+    assert(Snapshots.branchVersions(spark, root, "audit") === Seq(1, stagedV))
+    assert(Snapshots.readBranch(spark, root, "audit").orderBy("k")
+      .as[(Long, Int)].collect() === Array((1L, 11), (2L, 21)))
+    // publish: one manifest swap, main's head IS the staged version
+    val head = Snapshots.fastForward(spark, root, "audit")
+    assert(head === stagedV)
+    assert(Snapshots.versions(spark, root) === Seq(1, stagedV))
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, Int)].collect()
+      === Array((1L, 11), (2L, 21)))
+    // a second publish with no new staged work is a no-op fast-forward
+    assert(Snapshots.fastForward(spark, root, "audit") === stagedV)
+    // divergence: main advances past the branch → publish must refuse
+    Snapshots.createBranch(spark, root, "stale")
+    Snapshots.commitToBranch(spark, root, "stale",
+      Snapshots.readBranch(spark, root, "stale").withColumn("v", col("v") * 2))
+    Snapshots.commitMerge(spark, root, Seq((9L, 90)).toDF("k", "v"), "k")
+    intercept[IllegalArgumentException] {
+      Snapshots.fastForward(spark, root, "stale")
+    }
+    assert(Snapshots.branches(spark, root) === Seq("audit", "stale"))
+  }
+
+  test("branch refs shield staged/expired versions from vacuum and expire; dropBranch releases") {
+    val root = freshRoot("snap_branch_gc")
+    Snapshots.create(spark, root, Seq((1L, 10)).toDF("k", "v"))
+    Snapshots.createBranch(spark, root, "wip")
+    val stagedV = Snapshots.commitToBranch(spark, root, "wip",
+      Seq((1L, 10), (2L, 20)).toDF("k", "v"))
+    // vacuum must NOT reclaim a version resolvable through a live ref
+    assert(Snapshots.vacuum(spark, root, olderThanMs = 0L).isEmpty)
+    assert(Snapshots.readBranch(spark, root, "wip").count() === 2)
+    // expire on main must not delete a branch-referenced fork version:
+    // advance main, expire to 1 retained, the branch still reads v1
+    Snapshots.commitMerge(spark, root, Seq((3L, 30)).toDF("k", "v"), "k")
+    val dropped = Snapshots.expire(spark, root, retain = 1)
+    assert(dropped === Seq(1))
+    assert(Snapshots.readBranch(spark, root, "wip", Some(1)).count() === 1)
+    // retire the ref: vacuum now reclaims the staged + shielded dirs
+    Snapshots.dropBranch(spark, root, "wip")
+    val reclaimed = Snapshots.vacuum(spark, root, olderThanMs = 0L)
+    assert(reclaimed.contains(s"v_$stagedV"))
+    assert(reclaimed.contains("v_1"))
+    assert(Snapshots.branches(spark, root).isEmpty)
+  }
+
   test("q_table_timetravel emits both versions with snapshot_ok true") {
     val rows = SparkEntry.queries("q_table_timetravel")(spark, sf)
       .collect()

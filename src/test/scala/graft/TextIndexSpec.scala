@@ -529,4 +529,34 @@ class TextIndexSpec extends SparkSuite {
     val again = TextIndex.searchAll(spark, out, Seq("hash"))
     assert(again.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 7L, 8L))
   }
+
+  test("snippets: most-hits window wins, ties to earliest start, conjunctive gate, index-only input") {
+    val out = Tables.scratch("textindex_snip")
+    // doc 1: best 4-token window is [6,10) covering three hits (pos
+    //   6,7,9); the early window at 0 covers only two (pos 0, 2)
+    // doc 2: two hits in one window at 0 — but missing 'beta', so the
+    //   conjunctive gate must drop it entirely
+    // doc 3: all three terms far apart — every window holds exactly
+    //   one hit, so the tie must resolve to the EARLIEST start (pos 0)
+    val docs = Seq(
+      (1L, "alpha x beta x x x alpha beta x alpha"),
+      (2L, "alpha gamma alpha x x x x x x x"),
+      (3L, "alpha x x x x beta x x x x gamma")
+    ).toDF("doc_id", "text")
+    TextIndex.buildIndex(docs, "doc_id", "text", out, nBuckets = 8)
+    val got = TextIndex.snippets(spark, out, Seq("alpha", "beta"), width = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 6L, 3L), (3L, 0L, 1L)))
+    // gamma joins the query: doc 3 now gates in with all three terms,
+    // doc 1 gates OUT (no gamma)
+    val got3 = TextIndex.snippets(spark, out, Seq("alpha", "beta", "gamma"), width = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got3 === Seq((3L, 0L, 1L)))
+    // the whole computation is index-served: no input file outside the
+    // index directory (the doc text is never read)
+    val files = TextIndex.snippets(spark, out, Seq("alpha", "beta"), width = 4).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("textindex_snip")),
+      s"snippet read outside the index: ${files.filterNot(_.contains("textindex_snip")).take(3).mkString(", ")}")
+  }
 }
