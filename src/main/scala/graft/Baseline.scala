@@ -1516,6 +1516,329 @@ object Baseline {
       s.table(sink).groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // ── round-12 additions ────────────────────────────────────────────
+
+    // q_text_faceted_search control, deliverable-matched (the
+    // q_text_search_index protocol): persist the flat positional
+    // postings + doclen + df artifacts a stock user writes, then serve
+    // the faceted query by scanning ALL posting rows for the term
+    // filter; the graft side reads 3 bucket partitions of its index.
+    "q_text_faceted_search" -> ((s, dir) => {
+      val terms = Seq("hash", "merge", "vector")
+      val docs = t(s, dir, "documents")
+      val out = Tables.scratch("baseline_facet_postings")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .write.mode("overwrite").parquet(out)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(Tables.scratch("baseline_facet_doclen"))
+      s.read.parquet(out).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(Tables.scratch("baseline_facet_df"))
+      s.read.parquet(out)
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+        .filter(col("n_terms") === 3)
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_hits"), sum("total_tf").as("facet_tf"))
+        .orderBy("source", "lang")
+    }),
+
+    // q_text_snippet control: same flat positional postings artifact;
+    // the snippet algebra (banded start×occupant join + best-window
+    // pick) runs off a FULL postings scan — the graft side's identical
+    // algebra runs off 3 pruned bucket partitions. The best-window cut
+    // here is the stock row_number window, not the heap-free max_by.
+    "q_text_snippet" -> ((s, dir) => {
+      val terms = Seq("hash", "merge", "vector")
+      val width = 8
+      val out = Tables.scratch("baseline_snip_postings")
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .write.mode("overwrite").parquet(out)
+      val postings = s.read.parquet(out).filter(col("term").isin(terms: _*))
+      val matched = postings.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"))
+        .filter(col("n_terms") === terms.size).select("doc_id")
+      val pos = postings.join(matched, Seq("doc_id"))
+        .select(col("doc_id"), explode(col("positions")).as("pos"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      val starts = pos.select(col("doc_id"), col("pos").as("start"))
+        .withColumn("band", (col("start") / width).cast("long"))
+      val occupants = pos.withColumn("band", explode(array(
+        (col("pos") / width).cast("long"),
+        (col("pos") / width).cast("long") - 1)))
+      val windowed = starts.join(occupants, Seq("doc_id", "band"))
+        .filter(col("pos") >= col("start") && col("pos") < col("start") + width)
+        .groupBy("doc_id", "start").agg(count(lit(1)).as("n_hits"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("n_hits").desc, col("start").asc)
+      windowed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("start").as("snip_start"),
+          col("n_hits").as("snip_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // q_sim_filtered_ann control: the same stock-ML k-means index
+    // persisted FLAT (full-width floats, no partitioning); the
+    // filtered search scans the WHOLE flat index (label filter + HOF
+    // cosine) and cuts with a row_number window — the graft side reads
+    // only probed cluster partitions and cuts with the bounded heap.
+    "q_sim_filtered_ann" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val out = Tables.scratch("baseline_filtered_flat")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(8).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+      model.transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(out)
+      val c = s.read.parquet(out).filter(col("label") === 3)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"))
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(probe_vec, neighbor_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            | / (sqrt(aggregate(probe_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |    * sqrt(aggregate(neighbor_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // q_sim_range_search control: same flat k-means artifact; the
+    // radius query scans the WHOLE flat index with the HOF cosine and
+    // threshold filter (no cluster pruning to lean on).
+    "q_sim_range_search" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val out = Tables.scratch("baseline_range_flat")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(8).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+      model.transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(out)
+      val c = s.read.parquet(out)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"))
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(probe_vec, neighbor_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            | / (sqrt(aggregate(probe_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |    * sqrt(aggregate(neighbor_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+        .filter(col("cos") >= 0.3)
+        .select("probe_id", "neighbor_id", "cos")
+        .orderBy("probe_id", "neighbor_id")
+    }),
+
+    // q_sim_knn_join control: the stock table×table knn join — every
+    // probe against the WHOLE corpus (no index to narrow candidates),
+    // HOF cosine, row_number window cut. The graft side builds the
+    // partitioned IVF and shuffles each probe to its nProbes lists.
+    "q_sim_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val p = emb.filter(col("vec_id") % 10 === 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"))
+      val scored = c.join(p, col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(probe_vec, neighbor_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            | / (sqrt(aggregate(probe_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |    * sqrt(aggregate(neighbor_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // q_forget control, deliverable-matched: the GDPR erase without
+    // the layered verbs — plain table dir + flat postings + flat
+    // k-means artifacts, erased by full copy-on-write REWRITES of all
+    // three (minus the ids), the v1 table copy deleted, the same
+    // physical-residue audit (raw reads of all three artifacts), same
+    // per-source rollup. Every control rewrite is O(corpus); the graft
+    // verbs are O(ids) tombstones + targeted folds.
+    "q_forget" -> ((s, dir) => {
+      val tbl = Tables.scratch("baseline_forget_tbl")
+      val tblOld = Tables.scratch("baseline_forget_tbl_v1")
+      val posts = Tables.scratch("baseline_forget_postings")
+      val lists = Tables.scratch("baseline_forget_lists")
+      val corpus = t(s, dir, "documents").select("doc_id", "text", "source", "n_chars")
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      corpus.write.mode("overwrite").parquet(tblOld)
+      corpus.write.mode("overwrite").parquet(tbl)
+      // capability-matched retrieval artifacts (the round-8/9 rule):
+      // the graft index carries positional postings + doc lengths +
+      // per-term dfs + corpus totals, so the stock user materializes
+      // the same flat artifacts...
+      val toks = s.read.parquet(tbl).select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .write.mode("overwrite").parquet(posts)
+      val doclen = Tables.scratch("baseline_forget_doclen")
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(doclen)
+      val dfs = Tables.scratch("baseline_forget_df")
+      s.read.parquet(posts).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(dfs)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val withVec = s.read.parquet(tbl)
+        .withColumn("__v", array_to_vector(col("embedding")))
+      new KMeans().setK(8).setSeed(42L).setFeaturesCol("__v")
+        .setPredictionCol("cluster").fit(withVec)
+        .transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(lists)
+      val isForgotten = col("doc_id") % 17 === 0
+      // erase: rewrite EVERY artifact minus the ids — including the
+      // doclen rewrite and the df recount the graft compaction does —
+      // and drop table history
+      val tbl2 = Tables.scratch("baseline_forget_tbl_v2")
+      s.read.parquet(tbl).filter(!isForgotten).write.mode("overwrite").parquet(tbl2)
+      val posts2 = Tables.scratch("baseline_forget_postings_v2")
+      s.read.parquet(posts).filter(!isForgotten).write.mode("overwrite").parquet(posts2)
+      s.read.parquet(doclen).filter(!isForgotten).write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_forget_doclen_v2"))
+      s.read.parquet(posts2).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_forget_df_v2"))
+      val lists2 = Tables.scratch("baseline_forget_lists_v2")
+      s.read.parquet(lists).filter(!isForgotten).write.mode("overwrite").parquet(lists2)
+      val fs = new org.apache.hadoop.fs.Path(tblOld)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(tblOld), true)
+      val tableResidue = s.read.parquet(tbl2).filter(isForgotten).count()
+      val histResidue = if (fs.exists(new org.apache.hadoop.fs.Path(tblOld))) 1 else 0
+      val postResidue = s.read.parquet(posts2).filter(isForgotten).count()
+      val listResidue = s.read.parquet(lists2).filter(isForgotten).count()
+      val forgotten =
+        tableResidue == 0 && histResidue == 0 && postResidue == 0 && listResidue == 0
+      s.read.parquet(tbl2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("forget_ok", lit(forgotten))
+        .orderBy("source")
+    }),
+
+    // q_table_branch control, deliverable-matched WAP: the stock user
+    // without branch refs stages to a SEPARATE full table copy, audits
+    // the copy, and publishes by replacing the main directory — the
+    // staging is a full CoW write and the publish moves data, where
+    // the graft fast-forward is one manifest swap.
+    "q_table_branch" -> ((s, dir) => {
+      val main = Tables.scratch("baseline_wap_main")
+      val staging = Tables.scratch("baseline_wap_staging")
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").parquet(main)
+      s.read.parquet(main)
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(staging)
+      val isolated = s.read.parquet(main)
+        .filter(col("o_orderpriority") === "1-URGENT").count() > 0
+      val b = s.read.parquet(staging)
+      val auditPassed = b.count() == s.read.parquet(main).count() &&
+        b.filter(col("o_totalprice") <= 0).count() == 0
+      // publish: replace main with the staged copy (dir swap)
+      val fs = new org.apache.hadoop.fs.Path(main)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(main), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(main))
+      val wapOk = isolated && auditPassed
+      s.read.parquet(main)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .withColumn("wap_ok", lit(wapOk))
+        .orderBy("o_orderpriority")
+    }),
+
+    // q_sql_changes control: the CDC consumer without a change feed —
+    // materialize the before/after table copies and diff them with a
+    // stock full-outer join, then the same per-type rollup. The graft
+    // side's feed is served through the snapshot manifests it already
+    // maintains; the control re-derives the diff from full copies.
+    "q_sql_changes" -> ((s, dir) => {
+      val v1 = Tables.scratch("baseline_changes_v1")
+      val v3 = Tables.scratch("baseline_changes_v3")
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").parquet(v1)
+      orders
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice")))
+        .filter(!(col("o_orderkey") % 13 === 0))
+        .write.mode("overwrite").parquet(v3)
+      val a = s.read.parquet(v1).alias("a")
+      val b = s.read.parquet(v3).alias("b")
+      val diff = a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .withColumn("_change_type",
+          when(col("b.o_orderkey").isNull, lit("delete"))
+            .when(col("a.o_orderkey").isNull, lit("insert"))
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"), lit("update"))
+            .otherwise(lit(null)))
+        .filter(col("_change_type").isNotNull)
+      val pre = diff.filter(col("_change_type") === "update")
+        .select(lit("update_preimage").as("_change_type"), col("a.o_totalprice").as("o_totalprice"))
+      val post = diff.filter(col("_change_type") === "update")
+        .select(lit("update_postimage").as("_change_type"), col("b.o_totalprice").as("o_totalprice"))
+      val del = diff.filter(col("_change_type") === "delete")
+        .select(col("_change_type"), col("a.o_totalprice").as("o_totalprice"))
+      del.unionByName(pre).unionByName(post)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .orderBy("_change_type")
+    }),
+
+    // q_sql_branch control: the staged-vs-live audit join over plain
+    // table copies (the user without refs keeps two full directories).
+    "q_sql_branch" -> ((s, dir) => {
+      val main = Tables.scratch("baseline_sqlbranch_main")
+      val staging = Tables.scratch("baseline_sqlbranch_staging")
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").parquet(main)
+      s.read.parquet(main)
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.2)
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(staging)
+      s.read.parquet(staging).createOrReplaceTempView("baseline_wap_b")
+      s.read.parquet(main).createOrReplaceTempView("baseline_wap_m")
+      s.sql(
+        """SELECT b.o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(round(b.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          |    / 100.0 AS staged_total,
+          |  CAST(sum(CAST(round(m.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          |    / 100.0 AS main_total
+          |FROM baseline_wap_b b
+          |JOIN baseline_wap_m m ON b.o_orderkey = m.o_orderkey
+          |GROUP BY b.o_orderpriority
+          |ORDER BY b.o_orderpriority""".stripMargin)
     })
   )
 
@@ -1605,7 +1928,7 @@ object Baseline {
     // the ONLY graft artifact in this session: the graft_snapshot name
     // binding for the q_sql_timetravel pair's graft side — no optimizer
     // rules or expression functions, so every control plan stays stock
-    GraftExtensions.registerSnapshotTvf(spark)
+    GraftExtensions.registerSnapshotSqlSurface(spark)
 
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

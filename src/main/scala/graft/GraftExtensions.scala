@@ -115,6 +115,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hybrid_search(textIndexPath, vecIndexPath, probesPath, " +
           "'terms ...', n, k, nProbes) - RRF-fused hybrid top-k"),
       GraftExtensions.hybridSearchTvfBuilder))
+
+    // SQL surface for the change feed (Delta's table_changes):
+    //   SELECT * FROM graft_table_changes('/path/to/table', 1, 3, 'key')
+    // Resolves to Snapshots.changes' analyzed plan — the one
+    // full-outer diff join — with _change_type exposed for SQL
+    // filters/aggregates on top (the standard CDC-consumer shape).
+    ext.injectTableFunction((FunctionIdentifier("graft_table_changes"),
+      info("graft_table_changes",
+        "graft_table_changes(root, vFrom, vTo, keyCol) - row-level change feed"),
+      GraftExtensions.tableChangesTvfBuilder))
+
+    // SQL surface for branch reads (write-audit-publish from SQL):
+    //   SELECT * FROM graft_branch('/path/to/table', 'audit'[, version])
+    // Resolves through the BRANCH ref's manifest to the staged
+    // version's parquet plan — pushdown intact, main untouched.
+    ext.injectTableFunction((FunctionIdentifier("graft_branch"),
+      info("graft_branch",
+        "graft_branch(root, name[, version]) - read a branch head/version"),
+      GraftExtensions.branchTvfBuilder))
   }
 }
 
@@ -220,6 +239,38 @@ object GraftExtensions {
         .queryExecution.analyzed
     }
 
+  /** The graft_table_changes TVF: the row-level diff between two
+    * committed versions as a SQL-composable relation (Delta's
+    * `table_changes`). One full-outer key join under the hood —
+    * O(|vFrom| + |vTo|) at any table size.
+    */
+  val tableChangesTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      if (es.length != 4) throw new IllegalArgumentException(
+        s"graft_table_changes expects (root, vFrom, vTo, keyCol); got ${es.length} args")
+      graft.operators.Snapshots.changes(SparkSession.active,
+          strArg(es.head, "graft_table_changes root"),
+          intArg(es(1), "graft_table_changes vFrom"),
+          intArg(es(2), "graft_table_changes vTo"),
+          strArg(es(3), "graft_table_changes keyCol"))
+        .queryExecution.analyzed
+    }
+
+  /** The graft_branch TVF: resolve a version through a BRANCH ref's
+    * manifest — the SQL read half of write-audit-publish (audit the
+    * staged snapshot in plain SQL before fast-forwarding main).
+    */
+  val branchTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
+        s"graft_branch expects (root, name[, version]); got ${es.length} args")
+      graft.operators.Snapshots.readBranch(SparkSession.active,
+          strArg(es.head, "graft_branch root"),
+          strArg(es(1), "graft_branch name"),
+          es.drop(2).headOption.map(intArg(_, "graft_branch version")))
+        .queryExecution.analyzed
+    }
+
   /** Register ONLY the graft_snapshot name binding on a live session —
     * no optimizer rules, no expression functions. Lets a stock session
     * (the Baseline control JVM) run the SQL-time-travel query's graft
@@ -232,4 +283,25 @@ object GraftExtensions {
         "graft_snapshot",
         "graft_snapshot(root, version) - read a snapshot table version", ""),
       snapshotTvfBuilder)
+
+  /** Same stock-session exception for the other snapshot-layer TVFs
+    * the SQL pairs' graft sides need (graft_table_changes,
+    * graft_branch): name bindings only, nothing touches a control
+    * plan.
+    */
+  def registerSnapshotSqlSurface(spark: SparkSession): Unit = {
+    registerSnapshotTvf(spark)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "graft_table_changes",
+        "graft_table_changes(root, vFrom, vTo, keyCol) - row-level change feed", ""),
+      tableChangesTvfBuilder)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_branch"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "graft_branch",
+        "graft_branch(root, name[, version]) - read a branch head/version", ""),
+      branchTvfBuilder)
+  }
 }

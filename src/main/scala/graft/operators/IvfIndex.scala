@@ -615,6 +615,42 @@ object IvfIndex {
       .select("probe_id", "neighbor_id", "cos")
   }
 
+  /** Batch kNN JOIN: every row of a DATA-SIZED probe table gets its k
+    * nearest index rows — the table×table shape (label propagation,
+    * cluster assignment, dedup candidate generation) that
+    * [[searchTopK]] must not serve, because searchTopK broadcasts the
+    * probe→list pairing (right for a query batch, fatal for a table:
+    * a broadcast side must fit on every executor). Here the pairing is
+    * a SHUFFLE hash join keyed on `cluster`: both sides repartition on
+    * the list id, each probe meets only its nProbes lists' rows, and
+    * the per-probe cut is the bounded heap — nothing data-sized is
+    * ever broadcast or windowed. Probe-side fanout is nProbes rows per
+    * probe (parameter-sized); candidate volume is
+    * Σ_probe nProbes × corpus/nCentroids, the IVF contract. Hot lists
+    * (many probes probing the same cluster) are AQE skew-join
+    * territory — the key is the list id, exactly the knob
+    * [[rebalanceIndex]] maintains.
+    *
+    * The probed-cluster partition filter is kept but computed from the
+    * centroid table (≤ nCentroids literals, never probe-sized); a
+    * table-scale probe set typically touches every list, so the real
+    * scale lever is the shuffle join itself.
+    */
+  def knnJoin(
+      assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbes: Int): DataFrame = {
+    val pl = probeLists(centroids, probes, idCol, vecCol, nProbes)
+    val c = assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+        col("cluster"))
+    // plain (unhinted) equi-join on cluster: Spark shuffles both sides;
+    // no broadcast of the data-sized probe pairing
+    val cands = c.join(pl.repartition(col("cluster")), Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
+    SimilaritySearch.heapTopK(cands.select("probe_id", "neighbor_id", "cos"), "cos", k)
+  }
+
   /** IVF-PQ-lite two-stage search over a [[buildIndex]] layout: the
     * coarse pass scores the PROBED lists' int8 codes (the same
     * `cluster IN` partition pruning as [[searchTopK]], but the scan

@@ -1284,6 +1284,22 @@ object LlmPipeline {
         .orderBy("probe_id", "neighbor_id")
     }),
 
+    // Batch kNN JOIN — the table×table shape (label propagation,
+    // dedup candidate generation): every tenth corpus vector is a
+    // probe and gets its 3 nearest index rows. The probe→list pairing
+    // is a SHUFFLE join on the list id (searchTopK's broadcast would
+    // be fatal for a data-sized probe table); the per-probe cut is the
+    // bounded heap. Exhaustive probing → exact brute-force oracle.
+    "q_sim_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Tables.scratch("ivf_knn_index")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      IvfIndex.knnJoin(assigned, centroids, emb.filter(col("vec_id") % 10 === 1),
+          "vec_id", "embedding", k = 3, nProbes = 8)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Streaming IVF ingest — the vector twin of q_stream_text_index:
     // the quantizer is fitted ONCE on the bootstrap half of the
     // corpus; the other half arrives as paced micro-batches and each
@@ -2677,6 +2693,17 @@ object LlmPipeline {
          |  FROM embeddings p, embeddings c
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = 3)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // exhaustive probing → the knn join equals brute force per probe
+    "q_sim_knn_join" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id % 10 = 1 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     // exhaustive probing → the radius cut is an exact threshold join
     "q_sim_range_search" ->

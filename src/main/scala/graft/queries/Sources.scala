@@ -406,6 +406,58 @@ object Sources {
         .orderBy("o_orderpriority")
     }),
 
+    // The change feed as a SQL relation (Delta's table_changes): an
+    // UPDATE and a DELETE commit land on a snapshot table, and the
+    // CDC consumer is ONE SQL statement over graft_table_changes —
+    // per-change-type row counts and exact-cents totals (pre-images
+    // price at the OLD value, post-images at the new; rows both
+    // updated and deleted classify as deletes of the v1 image, the
+    // v1→v3 diff contract).
+    "q_sql_changes" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = tmp("snap_sql_changes")
+      Snapshots.create(s, root, t(s, dir, "orders"))
+      Snapshots.commitUpdate(s, root, col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> col("o_totalprice") * 1.05))
+      Snapshots.commitDelete(s, root, col("o_orderkey") % 13 === 0)
+      s.sql(
+        s"""SELECT _change_type, count(*) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           |    / 100.0 AS total
+           |FROM graft_table_changes('$root', 1, 3, 'o_orderkey')
+           |GROUP BY _change_type
+           |ORDER BY _change_type""".stripMargin)
+    }),
+
+    // Write-audit-publish driven from SQL: the staged branch and live
+    // main are both SQL relations (graft_branch / graft_snapshot), so
+    // the AUDIT step — compare staged vs published totals per
+    // priority, assert row conservation — is one join statement a
+    // reviewer can run before fast-forwarding. The per-priority delta
+    // is the audit deliverable: the surcharge shows ONLY on the
+    // urgent bucket and ONLY on the branch side.
+    "q_sql_branch" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = tmp("snap_sql_branch")
+      Snapshots.create(s, root, t(s, dir, "orders"))
+      Snapshots.createBranch(s, root, "audit")
+      Snapshots.commitToBranch(s, root, "audit",
+        Snapshots.readBranch(s, root, "audit")
+          .withColumn("o_totalprice",
+            when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.2)
+              .otherwise(col("o_totalprice"))))
+      s.sql(
+        s"""SELECT b.o_orderpriority, count(*) AS n,
+           |  CAST(sum(CAST(round(b.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           |    / 100.0 AS staged_total,
+           |  CAST(sum(CAST(round(m.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           |    / 100.0 AS main_total
+           |FROM graft_branch('$root', 'audit') b
+           |JOIN graft_snapshot('$root') m ON b.o_orderkey = m.o_orderkey
+           |GROUP BY b.o_orderpriority
+           |ORDER BY b.o_orderpriority""".stripMargin)
+    }),
+
     "q_table_merge" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       // insert keys offset by max(o_orderkey): collision-free at every
@@ -1266,6 +1318,40 @@ object Sources {
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.05
         |         ELSE o_totalprice END AS p
         |  FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // v1→v3 diff semantics: deletes carry the vFROM image (original
+    // price, even for rows the v2 update touched); update pairs are
+    // urgent rows that survived the delete
+    "q_sql_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 AS total
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*),
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*),
+        |    CAST(sum(CAST(round(o_totalprice * 1.05 * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 <> 0)
+        |ORDER BY _change_type""".stripMargin,
+
+    "q_sql_branch" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.2
+        |         ELSE o_totalprice END * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS staged_total,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS main_total
+        |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

@@ -917,4 +917,50 @@ class DedupSpec extends SparkSuite {
     assert(pairs(partial).subsetOf(brute))
     assert(partial.select("cos").collect().forall(_.getDouble(0) >= tau))
   }
+
+  test("knn join: exhaustive probing equals brute force; probe pairing is never broadcast") {
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 150L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_knn_test")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, path)
+    val probes = df.filter(col("vec_id") % 3 === 0) // data-sized probe table
+    val q = IvfIndex.knnJoin(assigned, centroids, probes,
+      "vec_id", "embedding", k = 4, nProbes = 4)
+    val got = q.select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val want = SimilaritySearch.bruteForceTopK(df, probes,
+        "vec_id", "embedding", k = 4)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === want, "exhaustive knn join diverged from brute force")
+    // the probe->list pairing joins by SHUFFLE, not broadcast: with
+    // auto-broadcast off, no BroadcastHashJoin may remain — proving
+    // the operator never HINTS a broadcast of the data-sized pairing
+    // (searchTopK, by contrast, deliberately does)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q2 = IvfIndex.knnJoin(assigned, centroids, probes,
+        "vec_id", "embedding", k = 4, nProbes = 4)
+      q2.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case other => (other +: other.children.flatMap(allNodes)) ++
+          other.subqueries.flatMap(allNodes)
+      }
+      val broadcasts = allNodes(q2.queryExecution.executedPlan).collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(broadcasts.isEmpty,
+        s"knn join hinted a broadcast: ${broadcasts.headOption}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

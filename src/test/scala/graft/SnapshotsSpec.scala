@@ -433,4 +433,30 @@ class SnapshotsSpec extends SparkSuite {
     // v2 has the inserts on top of v1's row count
     assert(rows(1).getAs[Long]("n_rows") > rows(0).getAs[Long]("n_rows"))
   }
+
+  test("graft_branch and graft_table_changes TVFs resolve ref-scoped state in SQL") {
+    val root = freshRoot("snap_tvf_branch")
+    Snapshots.create(spark, root, Seq((1L, 10), (2L, 20)).toDF("k", "v"))
+    Snapshots.createBranch(spark, root, "audit")
+    Snapshots.commitToBranch(spark, root, "audit",
+      Seq((1L, 11), (2L, 20), (3L, 30)).toDF("k", "v"))
+    // branch TVF sees staged state; snapshot TVF still serves main
+    val staged = spark.sql(
+      s"SELECT k, v FROM graft_branch('$root', 'audit') ORDER BY k")
+      .as[(Long, Int)].collect()
+    assert(staged === Array((1L, 11), (2L, 20), (3L, 30)))
+    val main = spark.sql(
+      s"SELECT k, v FROM graft_snapshot('$root') ORDER BY k")
+      .as[(Long, Int)].collect()
+    assert(main === Array((1L, 10), (2L, 20)))
+    // changes TVF: publish, then diff main v1 -> v2 in SQL
+    Snapshots.fastForward(spark, root, "audit")
+    val ch = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_table_changes('$root', 1, 2, 'k')
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      .as[(String, Long)].collect()
+    assert(ch === Array(("insert", 1L), ("update_postimage", 1L),
+      ("update_preimage", 1L)))
+  }
 }
