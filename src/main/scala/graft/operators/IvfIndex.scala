@@ -93,12 +93,24 @@ object IvfIndex {
     // write-parallelism lever, exactly how an IVF sizes itself: more
     // data → more lists → more parallel writers AND smaller probes
     // idempotent init: a rebuild over a previously-used path must not
-    // inherit stale tombstones or seq markers
+    // inherit stale tombstones, seq markers, OR centroid generations —
+    // a leftover `_cgen_*` marker would make liveCentroidGen resolve a
+    // pre-rebuild centroid set whose cluster ids don't match the fresh
+    // `assigned` layout (silently wrong search, and vacuumIndex could
+    // then reap the new build's lists as "unreferenced"). The assigned
+    // dir is removed explicitly too: the overwrite below truncates it
+    // only under STATIC partitionOverwriteMode, and a caller session
+    // running dynamic mode would otherwise leave retired rebalance
+    // lists (cluster ids the fresh build never writes) alive.
     val fs = fsOf(corpus.sparkSession, path)
     if (fs.exists(new Path(path)))
       fs.listStatus(new Path(path)).map(_.getPath)
-        .filter(p => p.getName.startsWith(SeqPrefix) ||
-          p.getName == TombstonesDir)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(SeqPrefix) || n == TombstonesDir ||
+            n.startsWith(CGenPrefix) || n.startsWith("centroids_g") ||
+            n == "assigned"
+        }
         .foreach(fs.delete(_, true))
     withCodes(assigned, vecCol)
       .withColumn("ingest_seq", lit(0L))
@@ -288,8 +300,20 @@ object IvfIndex {
     * anti-join; [[compactLists]] later folds tombstones physically.
     */
   def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
-    val seq = maxCommittedSeq(ids.sparkSession, path)
-    ids.select(col(idCol).cast("long").as("del_id")).distinct()
+    val spark = ids.sparkSession
+    // tombstones are keyed in the INDEX'S OWN id type (read from the
+    // assigned layout's parquet footer — a metadata read): a blind
+    // cast("long") would turn a string-keyed index's erasure verb into
+    // a silent no-op (cast → null → anti-join matches nothing). Ids
+    // that don't fit the index type fail LOUDLY instead.
+    val idType = spark.read.parquet(s"$path/assigned").schema(idCol).dataType
+    val seq = maxCommittedSeq(spark, path)
+    val typed = ids.select(col(idCol).as("__raw"))
+      .withColumn("del_id", col("__raw").cast(idType))
+    val bad = typed.filter(col("__raw").isNotNull && col("del_id").isNull).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"deleteFromIndex: $bad id(s) not castable to the index id type $idType")
+    typed.select("del_id").distinct()
       .withColumn("del_seq", lit(seq))
       .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
   }
@@ -371,6 +395,15 @@ object IvfIndex {
     val fs = fsOf(spark, path)
     live.filterNot(nonEmpty).foreach { c =>
       fs.delete(new Path(s"$path/assigned/cluster=$c"), true) }
+    // retired lists a past rebalance left on disk still physically
+    // hold rows for ids retired-then-deleted — and the tombstone clear
+    // below would erase the only mask hiding them. Erasure (q_forget)
+    // is a PHYSICAL claim, so compaction reclaims every unreferenced
+    // list here, before the tombstones go (no age guard / no spare:
+    // compaction is stop-the-world for readers of superseded
+    // generations, the same contract as the live-list rewrite above
+    // that just replaced their files).
+    purgeUnreferencedLists(spark, path, olderThanMs = 0L, keepSpare = false)
     fs.delete(new Path(s"$path/$TombstonesDir"), true)
     // marker hygiene, LAST: every surviving row now sits at maxC, so
     // finals below maxC and crashed reservations (whose orphan rows
@@ -631,16 +664,21 @@ object IvfIndex {
     * territory — the key is the list id, exactly the knob
     * [[rebalanceIndex]] maintains.
     *
-    * The probed-cluster partition filter is kept but computed from the
-    * centroid table (≤ nCentroids literals, never probe-sized); a
-    * table-scale probe set typically touches every list, so the real
-    * scale lever is the shuffle join itself.
+    * The scan restricts to the LIVE centroid table's cluster ids as a
+    * partition filter (≤ nCentroids literals, never probe-sized) — it
+    * prunes rebalance-retired lists at planning time and, when the
+    * probe table is selective enough to touch few lists, unprobed ones
+    * too; a table-scale probe set typically touches every list, so the
+    * real scale lever is the shuffle join itself.
     */
   def knnJoin(
       assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbes: Int): DataFrame = {
     val pl = probeLists(centroids, probes, idCol, vecCol, nProbes)
-    val c = assigned
+    // live-cluster partition filter from the CENTROID table (nCentroids
+    // ints — parameter-sized), not from the data-sized probe pairing
+    val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val c = assigned.filter(col("cluster").isin(live: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
         col("cluster"))
     // plain (unhinted) equi-join on cluster: Spark shuffles both sides;

@@ -509,6 +509,112 @@ class DedupSpec extends SparkSuite {
     assert(hit.headOption.contains(0L), s"re-added vector not findable: ${hit.toSeq}")
   }
 
+  test("ivf rebuild over a rebalanced path resets generations (stale centroids purged)") {
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    // first life: skewed corpus forces a rebalance → generation 1
+    val rnd = new scala.util.Random(11)
+    val hotRegion = (0L until 80L).map { i =>
+      (i, Array.fill(16)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f)) }
+    val scattered = (80L until 100L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4f - 2f)) }
+    val df1 = (hotRegion ++ scattered).toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_rebuild_test")
+    IvfIndex.buildIndex(df1, "vec_id", "embedding", nCentroids = 4, path = path)
+    assert(IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
+      maxListFactor = 1.5).nonEmpty)
+    assert(IvfIndex.liveCentroidGen(spark, path) === 1)
+    // second life: rebuild IN PLACE on a different corpus — the
+    // rebuild-cadence flow for centroid drift. Stale generation
+    // markers/dirs must not survive, or searches plan against
+    // centroids whose cluster ids don't match the fresh layout.
+    val df2 = (200L until 260L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(16)(r.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    IvfIndex.buildIndex(df2, "vec_id", "embedding", nCentroids = 4, path = path)
+    assert(IvfIndex.liveCentroidGen(spark, path) === 0,
+      "rebuild inherited a stale centroid generation")
+    assert(!new java.io.File(s"$path/centroids_g1").exists())
+    val (a, c) = IvfIndex.loadIndex(spark, path)
+    assert(a.count() === 60L, "rebuild inherited rows from the first life")
+    val probes = df2.limit(3)
+    val got = IvfIndex.searchTopK(a, c, probes, "vec_id", "embedding",
+        k = 3, nProbes = 4)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exact = SimilaritySearch.bruteForceTopK(df2, probes,
+        "vec_id", "embedding", k = 3)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === exact, "post-rebuild search diverged from brute force")
+    // nothing in the fresh build is vacuum-bait
+    assert(IvfIndex.vacuumIndex(spark, path, olderThanMs = 0L).isEmpty,
+      "fresh rebuild left unreferenced lists behind")
+  }
+
+  test("ivf delete keyed by non-numeric ids; incompatible ids fail loudly") {
+    import graft.operators.IvfIndex
+    val base = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i)
+      (s"doc-$i", Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("doc_id", "embedding")
+    val path = Tables.scratch("ivf_strid_test")
+    IvfIndex.buildIndex(df, "doc_id", "embedding", nCentroids = 2, path = path)
+    // a string-keyed index's tombstones must join in the string domain
+    // — the old cast("long") made this erasure a silent no-op
+    IvfIndex.deleteFromIndex(
+      Seq("doc-0", "doc-1", "doc-2").toDF("doc_id"), "doc_id", path)
+    assert(IvfIndex.listSizes(spark, path, "doc_id").map(_._2).sum === 37L,
+      "string-id deletion was a no-op")
+    IvfIndex.compactLists(spark, path, "doc_id")
+    assert(IvfIndex.loadIndex(spark, path)._1
+      .filter(col("doc_id").isin("doc-0", "doc-1", "doc-2")).count() === 0L)
+    // a LONG-keyed index handed non-numeric ids must throw, not no-op
+    val base2 = (0L until 10L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }
+    val path2 = Tables.scratch("ivf_strid_test2")
+    IvfIndex.buildIndex(base2.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 2, path = path2)
+    intercept[IllegalArgumentException] {
+      IvfIndex.deleteFromIndex(Seq("not-a-number").toDF("vec_id"),
+        "vec_id", path2)
+    }
+  }
+
+  test("ivf erasure survives rebalance: compaction physically purges retired lists") {
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(23)
+    val hotRegion = (0L until 80L).map { i =>
+      (i, Array.fill(16)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f)) }
+    val scattered = (80L until 100L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4f - 2f)) }
+    val df = (hotRegion ++ scattered).toDF("vec_id", "embedding")
+    val path = Tables.scratch("ivf_erasure_test")
+    IvfIndex.buildIndex(df, "vec_id", "embedding", nCentroids = 4, path = path)
+    // rebalance moves the hot rows into fresh lists but leaves the
+    // RETIRED lists on disk (in-flight-reader spares) still holding
+    // physical copies of every hot row
+    assert(IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
+      maxListFactor = 1.5).nonEmpty)
+    // erase ids that lived in the retired lists, then fold
+    val doomed = Seq(0L, 1L, 2L)
+    IvfIndex.deleteFromIndex(doomed.toDF("vec_id"), "vec_id", path)
+    IvfIndex.compactLists(spark, path, "vec_id")
+    // the erasure claim is PHYSICAL: a raw read over every file still
+    // under assigned/ — committed, retired, or orphaned — must show no
+    // residue (the q_forget audit discipline; masked is not enough)
+    val residue = spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id").isin(doomed: _*)).count()
+    assert(residue === 0L,
+      s"$residue deleted row(s) physically persist in on-disk lists")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    // and the fold didn't disturb the live answer set
+    assert(IvfIndex.listSizes(spark, path, "vec_id").map(_._2).sum === 97L)
+  }
+
   test("ivf seq-scoped tombstones: update needs no compaction; crashed append invisible and rerun-safe") {
     import graft.operators.{IvfIndex, SimilaritySearch}
     val base = (0L until 40L).map { i =>
