@@ -214,6 +214,28 @@ object TextIndex {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ── concurrent maintenance jobs ───────────────────────────────────
+  // The maintenance verbs are compositions of SMALL independent Spark
+  // jobs (a tombstone append next to a sidecar recount; a df refresh
+  // next to a sidecar rewrite). Run sequentially, each pays full job
+  // latency while most of the cluster idles; submitted from separate
+  // threads, the scheduler interleaves their stages — the standard
+  // Spark concurrent-jobs pattern — and the verb's wall-clock is
+  // max(), not sum(). Correctness is untouched because every commit
+  // point (`commitState`) still AWAITS all of its inputs: the crash
+  // windows are exactly the sequential protocol's.
+  private def inFlight[T](f: => T): java.util.concurrent.Future[T] = {
+    val task = new java.util.concurrent.FutureTask[T](() => f)
+    val th = new Thread(task, s"graft-textindex-${java.util.UUID.randomUUID}")
+    th.setDaemon(true)
+    th.start()
+    task
+  }
+
+  private def await[T](f: java.util.concurrent.Future[T]): T =
+    try f.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+
   /** Best-effort sweep of superseded generation dirs, keeping
     * `keepFloor` and everything newer (the previous generation stays
     * as the in-flight readers' spare — the Snapshots recovery-spare
@@ -258,11 +280,19 @@ object TextIndex {
     // cluster's cores, which simultaneously right-sizes the per-bucket
     // posting files a search reads.
     val postings = tokenizePostings(docs, idCol, textCol, nBuckets, seq = 1L)
+    // the doc-length sidecar is INDEPENDENT of the postings write (both
+    // read `docs`), so it runs as a concurrent job — standard
+    // multi-thread job submission against one SparkSession; the
+    // scheduler interleaves their stages and the build's wall-clock is
+    // max(postings, sidecar) + df instead of the sum. The manifest
+    // commit below still waits for every artifact.
+    val sideF = inFlight {
+      writeDocStats(docs, idCol, textCol, docStatsPath(path, 1),
+        SaveMode.Overwrite, seq = 1L)
+    }
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(path, 1))
-    val (n, dl) = writeDocStats(docs, idCol, textCol, docStatsPath(path, 1),
-      SaveMode.Overwrite, seq = 1L)
     // df (document frequency) per term, re-read from the just-written
     // postings: no second tokenization pass over the corpus
     // repartition, NOT coalesce: coalesce would fold the df
@@ -273,6 +303,7 @@ object TextIndex {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .repartition(StatsFiles)
       .write.mode("overwrite").parquet(statsPath(path, 1))
+    val (n, dl) = await(sideF)
     // single commit point: data dirs above are invisible until this.
     // Build parameters travel IN the manifest — a probe that
     // re-supplied its own bucket count could silently hash into the
@@ -719,17 +750,28 @@ object TextIndex {
         // three generations publish in the ONE manifest commit below,
         // with the corpus totals recounted from the rewritten sidecar
         // (self-healing: any drift the incremental adds/subtracts
-        // could ever accumulate dies here)
-        spark.read.schema(PostingsSchema).parquet(postingsPath(path, gens.postings + 1))
-          .groupBy("term").agg(count(lit(1)).as("df"))
-          .repartition(StatsFiles)
-          .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
+        // could ever accumulate dies here). The df refresh and the
+        // sidecar rewrite are independent jobs — submitted
+        // concurrently ([[inFlight]]); the commit awaits both — and
+        // the corpus totals ride the sidecar write as an `observe`
+        // metric, not a fourth job re-reading what was just written.
+        val dfF = inFlight {
+          spark.read.schema(PostingsSchema).parquet(postingsPath(path, gens.postings + 1))
+            .groupBy("term").agg(count(lit(1)).as("df"))
+            .repartition(StatsFiles)
+            .write.mode("overwrite").parquet(statsPath(path, gens.stats + 1))
+        }
+        val obs = org.apache.spark.sql.Observation(
+          s"compact_totals_${java.util.UUID.randomUUID}")
         maskDeleted(spark, path, st,
             docStats(spark, path).filter(col("seq") <= st.seq))
+          .observe(obs, count(lit(1)).as("n"),
+            coalesce(sum("dl"), lit(0L)).as("dl"))
           .repartition(StatsFiles)
           .write.mode("overwrite").parquet(docStatsPath(path, gens.docs + 1))
-        val (n, dl) = docTotals(
-          spark.read.schema(DocStatsSchema).parquet(docStatsPath(path, gens.docs + 1)))
+        val (n, dl) = (obs.get("n").asInstanceOf[Long],
+          obs.get("dl").asInstanceOf[Long])
+        await(dfF)
         st.copy(nDocs = n, sumDl = dl, nTombs = 0L,
           gens = Gens(gens.postings + 1, gens.stats + 1, gens.docs + 1))
       }
@@ -850,8 +892,10 @@ object TextIndex {
     * are on disk (they mask the docs out of the live set), leaving the
     * totals permanently inflated after a crash between the tombstone
     * write and the manifest commit; the recount derives the same exact
-    * totals from (sidecar, tombstones) alone, so tombstones land
-    * first, then the commit, and a re-run after ANY crash point
+    * totals from (sidecar, full post-delete horizon) alone — which
+    * also lets it run CONCURRENTLY with the tombstone append (the
+    * horizon is built in memory, not re-read from disk) — and the
+    * commit waits for both, so a re-run after ANY crash point
     * reconciles. Same input volume either way: one scan of the
     * (doc_id, dl, seq) sidecar.
     */
@@ -859,17 +903,41 @@ object TextIndex {
     val spark = docIds.sparkSession
     val st = readState(spark, path)
     val ids = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // the recount's mask is the POST-delete horizon built in memory:
+    // the pre-delete sidecar (its file listing snapshots eagerly at
+    // read time, so the concurrent append below is invisible to it)
+    // unioned with this batch's ids — bit-identical to re-reading the
+    // tombstone dir after the write, which is what lets the recount
+    // job run CONCURRENTLY with the tombstone append instead of
+    // serializing behind it. The commit still waits for both, so every
+    // crash window matches the sequential protocol: tombstones
+    // durable + manifest stale reconciles on re-run, nothing durable
+    // re-runs from scratch.
+    val preHorizon = tombstones(spark, path)
     val obs = org.apache.spark.sql.Observation(
       s"tomb_count_${java.util.UUID.randomUUID}")
-    ids.withColumn("seq", lit(st.seq))
-      .observe(obs, count(lit(1)).as("n"))
-      .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
-    // recount the live corpus totals AFTER the tombstones are durable:
-    // exact by construction under re-runs and prior deletes alike
-    val (n, dl) = docTotals(maskDeleted(spark, path, st,
-      docStats(spark, path).filter(col("seq") <= st.seq)))
+    val writeF = inFlight {
+      ids.withColumn("seq", lit(st.seq))
+        .observe(obs, count(lit(1)).as("n"))
+        .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
+      obs.get("n").asInstanceOf[Long]
+    }
+    val newT = ids.select(col("doc_id").as("del_doc_id"))
+      .withColumn("del_seq", lit(st.seq))
+    val horizon = preHorizon.fold(newT)(_.unionByName(newT))
+      .groupBy("del_doc_id").agg(max("del_seq").as("del_seq"))
+    // same mask-strategy switch as [[maskDeleted]]: past the ceiling
+    // the horizon shuffles instead of shipping to every task
+    val hintedHorizon =
+      if (st.nTombs <= tombBroadcastMax(spark)) broadcast(horizon) else horizon
+    val (n, dl) = docTotals(
+      docStats(spark, path).filter(col("seq") <= st.seq)
+        .join(hintedHorizon,
+          col("doc_id") === col("del_doc_id") && col("seq") <= col("del_seq"),
+          "left_anti"))
+    val nNew = await(writeF)
     commitState(spark, path, st.copy(nDocs = n, sumDl = dl,
-      nTombs = st.nTombs + obs.get("n").asInstanceOf[Long]))
+      nTombs = st.nTombs + nNew))
   }
 
   /** The per-doc tombstone horizon: `(doc_id, del_seq = max seq)` over
