@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize-and-truncate-lineage point for the multi-consumer /
+    * iterative plans below. Default is `localCheckpoint()` — eager,
+    * no extra I/O, blocks live in executor storage — which is the
+    * right tool in local mode but LOSSY on a real cluster: executor
+    * failure discards the blocks and kills the job (there is no
+    * lineage left to recompute). Opt into durable checkpoints with
+    *
+    *   spark.conf.set("graft.dedup.reliableCheckpoint", "true")
+    *   // and optionally: graft.dedup.checkpointDir=<fault-tolerant dir>
+    *
+    * which routes every site through `df.checkpoint()` against the
+    * SparkContext checkpoint dir (set from `graft.dedup.checkpointDir`
+    * on first use if unset) — files survive executor loss, at the cost
+    * of one write+read through the checkpoint store per site. The
+    * trade: localCheckpoint for interactive/local runs, reliable for
+    * long CC iterations or multi-hour dedup jobs on clusters where
+    * executor churn is expected.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption("graft.dedup.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (!reliable) df.localCheckpoint()
+    else {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption("graft.dedup.checkpointDir")
+            .getOrElse(graft.Tables.scratch("dedup_checkpoints")))
+      df.checkpoint()
+    }
+  }
+
   /** Exact dedup on content hash: keep the smallest id per distinct
     * value of `contentCol`. One hash-shuffle; deterministic keeper.
     */
@@ -68,9 +100,8 @@ object Dedup {
     // both verification sides — without it the tokenize+shingle
     // pipeline re-runs per consumer.
     val words = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("words"))
-    val toks = words
-      .select(col("doc"), array_distinct(shingles(col("words"), shingleSize)).as("toks"))
-      .localCheckpoint()
+    val toks = materialize(words
+      .select(col("doc"), array_distinct(shingles(col("words"), shingleSize)).as("toks")))
     // the band shuffle carries ONLY (doc, band): shipping ~KB token
     // arrays through a numBands× explode would multiply shuffle volume
     // by the band count; verification re-joins tokens by doc id instead
@@ -147,7 +178,7 @@ object Dedup {
     // the new batch's plan feeds four consumers (band stats, both
     // candidate joins, verification) — materialize it once; the OLD
     // index is already parquet-backed, so re-reads are cheap
-    val newIdx = newIdx0.localCheckpoint()
+    val newIdx = materialize(newIdx0)
     val newB = newIdx.select(col("doc"), explode(col("bands")).as("band"))
     // every downstream consumer (band stats, both candidate joins)
     // only ever looks at bands the NEW batch occupies — restrict the
@@ -216,8 +247,8 @@ object Dedup {
     // (df counts, prefix build, and both sides of verification) — without
     // the checkpoint the upstream tokenize/shingle pipeline re-runs per
     // consumer (at scale you'd persist this table anyway)
-    val d = df.select(col(idCol).as("doc"), array_distinct(col(gramsCol)).as("grams"))
-      .localCheckpoint()
+    val d = materialize(df.select(col(idCol).as("doc"),
+      array_distinct(col(gramsCol)).as("grams")))
     val exploded = d.select(col("doc"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val dfCounts = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
@@ -291,7 +322,7 @@ object Dedup {
         lit(tag).as("side"))
     // one materialization feeds df counts, both prefix builds, and
     // both verification sides (the prefixJaccardJoin rule)
-    val u = side(left, 0).unionByName(side(right, 1)).localCheckpoint()
+    val u = materialize(side(left, 0).unionByName(side(right, 1)))
     val exploded = u.select(col("side"), col("doc"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val dfCounts = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
@@ -338,8 +369,8 @@ object Dedup {
     */
   def buildContaminationIndex(bench: DataFrame, idCol: String,
       gramsCol: String, threshold: Double, path: String): Unit = {
-    val d = bench.select(col(idCol).as("doc"),
-      array_distinct(col(gramsCol)).as("grams")).localCheckpoint()
+    val d = materialize(bench.select(col(idCol).as("doc"),
+      array_distinct(col(gramsCol)).as("grams")))
     val exploded = d.select(col("doc"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val dfc = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
@@ -368,8 +399,8 @@ object Dedup {
     val pb = spark.read.parquet(s"$path/prefixes")
       .select(col("gram"), col("doc").as("doc_b"), col("sz").as("sz_b"),
         col("rn").as("rn_b"))
-    val d = batch.select(col(idCol).as("doc"),
-      array_distinct(col(gramsCol)).as("grams")).localCheckpoint()
+    val d = materialize(batch.select(col(idCol).as("doc"),
+      array_distinct(col(gramsCol)).as("grams")))
     val exploded = d.select(col("doc"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val w = Window.partitionBy("doc")
@@ -504,12 +535,10 @@ object Dedup {
     // lineage once AND truncates the logical plan — without it each
     // iteration nests one more level of plan, and a cache() recompute
     // after executor loss replays the full candidate pipeline per step
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("doc")).distinct()
-      .withColumn("label", col("doc"))
-      .localCheckpoint()
+    val edges = materialize(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    var labels = materialize(edges.select(col("u").as("doc")).distinct()
+      .withColumn("label", col("doc")))
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -523,10 +552,10 @@ object Dedup {
       // min-propagation needs O(graph diameter) rounds — fatal on a
       // chain-shaped 100 TB cluster; halving brings it to O(log d).
       val parent = prop.select(col("doc").as("pdoc"), col("label").as("plabel"))
-      val updated = prop.join(parent, prop("label") === col("pdoc"), "left_outer")
-        .select(prop("doc"), col("old"),
-          least(prop("label"), coalesce(col("plabel"), prop("label"))).as("label"))
-        .localCheckpoint() // eager: one materializing job per iteration
+      val updated = materialize( // eager: one materializing job per iteration
+        prop.join(parent, prop("label") === col("pdoc"), "left_outer")
+          .select(prop("doc"), col("old"),
+            least(prop("label"), coalesce(col("plabel"), prop("label"))).as("label")))
       // convergence probe runs over the checkpointed blocks — no plan replay
       val changed = updated.filter(col("label") =!= col("old")).count()
       labels = updated.select("doc", "label")

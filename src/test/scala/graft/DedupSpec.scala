@@ -143,6 +143,38 @@ class DedupSpec extends SparkSuite {
     assert(labels.forall(_._2 == 0L), "all chain nodes must share the min label")
   }
 
+  test("duplicate clusters under reliable checkpointing (graft.dedup.reliableCheckpoint)") {
+    // same chain workload routed through df.checkpoint() against a
+    // durable dir — the cluster-survivability path: localCheckpoint
+    // blocks die with an executor, reliable checkpoint files do not
+    spark.conf.set("graft.dedup.reliableCheckpoint", "true")
+    spark.conf.set("graft.dedup.checkpointDir",
+      Tables.scratch("reliable_ckpt_test"))
+    try {
+      val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val labels = Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+      assert(labels.length == 201)
+      assert(labels.forall(_._2 == 0L), "all chain nodes must share the min label")
+      // the durable files genuinely exist (the point of the flag)
+      val dir = new java.io.File(spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:"))
+      assert(dir.exists && dir.listFiles.nonEmpty,
+        "reliable mode wrote no checkpoint files")
+      // and the minhash end-to-end path works under the flag too
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "totally different words here now")).toDF("doc_id", "text")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)))
+    } finally {
+      spark.conf.unset("graft.dedup.reliableCheckpoint")
+      spark.conf.unset("graft.dedup.checkpointDir")
+    }
+  }
+
   test("embedding near-dups: identical vectors collide and verify") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.25f, 0.8f, 0.1f)),
