@@ -681,9 +681,13 @@ object IvfIndex {
     val c = assigned.filter(col("cluster").isin(live: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
         col("cluster"))
-    // plain (unhinted) equi-join on cluster: Spark shuffles both sides;
-    // no broadcast of the data-sized probe pairing
-    val cands = c.join(pl.repartition(col("cluster")), Seq("cluster"))
+    // plain (unhinted) equi-join on cluster: Spark shuffles both sides
+    // via ENSURE_REQUIREMENTS exchanges; no broadcast of the data-sized
+    // probe pairing, and — deliberately — no explicit repartition: a
+    // user REPARTITION_BY_COL shuffle is a partitioning AQE must
+    // preserve, so OptimizeSkewedJoin would refuse to split a hot
+    // list's partition (plan-asserted in PlanSpec's hot-list test)
+    val cands = c.join(pl, Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
     SimilaritySearch.heapTopK(cands.select("probe_id", "neighbor_id", "cos"), "cos", k)

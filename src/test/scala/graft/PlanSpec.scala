@@ -158,6 +158,55 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("kNN join under hot-list probe skew: AQE splits the cluster-keyed join") {
+    // IvfIndex.knnJoin's scaladoc names hot lists (many probes probing
+    // one cluster) as AQE skew-join territory; this pins the claim: a
+    // probe table whose every row lands in ONE inverted list produces
+    // one hot shuffle partition on the cluster key, and the final
+    // adaptive plan must show OptimizeSkewedJoin splitting it.
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      // fixture-scale thresholds: the hot list's shuffle partition is
+      // ~100s of KB pre-compression; shuffle compression shrinks the
+      // near-constant vectors hard, so the detection floor sits low
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // corpus: one dense region (one centroid owns it) + scatter
+      val rnd = new scala.util.Random(31)
+      val hot = (0L until 4000L).map { i =>
+        (i, Array.fill(16)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f)) }
+      val scattered = (4000L until 4300L).map { i =>
+        (i, Array.fill(16)(rnd.nextFloat() * 4f - 2f)) }
+      val corpus = (hot ++ scattered).toDF("vec_id", "embedding")
+      val (assigned, centroids) = IvfIndex.fit(corpus, "vec_id", "embedding",
+        nCentroids = 4)
+      // every probe sits in the dense region → all probe the SAME list
+      val probes = (10000L until 11000L).map { i =>
+        (i, Array.fill(16)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f))
+      }.toDF("vec_id", "embedding")
+      val knn = IvfIndex.knnJoin(assigned, centroids, probes,
+        "vec_id", "embedding", k = 3, nProbes = 1)
+      // collect() finalizes THIS frame's adaptive plan (a count() would
+      // execute a different QueryExecution and leave this one unplanned)
+      val n = knn.collect().length
+      assert(n === 3000, s"expected 1000 probes x k=3 rows, got $n")
+      val plan = knn.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hot-list join:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("ANALYZE column stats drive a CBO join reorder") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     for (tbl <- Seq("nation", "customer", "orders")) {
