@@ -156,4 +156,48 @@ object SimilaritySearch {
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
     heapTopK(exact.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
+
+  /** Two-stage TRUNCATED-DIMENSION re-rank — the Matryoshka (MRL,
+    * Kusupati et al. '22) retrieval pattern: embeddings trained with
+    * nested-prefix objectives keep most of their signal in the leading
+    * dimensions, so the coarse pass scores every corpus vector on only
+    * the first `coarseDims` components (dim/coarseDims× less compute
+    * AND — when the corpus stores a truncated sidecar column — less
+    * I/O), keeps `nCandidates` per probe, and only those run the exact
+    * full-dimension cosine. The complementary cut to
+    * [[quantizedRerankTopK]]: that one shrinks bytes-per-component,
+    * this one shrinks components; at 100 TB the two compose (truncated
+    * int8 coarse pass).
+    *
+    * Determinism: `slice` is positional, the truncated cosine is the
+    * same libm arithmetic in both engines over identical floats, and
+    * both cuts break ties by ascending neighbor id. Vectors whose
+    * truncated prefix is all-zero are dropped at stage 1 (truncated
+    * cosine undefined), mirroring the zero-vector rule above.
+    */
+  def truncatedRerankTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCandidates: Int,
+      coarseDims: Int): DataFrame = {
+    def truncated(df: DataFrame, id: String, vec: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(vec),
+        slice(col(vecCol), 1, coarseDims).as(s"t_$id"))
+      .filter(aggregate(col(s"t_$id"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0)
+    val p = truncated(probes, "probe_id", "probe_vec")
+    val c = truncated(corpus, "neighbor_id", "neighbor_vec")
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("coarse",
+        cosine_sim(col("t_probe_id"), col("t_neighbor_id")))
+    val candIds = heapTopK(scored.select("probe_id", "neighbor_id", "coarse"),
+        "coarse", nCandidates)
+      .select("probe_id", "neighbor_id")
+    val pv = p.select(col("probe_id"), col("probe_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("neighbor_vec"))
+    val exact = cv.join(broadcast(candIds.join(pv, "probe_id")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
+    heapTopK(exact.select("probe_id", "neighbor_id", "cos"), "cos", k)
+  }
 }

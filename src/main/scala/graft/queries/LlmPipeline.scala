@@ -98,6 +98,31 @@ object LlmPipeline {
         .orderBy("doc")
     }),
 
+    // Duplicate-cluster CANONICALIZATION — the decision step a dedup
+    // pipeline actually ships: per near-dup cluster, elect one keeper
+    // (longest text, ties to min id — "keep the most complete copy")
+    // and emit the per-doc keep/drop manifest downstream jobs consume.
+    // Composition: banded near-dup pairs → path-halving connected
+    // components → one |cluster|-keyed max_by aggregate (deterministic
+    // total order via struct(n_chars, -doc), no window) → a
+    // label-keyed hash join back to members. Everything cluster-keyed;
+    // nothing corpus-sized is broadcast or windowed.
+    "q_dedup_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 2)
+      val labels = Dedup.duplicateClusters(pairs)
+      val sized = labels
+        .join(docs.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+      val keepers = sized.groupBy("label")
+        .agg(max_by(col("doc"), struct(col("n_chars"), -col("doc"))).as("keeper"),
+          count(lit(1)).as("n_members"))
+      sized.join(keepers, "label")
+        .select(col("doc"), col("label"), col("keeper"),
+          (col("doc") === col("keeper")).as("is_keeper"), col("n_members"))
+        .orderBy("doc")
+    }),
+
     // INCREMENTAL dedup — the continuous-ingestion pattern: the
     // existing corpus's signature index (80% of docs) is built once
     // and persisted as parquet; a new batch (doc_id % 5 == 0) is
@@ -1082,6 +1107,20 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // Matryoshka (MRL) two-stage retrieval: coarse cosine over the
+    // FIRST 16 of 64 dimensions (4x less compute; with a truncated
+    // sidecar column, 4x less I/O), top-50 candidates, exact full-dim
+    // re-rank to top-5 — the dimension-shrinking twin of
+    // q_sim_rerank's byte-shrinking int8 cut. Both cuts are
+    // deterministic (same floats, same libm, ties by neighbor id).
+    "q_sim_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.truncatedRerankTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCandidates = 50, coarseDims = 16)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Same top-k via the bounded-heap typed aggregator (no window sort;
     // O(n log k) with partial aggregation — the 100 TB top-k path).
     "q_sim_topk_agg" -> ((s, dir) => {
@@ -1586,6 +1625,113 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF keyphrase extraction — top-3 scoring terms per document,
+    // the per-doc summarization a corpus card / search-snippet pipeline
+    // runs. tf comes from per-(doc,term) counts, idf from the SAME
+    // counts' second-level reaggregation (never a second text scan);
+    // smoothing ln((N+1)/(df+1)) keeps every idf finite. df spans the
+    // FULL corpus while scoring is restricted to the report's docs, so
+    // the statistics stay corpus-true. The per-doc cut is a window
+    // PARTITIONED BY doc_id — per-partition cardinality is the doc's
+    // distinct-term count, bounded by document length, never
+    // corpus-scaled: the one window shape that stays safe at 100 TB.
+    // Ties (equal tf and df) break on term asc, deterministic in both
+    // engines; the idf double is the same libm ln of the same integers.
+    "q_text_keyphrase" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val dt = docs
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      dt.filter(col("doc_id") < 100)
+        .join(dfc, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Bigram-LM scoring (the Heafield/KenLM-shaped quality signal one
+    // notch past q_text_perplexity's unigram): P(w2|w1) with add-1/2
+    // smoothing over the corpus-trained bigram table, each doc scored
+    // by mean bigram negative-log-likelihood. Counts flow one way:
+    // per-(doc,bigram) counts first (map-side shrink), the global
+    // bigram table and its context-marginal are REAGGREGATIONS of
+    // those counts, and scoring joins hash-to-hash on the bigram key
+    // (the bigram vocabulary grows with the corpus at 100 TB — never
+    // broadcast); the unigram vocab size is the only broadcast scalar.
+    // Docs with fewer than two tokens have no bigrams and drop out,
+    // matching the oracle's inner-join shape.
+    "q_text_bigram_lm" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      val docBg = toks
+        .select(col("doc_id"), explode(Dedup.shingles(col("w"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val bgCounts = docBg.groupBy("bg").agg(sum("c").as("c_bg"))
+      val ctxCounts = bgCounts
+        .withColumn("ctx", split(col("bg"), " ").getItem(0))
+        .groupBy("ctx").agg(sum("c_bg").as("c_ctx"))
+      val vSize = toks.select(explode(col("w")).as("tok"))
+        .agg(countDistinct("tok").as("v_size"))
+      docBg.join(bgCounts, "bg")
+        .withColumn("ctx", split(col("bg"), " ").getItem(0))
+        .join(ctxCounts, "ctx")
+        .crossJoin(broadcast(vSize))
+        .select(col("doc_id"), col("c"),
+          (col("c") * -log((col("c_bg") + 0.5) /
+            (col("c_ctx") + col("v_size") * 0.5))).as("nll"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), (sum("nll") / sum("c")).as("avg_nll"))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          exp(col("avg_nll")).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
+    // Multi-class PII scan — the detection side of q_text_redact's
+    // replacement verb: per-doc counts of email / phone / IPv4 /
+    // PAN-shaped matches plus a severity grade, the audit table a
+    // curation pipeline reviews before release. The fixture corpus
+    // carries no PII, so a deterministic synthetic mix is injected
+    // (same concat trick as q_text_redact — both engines build the
+    // identical augmented string). One projection pass, all regex
+    // kernels codegen'd; patterns stay in the Java∩RE2 dialect so
+    // Spark and DuckDB count identical matches.
+    "q_pii_scan" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("txt", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach user"), col("doc_id"), lit("@example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".17"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" card 4111111111111111"))
+          .otherwise(lit(""))))
+      withPii.select(col("doc_id"),
+          regexp_count(col("txt"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("n_email"),
+          regexp_count(col("txt"), lit("\\d{3}-\\d{3}-\\d{4}")).as("n_phone"),
+          regexp_count(col("txt"),
+            lit("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")).as("n_ip"),
+          regexp_count(col("txt"), lit("\\d{16}")).as("n_pan"))
+        .withColumn("severity",
+          when(col("n_pan") > 0, lit("high"))
+            .when(col("n_email") + col("n_phone") > 0, lit("medium"))
+            .when(col("n_ip") > 0, lit("low"))
+            .otherwise(lit("none")))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace words + BPE-ish subword estimate.
     "q_text_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2017,6 +2163,23 @@ object LlmPipeline {
     "q_dedup_clusters" ->
       (dupClusterCte +
         "\nSELECT u AS doc, min(v) AS label FROM reach GROUP BY u ORDER BY doc"),
+
+    "q_dedup_canonicalize" ->
+      (dupClusterCte + """,
+        |labels AS (SELECT u AS doc, min(v) AS label FROM reach GROUP BY u),
+        |sized AS (
+        |  SELECT l.doc, l.label, d.n_chars
+        |  FROM labels l JOIN documents d ON l.doc = d.doc_id),
+        |k AS (
+        |  SELECT label, doc AS keeper FROM (
+        |    SELECT label, doc, row_number() OVER (PARTITION BY label
+        |      ORDER BY n_chars DESC, doc ASC) AS rn
+        |    FROM sized) WHERE rn = 1),
+        |cnt AS (SELECT label, count(*) AS n_members FROM sized GROUP BY 1)
+        |SELECT s.doc, s.label, k.keeper, s.doc = k.keeper AS is_keeper,
+        |  cnt.n_members
+        |FROM sized s JOIN k USING (label) JOIN cnt USING (label)
+        |ORDER BY doc""".stripMargin),
 
     "q_dedup_incremental" ->
       s"""WITH $gramIndexCte
@@ -2822,6 +2985,29 @@ object LlmPipeline {
          |  FROM cand WHERE crank <= 50)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
+    "q_sim_matryoshka" ->
+      s"""WITH tr AS (
+         |  SELECT vec_id, embedding, embedding[1:16] AS te
+         |  FROM embeddings
+         |  WHERE list_aggregate(list_transform(embedding[1:16],
+         |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum') > 0),
+         |s AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.te", "c.te")} AS coarse,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos
+         |  FROM tr p, tr c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |cand AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY coarse DESC, neighbor_id ASC) AS crank
+         |  FROM s)
+         |SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT probe_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand WHERE crank <= 50)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
     "q_sim_topk" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
@@ -3028,6 +3214,78 @@ object LlmPipeline {
         |    / sum(d.c)) AS ppl
         |FROM dt d JOIN vocab v USING (tok), tot t
         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_keyphrase" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tf, df, score FROM (
+        |  SELECT d.doc_id, d.term, d.tf, f.df,
+        |    d.tf * ln((t.n_docs + 1.0) / (f.df + 1.0)) AS score,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY d.tf * ln((t.n_docs + 1.0) / (f.df + 1.0)) DESC,
+        |        d.term ASC) AS rank
+        |  FROM dt d JOIN dfc f USING (term), tot t
+        |  WHERE d.doc_id < 100)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        |  FROM w),
+        |dbg AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bgc AS (SELECT bg, sum(c) AS c_bg FROM dbg GROUP BY 1),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS ctx, sum(c_bg) AS c_ctx
+        |        FROM bgc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v_size FROM (
+        |        SELECT unnest(w) AS tok FROM w))
+        |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+        |  sum(d.c * -ln((b.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)))
+        |    / sum(d.c) AS avg_nll,
+        |  exp(sum(d.c * -ln((b.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)))
+        |    / sum(d.c)) AS ppl
+        |FROM dbg d JOIN bgc b USING (bg)
+        |  JOIN ctx x ON string_split(d.bg, ' ')[1] = x.ctx, v
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scan" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' reach user' || doc_id || '@example.org' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-5309' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' host 10.0.' || (doc_id % 256) || '.17' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' card 4111111111111111' ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(txt, '\d{3}-\d{3}-\d{4}')) AS BIGINT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(txt, '\d{16}')) AS BIGINT) AS n_pan,
+        |  CASE WHEN len(regexp_extract_all(txt, '\d{16}')) > 0 THEN 'high'
+        |       WHEN len(regexp_extract_all(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |         + len(regexp_extract_all(txt, '\d{3}-\d{3}-\d{4}')) > 0
+        |         THEN 'medium'
+        |       WHEN len(regexp_extract_all(txt,
+        |         '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) > 0 THEN 'low'
+        |       ELSE 'none' END AS severity
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_text_top_ngrams" ->
       """WITH w AS (
