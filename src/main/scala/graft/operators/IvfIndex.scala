@@ -752,6 +752,53 @@ object IvfIndex {
     SimilaritySearch.heapTopK(exact.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
 
+  /** Consolidate two IVF shards into ONE index at `dstPath` — the
+    * vector twin of `TextIndex.mergeIndexes` (shard-parallel build,
+    * one merge; FAISS `merge_from` re-expressed). The PRIMARY shard
+    * (`aPath`) donates its centroid set: its live rows keep their
+    * cluster assignments and move unchanged, while the secondary
+    * shard's live rows re-assign to the primary's centroids through
+    * the same O(batch × nCentroids) broadcast-crossJoin + `min_by`
+    * path [[appendToIndex]] uses — no k-means refit, nothing
+    * corpus-sized broadcast. Both sides read through their LIVE views
+    * (seq ceiling + tombstone mask), so pending deletes fold during
+    * the merge. The result is a fresh generation-0 layout (seq 1, no
+    * tombstones, `partitionBy(cluster)` pruning intact); sources are
+    * left untouched. Centroid fidelity for the secondary's region is
+    * the caller's rebuild-cadence call, as with any add-without-train.
+    * Doc-id disjointness is validated loudly (an id live in both
+    * shards would duplicate its vector silently).
+    */
+  def mergeIndexes(spark: SparkSession, aPath: String, bPath: String,
+      dstPath: String, idCol: String, vecCol: String): Unit = {
+    val (liveA, centroids) = loadLive(spark, aPath, idCol)
+    val (liveB, _) = loadLive(spark, bPath, idCol)
+    val overlap = liveA.select(idCol).join(liveB.select(idCol), idCol).count()
+    require(overlap == 0,
+      s"mergeIndexes: $overlap id(s) live in BOTH shards — shards must " +
+        "partition the corpus")
+    val fs = fsOf(spark, dstPath)
+    fs.delete(new Path(dstPath), true)
+    // secondary rows re-assign to the primary's centroid set (the
+    // appendToIndex path); primary rows keep their clusters verbatim
+    val reassigned = liveB.drop("cluster")
+      .join(
+        liveB.select(col(idCol), col(vecCol))
+          .crossJoin(broadcast(centroids))
+          .withColumn("cdist", l2_dist(col(vecCol), col("centroid_vec")))
+          .groupBy(idCol)
+          .agg(min_by(col("centroid_id"),
+            struct(col("cdist"), col("centroid_id"))).as("cluster"))
+          .select(col(idCol), col("cluster")),
+        idCol)
+    liveA.unionByName(reassigned.select(liveA.columns.map(col): _*))
+      .withColumn("ingest_seq", lit(0L))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dstPath/assigned")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
+  }
+
   /** Convenience fit+search in one call (small corpora / tests). */
   def topK(
       corpus: DataFrame, probes: DataFrame,

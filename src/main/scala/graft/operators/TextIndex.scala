@@ -602,6 +602,156 @@ object TextIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Synonym-group search — Lucene's SynonymQuery-inside-BooleanQuery
+    * shape served from the index: each group is a disjunction (a term
+    * OR its synonyms), a document must match at least one member of
+    * EVERY group; total tf sums over all matched members. ONE pruned
+    * postings scan covers every expanded term (the groups' union
+    * drives the bucket partition filter), the term→group mapping is a
+    * literal CASE over query-sized groups (codegen'd, no join), and
+    * the gate is a per-doc distinct-group count — searchAll's arity
+    * rule lifted from terms to groups. Terms must not repeat across
+    * groups (a shared member would satisfy two groups with one
+    * occurrence — ambiguous query, rejected loudly).
+    */
+  def searchSynonyms(spark: SparkSession, path: String,
+      groups: Seq[Seq[String]]): DataFrame = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty),
+      "searchSynonyms needs non-empty groups")
+    val flat = groups.flatten
+    require(flat.distinct.size == flat.size,
+      "searchSynonyms: a term appears in more than one group")
+    val grpOf = groups.zipWithIndex
+      .flatMap { case (g, i) => g.map(_ -> i) }
+      .foldLeft(lit(-1)) { case (acc, (term, i)) =>
+        when(col("term") === term, lit(i)).otherwise(acc) }
+    prunedPostings(spark, path, flat)
+      .withColumn("grp", grpOf)
+      .groupBy("doc_id")
+      .agg(countDistinct("grp").as("n_groups"), sum("tf").as("total_tf"))
+      .filter(col("n_groups") === groups.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** Consolidate two index SHARDS into one index at `dstPath` — the
+    * shard-merge a sharded corpus build runs (build per ingest shard
+    * in parallel, merge once — Lucene's segment merge at whole-index
+    * granularity). Each shard contributes its LIVE view (committed
+    * seq ceiling + tombstone mask through the standard read path), so
+    * pending deletes FOLD during the merge for free; the union
+    * re-buckets to the destination layout in ONE bucket-keyed shuffle
+    * (shards with different nBuckets merge correctly), df recounts
+    * exactly from the merged postings, the doc sidecars union, and
+    * everything publishes through the same single-manifest-commit
+    * protocol as [[buildIndex]] — a crash leaves no index at dst, a
+    * re-run overwrites cleanly. O(|shard postings|), the corpus is
+    * never re-tokenized.
+    *
+    * Doc-id spaces must be DISJOINT (shards of one corpus): validated
+    * against the two doc sidecars — a doc present in both shards
+    * would double its postings silently, so the merge fails loudly
+    * instead. The sidecar join is O(docs), nothing next to the
+    * postings pass this call already pays.
+    */
+  def mergeIndexes(spark: SparkSession, aPath: String, bPath: String,
+      dstPath: String, nBuckets: Int = 64): Unit = {
+    val stA = readState(spark, aPath)
+    val stB = readState(spark, bPath)
+    def liveSide(path: String, st: IndexState) = (
+      maskDeleted(spark, path, st,
+        spark.read.schema(PostingsSchema)
+          .parquet(postingsPath(path, st.gens.postings))
+          .filter(col("seq") <= st.seq)),
+      maskDeleted(spark, path, st,
+        spark.read.schema(DocStatsSchema)
+          .parquet(docStatsPath(path, st.gens.docs))
+          .filter(col("seq") <= st.seq)))
+    val (postA, docsA) = liveSide(aPath, stA)
+    val (postB, docsB) = liveSide(bPath, stB)
+    val overlap = docsA.select("doc_id")
+      .join(docsB.select("doc_id"), "doc_id").count()
+    require(overlap == 0,
+      s"mergeIndexes: $overlap doc id(s) live in BOTH shards — shards " +
+        "must partition the corpus")
+    fsOf(spark, dstPath).delete(new Path(dstPath), true)
+    // one bucket-keyed shuffle re-buckets the union to the dst layout;
+    // seq squashes to 1 (the merged index is a fresh build lineage)
+    postA.unionByName(postB)
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .withColumn("seq", lit(1L))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(postingsPath(dstPath, 1))
+    // doc sidecar union rides with the merged totals as observe
+    // metrics; df recounts from the just-written merged postings
+    // (column-pruned to `term`, the buildIndex rule) — both jobs are
+    // independent of each other and run concurrently
+    val obs = org.apache.spark.sql.Observation(
+      s"merge_totals_${java.util.UUID.randomUUID}")
+    val sideF = inFlight {
+      docsA.unionByName(docsB).withColumn("seq", lit(1L))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum("dl"), lit(0L)).as("dl"))
+        .repartition(StatsFiles)
+        .write.mode("overwrite").parquet(docStatsPath(dstPath, 1))
+      (obs.get("n").asInstanceOf[Long], obs.get("dl").asInstanceOf[Long])
+    }
+    spark.read.schema(PostingsSchema).parquet(postingsPath(dstPath, 1))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .repartition(StatsFiles)
+      .write.mode("overwrite").parquet(statsPath(dstPath, 1))
+    val (n, dl) = await(sideF)
+    commitState(spark, dstPath, IndexState(Fmt, nBuckets, seq = 1L,
+      nDocs = n, sumDl = dl, nTombs = 0L,
+      Gens(postings = 1, stats = 1, docs = 1)))
+  }
+
+  /** Wildcard (prefix) search served ENTIRELY from the index —
+    * Lucene's `PrefixQuery` shape re-expressed: the prefix resolves
+    * against the TERM DICTIONARY first (the df sidecar — vocabulary-
+    * sized, [[StatsFiles]] files, column-pruned to `term`), and only
+    * the resolved terms' bucket partitions are then scanned through
+    * the standard [[prunedPostings]] path (disjunctive semantics:
+    * per-doc matched-term count + total tf, like [[searchAny]]).
+    * Neither the corpus nor any unmatched bucket is touched; the
+    * resolution pass is O(vocab), which is the floor for a wildcard
+    * on a hash-bucketed layout (the hash destroys prefix locality by
+    * design — range-bucketing would buy prefix pruning at the cost of
+    * hot-spotting skewed vocabularies).
+    *
+    * The resolved term list is driver-collected and CAPPED at
+    * `maxTerms` — failing loudly above it, the
+    * maxDeterminizedStates/rewrite-cap rule every production engine
+    * applies: an uncapped wildcard expansion is a query-shape error
+    * at scale, not a bigger query. The dictionary may still name
+    * terms whose every posting is tombstone-masked (df stays stale
+    * until compaction, by documented contract) — those terms simply
+    * match no postings, so results stay exact under deletes.
+    */
+  def searchPrefix(spark: SparkSession, path: String, prefix: String,
+      maxTerms: Int = 64): DataFrame = {
+    require(prefix.nonEmpty, "searchPrefix needs a non-empty prefix")
+    val matched = termStats(spark, path)
+      .filter(col("term").startsWith(prefix))
+      .select("term").orderBy("term")
+      .limit(maxTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(matched.size <= maxTerms,
+      s"prefix '$prefix*' expands past the $maxTerms-term cap; narrow it")
+    if (matched.isEmpty)
+      // empty result with searchAny's exact shape, no postings touched
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_terms",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total_tf",
+            org.apache.spark.sql.types.LongType))))
+    else searchAny(spark, path, matched)
+  }
+
   /** The bucket-pruned postings scan for `terms` — the partition filter
     * is on the index's partition column, so pruning happens at planning
     * time (verified via inputFiles in TextIndexSpec). The postings

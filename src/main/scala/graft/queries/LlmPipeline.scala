@@ -249,6 +249,55 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Synonym-group retrieval off the index: (hash|key) AND
+    // (merge|join) AND (vector|stream) — each group a disjunction, the
+    // conjunctive gate counts GROUPS matched, one pruned postings scan
+    // for the whole expansion.
+    "q_text_synonym_search" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_syn")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.searchSynonyms(s, idx, Seq(
+          Seq("hash", "key"), Seq("merge", "join"), Seq("vector", "stream")))
+        .orderBy("doc_id")
+    }),
+
+    // Index SHARD MERGE — build the corpus as two independent shards
+    // (doc_id < 250 / >= 250) with DIFFERENT bucket counts (32 / 64,
+    // proving the re-bucket leg), consolidate them into one index,
+    // and search the merged artifact: results must equal the
+    // corpus-side answer, and the merged manifest's corpus totals
+    // must cover the full corpus (totals_ok — what BM25 over the
+    // merged index would consume).
+    "q_text_index_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shardA = Tables.scratch("text_merge_a")
+      val shardB = Tables.scratch("text_merge_b")
+      val dst = Tables.scratch("text_merge_dst")
+      TextIndex.buildIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", shardA, nBuckets = 32)
+      TextIndex.buildIndex(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", shardB, nBuckets = 64)
+      TextIndex.mergeIndexes(s, shardA, shardB, dst)
+      val (nDocs, _) = TextIndex.corpusTotals(s, dst)
+      TextIndex.searchAll(s, dst, Seq("hash", "merge", "vector"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"),
+          lit(nDocs == docs.count()).as("totals_ok"))
+    }),
+
+    // Wildcard (prefix) search served from the index: 'me*' resolves
+    // against the TERM DICTIONARY (the df sidecar — vocabulary-sized)
+    // first, then only the resolved terms' bucket partitions are
+    // scanned; capped expansion (the Lucene rewrite-cap rule), OR
+    // semantics over the matches.
+    "q_text_wildcard_index" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_wild")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.searchPrefix(s, idx, "me")
+        .orderBy("doc_id")
+    }),
+
     // Proximity search: 'hash' within 3 tokens of 'table', either
     // order — banded position join (equi-join + filter, never a
     // per-doc position cross product), co-occurrence-counted.
@@ -1104,6 +1153,59 @@ object LlmPipeline {
       SimilaritySearch.quantizedRerankTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nCandidates = 50)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // kNN label classification — the label-propagation verb a curation
+    // pipeline runs over a partially-labeled corpus: each held-out
+    // probe (vec_id >= 490) takes the MAJORITY label of its 5 nearest
+    // labeled neighbors (exact cosine, held-out rows excluded from the
+    // corpus side). Votes aggregate per (probe, label) and the winner
+    // is one max over struct(votes, -label) — deterministic ties to
+    // the smaller label, no window. The neighbor search is the
+    // bounded-heap brute-force kernel; at scale the same composition
+    // rides searchTopK/knnJoin over a prebuilt IVF layout unchanged.
+    "q_sim_label_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") < 490)
+      val probes = emb.filter(col("vec_id") >= 490)
+      val knn = SimilaritySearch.bruteForceTopK(
+        corpus, probes, "vec_id", "embedding", k = 5)
+      val votes = knn
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy("probe_id", "label")
+        .agg(count(lit(1)).as("votes"))
+      votes.groupBy("probe_id")
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
+        .select(col("probe_id"), (-col("m.nl")).as("pred_label"),
+          col("m.votes").as("n_votes"))
+        .join(probes.select(col("vec_id").as("probe_id"),
+          col("label").as("true_label")), "probe_id")
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .orderBy("probe_id")
+    }),
+
+    // IVF shard merge — build two independent IVF shards (vec_id
+    // parity split), consolidate into one index (primary's centroids,
+    // secondary re-assigned through the add-without-train path, live
+    // views on both sides), then search the MERGED index exhaustively:
+    // nProbes = nCentroids makes the answer the exact brute force over
+    // the whole corpus, which is the oracle.
+    "q_sim_ivf_merge" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = Tables.scratch("ivf_merge_a")
+      val b = Tables.scratch("ivf_merge_b")
+      val dst = Tables.scratch("ivf_merge_dst")
+      IvfIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCentroids = 8, path = a)
+      IvfIndex.buildIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", nCentroids = 8, path = b)
+      IvfIndex.mergeIndexes(s, a, b, dst, "vec_id", "embedding")
+      val (assigned, centroids) = IvfIndex.loadIndex(s, dst)
+      IvfIndex.searchTopK(assigned, centroids,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbes = 8)
         .orderBy("probe_id", "rank")
     }),
 
@@ -2220,6 +2322,17 @@ object LlmPipeline {
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_text_wildcard_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w LIKE 'me%' GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // 1-based positions here vs 0-based in the index — only the
     // DIFFERENCE enters the predicate, so the bases cancel
     "q_text_proximity_index" ->
@@ -2568,6 +2681,42 @@ object LlmPipeline {
         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang
         |FROM tf JOIN live d ON tf.doc_id = d.doc_id
+        |GROUP BY tf.doc_id, d.lang
+        |HAVING count(*) = 3
+        |ORDER BY tf.doc_id""".stripMargin,
+
+    "q_text_synonym_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf,
+        |    CASE WHEN w IN ('hash', 'key') THEN 0
+        |         WHEN w IN ('merge', 'join') THEN 1
+        |         ELSE 2 END AS grp
+        |  FROM tok
+        |  WHERE w IN ('hash', 'key', 'merge', 'join', 'vector', 'stream')
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM tf GROUP BY doc_id
+        |HAVING count(DISTINCT grp) = 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // merged-shard search == corpus-side search; totals_ok is the
+    // engine-measured manifest invariant
+    "q_text_index_merge" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS total_tf, d.lang,
+        |  TRUE AS totals_ok
+        |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
         |GROUP BY tf.doc_id, d.lang
         |HAVING count(*) = 3
         |ORDER BY tf.doc_id""".stripMargin,
@@ -2983,6 +3132,43 @@ object LlmPipeline {
          |    row_number() OVER (PARTITION BY probe_id
          |      ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM cand WHERE crank <= 50)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_sim_label_knn" ->
+      s"""WITH knn AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM embeddings p, embeddings c
+         |    WHERE p.vec_id >= 490 AND c.vec_id < 490)
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT k.probe_id, c.label, count(*) AS votes
+         |  FROM knn k JOIN embeddings c ON k.neighbor_id = c.vec_id
+         |  GROUP BY 1, 2),
+         |win AS (
+         |  SELECT probe_id, label AS pred_label, votes AS n_votes FROM (
+         |    SELECT probe_id, label, votes,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY votes DESC, label ASC) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT w.probe_id, w.pred_label, CAST(w.n_votes AS BIGINT) AS n_votes,
+         |  p.label AS true_label, w.pred_label = p.label AS correct
+         |FROM win w JOIN embeddings p ON w.probe_id = p.vec_id
+         |ORDER BY w.probe_id""".stripMargin,
+
+    // merged-shard IVF probed exhaustively = brute force over the
+    // union corpus
+    "q_sim_ivf_merge" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q_sim_matryoshka" ->
