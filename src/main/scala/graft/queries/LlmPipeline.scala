@@ -1158,17 +1158,18 @@ object LlmPipeline {
 
     // kNN label classification — the label-propagation verb a curation
     // pipeline runs over a partially-labeled corpus: each held-out
-    // probe (vec_id >= 490) takes the MAJORITY label of its 5 nearest
-    // labeled neighbors (exact cosine, held-out rows excluded from the
-    // corpus side). Votes aggregate per (probe, label) and the winner
-    // is one max over struct(votes, -label) — deterministic ties to
-    // the smaller label, no window. The neighbor search is the
-    // bounded-heap brute-force kernel; at scale the same composition
-    // rides searchTopK/knnJoin over a prebuilt IVF layout unchanged.
+    // probe (vec_id < 10, a FIXED probe set — the corpus side is what
+    // scales) takes the MAJORITY label of its 5 nearest labeled
+    // neighbors (exact cosine, held-out rows excluded from the corpus
+    // side). Votes aggregate per (probe, label) and the winner is one
+    // max over struct(votes, -label) — deterministic ties to the
+    // smaller label, no window. The neighbor search is the
+    // bounded-heap brute-force kernel; a TABLE-sized probe set rides
+    // the same composition over knnJoin's shuffle path instead.
     "q_sim_label_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val corpus = emb.filter(col("vec_id") < 490)
-      val probes = emb.filter(col("vec_id") >= 490)
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val probes = emb.filter(col("vec_id") < 10)
       val knn = SimilaritySearch.bruteForceTopK(
         corpus, probes, "vec_id", "embedding", k = 5)
       val votes = knn
@@ -3142,7 +3143,7 @@ object LlmPipeline {
          |        ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC,
          |          c.vec_id ASC) AS rank
          |    FROM embeddings p, embeddings c
-         |    WHERE p.vec_id >= 490 AND c.vec_id < 490)
+         |    WHERE p.vec_id < 10 AND c.vec_id >= 10)
          |  WHERE rank <= 5),
          |votes AS (
          |  SELECT k.probe_id, c.label, count(*) AS votes

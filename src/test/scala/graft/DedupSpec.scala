@@ -647,6 +647,76 @@ class DedupSpec extends SparkSuite {
     assert(IvfIndex.listSizes(spark, path, "vec_id").map(_._2).sum === 97L)
   }
 
+  test("ivf shard merge: exhaustive search over merged equals brute force over union; overlap rejected; deletes fold") {
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val base = (0L until 80L).map { i =>
+      val rnd = new scala.util.Random(i + 300)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val a = Tables.scratch("ivf_shmerge_a")
+    val b = Tables.scratch("ivf_shmerge_b")
+    val dst = Tables.scratch("ivf_shmerge_dst")
+    IvfIndex.buildIndex(df.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nCentroids = 4, path = a)
+    IvfIndex.buildIndex(df.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", nCentroids = 4, path = b)
+    // a pending delete in the secondary shard must fold during merge
+    IvfIndex.deleteFromIndex(Seq(1L).toDF("vec_id"), "vec_id", b)
+    IvfIndex.mergeIndexes(spark, a, b, dst, "vec_id", "embedding")
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, dst)
+    assert(assigned.count() === 79L, "merged row count wrong")
+    assert(assigned.filter(col("vec_id") === 1L).count() === 0L,
+      "shard tombstone did not fold into the merge")
+    val probes = df.filter(col("vec_id") < 3)
+    val got = IvfIndex.searchTopK(assigned, centroids, probes,
+        "vec_id", "embedding", k = 5, nProbes = centroids.count().toInt)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exact = SimilaritySearch.bruteForceTopK(
+        df.filter(col("vec_id") =!= 1L), probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === exact, "merged exhaustive search diverged from brute force")
+    // partition layout survives the merge (pruned searches still work)
+    assert(new java.io.File(s"$dst/assigned").listFiles
+      .count(_.getName.startsWith("cluster=")) === 4)
+    intercept[IllegalArgumentException] {
+      IvfIndex.mergeIndexes(spark, a, a,
+        Tables.scratch("ivf_shmerge_bad"), "vec_id", "embedding")
+    }
+  }
+
+  test("truncated (matryoshka) rerank: full-coverage candidates equal brute force; coarse pass genuinely truncates") {
+    import graft.operators.SimilaritySearch
+    val base = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i + 900)
+      (i, Array.fill(32)(rnd.nextFloat() - 0.5f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") < 5)
+    // nCandidates >= corpus: the coarse cut cannot drop the true top-k,
+    // so the two-stage answer must be EXACTLY brute force
+    val got = SimilaritySearch.truncatedRerankTopK(df, probes,
+        "vec_id", "embedding", k = 3, nCandidates = 60, coarseDims = 8)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exact = SimilaritySearch.bruteForceTopK(df, probes,
+        "vec_id", "embedding", k = 3)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === exact)
+    // a zero prefix drops the vector from stage 1 (truncated cosine
+    // undefined) even though its full vector is nonzero
+    val withZeroPrefix = base :+ (99L,
+      Array.fill(8)(0.0f) ++ Array.fill(24)(0.5f))
+    val got2 = SimilaritySearch.truncatedRerankTopK(
+        withZeroPrefix.toDF("vec_id", "embedding"), probes,
+        "vec_id", "embedding", k = 3, nCandidates = 61, coarseDims = 8)
+      .filter(col("neighbor_id") === 99L).count()
+    assert(got2 === 0L, "zero-prefix vector survived the truncated stage")
+  }
+
   test("ivf seq-scoped tombstones: update needs no compaction; crashed append invisible and rerun-safe") {
     import graft.operators.{IvfIndex, SimilaritySearch}
     val base = (0L until 40L).map { i =>

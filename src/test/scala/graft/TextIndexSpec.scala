@@ -559,4 +559,93 @@ class TextIndexSpec extends SparkSuite {
     assert(files.nonEmpty && files.forall(_.contains("textindex_snip")),
       s"snippet read outside the index: ${files.filterNot(_.contains("textindex_snip")).take(3).mkString(", ")}")
   }
+
+  test("searchPrefix: dictionary-resolved wildcard equals searchAny; cap and empty cases") {
+    val out = Tables.scratch("textindex_prefix")
+    val docs = Seq(
+      (1L, "merge merged merger alpha"),
+      (2L, "merge alpha beta"),
+      (3L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    TextIndex.buildIndex(docs, "doc_id", "text", out, nBuckets = 8)
+    val got = TextIndex.searchPrefix(spark, out, "merge")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 matches 3 dictionary terms (merge, merged, merger), doc 2
+    // one; doc 3 none
+    assert(got === Seq((1L, 3L, 3L), (2L, 1L, 1L)))
+    // equals searchAny over the resolved term set
+    val any = TextIndex.searchAny(spark, out, Seq("merge", "merged", "merger"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === any)
+    // no dictionary match → empty frame with the searchAny shape
+    val none = TextIndex.searchPrefix(spark, out, "zzz")
+    assert(none.columns.toSeq === Seq("doc_id", "n_terms", "total_tf"))
+    assert(none.count() === 0L)
+    // capped expansion fails loudly, never silently truncates
+    intercept[IllegalArgumentException] {
+      TextIndex.searchPrefix(spark, out, "merge", maxTerms = 2)
+    }
+    // deletes stay exact: tombstone doc 1, its postings mask out of the
+    // prefix search even though the dictionary still lists its terms
+    TextIndex.deleteDocs(Seq(1L).toDF("doc_id"), "doc_id", out)
+    val afterDel = TextIndex.searchPrefix(spark, out, "merge")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(afterDel === Seq((2L, 1L, 1L)))
+  }
+
+  test("mergeIndexes: cross-bucket-count shard merge equals a full build; deletes fold; overlap rejected") {
+    val docs = Tables(spark, sf, "documents")
+    val a = Tables.scratch("textindex_merge_a")
+    val b = Tables.scratch("textindex_merge_b")
+    val dst = Tables.scratch("textindex_merge_dst")
+    TextIndex.buildIndex(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", a, nBuckets = 16)
+    TextIndex.buildIndex(docs.filter(col("doc_id") >= 100),
+      "doc_id", "text", b, nBuckets = 64)
+    // a pending delete in shard A must FOLD during the merge
+    TextIndex.deleteDocs(Seq(42L).toDF("doc_id"), "doc_id", a)
+    TextIndex.mergeIndexes(spark, a, b, dst)
+    val full = Tables.scratch("textindex_merge_full")
+    TextIndex.buildIndex(docs.filter(col("doc_id") =!= 42L),
+      "doc_id", "text", full, nBuckets = 64)
+    val terms = Seq("hash", "merge", "vector")
+    def res(p: String) = TextIndex.searchAll(spark, p, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(res(dst) === res(full), "merged search diverged from full build")
+    // BM25 consumes the merged manifest totals + recounted df — the
+    // merged index must score identically to the full build
+    def bm(p: String) = TextIndex.bm25(spark, p, terms, 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+      .sorted.toSeq
+    assert(bm(dst) === bm(full), "merged BM25 diverged from full build")
+    // physical purge: doc 42's postings are not in the merged layout
+    assert(spark.read.parquet(TextIndex.postingsDir(spark, dst))
+      .filter(col("doc_id") === 42L).count() === 0L)
+    // overlapping shards are a loud error
+    intercept[IllegalArgumentException] {
+      TextIndex.mergeIndexes(spark, a, a, Tables.scratch("textindex_merge_bad"))
+    }
+  }
+
+  test("searchSynonyms: group-conjunctive semantics; cross-group term rejected") {
+    val out = Tables.scratch("textindex_syn")
+    val docs = Seq(
+      (1L, "hash join x"),          // g0 via hash, g1 via join → match, tf 2
+      (2L, "key merge key"),        // g0 via key(2), g1 via merge → match, tf 3
+      (3L, "hash key x"),           // only g0 → no match
+      (4L, "join merge x")          // only g1 → no match
+    ).toDF("doc_id", "text")
+    TextIndex.buildIndex(docs, "doc_id", "text", out, nBuckets = 8)
+    val got = TextIndex.searchSynonyms(spark, out,
+        Seq(Seq("hash", "key"), Seq("merge", "join")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 3L)))
+    intercept[IllegalArgumentException] {
+      TextIndex.searchSynonyms(spark, out,
+        Seq(Seq("hash", "key"), Seq("key", "join")))
+    }
+  }
 }
