@@ -249,6 +249,197 @@ object Baseline {
         .orderBy("o_orderpriority")
     }),
 
+    // q_text_wildcard_index control, capability-matched (the
+    // q_text_search_index protocol): the graft side builds the full
+    // retrieval index in its measured region, so the stock twin
+    // materializes the equivalent flat artifacts (positional postings
+    // + doc lengths + term dfs) and serves the wildcard from them —
+    // prefix-filtering the FLAT postings (every file read; the df
+    // "dictionary" exists but a flat layout gains nothing by
+    // consulting it first).
+    "q_text_wildcard_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = Tables.scratch("baseline_wild_postings")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .write.mode("overwrite").parquet(out)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_wild_doclen"))
+      s.read.parquet(out).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_wild_df"))
+      s.read.parquet(out)
+        .filter(col("term").startsWith("me"))
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("n_terms"), sum("tf").as("total_tf"))
+        .orderBy("doc_id")
+    }),
+
+    // q_text_synonym_search control, capability-matched: same flat
+    // postings/doclen/df artifacts, then the group-conjunctive query
+    // (CASE term→group, group-arity gate) over the FLAT postings.
+    "q_text_synonym_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = Tables.scratch("baseline_syn_postings")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .write.mode("overwrite").parquet(out)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_syn_doclen"))
+      s.read.parquet(out).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(Tables.scratch("baseline_syn_df"))
+      val grp = when(col("term").isin("hash", "key"), lit(0))
+        .when(col("term").isin("merge", "join"), lit(1))
+        .otherwise(lit(2))
+      s.read.parquet(out)
+        .filter(col("term").isin("hash", "key", "merge", "join", "vector", "stream"))
+        .withColumn("grp", grp)
+        .groupBy("doc_id")
+        .agg(countDistinct("grp").as("n_groups"), sum("tf").as("total_tf"))
+        .filter(col("n_groups") === 3)
+        .select(col("doc_id"), col("total_tf"))
+        .orderBy("doc_id")
+    }),
+
+    // q_text_index_merge control, scenario-matched: BOTH sides build
+    // the two shard artifacts from the corpus halves (identical setup
+    // work — flat postings/doclen/df per shard, the capability
+    // protocol), then merge and search. The stock merge of flat
+    // artifacts is a parquet union rewrite + df re-aggregation;
+    // its search then scans the ENTIRE merged postings (no bucket
+    // structure to prune), while the graft side pays the re-bucket
+    // shuffle once and prunes every search after.
+    "q_text_index_merge" -> ((s, dir) => {
+      val terms = Seq("hash", "merge", "vector")
+      val docs = t(s, dir, "documents")
+      def shard(pred: org.apache.spark.sql.Column, tag: String): String = {
+        val out = Tables.scratch(s"baseline_tmerge_$tag")
+        val toks = docs.filter(pred).select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("toks"))
+        toks.select(col("doc_id"),
+            posexplode(col("toks")).as(Seq("pos", "term")))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+          .write.mode("overwrite").parquet(s"$out/postings")
+        toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"$out/doclen")
+        s.read.parquet(s"$out/postings")
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$out/df")
+        out
+      }
+      val a = shard(col("doc_id") < 250, "a")
+      val b = shard(col("doc_id") >= 250, "b")
+      val merged = Tables.scratch("baseline_tmerge_dst")
+      s.read.parquet(s"$a/postings").unionByName(s.read.parquet(s"$b/postings"))
+        .write.mode("overwrite").parquet(s"$merged/postings")
+      s.read.parquet(s"$a/doclen").unionByName(s.read.parquet(s"$b/doclen"))
+        .write.mode("overwrite").parquet(s"$merged/doclen")
+      s.read.parquet(s"$merged/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$merged/df")
+      s.read.parquet(s"$merged/postings")
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("n_terms"), sum("tf").as("total_tf"))
+        .filter(col("n_terms") === terms.size)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("total_tf"), col("lang"),
+          lit(true).as("totals_ok"))
+    }),
+
+    // q_sim_ivf_merge control, scenario-matched: BOTH sides start from
+    // nothing, build the two shard indexes (k-means per parity half,
+    // persisted — identical setup work), and must then serve the
+    // union. The stock user's merge is a REFIT: a third k-means over
+    // the union corpus, persisted flat, searched full-width with the
+    // HOF cosine + window cut. The graft side's merge instead reuses
+    // the primary's centroids and re-assigns only the secondary shard
+    // into the partition-pruned layout.
+    "q_sim_ivf_merge" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      def fitHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val half = emb.filter(pred)
+          .withColumn("__v", array_to_vector(col("embedding")))
+        val m = new KMeans().setK(8).setSeed(42L)
+          .setFeaturesCol("__v").setPredictionCol("cluster").fit(half)
+        m.transform(half).drop("__v")
+          .write.mode("overwrite").parquet(Tables.scratch(name))
+      }
+      fitHalf(col("vec_id") % 2 === 0, "baseline_ivf_merge_a")
+      fitHalf(col("vec_id") % 2 =!= 0, "baseline_ivf_merge_b")
+      val withVec = emb.withColumn("__v", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(8).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster").fit(withVec)
+      val flat = Tables.scratch("baseline_ivf_merge_flat")
+      model.transform(withVec).drop("__v")
+        .write.mode("overwrite").parquet(flat)
+      val assigned = s.read.parquet(flat)
+      val p = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val scored = assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"))
+        .join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(probe_vec, neighbor_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            | / (sqrt(aggregate(probe_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |    * sqrt(aggregate(neighbor_vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // q_sim_matryoshka control: the same two-stage truncated-dim cut
+    // expressed with stock HOFs + window cuts (slice for the coarse
+    // prefix, row_number for both stages) — no custom expressions, no
+    // bounded-heap aggregate.
+    "q_sim_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val p = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+          slice(col("embedding"), 1, 16).as("tp"))
+      val c = emb
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"),
+          slice(col("embedding"), 1, 16).as("tc"))
+      val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("coarse", hofCos("tp", "tc"))
+      val wc = Window.partitionBy("probe_id")
+        .orderBy(col("coarse").desc, col("neighbor_id").asc)
+      val cands = scored.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 50)
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+      val wr = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      cands.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "cos")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_text_index_delete control, deliverable-matched: both sides
     // physically purge the deleted docs from a persisted postings
     // artifact and then search it. The stock user's delete is a
@@ -1877,7 +2068,12 @@ object Baseline {
     "q_text_vocab_encode", "q_text_dataset_card",
     // retention cohorts: two keyed aggregates + a user-keyed join —
     // stock end to end (variance pair)
-    "q_events_retention")
+    "q_events_retention",
+    // round-13 additions that are pure declarative Spark: two-level
+    // count reaggs + broadcast scalars (keyphrase, bigram LM) and a
+    // single regexp_count projection pass (PII scan) — the control is
+    // the identical plan (variance pairs)
+    "q_text_keyphrase", "q_text_bigram_lm", "q_pii_scan")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave
