@@ -285,7 +285,8 @@ object DataSkipping {
       underlying: FileIndex,
       boundsByPath: Map[String, Map[String, (Any, Any)]],
       colTypes: Map[String, DataType],
-      bloomsByPath: Map[String, (Int, Map[String, Array[Long]])])
+      bloomsByPath: Map[String, (Int, Map[String, Array[Long]])],
+      staticFilters: Seq[Expression] = Nil)
       extends FileIndex with PredicateHelper {
 
     // one xxhash64 evaluation per distinct (value, type) literal per
@@ -301,7 +302,33 @@ object DataSkipping {
     override def rootPaths: Seq[Path] = underlying.rootPaths
     override def inputFiles: Array[String] = underlying.inputFiles
     override def refresh(): Unit = underlying.refresh()
-    override def sizeInBytes: Long = underlying.sizeInBytes
+
+    /** With CONSTRUCTION-TIME `staticFilters`, the relation's size
+      * estimate is the byte sum of the files the side index keeps —
+      * computed from the listing + sidecar bounds only, no data file
+      * opened. This is what lets Catalyst pick a broadcast join for a
+      * selectively-pruned snapshot read on a cold session (no ANALYZE,
+      * no scan): the stats the transaction log published ARE the join
+      * planner's input. Without static filters the estimate stays the
+      * full listing's, as before.
+      */
+    override def sizeInBytes: Long =
+      if (staticFilters.isEmpty) underlying.sizeInBytes
+      else staticSurvivingBytes
+
+    private lazy val staticSurvivingBytes: Long = {
+      val conjuncts = staticFilters.flatMap(splitConjunctivePredicates)
+      underlying.listFiles(Nil, Nil).flatMap(_.files).filter { f =>
+        val p = normalize(f.getPath.toString)
+        boundsByPath.get(p) match {
+          case None => true
+          case Some(b) =>
+            val bl = bloomsByPath.getOrElse(p, (BloomK, Map.empty[String, Array[Long]]))
+            !conjuncts.exists(c => canSkip(b, bl, c))
+        }
+      }.map(_.getLen).sum
+    }
+
     override def partitionSchema: StructType = underlying.partitionSchema
 
     // true iff `l < r` / `l <= r` under the column type's ordering,
@@ -389,7 +416,7 @@ object DataSkipping {
 
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val conjuncts = dataFilters.flatMap(splitConjunctivePredicates)
+      val conjuncts = (dataFilters ++ staticFilters).flatMap(splitConjunctivePredicates)
       val base = underlying.listFiles(partitionFilters, dataFilters)
       if (conjuncts.isEmpty || boundsByPath.isEmpty) base
       else base.map { pd =>
@@ -450,5 +477,43 @@ object DataSkipping {
     val (bounds, types, blooms) = loadBounds(spark, indexPath)
     val pruning = new SkipIndexFileIndex(rel.location, bounds, types, blooms)
     spark.baseRelationToDataFrame(rel.copy(location = pruning)(spark))
+  }
+
+  /** [[scanWithIndex]] with the predicate bound at CONSTRUCTION time:
+    * the returned frame still filters row-exactly, but the underlying
+    * relation's `sizeInBytes` is the byte sum of only the files the
+    * side index keeps for this predicate — derived from listing +
+    * sidecar bounds, zero data files opened. The practical payoff is
+    * JOIN PLANNING: a selective pruned read of a big table estimates
+    * small, so Catalyst picks BroadcastHashJoin on a cold session
+    * (no ANALYZE, no scan) — the manifest's stats drive the join
+    * strategy, the Iceberg/Delta stats-into-CBO integration point.
+    * Plain `scanWithIndex` + `.filter` keeps the FULL-table estimate
+    * because size-only plan stats pass a Filter through unchanged.
+    */
+  def scanPrunedWhere(spark: SparkSession, dataDir: String,
+      indexPath: String, predicate: Column): DataFrame = {
+    val live = spark.read.parquet(dataDir)
+    val rel = live.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }.getOrElse(throw new IllegalStateException(
+      s"$dataDir did not resolve to a v1 parquet relation"))
+    // resolve the caller's predicate against the live schema, through
+    // the OPTIMIZER: analysis alone leaves type-promotion casts around
+    // literals (`k >= CAST(100 AS BIGINT)`), which the sidecar matcher
+    // deliberately ignores; constant folding turns them into the bare
+    // typed literals the bounds check understands — the same shapes
+    // the runtime `dataFilters` path sees. A predicate the optimizer
+    // proves trivially true leaves no Filter → no static pruning,
+    // which is the correct degenerate estimate.
+    val resolved = live.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.toSeq
+    val (bounds, types, blooms) = loadBounds(spark, indexPath)
+    val pruning = new SkipIndexFileIndex(rel.location, bounds, types, blooms,
+      staticFilters = resolved)
+    spark.baseRelationToDataFrame(rel.copy(location = pruning)(spark))
+      .filter(predicate)
   }
 }

@@ -194,6 +194,25 @@ object Snapshots {
     DataSkipping.scanWithIndex(spark, versionPath(root, v), statsPath(root, v))
   }
 
+  /** [[readPruned]] with the predicate bound at construction: the
+    * version's transaction-log stats not only prune the scan but also
+    * size the RELATION ESTIMATE to the surviving files' bytes, so a
+    * selective read of a big snapshot joins as a BROADCAST side on a
+    * cold session — no ANALYZE, no data scan; the stats the commit
+    * published drive the join strategy (plan-asserted in
+    * SnapshotsSpec). Row results are identical to
+    * `readPruned(...).filter(predicate)`.
+    */
+  def readPrunedWhere(spark: SparkSession, root: String,
+      predicate: Column, version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in manifest (have ${vs.mkString(",")})")
+    DataSkipping.scanPrunedWhere(spark, versionPath(root, v),
+      statsPath(root, v), predicate)
+  }
+
   /** Create the table at version 1 (drops any existing table at root).
     * `statsCols` registers transactional per-file stats + clustered
     * rewrites for the table's whole life (see the stats section

@@ -1033,6 +1033,60 @@ object Sources {
         .withColumn("skip_ok", lit(skipOk))
     }),
 
+    // Stats-into-CBO: the transaction log's per-file stats drive JOIN
+    // PLANNING, not just I/O pruning (the Iceberg/Delta
+    // stats-to-optimizer integration point). readPrunedWhere binds the
+    // predicate at CONSTRUCTION, so the relation's size estimate is
+    // the byte sum of only the files the log's bounds keep — computed
+    // from the manifest sidecar, zero data files opened, no ANALYZE.
+    // A selective read of a big snapshot therefore broadcasts on a
+    // COLD session. bhj_ok/ctl_ok measure the contract against a
+    // threshold placed BETWEEN the two estimates: the stats-sized read
+    // plans a BroadcastHashJoin; the identical predicate as a post-hoc
+    // .filter keeps the full-table estimate (size-only plan stats pass
+    // a Filter through unchanged) and shuffles. Row results are
+    // oracle-checked as the plain filtered self-join.
+    "q_table_stats_bhj" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val root = graft.Tables.scratch("stats_bhj_tbl")
+      val orders = t(s, dir, "orders")
+      Snapshots.create(s, root,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      val pred = col("o_orderkey") <= 4000
+      val prunedWhere = Snapshots.readPrunedWhere(s, root, pred)
+        .select("o_orderkey", "o_totalprice")
+      val full = Snapshots.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice").as("tp_r"))
+      val est = prunedWhere.queryExecution.optimizedPlan.stats.sizeInBytes
+      val fullEst = full.queryExecution.optimizedPlan.stats.sizeInBytes
+      val mid = ((est + fullEst) / 2).toString
+      val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prev = confs.map(c => c -> s.conf.getOption(c))
+      confs.foreach(s.conf.set(_, mid))
+      val (bhjOk, ctlOk) =
+        try {
+          // initial physical plans (pre-AQE-reopt): the decision made
+          // from ESTIMATES, which is what stats-into-CBO is about
+          val statsPlan = prunedWhere.join(full, "o_orderkey")
+            .queryExecution.executedPlan.toString
+          val ctlPlan = Snapshots.readPruned(s, root).filter(pred)
+            .select("o_orderkey", "o_totalprice").join(full, "o_orderkey")
+            .queryExecution.executedPlan.toString
+          (est < fullEst && statsPlan.contains("BroadcastHashJoin"),
+            !ctlPlan.contains("BroadcastHashJoin"))
+        } finally prev.foreach { case (c, v) =>
+          v.fold(s.conf.unset(c))(s.conf.set(c, _)) }
+      prunedWhere.join(full, "o_orderkey")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("tp_r") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .withColumn("bhj_ok", lit(bhjOk))
+        .withColumn("ctl_ok", lit(ctlOk))
+    }),
+
     // The reference's whole identity as a CONNECTOR, end-to-end: a
     // custom Hadoop FileSystem scheme registered via fs.graft.impl
     // (the fs.cfs.impl pattern, reference README.md:24-28) with
@@ -1485,6 +1539,15 @@ object Sources {
         |      UNION ALL
         |      SELECT o_orderdate, o_orderkey FROM orders
         |      WHERE o_orderkey % 97 = 0)""".stripMargin,
+
+    "q_table_stats_bhj" ->
+      """WITH f AS (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_orderkey <= 4000)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total,
+        |  TRUE AS bhj_ok, TRUE AS ctl_ok
+        |FROM f JOIN orders o ON f.o_orderkey = o.o_orderkey""".stripMargin,
 
     "q_table_stats_txn" ->
       """WITH updates AS (

@@ -459,4 +459,51 @@ class SnapshotsSpec extends SparkSuite {
     assert(ch === Array(("insert", 1L), ("update_postimage", 1L),
       ("update_preimage", 1L)))
   }
+
+  test("stats-driven join planning: readPrunedWhere estimates from surviving files and picks BHJ cold") {
+    import graft.operators.Snapshots
+    val root = freshRoot("snap_bhj")
+    // incompressible-ish pad so parquet bytes track row count; 16
+    // range files on k, stats registered at create — no ANALYZE ever
+    val base = spark.range(1, 40001).select(col("id").as("k"),
+        expr("concat(md5(cast(id as string)), md5(cast(id*7 as string)), " +
+          "md5(cast(id*13 as string)), md5(cast(id*29 as string)))").as("pad"))
+      .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+    Snapshots.create(spark, root, base, statsCols = Seq("k"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1MB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val full = Snapshots.read(spark, root)
+        .select(col("k"), col("pad").as("pad_r"))
+      val pred = col("k") >= 100 && col("k") <= 1200 // ~1 of 16 files
+      // construction-time predicate: the relation estimate is the
+      // SURVIVING files' bytes (from the txn-log stats — no scan)
+      val prunedWhere = Snapshots.readPrunedWhere(spark, root, pred)
+      val est = prunedWhere.queryExecution.optimizedPlan.stats.sizeInBytes
+      val fullEst = full.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(est < BigInt(1024 * 1024) && fullEst > BigInt(1024 * 1024),
+        s"estimates not separated by the threshold: pruned $est, full $fullEst")
+      val bhjPlan = prunedWhere.join(full, "k")
+        .queryExecution.executedPlan.toString
+      assert(bhjPlan.contains("BroadcastHashJoin"),
+        s"stats-sized pruned read did not broadcast:\n${bhjPlan.take(2000)}")
+      // the same predicate as a POST-HOC filter keeps the full-table
+      // estimate (size-only stats pass Filter through) → no broadcast
+      val filteredPlan = Snapshots.readPruned(spark, root).filter(pred)
+        .join(full, "k").queryExecution.executedPlan.toString
+      assert(!filteredPlan.contains("BroadcastHashJoin"),
+        "control join unexpectedly broadcast — threshold too high for the fixture")
+      // row-exactness: both formulations agree
+      val a = prunedWhere.join(full, "k").agg(count(lit(1)), sum("k"))
+        .head.toSeq
+      val b = Snapshots.readPruned(spark, root).filter(pred).join(full, "k")
+        .agg(count(lit(1)), sum("k")).head.toSeq
+      assert(a === b)
+    } finally prev.foreach { case (c, vOpt) =>
+      vOpt.fold(spark.conf.unset(c))(spark.conf.set(c, _))
+    }
+  }
 }
