@@ -44,6 +44,65 @@ object Baseline {
         .select("probe_id", "rank", "neighbor_id", "cos")
     }),
 
+    // q_train_curriculum control: the global-ntile formulation a stock
+    // user writes for tercile staging — EVERY doc ordered through one
+    // partitionless ntile(3) window (a single sort task at any scale),
+    // then the same schedule join. Deliverable-matched (a 9-row
+    // curriculum schedule; stage boundaries differ from the engine's
+    // histogram cut only at bucket-boundary ties) — what the pair
+    // measures is the two-phase histogram cut vs the global-sort
+    // funnel.
+    "q_train_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\W+"), tk => length(tk) > 0).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("tok"),
+          expr("aggregate(transform(toks, t -> cast(length(t) as bigint)), " +
+            "cast(0 as bigint), (a, v) -> a + v)").as("cl"))
+        .select(col("doc_id"), col("tok"), expr("(cl * 100) div tok").as("d"))
+      val staged = base.withColumn("t3",
+          ntile(3).over(Window.orderBy(col("d"), col("doc_id"))))
+        .withColumn("stage",
+          when(col("t3") === 1, "easy").when(col("t3") === 2, "mid").otherwise("hard"))
+      val stageTok = staged.groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("stage_tok"))
+      val sched = Seq(
+        ("e1", "easy", 60L), ("e1", "mid", 30L), ("e1", "hard", 10L),
+        ("e2", "easy", 40L), ("e2", "mid", 35L), ("e2", "hard", 25L),
+        ("e3", "easy", 34L), ("e3", "mid", 33L), ("e3", "hard", 33L))
+        .toDF("epoch", "stage", "w")
+      sched.join(broadcast(stageTok), Seq("stage"))
+        .select(col("epoch"), col("stage"), col("w"), col("n_docs"),
+          col("stage_tok"), expr("(w * stage_tok) div 100").as("planned_tok"))
+        .orderBy("epoch", "stage")
+    }),
+
+    // q_train_token_budget control: the one-window formulation a stock
+    // user writes — order EVERY doc through one partitionless cumsum
+    // window (a single sort task at any scale), then the same prefix
+    // filter. Identical results; what the pair measures is the
+    // two-phase bucket-threshold form vs the global-sort funnel.
+    "q_train_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), "\\s+"), tk => length(tk) > 0))
+            .cast("bigint").as("tok"),
+          (length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double") /
+            length(col("text"))).as("q"))
+      val budget = 4L * docs.agg(sum("tok")).head.getLong(0) / 10L
+      val wAll = Window.orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum("tok").over(wAll))
+        .filter(col("cum") <= budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sel"), sum("tok").as("tok_sel"))
+        .orderBy("source")
+    }),
+
     // q_text_search_index control, deliverable-matched (round-8
     // protocol): the graft query persists a reusable postings artifact
     // AND searches it, so the stock twin does the same with the plain
@@ -2073,7 +2132,23 @@ object Baseline {
     // count reaggs + broadcast scalars (keyphrase, bigram LM) and a
     // single regexp_count projection pass (PII scan) — the control is
     // the identical plan (variance pairs)
-    "q_text_keyphrase", "q_text_bigram_lm", "q_pii_scan")
+    "q_text_keyphrase", "q_text_bigram_lm", "q_pii_scan",
+    // temperature mix (two tiny aggs + broadcast map join + scan) and
+    // the split manifest (one CASE projection + small agg) are stock
+    // end to end — controls would be the identical plans
+    "q_train_temperature_mix", "q_train_split",
+    // late round-13 audit verbs that are stock declarative Spark end
+    // to end: gram-keyed shuffle joins + small aggs (overlap report),
+    // two broadcast joins around keyed aggregates (embedding outliers,
+    // language mix) — the control is the identical plan (variance
+    // pairs). q_dedup_cross_source rides the measured q_dedup_minhash
+    // machinery (sibling-adjudicated, like q_dedup_canonicalize).
+    "q_decontaminate_overlap", "q_embed_outliers", "q_text_lang_mix",
+    // gram novelty (two gram-keyed shuffles + keyed agg) and the
+    // repeat-epochs planner (one small agg + broadcast scalars) are
+    // stock end to end (variance pairs). q_dedup_threshold_sweep rides
+    // the measured q_dedup_minhash machinery (sibling-adjudicated).
+    "q_text_gram_novelty", "q_train_repeat_epochs")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

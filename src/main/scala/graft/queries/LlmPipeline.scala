@@ -818,6 +818,360 @@ object LlmPipeline {
         .orderBy("epoch", "shard")
     }),
 
+    // TEMPERATURE-scaled source mixing — the multinomial α-sampling a
+    // multi-domain training mix uses (p_s ∝ n_s^α, α = 0.5 here) to
+    // flatten the source distribution so head domains stop drowning
+    // the tail. Per-source inclusion rate r_s = min(1, T·p_s/n_s) with
+    // target T = 0.3·N; membership is the md5-u32 test u32 < cut_s.
+    // Every cut is computed in PURE INTEGER arithmetic (isqrt weights,
+    // bigint `div`) so the oracle reproduces the exact sample — no
+    // float normalization whose summation order could flip a boundary
+    // doc between engines. Scale shape: one |sources|-row aggregate,
+    // one broadcast map join, one scan — the corpus is never shuffled.
+    // (Integer-overflow bound: T·w_s·2³² must fit in int64 — holds to
+    // ~10⁹ docs/source; past that the cut computation moves to
+    // decimal(38,0), the test itself is unchanged.)
+    "q_train_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        .withColumn("w_s", expr("cast(floor(sqrt(cast(n_s as double))) as bigint)"))
+      val tot = perSrc.agg(sum("n_s").as("n_tot"), sum("w_s").as("sw"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .withColumn("cut", least(
+          expr("(((3 * n_tot) div 10) * w_s * 4294967296) div (sw * n_s)"),
+          lit(4294967296L)))
+        .select("source", "n_s", "cut")
+      val u32 = expr("cast(conv(substring(md5(cast(concat('mix:', " +
+        "cast(doc_id as string)) as binary)), 1, 8), 16, 10) as bigint)")
+      val sampled = docs.join(broadcast(rates.select("source", "cut")), "source")
+        .filter(u32 < col("cut"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars_sampled"))
+      rates.join(broadcast(sampled), Seq("source"), "left")
+        .select(col("source"), col("n_s").as("n_total"), col("cut"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("chars_sampled"), lit(0L)).as("chars_sampled"))
+        .orderBy("source")
+    }),
+
+    // Global QUALITY-ORDERED selection under a token budget (the
+    // "keep the best 40% of tokens" curation step), WITHOUT a global
+    // sort: ordering every doc through one partitionless window is the
+    // anti-pattern that funnels 100 TB into a single task. Two phases:
+    // (1) a 1025-row histogram of floor(q·1024) quality buckets finds
+    // the budget-crossing bucket b* on the driver — every doc in a
+    // higher bucket is provably selected (strictly higher q, cumulative
+    // under budget); (2) the exact prefix rule runs only WITHIN b*,
+    // so the single-task window touches one bucket's docs, not the
+    // corpus. Selection = prefix rule: doc in iff inclusive cumulative
+    // tokens (q desc, doc_id order) ≤ budget — the oracle IS the
+    // one-window formulation, so the equivalence is hash-checked on
+    // every run. q is one integer division (alnum chars / chars), so
+    // both engines derive bit-identical doubles and buckets.
+    "q_train_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("bigint").as("tok"),
+          (length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double") /
+            length(col("text"))).as("q"))
+        .withColumn("bkt", floor(col("q") * 1024).cast("int"))
+        .localCheckpoint() // 3 consumers: histogram, above-set, b* window
+      val hist = docs.groupBy("bkt").agg(sum("tok").as("btok"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+      val budget = (4L * hist.map(_._2).sum) / 10L
+      // walk buckets best-first; the first bucket whose tokens push the
+      // cumulative past the budget is where the exact cut lives
+      val crossing: Option[Int] = {
+        var c = 0L; var cross = Option.empty[Int]
+        hist.foreach { case (b, btok) =>
+          if (cross.isEmpty && c + btok > budget) cross = Some(b)
+          c += btok
+        }
+        cross
+      }
+      val selected = crossing match {
+        case None => docs // budget covers everything
+        case Some(b) =>
+          val cumAbove = hist.takeWhile(_._1 > b).map(_._2).sum
+          val rem = budget - cumAbove
+          val wCum = Window.orderBy(col("q").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val within = docs.filter(col("bkt") === b)
+            .withColumn("cum", sum("tok").over(wCum))
+            .filter(col("cum") <= rem)
+            .drop("cum")
+          docs.filter(col("bkt") > b).unionByName(within)
+      }
+      selected.groupBy("source")
+        .agg(count(lit(1)).as("n_sel"), sum("tok").as("tok_sel"))
+        .orderBy("source")
+    }),
+
+    // CLUSTER-CONSISTENT split — the fix for the one flaw of per-doc
+    // hash splits: a near-duplicate of an eval doc leaking into train
+    // (doc-level hashing assigns the two copies independently).
+    // Assignment hashes the doc's near-dup CLUSTER label (connected
+    // components over the verified minhash pairs; docs with no dup
+    // partner label themselves), so a whole duplicate cluster lands in
+    // ONE split by construction — and singletons get exactly the same
+    // assignment as q_train_split, so only dup-cluster members ever
+    // move. no_straddle_ok MEASURES the contract end-to-end (max
+    // distinct splits per label == 1). Composition: banded near-dup
+    // pairs → path-halving CC → one corpus-keyed left join → md5 on
+    // the label → small agg. Nothing corpus-sized collects.
+    "q_train_split_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 2)
+      val labels = Dedup.duplicateClusters(pairs)
+        .withColumnRenamed("doc", "doc_id")
+      val labeled = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("label"), col("doc_id")))
+      val u8 = expr("cast(conv(substring(md5(cast(concat('split:', " +
+        "cast(label as string)) as binary)), 1, 2), 16, 10) as bigint)")
+      val tagged = labeled.withColumn("split",
+        when(u8 < 230, "train").when(u8 < 243, "val").otherwise("test"))
+      val mx = tagged.groupBy("label")
+        .agg(countDistinct("split").as("nsp"))
+        .agg(max("nsp")).head
+      val straddleOk = mx.isNullAt(0) || mx.getLong(0) == 1L
+      tagged.groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .withColumn("no_straddle_ok", lit(straddleOk))
+        .orderBy("source", "split")
+    }),
+
+    // Deterministic train/val/test SPLIT manifest (~90/5/5): the
+    // assignment is a pure function of doc_id (md5 first byte), so it
+    // is stable under re-runs, appends, and re-partitioning — the
+    // property that keeps eval sets uncontaminated across pipeline
+    // versions (a rand() split reassigns docs every run). One scan,
+    // one small aggregate; disjoint + complete by construction.
+    "q_train_split" -> ((s, dir) => {
+      val u8 = expr("cast(conv(substring(md5(cast(concat('split:', " +
+        "cast(doc_id as string)) as binary)), 1, 2), 16, 10) as bigint)")
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(u8 < 230, "train").when(u8 < 243, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("source", "split")
+    }),
+
+    // CURRICULUM schedule — the per-epoch stage mix a curriculum-
+    // learning run consumes (easy-heavy early, flattening to uniform).
+    // Difficulty proxy: scaled mean token length d = (Σ|tok|·100) div
+    // n_toks, pure integer. Stage terciles come from a TWO-PHASE cut
+    // (same shape as q_train_token_budget): a bounded d-histogram
+    // (|distinct d| rows, ≲ hundreds at any corpus size) finds the
+    // tercile boundary buckets on the driver; stage assignment is then
+    // a stateless CASE — no global ntile window funneling the corpus
+    // through one sort task. Epoch weights anneal 60/30/10 → 34/33/33;
+    // planned_tok = w·stage_tok div 100 (integer, cross-engine exact).
+    "q_train_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\W+"), tk => length(tk) > 0).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("tok"),
+          expr("aggregate(transform(toks, t -> cast(length(t) as bigint)), " +
+            "cast(0 as bigint), (a, v) -> a + v)").as("cl"))
+        .select(col("doc_id"), col("tok"), expr("(cl * 100) div tok").as("d"))
+      val hist = base.groupBy("d").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val total = hist.map(_._2).sum
+      var cum = 0L; var b1 = Long.MaxValue; var b2 = Long.MaxValue
+      hist.foreach { case (dv, n) =>
+        cum += n
+        if (b1 == Long.MaxValue && cum * 3 >= total) b1 = dv
+        if (b2 == Long.MaxValue && cum * 3 >= 2 * total) b2 = dv
+      }
+      val stageTok = base.withColumn("stage",
+          when(col("d") <= b1, "easy").when(col("d") <= b2, "mid").otherwise("hard"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("stage_tok"))
+      val sched = Seq(
+        ("e1", "easy", 60L), ("e1", "mid", 30L), ("e1", "hard", 10L),
+        ("e2", "easy", 40L), ("e2", "mid", 35L), ("e2", "hard", 25L),
+        ("e3", "easy", 34L), ("e3", "mid", 33L), ("e3", "hard", 33L))
+        .toDF("epoch", "stage", "w")
+      sched.join(broadcast(stageTok), Seq("stage"))
+        .select(col("epoch"), col("stage"), col("w"), col("n_docs"),
+          col("stage_tok"), expr("(w * stage_tok) div 100").as("planned_tok"))
+        .orderBy("epoch", "stage")
+    }),
+
+    // GRADED contamination report — the triage view behind the binary
+    // decontaminate verb: per benchmark doc, how MUCH of it leaked
+    // (matched distinct 8-grams / total, in basis points — integer, so
+    // the oracle reproduces the exact figure). The curator drops >X bp
+    // rather than any-hit. One gram-keyed shuffle join (eval grams ×
+    // distinct train grams); nothing corpus-sized is broadcast or
+    // windowed — AQE is free to broadcast the eval side when the
+    // benchmark is small (the usual case).
+    "q_decontaminate_overlap" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("words"))
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("words"), 8))).as("gram"))
+      val trainGrams = grams.filter(col("doc_id") % 50 =!= 0).select("gram").distinct()
+      val evalGrams = grams.filter(col("doc_id") % 50 === 0)
+      val hits = evalGrams.join(trainGrams, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("(coalesce(n_hit, cast(0 as bigint)) * 10000) div n_grams").as("overlap_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // CROSS-SOURCE duplication audit — which source pairs copy from
+    // each other (mirror detection / licensing triage): the verified
+    // near-dup pairs keyed by normalized source pair. Rides the exact
+    // same banded minhash machinery as q_dedup_minhash; on top it is
+    // one doc_id-keyed join against a 2-column projection of the
+    // corpus (pair side is |dup pairs|, AQE picks the build side) and
+    // a |source-pairs|-row aggregate.
+    "q_dedup_cross_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 2)
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"),
+          col("doc_a"), col("doc_b"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("doc_a").as("min_doc_a"), min("doc_b").as("min_doc_b"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
+    // Embedding OUTLIER report — the corrupt-vector screen an
+    // embedding pipeline runs before indexing (truncated reads, wrong
+    // preprocessing, mis-batched rows land far from their label's
+    // centroid). Per label: population, mean/max squared L2 distance
+    // to the centroid, and the count beyond 2× the label mean. Two
+    // |labels|-row broadcast joins around one corpus scan; distances
+    // via zip_with/aggregate (codegen'd), no explode blowup, no window.
+    "q_embed_outliers" -> ((s, dir) => {
+      val centroid = udaf(Aggregators.VectorCentroid)
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.groupBy("label").agg(centroid(col("embedding")).as("centroid"))
+      val dist = emb.join(broadcast(cents), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          aggregate(
+            zip_with(col("embedding"), col("centroid"),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (acc, v) => acc + v).as("d2"))
+      val stats = dist.groupBy("label")
+        .agg(count(lit(1)).as("n"), avg("d2").as("mean_d2"))
+      dist.join(broadcast(stats), Seq("label"))
+        .groupBy("label", "n", "mean_d2")
+        .agg(max("d2").as("max_d2"),
+          sum(when(col("d2") > col("mean_d2") * 2, 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("label"), col("n"), col("mean_d2"), col("max_d2"), col("n_outliers"))
+        .orderBy("label")
+    }),
+
+    // Threshold-sweep dedup report — the curve a curator reads before
+    // picking the dedup operating point: pair count and affected-doc
+    // count at each candidate jaccard threshold, in ONE pass over the
+    // verified pair set (re-running the dedup per threshold is the
+    // naive alternative). The spine is 4 rows crossed against the
+    // (bounded, collision-driven) pair set; jaccard itself is an IEEE
+    // division of integers, bit-identical across engines, so the ≥
+    // comparisons — and therefore the curve — are exact.
+    "q_dedup_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleSize = 2)
+      val th = Seq(0.80, 0.85, 0.90, 0.95).toDF("threshold")
+      val agg = pairs.crossJoin(broadcast(th))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"), countDistinct("doc_b").as("n_docs_b"))
+      th.join(agg, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"))
+        .orderBy("threshold")
+    }),
+
+    // Per-source GRAM NOVELTY — the content-diversity audit behind
+    // source selection: how many of a source's distinct 8-grams appear
+    // in NO other source (unique_bp high = genuinely novel content;
+    // low = the source is re-serving what the corpus already has).
+    // Two gram-keyed shuffles (per-source distinct, gram→source count)
+    // and one keyed agg — nothing corpus-sized broadcast or windowed.
+    "q_text_gram_novelty" -> ((s, dir) => {
+      val srcGram = t(s, dir, "documents")
+        .select(col("source"), Dedup.tokens(col("text")).as("words"))
+        .select(col("source"),
+          explode(array_distinct(Dedup.shingles(col("words"), 8))).as("gram"))
+        .distinct()
+      val nSrc = srcGram.groupBy("gram").agg(count(lit(1)).as("n_src"))
+      srcGram.join(nSrc, Seq("gram"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("unique_bp", expr("(n_unique * 10000) div n_grams"))
+        .orderBy("source")
+    }),
+
+    // REPEAT-EPOCHS planner — the data-constrained scaling recipe
+    // ("how many times may each source repeat"): a 2×-corpus token
+    // budget split uniformly across sources; each source's repeat
+    // factor is its target over its size, capped at 4 epochs (repeats
+    // beyond ~4 stop helping — public data-constrained-LM result).
+    // Integer arithmetic end-to-end (repeat in hundredths), one
+    // |sources|-row aggregate + broadcast scalars; the corpus is
+    // scanned once and never shuffled.
+    "q_train_repeat_epochs" -> ((s, dir) => {
+      val perSrc = t(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(lower(col("text")), "\\W+"), tk => length(tk) > 0))
+            .cast("bigint").as("tok"))
+        .groupBy("source").agg(sum("tok").as("n_tok"))
+      val tot = perSrc.agg(sum("n_tok").as("total"), count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("target_tok", expr("(2 * total) div n_sources"))
+        .withColumn("repeat_x100",
+          least(lit(400L), expr("(target_tok * 100) div n_tok")))
+        .withColumn("planned_tok", expr("(n_tok * repeat_x100) div 100"))
+        .select("source", "n_tok", "target_tok", "repeat_x100", "planned_tok")
+        .orderBy("source")
+    }),
+
+    // Language-mix composition report — the per-source language
+    // distribution + Shannon entropy a multilingual curation run
+    // monitors (a source whose entropy jumps got polluted; one whose
+    // en-share collapses broke its extractor). Same langId classifier
+    // as q_text_langid; composition is one small groupBy, shares and
+    // entropy ride two |sources|-row broadcast joins. Doubles
+    // throughout (6dp-canonicalized), counts exact.
+    "q_text_lang_mix" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.langId(col("text")).as("lang"))
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("source").agg(sum("n").as("n_src"))
+      val withP = counts.join(broadcast(totals), Seq("source"))
+        .withColumn("share", col("n").cast("double") / col("n_src"))
+      val ent = withP.groupBy("source")
+        .agg(sum(expr("-share * log2(share)")).as("entropy"))
+      withP.join(broadcast(ent), Seq("source"))
+        .select(col("source"), col("lang"), col("n"), col("share"), col("entropy"))
+        .orderBy("source", "lang")
+    }),
+
     // Deterministic hash-based sampling — the reproducible sampling
     // method a production pipeline uses instead of rand(): membership
     // is a pure function of the row key (md5 is bit-identical across
@@ -2920,6 +3274,245 @@ object LlmPipeline {
         |  min(u32 * 16777216 + doc_id) AS head_ord,
         |  TRUE AS colocated_ok
         |FROM e GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
+
+    // identical pure-integer cut arithmetic (isqrt weights, // floor
+    // division) — the sample membership is bit-exact across engines
+    "q_train_temperature_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |w AS (SELECT source, n_s,
+        |        CAST(floor(sqrt(n_s)) AS BIGINT) AS w_s FROM per),
+        |tot AS (SELECT sum(n_s) AS n_tot, sum(w_s) AS sw FROM w),
+        |rates AS (
+        |  SELECT source, n_s,
+        |    least((((3 * n_tot) // 10) * w_s * 4294967296) // (sw * n_s),
+        |          4294967296) AS cut
+        |  FROM w, tot),
+        |sel AS (
+        |  SELECT d.source, d.n_chars
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        < r.cut)
+        |SELECT r.source, r.n_s AS n_total, CAST(r.cut AS BIGINT) AS cut,
+        |  count(s.n_chars) AS n_sampled,
+        |  CAST(coalesce(sum(s.n_chars), 0) AS BIGINT) AS chars_sampled
+        |FROM rates r LEFT JOIN sel s ON r.source = s.source
+        |GROUP BY r.source, r.n_s, r.cut ORDER BY r.source""".stripMargin,
+
+    // the ONE-WINDOW formulation of the prefix rule — the engine's
+    // two-phase bucketed selection must reproduce it doc-for-doc
+    "q_train_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS tok,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / len(text) AS q
+        |  FROM documents WHERE len(text) > 0),
+        |b AS (SELECT (4 * sum(tok)) // 10 AS budget FROM d),
+        |w AS (SELECT *, sum(tok) OVER (ORDER BY q DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source, count(*) AS n_sel, CAST(sum(tok) AS BIGINT) AS tok_sel
+        |FROM w, b WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // same recursive transitive closure as the clusters oracle; the
+    // straddle boolean is TRUE by the engine's construction and
+    // re-derivable here (one label → one hash → one split)
+    "q_train_split_cluster" ->
+      (dupClusterCte + """,
+        |labels AS (SELECT u AS doc, min(v) AS label FROM reach GROUP BY u),
+        |lab AS (
+        |  SELECT d.source, d.n_chars, coalesce(l.label, d.doc_id) AS label
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+        |tg AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5('split:' || CAST(label AS VARCHAR)), 1, 2))::BIGINT AS u8
+        |  FROM lab)
+        |SELECT source,
+        |  CASE WHEN u8 < 230 THEN 'train'
+        |       WHEN u8 < 243 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS no_straddle_ok
+        |FROM tg GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
+
+    "q_train_split" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS u8
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN u8 < 230 THEN 'train'
+        |       WHEN u8 < 243 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    // the tercile boundaries are a pure function of the d-histogram
+    // (window cumsum here = the engine's driver-side walk), so stage
+    // assignment and the integer schedule arithmetic are bit-exact
+    "q_train_curriculum" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS tok,
+        |    (list_aggregate(list_transform(w, t -> CAST(len(t) AS BIGINT)), 'sum') * 100)
+        |      // CAST(len(w) AS BIGINT) AS d
+        |  FROM tok WHERE len(w) > 0),
+        |hist AS (SELECT d, count(*) AS n FROM base GROUP BY d),
+        |cumh AS (SELECT d, sum(n) OVER (ORDER BY d) AS cum,
+        |           (SELECT count(*) FROM base) AS total FROM hist),
+        |b AS (SELECT min(CASE WHEN cum * 3 >= total THEN d END) AS b1,
+        |             min(CASE WHEN cum * 3 >= 2 * total THEN d END) AS b2 FROM cumh),
+        |st AS (
+        |  SELECT CASE WHEN d <= b1 THEN 'easy'
+        |              WHEN d <= b2 THEN 'mid' ELSE 'hard' END AS stage,
+        |    count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS stage_tok
+        |  FROM base, b GROUP BY 1),
+        |sched(epoch, stage, w) AS (VALUES
+        |  ('e1','easy',60),('e1','mid',30),('e1','hard',10),
+        |  ('e2','easy',40),('e2','mid',35),('e2','hard',25),
+        |  ('e3','easy',34),('e3','mid',33),('e3','hard',33))
+        |SELECT s.epoch, s.stage, CAST(s.w AS BIGINT) AS w,
+        |  CAST(st.n_docs AS BIGINT) AS n_docs, st.stage_tok,
+        |  CAST((s.w * st.stage_tok) // 100 AS BIGINT) AS planned_tok
+        |FROM sched s JOIN st USING (stage) ORDER BY epoch, stage""".stripMargin,
+
+    // same 8-gram construction as the binary decontaminate oracle;
+    // overlap in integer basis points — bit-exact across engines
+    "q_decontaminate_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 8),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |train AS (SELECT DISTINCT gram FROM e WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT doc_id, gram FROM e WHERE doc_id % 50 = 0),
+        |h AS (SELECT doc_id, count(*) AS n_hit FROM ev JOIN train USING (gram) GROUP BY doc_id),
+        |v AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id)
+        |SELECT v.doc_id, CAST(v.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST((coalesce(h.n_hit, 0) * 10000) // v.n_grams AS BIGINT) AS overlap_bp
+        |FROM v LEFT JOIN h USING (doc_id) ORDER BY v.doc_id""".stripMargin,
+
+    // exact-jaccard pairs (the LSH-recall-checking oracle of
+    // q_dedup_minhash) keyed by normalized source pair
+    "q_dedup_cross_source" ->
+      s"""WITH $gramIndexCte,
+        |p AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.8),
+        |j AS (
+        |  SELECT least(da.source, db.source) AS src_lo,
+        |    greatest(da.source, db.source) AS src_hi, p.doc_a, p.doc_b
+        |  FROM p JOIN documents da ON p.doc_a = da.doc_id
+        |         JOIN documents db ON p.doc_b = db.doc_id)
+        |SELECT src_lo, src_hi, count(*) AS n_pairs,
+        |  min(doc_a) AS min_doc_a, min(doc_b) AS min_doc_b
+        |FROM j GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+
+    // centroid = the q_embed_centroid oracle; distances re-derived in
+    // double and compared at the canonicalizer's 6dp
+    "q_embed_outliers" ->
+      """WITH c AS (
+        |  SELECT label, pos, avg(v) AS cv
+        |  FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+        |          CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |  GROUP BY label, pos),
+        |d AS (
+        |  SELECT label, vec_id, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+        |  FROM (SELECT label, vec_id, unnest(range(len(embedding))) AS pos,
+        |          CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings) x
+        |  JOIN c USING (label, pos)
+        |  GROUP BY label, vec_id),
+        |st AS (SELECT label, count(*) AS n, avg(d2) AS mean_d2 FROM d GROUP BY label)
+        |SELECT d.label, CAST(st.n AS BIGINT) AS n, st.mean_d2, max(d.d2) AS max_d2,
+        |  CAST(sum(CASE WHEN d.d2 > st.mean_d2 * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN st USING (label)
+        |GROUP BY d.label, st.n, st.mean_d2
+        |ORDER BY d.label""".stripMargin,
+
+    // the q_text_langid CASE classifier with source carried through;
+    // entropy in double, 6dp-canonicalized
+    "q_text_lang_mix" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    CASE
+        |      WHEN regexp_matches(lower(text), '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+        |      WHEN en = greatest(en, es, fr, de) THEN 'en'
+        |      WHEN de = greatest(en, es, fr, de) THEN 'de'
+        |      WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+        |      ELSE 'es' END AS lang
+        |  FROM (
+        |    SELECT source, text,
+        |      len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('the','and','of','is','to'))) AS en,
+        |      len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('el','la','los','que','y'))) AS es,
+        |      len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('le','la','les','et','est'))) AS fr,
+        |      len(list_filter(string_split_regex(lower(text), '\W+'), t -> t IN ('der','die','das','und','ist'))) AS de
+        |    FROM documents)),
+        |c AS (SELECT source, lang, count(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY source),
+        |w AS (SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n,
+        |        CAST(c.n AS DOUBLE) / t.n_src AS share
+        |      FROM c JOIN t USING (source)),
+        |e AS (SELECT source, sum(-share * log2(share)) AS entropy FROM w GROUP BY source)
+        |SELECT w.source, w.lang, w.n, w.share, e.entropy
+        |FROM w JOIN e USING (source) ORDER BY source, lang""".stripMargin,
+
+    // same exact-jaccard pair set as the minhash oracle; the sweep is
+    // a 4-row spine against it — thresholds forced to DOUBLE so the
+    // output types (and the ≥ comparisons) match the engine bit-exactly
+    "q_dedup_threshold_sweep" ->
+      s"""WITH $gramIndexCte,
+        |p AS (SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= 0.8),
+        |th(threshold) AS (VALUES (CAST(0.80 AS DOUBLE)), (CAST(0.85 AS DOUBLE)),
+        |                         (CAST(0.90 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+        |agg AS (
+        |  SELECT t.threshold, count(*) AS n_pairs,
+        |    count(DISTINCT p.doc_b) AS n_docs_b
+        |  FROM th t JOIN p ON p.jaccard >= t.threshold
+        |  GROUP BY t.threshold)
+        |SELECT th.threshold,
+        |  CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(agg.n_docs_b, 0) AS BIGINT) AS n_docs_b
+        |FROM th LEFT JOIN agg USING (threshold) ORDER BY th.threshold""".stripMargin,
+
+    // same 8-gram construction as the decontaminate oracles, keyed by
+    // source; uniqueness = gram appears in exactly one source
+    "q_text_gram_novelty" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    list_distinct([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS grams
+        |  FROM (SELECT source,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 8),
+        |sg AS (SELECT DISTINCT source, gram
+        |       FROM (SELECT source, unnest(grams) AS gram FROM g)),
+        |ns AS (SELECT gram, count(*) AS n_src FROM sg GROUP BY gram)
+        |SELECT sg.source, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ns.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST((sum(CASE WHEN ns.n_src = 1 THEN 1 ELSE 0 END) * 10000)
+        |    // count(*) AS BIGINT) AS unique_bp
+        |FROM sg JOIN ns USING (gram)
+        |GROUP BY sg.source ORDER BY sg.source""".stripMargin,
+
+    // identical pure-integer budget arithmetic (uniform 2×-corpus
+    // split, repeat factor in hundredths capped at 400)
+    "q_train_repeat_epochs" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total,
+        |               count(*) AS n_sources FROM per)
+        |SELECT source, n_tok,
+        |  CAST((2 * total) // n_sources AS BIGINT) AS target_tok,
+        |  CAST(least(400, (((2 * total) // n_sources) * 100) // n_tok) AS BIGINT) AS repeat_x100,
+        |  CAST((n_tok * least(400, (((2 * total) // n_sources) * 100) // n_tok)) // 100 AS BIGINT) AS planned_tok
+        |FROM per, tot ORDER BY source""".stripMargin,
 
     "q_text_tfidf_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),

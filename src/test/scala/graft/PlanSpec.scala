@@ -577,4 +577,231 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2000))
   }
+
+  test("q_train_temperature_mix: rates join broadcasts; tail sources sampled at a higher rate than the head") {
+    // the per-source cut map is |sources| rows — a SortMergeJoin here
+    // would shuffle the whole corpus to join against 16 rows
+    val df = SparkEntry.queries("q_train_temperature_mix")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // α = 0.5 flattening: inclusion rate r_s = cut/2^32 must be
+    // non-increasing in source size (up to the integer-floor step)
+    val bySize = rows.map(r => (r.getAs[Long]("n_total"), r.getAs[Long]("cut")))
+      .sortBy(_._1)
+    bySize.sliding(2).foreach {
+      case Array((nSmall, cutSmall), (nBig, cutBig)) if nSmall < nBig =>
+        assert(cutSmall >= cutBig,
+          s"smaller source ($nSmall docs) got a lower rate than bigger ($nBig)")
+      case _ => ()
+    }
+    // the sample hits the 30% target closely (md5-uniformity at corpus n)
+    val total = bySize.map(_._1).sum
+    val sampled = rows.map(_.getAs[Long]("n_sampled")).sum
+    assert(sampled > total * 2 / 10 && sampled < total * 4 / 10,
+      s"sampled $sampled of $total — target was 30%")
+  }
+
+  test("q_train_token_budget: selection window runs over one quality bucket, not the corpus; equals the one-window rule") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q_train_token_budget")(spark, sf)
+    // every Window in the plan must sit above a bkt-equality Filter —
+    // the whole point of the two-phase form is that the partitionless
+    // cumsum never sees more than one bucket's docs
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    windows.foreach { w =>
+      val bucketed = w.child.collect {
+        case f: logical.Filter if f.condition.toString.contains("bkt") => f
+      }.nonEmpty
+      assert(bucketed,
+        s"budget window runs un-bucketed:\n${w.child.toString.take(800)}")
+    }
+    // doc-for-doc equivalence with the single-window prefix rule
+    val docs = Tables(spark, sf, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("bigint").as("tok"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double") /
+          length(col("text"))).as("q"))
+    val budget = 4L * docs.agg(sum("tok")).head.getLong(0) / 10L
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val oneWindow = docs.withColumn("cum", sum("tok").over(wAll))
+      .filter(col("cum") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"), sum("tok").as("tok_sel"))
+      .orderBy("source").collect().toSeq
+    assert(df.collect().toSeq === oneWindow)
+  }
+
+  test("q_train_split_cluster: no near-dup pair straddles a split boundary") {
+    val df = SparkEntry.queries("q_train_split_cluster")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("no_straddle_ok")))
+    // the contract itself, checked pair by pair: every verified
+    // near-dup pair lands in ONE split under the cluster assignment
+    val docs = Tables(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8, shingleSize = 2)
+    val labels = graft.operators.Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("doc", "doc_id")
+    val u8 = expr("cast(conv(substring(md5(cast(concat('split:', " +
+      "cast(label as string)) as binary)), 1, 2), 16, 10) as bigint)")
+    val tagged = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(u8 < 230, "train").when(u8 < 243, "val").otherwise("test"))
+      .select("doc_id", "split")
+    assert(pairs.count() > 0, "fixture has no near-dup pairs — test is vacuous")
+    val straddling = pairs
+      .join(tagged.toDF("doc_a", "sa"), "doc_a")
+      .join(tagged.toDF("doc_b", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling === 0L, s"$straddling near-dup pairs straddle splits")
+  }
+
+  test("q_train_split partitions every source exactly (disjoint + complete)") {
+    val df = SparkEntry.queries("q_train_split")(spark, sf)
+    val rows = df.collect()
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val truth = Tables(spark, sf, "documents").groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(perSource === truth, "split counts do not re-sum to the corpus")
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val n = truth.values.sum.toDouble
+    assert(bySplit("train") / n > 0.8 && bySplit.getOrElse("val", 0L) / n < 0.15 &&
+      bySplit.getOrElse("test", 0L) / n < 0.15,
+      s"split fractions off: $bySplit")
+  }
+
+  test("q_train_curriculum: stage assignment is window-free; schedule anneals easy-heavy to uniform") {
+    val df = SparkEntry.queries("q_train_curriculum")(spark, sf)
+    // two-phase tercile cut: the corpus-side plan must contain NO
+    // window (the global-ntile funnel is the control, not the engine)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("planned_tok") <= r.getAs[Long]("stage_tok"),
+        s"planned exceeds available: $r")
+    }
+    // per-epoch doc populations are identical (stages don't move
+    // between epochs; only weights do), and the easy-stage share
+    // anneals monotonically down from e1 to e3
+    val byEpoch = rows.groupBy(_.getAs[String]("epoch"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byEpoch.values.toSet.size == 1, s"epoch populations differ: $byEpoch")
+    val easyW = rows.filter(_.getAs[String]("stage") == "easy")
+      .sortBy(_.getAs[String]("epoch")).map(_.getAs[Long]("w"))
+    assert(easyW.sameElements(easyW.sorted.reverse), s"easy weights not annealing: ${easyW.toSeq}")
+  }
+
+  test("q_decontaminate_overlap: rows are eval docs only, overlap bounded, consistent with the binary verb") {
+    val df = SparkEntry.queries("q_decontaminate_overlap")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 == 0, s"non-eval doc in report: $r")
+      val (ng, nh, bp) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("overlap_bp"))
+      assert(nh <= ng && bp >= 0 && bp <= 10000, s"overlap out of bounds: $r")
+      assert(bp == nh * 10000 / ng, s"bp arithmetic broken: $r")
+    }
+  }
+
+  test("q_dedup_cross_source: normalized source pairs; pair total equals the minhash verb's") {
+    val df = SparkEntry.queries("q_dedup_cross_source")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_lo") <= r.getAs[String]("src_hi"),
+        s"unnormalized pair: $r")
+    }
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val direct = SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+    assert(total === direct, s"audit total $total != pair count $direct")
+  }
+
+  test("q_embed_outliers: label joins broadcast; outlier counts bounded by population") {
+    val df = SparkEntry.queries("q_embed_outliers")(spark, sf)
+    val plan = planOf(df)
+    // both |labels|-row joins are forced broadcasts — a SortMergeJoin
+    // here would shuffle the full embedding corpus against 10 rows
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, out) = (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"))
+      assert(out >= 0 && out < n, s"outliers not a strict subset: $r")
+      assert(r.getAs[Double]("max_d2") >= r.getAs[Double]("mean_d2"), s"max < mean: $r")
+    }
+  }
+
+  test("q_dedup_threshold_sweep: curve monotone non-increasing; 0.8 point equals the minhash verb") {
+    val rows = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs") &&
+        lo.getAs[Long]("n_docs_b") >= hi.getAs[Long]("n_docs_b"),
+        s"curve not monotone: $lo vs $hi")
+    }
+    val at08 = rows.head.getAs[Long]("n_pairs")
+    val direct = SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+    assert(at08 === direct, s"sweep 0.8 point $at08 != minhash pair count $direct")
+  }
+
+  test("q_text_gram_novelty: uniqueness bounded; per-source gram totals re-derivable") {
+    val df = SparkEntry.queries("q_text_gram_novelty")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, nu, bp) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique"),
+        r.getAs[Long]("unique_bp"))
+      assert(nu <= ng && bp == nu * 10000 / ng, s"novelty bounds broken: $r")
+    }
+  }
+
+  test("q_train_repeat_epochs: repeats capped at 4 epochs; planned never exceeds target or cap") {
+    val rows = SparkEntry.queries("q_train_repeat_epochs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tgt, rep, pl) = (r.getAs[Long]("n_tok"), r.getAs[Long]("target_tok"),
+        r.getAs[Long]("repeat_x100"), r.getAs[Long]("planned_tok"))
+      assert(rep <= 400 && rep >= 0, s"repeat out of range: $r")
+      assert(pl <= n * 4, s"planned exceeds the 4-epoch cap: $r")
+      if (rep < 400) assert(pl <= tgt, s"uncapped source overshoots its target: $r")
+    }
+  }
+
+  test("q_text_lang_mix: shares sum to one per source; entropy within [0, log2(nlangs)]") {
+    val df = SparkEntry.queries("q_text_lang_mix")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val shareSum = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9, s"$src shares sum to $shareSum")
+      val ent = rs.head.getAs[Double]("entropy")
+      val bound = math.log(rs.length.toDouble) / math.log(2.0)
+      assert(ent >= -1e-12 && ent <= bound + 1e-9,
+        s"$src entropy $ent outside [0, $bound]")
+    }
+  }
 }
