@@ -2148,7 +2148,11 @@ object Baseline {
     // repeat-epochs planner (one small agg + broadcast scalars) are
     // stock end to end (variance pairs). q_dedup_threshold_sweep rides
     // the measured q_dedup_minhash machinery (sibling-adjudicated).
-    "q_text_gram_novelty", "q_train_repeat_epochs")
+    "q_text_gram_novelty", "q_train_repeat_epochs",
+    // chat-SFT prep: one conversation-keyed aggregate each (flatten's
+    // collect is bounded by a single conversation) — stock end to end
+    // (variance pairs)
+    "q_chat_flatten", "q_chat_loss_mask")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

@@ -1082,6 +1082,51 @@ object LlmPipeline {
         .orderBy("label")
     }),
 
+    // Chat-SFT FLATTENING — the multi-turn → training-document step of
+    // an instruction-tuning pipeline: an event stream keyed by
+    // conversation (user_id) becomes one dialogue document per
+    // conversation, turns ordered by time (event_id tiebreak), each
+    // line role#payload with the payload parsed out of the JSON props.
+    // One conversation-keyed shuffle; the collect is bounded by a
+    // single conversation's length (the natural unit a dialogue doc
+    // must fit regardless of engine), never corpus-sized; no window.
+    "q_chat_flatten" -> ((s, dir) => {
+      val turns = t(s, dir, "events")
+        .select(col("user_id").as("conv_id"), col("ts"), col("event_id"),
+          concat(col("event_type"), lit("#"),
+            get_json_object(col("props"), "$.k")).as("line"))
+      turns.groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("line")))),
+              x => x.getField("line")),
+            "\n").as("dialogue"))
+        .withColumn("n_chars", length(col("dialogue")).cast("bigint"))
+        .orderBy("conv_id")
+    }),
+
+    // Chat-SFT LOSS-MASK accounting — the trainable-token audit an
+    // instruction-tuning run reports before training: per conversation,
+    // how much of the flattened dialogue is assistant-role (trainable)
+    // vs context (masked), plus the masked share in integer basis
+    // points. Character-weighted over the same role#payload lines as
+    // q_chat_flatten; one keyed aggregate over one scan — the dialogue
+    // string itself is never materialized here.
+    "q_chat_loss_mask" -> ((s, dir) => {
+      val turns = t(s, dir, "events")
+        .select(col("user_id").as("conv_id"), col("event_type"),
+          length(concat(col("event_type"), lit("#"),
+            get_json_object(col("props"), "$.k"))).cast("bigint").as("w"))
+      turns.groupBy("conv_id")
+        .agg(sum("w").as("n_tok_total"),
+          sum(when(col("event_type").isin("purchase", "click"), col("w"))
+            .otherwise(0L)).as("n_tok_trainable"))
+        .withColumn("mask_bp",
+          expr("((n_tok_total - n_tok_trainable) * 10000) div n_tok_total"))
+        .orderBy("conv_id")
+    }),
+
     // Threshold-sweep dedup report — the curve a curator reads before
     // picking the dedup operating point: pair count and affected-doc
     // count at each candidate jaccard threshold, in ONE pass over the
@@ -3459,6 +3504,30 @@ object LlmPipeline {
         |e AS (SELECT source, sum(-share * log2(share)) AS entropy FROM w GROUP BY source)
         |SELECT w.source, w.lang, w.n, w.share, e.entropy
         |FROM w JOIN e USING (source) ORDER BY source, lang""".stripMargin,
+
+    // the dialogue string must match byte-for-byte: same role#payload
+    // line construction, chr(10) separator, (ts, event_id) turn order
+    "q_chat_flatten" ->
+      """SELECT user_id AS conv_id, count(*) AS n_turns,
+        |  string_agg(event_type || '#' || json_extract_string(props, '$.k'),
+        |    chr(10) ORDER BY ts, event_id) AS dialogue,
+        |  CAST(len(string_agg(event_type || '#' || json_extract_string(props, '$.k'),
+        |    chr(10) ORDER BY ts, event_id)) AS BIGINT) AS n_chars
+        |FROM events GROUP BY user_id ORDER BY conv_id""".stripMargin,
+
+    // same character weights; trainable roles = purchase/click;
+    // integer basis points
+    "q_chat_loss_mask" ->
+      """WITH w AS (
+        |  SELECT user_id AS conv_id, event_type,
+        |    CAST(len(event_type || '#' || json_extract_string(props, '$.k')) AS BIGINT) AS w
+        |  FROM events)
+        |SELECT conv_id, CAST(sum(w) AS BIGINT) AS n_tok_total,
+        |  CAST(sum(CASE WHEN event_type IN ('purchase','click') THEN w ELSE 0 END) AS BIGINT)
+        |    AS n_tok_trainable,
+        |  CAST(((sum(w) - sum(CASE WHEN event_type IN ('purchase','click') THEN w ELSE 0 END))
+        |    * 10000) // sum(w) AS BIGINT) AS mask_bp
+        |FROM w GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
     // same exact-jaccard pair set as the minhash oracle; the sweep is
     // a 4-row spine against it — thresholds forced to DOUBLE so the

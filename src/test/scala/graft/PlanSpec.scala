@@ -751,6 +751,35 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_chat_flatten: dialogue reassembles exactly (chars = line lengths + separators); window-free") {
+    val df = SparkEntry.queries("q_chat_flatten")(spark, sf)
+    assert(!planOf(df).contains("Window"), planOf(df).take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, nc) = (r.getAs[Long]("n_turns"), r.getAs[String]("dialogue"),
+        r.getAs[Long]("n_chars"))
+      assert(d.count(_ == '\n') == n - 1, s"separator count wrong for conv $r")
+      assert(nc == d.length, s"n_chars mismatch: $nc vs ${d.length}")
+    }
+    // masks and dialogues cover the same conversations with the same weights
+    val mask = SparkEntry.queries("q_chat_loss_mask")(spark, sf).collect()
+    assert(mask.map(_.getAs[Long]("conv_id")).toSet ===
+      rows.map(_.getAs[Long]("conv_id")).toSet)
+    mask.foreach { m =>
+      val (tot, tr, bp) = (m.getAs[Long]("n_tok_total"), m.getAs[Long]("n_tok_trainable"),
+        m.getAs[Long]("mask_bp"))
+      assert(tr <= tot && bp == (tot - tr) * 10000 / tot, s"mask bounds broken: $m")
+    }
+    // per-conv total weight equals dialogue chars minus the separators
+    val byConv = mask.map(m => m.getAs[Long]("conv_id") -> m.getAs[Long]("n_tok_total")).toMap
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("n_chars") - (r.getAs[Long]("n_turns") - 1)
+      assert(byConv(r.getAs[Long]("conv_id")) == expected,
+        s"mask weights disagree with dialogue chars for $r")
+    }
+  }
+
   test("q_dedup_threshold_sweep: curve monotone non-increasing; 0.8 point equals the minhash verb") {
     val rows = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sf)
       .collect().sortBy(_.getAs[Double]("threshold"))
