@@ -751,6 +751,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("round-13 curation verbs on an EMPTY documents table: no crash, empty (or all-zero) results") {
+    // the q_text_mixture empty-table rule, applied to every new verb
+    // with a driver-side histogram walk or broadcast-scalar agg: empty
+    // input must short-circuit cleanly (the failure mode is .max/.head
+    // on an empty driver collect, or arithmetic on a null scalar row)
+    val emptyDir = Tables.scratch("r13_empty_root")
+    Tables(spark, sf, "documents").limit(0)
+      .write.mode("overwrite").parquet(Tables.path(emptyDir, "documents"))
+    val expectEmpty = Seq("q_train_curriculum", "q_train_token_budget",
+      "q_train_temperature_mix", "q_train_repeat_epochs", "q_train_split",
+      "q_train_split_cluster", "q_decontaminate_overlap", "q_text_gram_novelty",
+      "q_dedup_cross_source", "q_text_lang_mix")
+    expectEmpty.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on an empty corpus")
+    }
+    // the threshold sweep keeps its 4-row spine, zeroed
+    val sweep = SparkEntry.queries("q_dedup_threshold_sweep")(spark, emptyDir).collect()
+    assert(sweep.length == 4 && sweep.forall(r =>
+      r.getAs[Long]("n_pairs") == 0L && r.getAs[Long]("n_docs_b") == 0L),
+      s"sweep on empty corpus: ${sweep.mkString(";")}")
+  }
+
   test("q_chat_flatten: dialogue reassembles exactly (chars = line lengths + separators); window-free") {
     val df = SparkEntry.queries("q_chat_flatten")(spark, sf)
     assert(!planOf(df).contains("Window"), planOf(df).take(2000))
