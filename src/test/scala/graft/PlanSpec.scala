@@ -772,6 +772,13 @@ class PlanSpec extends SparkSuite {
     assert(sweep.length == 4 && sweep.forall(r =>
       r.getAs[Long]("n_pairs") == 0L && r.getAs[Long]("n_docs_b") == 0L),
       s"sweep on empty corpus: ${sweep.mkString(";")}")
+    // the chat verbs ride the events table — same rule
+    Tables(spark, sf, "events").limit(0)
+      .write.mode("overwrite").parquet(Tables.path(emptyDir, "events"))
+    Seq("q_chat_flatten", "q_chat_loss_mask").foreach { name =>
+      val n = SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on an empty event stream")
+    }
   }
 
   test("q_chat_flatten: dialogue reassembles exactly (chars = line lengths + separators); window-free") {
