@@ -2152,7 +2152,12 @@ object Baseline {
     // chat-SFT prep: one conversation-keyed aggregate each (flatten's
     // collect is bounded by a single conversation) — stock end to end
     // (variance pairs)
-    "q_chat_flatten", "q_chat_loss_mask")
+    "q_chat_flatten", "q_chat_loss_mask",
+    // co-occurrence (array-kernel pair streams + groupBy + TakeOrdered
+    // + 100-row PMI joins) and the pack-efficiency rollup (the
+    // q_text_pack windows + one keyed agg) are stock end to end
+    // (variance pairs)
+    "q_text_cooccur_pmi", "q_train_pack_efficiency")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

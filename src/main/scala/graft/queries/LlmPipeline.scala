@@ -1082,6 +1082,68 @@ object LlmPipeline {
         .orderBy("label")
     }),
 
+    // Windowed CO-OCCURRENCE with PMI — the collocation report a
+    // corpus-analysis pass ships (multi-word entities, templated
+    // boilerplate show up as high-count high-PMI pairs). Pairs are
+    // unordered tokens within a ±3 window, built by three shifted
+    // zips INSIDE the array kernel (never a per-doc positional
+    // self-join, which is O(|doc|²) before its distance filter). Rank
+    // is by integer count (doc-order-free, cross-engine exact); PMI is
+    // computed AFTER the top-100 cut, so the corpus-sized aggregate
+    // carries no float and the two unigram joins touch 100 rows.
+    "q_text_cooccur_pmi" -> ((s, dir) => {
+      val toksDf = t(s, dir, "documents")
+        .select(Dedup.tokens(col("text")).as("toks"))
+      val pairs = toksDf.select(explode(expr(
+        "flatten(transform(array(1, 2, 3), d -> " +
+          "zip_with(slice(toks, 1, greatest(size(toks) - d, 0)), " +
+          "slice(toks, d + 1, greatest(size(toks) - d, 0)), " +
+          "(a, b) -> named_struct('lo', least(a, b), 'hi', greatest(a, b)))))"))
+        .as("p"))
+        .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
+      val top = pairs.groupBy("lo", "hi").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lo"), col("hi")).limit(100)
+      val uni = toksDf.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val scal = pairs.agg(count(lit(1)).as("np"))
+        .crossJoin(toksDf.select(explode(col("toks")).as("tk")).agg(count(lit(1)).as("nt")))
+      top
+        .join(uni.select(col("tok").as("lo"), col("c").as("c_lo")), Seq("lo"))
+        .join(uni.select(col("tok").as("hi"), col("c").as("c_hi")), Seq("hi"))
+        .crossJoin(broadcast(scal))
+        .select(col("lo"), col("hi"), col("n"),
+          log((col("n").cast("double") * col("nt") * col("nt")) /
+            (col("np").cast("double") * col("c_lo") * col("c_hi"))).as("pmi"))
+        .orderBy(col("n").desc, col("lo"), col("hi"))
+    }),
+
+    // Packing-EFFICIENCY audit — the fill-rate report a training-prep
+    // run checks before shipping shards: per source, how full the
+    // packed sequences of q_text_pack actually are (offset-bucketed
+    // packing overflows a straddling doc into the bucket, so fill can
+    // exceed 10000 bp — the report surfaces exactly that). Same pack
+    // semantics, one rollup on top; integer basis points.
+    "q_train_pack_efficiency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 256
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.wordCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tok")) / budget))
+        .groupBy("source", "seq_id")
+        .agg(sum("n_tok").as("seq_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum("seq_tokens").as("total_tok"),
+          max("seq_tokens").as("max_seq_tok"),
+          min("seq_tokens").as("min_seq_tok"))
+        .withColumn("capacity", col("n_seqs") * budget)
+        .withColumn("fill_bp", expr("(total_tok * 10000) div capacity"))
+        .orderBy("source")
+    }),
+
     // Chat-SFT FLATTENING — the multi-turn → training-document step of
     // an instruction-tuning pipeline: an event stream keyed by
     // conversation (user_id) becomes one dialogue document per
@@ -3504,6 +3566,53 @@ object LlmPipeline {
         |e AS (SELECT source, sum(-share * log2(share)) AS entropy FROM w GROUP BY source)
         |SELECT w.source, w.lang, w.n, w.share, e.entropy
         |FROM w JOIN e USING (source) ORDER BY source, lang""".stripMargin,
+
+    // same three shifted pair streams; rank by integer count (total
+    // order with the lexicographic tiebreak), PMI re-derived in double
+    // with the same left-associated arithmetic
+    "q_text_cooccur_pmi" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |p1 AS (SELECT unnest([{'lo': least(w[i], w[i+1]), 'hi': greatest(w[i], w[i+1])}
+        |                      FOR i IN range(1, len(w))]) AS p FROM tok),
+        |p2 AS (SELECT unnest([{'lo': least(w[i], w[i+2]), 'hi': greatest(w[i], w[i+2])}
+        |                      FOR i IN range(1, len(w) - 1)]) AS p FROM tok),
+        |p3 AS (SELECT unnest([{'lo': least(w[i], w[i+3]), 'hi': greatest(w[i], w[i+3])}
+        |                      FOR i IN range(1, len(w) - 2)]) AS p FROM tok),
+        |pr AS (SELECT p.lo AS lo, p.hi AS hi FROM
+        |  (SELECT p FROM p1 UNION ALL SELECT p FROM p2 UNION ALL SELECT p FROM p3)),
+        |top AS (SELECT lo, hi, count(*) AS n FROM pr GROUP BY lo, hi
+        |        ORDER BY n DESC, lo, hi LIMIT 100),
+        |uni AS (SELECT unnest(w) AS tok FROM tok),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |sc AS (SELECT (SELECT count(*) FROM pr) AS np, (SELECT count(*) FROM uni) AS nt)
+        |SELECT t.lo, t.hi, CAST(t.n AS BIGINT) AS n,
+        |  ln((t.n * 1.0 * sc.nt * sc.nt) / (sc.np * 1.0 * a.c * b.c)) AS pmi
+        |FROM top t JOIN uc a ON a.tok = t.lo JOIN uc b ON b.tok = t.hi, sc
+        |ORDER BY n DESC, t.lo, t.hi""".stripMargin,
+
+    // the q_text_pack CTE with a per-source rollup on top; offset
+    // bucketing can overflow a bucket, so fill_bp may exceed 10000
+    "q_train_pack_efficiency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks),
+        |seqs AS (
+        |  SELECT source, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS seq_id,
+        |    CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+        |  FROM cum GROUP BY source, seq_id)
+        |SELECT source, count(*) AS n_seqs, CAST(sum(seq_tokens) AS BIGINT) AS total_tok,
+        |  max(seq_tokens) AS max_seq_tok, min(seq_tokens) AS min_seq_tok,
+        |  CAST(count(*) * 256 AS BIGINT) AS capacity,
+        |  CAST((CAST(sum(seq_tokens) AS BIGINT) * 10000) // (count(*) * 256) AS BIGINT) AS fill_bp
+        |FROM seqs GROUP BY source ORDER BY source""".stripMargin,
 
     // the dialogue string must match byte-for-byte: same role#payload
     // line construction, chr(10) separator, (ts, event_id) turn order

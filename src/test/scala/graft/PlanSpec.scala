@@ -751,6 +751,43 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_text_cooccur_pmi: top-k via TakeOrdered on integer counts; PMI finite on the cut only") {
+    val df = SparkEntry.queries("q_text_cooccur_pmi")(spark, sf)
+    val plan = planOf(df)
+    // the cut must be a TakeOrdered (never a global sort of the full
+    // pair-count table), and pair construction stays inside the array
+    // kernel — no per-doc positional self-join (no cartesian; the one
+    // BNLJ in this plan is the 1-row broadcast-scalar cross join)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted.reverse), "cut not count-ranked")
+    rows.foreach { r =>
+      assert(r.getAs[String]("lo") <= r.getAs[String]("hi"), s"unnormalized pair: $r")
+      val pmi = r.getAs[Double]("pmi")
+      assert(!pmi.isNaN && !pmi.isInfinite, s"non-finite PMI: $r")
+    }
+  }
+
+  test("q_train_pack_efficiency agrees with q_text_pack's sequences exactly") {
+    val eff = SparkEntry.queries("q_train_pack_efficiency")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_seqs"), r.getAs[Long]("total_tok"), r.getAs[Long]("fill_bp"),
+         r.getAs[Long]("capacity"))).toMap
+    val pack = SparkEntry.queries("q_text_pack")(spark, sf).collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(eff.keySet === pack.keySet)
+    pack.foreach { case (src, seqs) =>
+      val (n, tot, bp, cap) = eff(src)
+      assert(n == seqs.length, s"$src seq count mismatch")
+      val expTot = seqs.map(_.getAs[Long]("seq_tokens")).sum
+      assert(tot == expTot && cap == n * 256 && bp == tot * 10000 / cap,
+        s"$src rollup disagrees with pack: $n $tot $bp $cap")
+    }
+  }
+
   test("round-13 curation verbs on an EMPTY documents table: no crash, empty (or all-zero) results") {
     // the q_text_mixture empty-table rule, applied to every new verb
     // with a driver-side histogram walk or broadcast-scalar agg: empty
