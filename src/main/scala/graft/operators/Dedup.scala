@@ -24,23 +24,51 @@ object Dedup {
     *   // and optionally: graft.dedup.checkpointDir=<fault-tolerant dir>
     *
     * which routes every site through `df.checkpoint()` against the
-    * SparkContext checkpoint dir (set from `graft.dedup.checkpointDir`
-    * on first use if unset) — files survive executor loss, at the cost
-    * of one write+read through the checkpoint store per site. The
+    * SparkContext checkpoint dir — files survive executor loss, at the
+    * cost of one write+read through the checkpoint store per site. The
+    * `graft.dedup.checkpointDir` knob WINS when set: if something else
+    * already installed a different SparkContext checkpoint dir, the
+    * knob overrides it (with a logged warning) rather than being
+    * silently ignored — a user who set the knob chose where durable
+    * dedup state lives. Checkpoint files are not auto-deleted; the
+    * connected-components loop writes one per iteration, so long-lived
+    * sessions should enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (files
+    * are then reclaimed once the checkpointed frames are GC'd). The
     * trade: localCheckpoint for interactive/local runs, reliable for
     * long CC iterations or multi-hour dedup jobs on clusters where
     * executor churn is expected.
     */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption("graft.dedup.reliableCheckpoint")
       .exists(_.toBoolean)
     if (!reliable) df.localCheckpoint()
     else {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(
-          spark.conf.getOption("graft.dedup.checkpointDir")
-            .getOrElse(graft.Tables.scratch("dedup_checkpoints")))
+      val knob = spark.conf.getOption("graft.dedup.checkpointDir")
+      val current = spark.sparkContext.getCheckpointDir
+      // which knob value we last installed (setCheckpointDir nests a
+      // UUID under the given dir, so the installed dir never string-
+      // equals the knob — track application explicitly instead)
+      val applied = spark.conf.getOption("graft.dedup.__checkpointDirApplied")
+      (knob, current) match {
+        case (Some(k), Some(_)) if applied.contains(k) => // already ours
+        case (Some(k), Some(c)) =>
+          // the documented knob must not be silently shadowed by a dir
+          // someone else set first — explicit configuration wins
+          log.warn(s"graft.dedup.checkpointDir=$k overrides the existing " +
+            s"SparkContext checkpoint dir $c for reliable dedup checkpoints")
+          spark.sparkContext.setCheckpointDir(k)
+          spark.conf.set("graft.dedup.__checkpointDirApplied", k)
+        case (Some(k), None) =>
+          spark.sparkContext.setCheckpointDir(k)
+          spark.conf.set("graft.dedup.__checkpointDirApplied", k)
+        case (None, None) => spark.sparkContext.setCheckpointDir(
+          graft.Tables.scratch("dedup_checkpoints"))
+        case _ => // knob unset with a dir already installed
+      }
       df.checkpoint()
     }
   }

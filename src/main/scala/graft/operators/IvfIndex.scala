@@ -112,12 +112,18 @@ object IvfIndex {
             n == "assigned"
         }
         .foreach(fs.delete(_, true))
+    // the centroid table is independent of the assigned write (both
+    // derive from the completed fit), so it lands as a concurrent job —
+    // the build returns only once BOTH artifacts are on disk
+    val centF = inFlight {
+      centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
     withCodes(assigned, vecCol)
       .withColumn("ingest_seq", lit(0L))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned")
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    await(centF)
   }
 
   // ── centroid generations ──────────────────────────────────────────
@@ -135,6 +141,27 @@ object IvfIndex {
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ── concurrent maintenance jobs ───────────────────────────────────
+  // The TextIndex discipline (TextIndex.scala "concurrent maintenance
+  // jobs"): a maintenance verb composed of SMALL independent Spark
+  // jobs pays sum-of-job-latencies run sequentially while most of the
+  // cluster idles; submitted from separate threads the scheduler
+  // interleaves their stages and the verb's wall-clock is max(), not
+  // sum(). Correctness is untouched because every visibility point
+  // (seq-marker commit / function return) still AWAITS all of its
+  // inputs — the crash windows are exactly the sequential protocol's.
+  private def inFlight[T](f: => T): java.util.concurrent.Future[T] = {
+    val task = new java.util.concurrent.FutureTask[T](() => f)
+    val th = new Thread(task, s"graft-ivfindex-${java.util.UUID.randomUUID}")
+    th.setDaemon(true)
+    th.start()
+    task
+  }
+
+  private def await[T](f: java.util.concurrent.Future[T]): T =
+    try f.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
 
   private def centroidsGenPath(path: String, gen: Int): String =
     if (gen == 0) s"$path/centroids" else s"$path/centroids_g$gen"
@@ -305,29 +332,57 @@ object IvfIndex {
     // assigned layout's parquet footer — a metadata read): a blind
     // cast("long") would turn a string-keyed index's erasure verb into
     // a silent no-op (cast → null → anti-join matches nothing). Ids
-    // that don't fit the index type fail LOUDLY instead.
+    // that don't fit the index type fail LOUDLY instead — validated
+    // INSIDE the write job (raise_error on the first uncastable id),
+    // so the verb is ONE Spark job, not a count pass plus a write
+    // pass; a raised error aborts the write before any file commits,
+    // the same visibility as the former pre-count.
     val idType = spark.read.parquet(s"$path/assigned").schema(idCol).dataType
     val seq = maxCommittedSeq(spark, path)
     val typed = ids.select(col(idCol).as("__raw"))
-      .withColumn("del_id", col("__raw").cast(idType))
-    val bad = typed.filter(col("__raw").isNotNull && col("del_id").isNull).count()
-    if (bad > 0) throw new IllegalArgumentException(
-      s"deleteFromIndex: $bad id(s) not castable to the index id type $idType")
-    typed.select("del_id").distinct()
+      .withColumn("del_id",
+        when(col("__raw").isNotNull && col("__raw").cast(idType).isNull,
+          raise_error(concat(
+            lit("deleteFromIndex: id '"), col("__raw").cast("string"),
+            lit(s"' not castable to the index id type $idType"))).cast(idType))
+        .otherwise(col("__raw").cast(idType)))
+      .select("del_id").distinct()
       .withColumn("del_seq", lit(seq))
-      .coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
+    try typed.coalesce(1).write.mode("append").parquet(s"$path/$TombstonesDir")
+    catch {
+      // surface the in-job validation as the API's contract exception
+      case e: Throwable if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(8).exists(c => Option(c.getMessage)
+            .exists(_.contains("not castable to the index id type"))) =>
+        throw new IllegalArgumentException(
+          "deleteFromIndex: id(s) not castable to the index id type " +
+            s"$idType — no tombstone was published", e)
+    }
   }
 
   /** Per-id tombstone horizon: (del_id, del_seq = max over that id's
-    * tombstones).
+    * tombstones). Read with an EXPLICIT schema — del_id in the index's
+    * own id type, del_seq long — so a sidecar holding files of mixed
+    * del_id widths (e.g. a pre-typed-delete index whose old files were
+    * written long before [[deleteFromIndex]] learned native keying)
+    * either reads deterministically via parquet upcast or fails LOUDLY,
+    * instead of mis-typing on whichever footer schema-merge picks.
     */
-  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
+  private def tombstonesOf(spark: SparkSession, path: String,
+      idType: org.apache.spark.sql.types.DataType): Option[DataFrame] = {
     val p = new Path(s"$path/$TombstonesDir")
-    if (fsOf(spark, path).exists(p))
-      Some(spark.read.parquet(p.toString)
+    if (fsOf(spark, path).exists(p)) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("del_id", idType),
+        org.apache.spark.sql.types.StructField("del_seq",
+          org.apache.spark.sql.types.LongType)))
+      Some(spark.read.schema(schema).parquet(p.toString)
         .groupBy("del_id").agg(max("del_seq").as("del_seq")))
-    else None
+    } else None
   }
+
+  private def tombstonesExist(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).exists(new Path(s"$path/$TombstonesDir"))
 
   /** Anti-join the tombstone horizon out of an index frame: a row dies
     * only when a tombstone for its id is AT OR ABOVE the row's ingest
@@ -338,7 +393,7 @@ object IvfIndex {
     */
   private def maskDeleted(spark: SparkSession, path: String,
       df: DataFrame, idCol: String): DataFrame =
-    tombstonesOf(spark, path) match {
+    tombstonesOf(spark, path, df.schema(idCol).dataType) match {
       case Some(t) =>
         df.join(broadcast(t),
           df(idCol) === t("del_id") && df("ingest_seq") <= t("del_seq"),
@@ -355,7 +410,7 @@ object IvfIndex {
     * so reads stay exact and a re-run completes the fold.
     */
   def compactLists(spark: SparkSession, path: String, idCol: String): Unit = {
-    if (tombstonesOf(spark, path).isEmpty) return
+    if (!tombstonesExist(spark, path)) return
     val (assigned, centroids) = loadIndex(spark, path)
     val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
     val maxC = maxCommittedSeq(spark, path)
@@ -403,7 +458,11 @@ object IvfIndex {
     // compaction is stop-the-world for readers of superseded
     // generations, the same contract as the live-list rewrite above
     // that just replaced their files).
-    purgeUnreferencedLists(spark, path, olderThanMs = 0L, keepSpare = false)
+    // `live` above IS the live generation's centroid set, so the purge
+    // re-uses it instead of re-collecting the centroid parquet (one
+    // fewer job in the compaction path)
+    purgeUnreferencedLists(spark, path, olderThanMs = 0L, keepSpare = false,
+      knownReferenced = Some(live.toSet))
     fs.delete(new Path(s"$path/$TombstonesDir"), true)
     // marker hygiene, LAST: every surviving row now sits at maxC, so
     // finals below maxC and crashed reservations (whose orphan rows
@@ -540,18 +599,23 @@ object IvfIndex {
     purgeUnreferencedLists(spark, path, olderThanMs, keepSpare = false)
 
   private def purgeUnreferencedLists(spark: SparkSession, path: String,
-      olderThanMs: Long, keepSpare: Boolean): Seq[String] = {
+      olderThanMs: Long, keepSpare: Boolean,
+      knownReferenced: Option[Set[Int]] = None): Seq[String] = {
     val fs = fsOf(spark, path)
     val gen = liveCentroidGen(spark, path)
     val refGens =
       if (keepSpare) math.max(0, gen - 1) to gen else gen to gen
-    val referenced = refGens.flatMap { g =>
-      val p = centroidsGenPath(path, g)
-      if (fs.exists(new Path(p)))
-        spark.read.parquet(p).select("centroid_id")
-          .collect().map(_.getInt(0)).toSeq
-      else Seq.empty
-    }.toSet
+    // callers that already hold the live set (compactLists) pass it in;
+    // only valid when the reference set is exactly the live generation
+    val referenced = knownReferenced.filter(_ => !keepSpare).getOrElse {
+      refGens.flatMap { g =>
+        val p = centroidsGenPath(path, g)
+        if (fs.exists(new Path(p)))
+          spark.read.parquet(p).select("centroid_id")
+            .collect().map(_.getInt(0)).toSeq
+        else Seq.empty
+      }.toSet
+    }
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dirs = fs.listStatus(new Path(s"$path/assigned")).toSeq
       .filter { st =>
@@ -771,8 +835,24 @@ object IvfIndex {
     */
   def mergeIndexes(spark: SparkSession, aPath: String, bPath: String,
       dstPath: String, idCol: String, vecCol: String): Unit = {
-    val (liveA, centroids) = loadLive(spark, aPath, idCol)
-    val (liveB, _) = loadLive(spark, bPath, idCol)
+    // the sources are read LAZILY by the write job below, after dst is
+    // cleared — a dst aliasing a source would destroy the shard before
+    // it is read
+    require(dstPath != aPath && dstPath != bPath,
+      s"mergeIndexes: dstPath ($dstPath) must differ from both source " +
+        "shards — the destination is cleared before the sources are read")
+    val (liveA0, centroids) = loadLive(spark, aPath, idCol)
+    val (liveB0, centroidsB) = loadLive(spark, bPath, idCol)
+    // restrict each shard to its own LIVE centroids' lists (a partition
+    // filter, like every search): a shard that was rebalanced but not
+    // vacuumed still holds each moved row in BOTH its retired and its
+    // live list — loadLive alone would carry both copies into the
+    // merge, where they land in the SAME merged list (duplicate top-k
+    // hits) or resurrect retired cluster ids in dst
+    val liveIdsA = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val liveIdsB = centroidsB.select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val liveA = liveA0.filter(col("cluster").isin(liveIdsA: _*))
+    val liveB = liveB0.filter(col("cluster").isin(liveIdsB: _*))
     val overlap = liveA.select(idCol).join(liveB.select(idCol), idCol).count()
     require(overlap == 0,
       s"mergeIndexes: $overlap id(s) live in BOTH shards — shards must " +

@@ -1062,6 +1062,12 @@ object LlmPipeline {
     // to the centroid, and the count beyond 2× the label mean. Two
     // |labels|-row broadcast joins around one corpus scan; distances
     // via zip_with/aggregate (codegen'd), no explode blowup, no window.
+    // The outlier threshold excludes a 1e-7 relative band above 2×mean:
+    // the count is an exact integer derived from a float boundary, and
+    // a vector sitting within summation-order noise of the boundary
+    // (e.g. a 2-row label where one row IS the centroid) would flip the
+    // integer between engines; the band makes both engines agree unless
+    // a true value lands inside it.
     "q_embed_outliers" -> ((s, dir) => {
       val centroid = udaf(Aggregators.VectorCentroid)
       val emb = t(s, dir, "embeddings")
@@ -1077,7 +1083,8 @@ object LlmPipeline {
       dist.join(broadcast(stats), Seq("label"))
         .groupBy("label", "n", "mean_d2")
         .agg(max("d2").as("max_d2"),
-          sum(when(col("d2") > col("mean_d2") * 2, 1L).otherwise(0L)).as("n_outliers"))
+          sum(when(col("d2") > col("mean_d2") * 2 * (1 + 1e-7), 1L)
+            .otherwise(0L)).as("n_outliers"))
         .select(col("label"), col("n"), col("mean_d2"), col("max_d2"), col("n_outliers"))
         .orderBy("label")
     }),
@@ -3534,7 +3541,7 @@ object LlmPipeline {
         |  GROUP BY label, vec_id),
         |st AS (SELECT label, count(*) AS n, avg(d2) AS mean_d2 FROM d GROUP BY label)
         |SELECT d.label, CAST(st.n AS BIGINT) AS n, st.mean_d2, max(d.d2) AS max_d2,
-        |  CAST(sum(CASE WHEN d.d2 > st.mean_d2 * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  CAST(sum(CASE WHEN d.d2 > st.mean_d2 * 2 * (1 + 1e-7) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN st USING (label)
         |GROUP BY d.label, st.n, st.mean_d2
         |ORDER BY d.label""".stripMargin,

@@ -685,6 +685,50 @@ class DedupSpec extends SparkSuite {
       IvfIndex.mergeIndexes(spark, a, a,
         Tables.scratch("ivf_shmerge_bad"), "vec_id", "embedding")
     }
+    // dst aliasing a source would clear the shard before the (lazy)
+    // source reads run — rejected up front, shard left intact
+    intercept[IllegalArgumentException] {
+      IvfIndex.mergeIndexes(spark, a, b, a, "vec_id", "embedding")
+    }
+    assert(IvfIndex.loadIndex(spark, a)._1.count() === 40L,
+      "rejected merge must leave the aliased source untouched")
+  }
+
+  test("ivf shard merge of a rebalanced-but-not-vacuumed shard carries no duplicate rows") {
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(77)
+    // shard A: hot region so rebalance splits a list; retired lists
+    // stay on disk (no vacuum) still holding copies of the moved rows
+    val hotA = (0L until 60L).map { i =>
+      (i, Array.fill(16)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f)) }
+    val coldA = (60L until 80L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4f - 2f)) }
+    val b = (100L until 130L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4f - 2f)) }
+    val aPath = Tables.scratch("ivf_rebmerge_a")
+    val bPath = Tables.scratch("ivf_rebmerge_b")
+    val dst = Tables.scratch("ivf_rebmerge_dst")
+    IvfIndex.buildIndex((hotA ++ coldA).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = aPath)
+    assert(IvfIndex.rebalanceIndex(spark, aPath, "vec_id", "embedding",
+      maxListFactor = 1.5).nonEmpty, "test needs a genuinely split shard")
+    IvfIndex.buildIndex(b.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 2, path = bPath)
+    IvfIndex.mergeIndexes(spark, aPath, bPath, dst, "vec_id", "embedding")
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, dst)
+    // exactly one physical row per live id: the retired lists' copies
+    // of the moved rows must NOT ride into the merge
+    assert(assigned.count() === 110L, "merged row count includes retired-list copies")
+    assert(assigned.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L,
+      "duplicate rows in the merged index (retired-list residue)")
+    // and no retired cluster id resurfaces as an unreferenced dst list
+    val liveClusters = centroids.select("centroid_id")
+      .collect().map(_.getInt(0)).toSet
+    val dataClusters = assigned.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(dataClusters.subsetOf(liveClusters),
+      s"merged index holds lists no centroid references: ${dataClusters -- liveClusters}")
   }
 
   test("truncated (matryoshka) rerank: full-coverage candidates equal brute force; coarse pass genuinely truncates") {
