@@ -4,7 +4,7 @@ import graft.functions.VectorExpressions._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,8 +48,14 @@ object IvfIndex {
       nCentroids: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
+    // random-point init (seeded), not k-means||: the FAISS clustering
+    // default for IVF coarse quantizers — quantizer quality only shifts
+    // WHERE list boundaries fall (search correctness is probe-set
+    // exact either way), while k-means||'s extra init passes are pure
+    // build latency (~5 jobs before the first Lloyd iteration)
     val model = new KMeans()
-      .setK(nCentroids).setSeed(seed).setFeaturesCol("__v").setPredictionCol("cluster")
+      .setK(nCentroids).setSeed(seed).setInitMode("random")
+      .setFeaturesCol("__v").setPredictionCol("cluster")
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__v")
     import spark.implicits._
@@ -283,25 +289,87 @@ object IvfIndex {
     * computes. Centroid staleness under distribution drift is the
     * caller's rebuild-cadence policy, as in any IVF system.
     */
+  // ── centroid pairing: literal projection, broadcast fallback ─────
+  // The centroid table is driver-resident BY CONSTRUCTION — the
+  // KMeans model that produced it lives on the driver, and every
+  // maintenance verb already treats nCentroids rows as metadata
+  // (listSizes, probedClusterIds, vacuum). Exploit that: embed the
+  // collected set as ONE array<struct> literal (a single Literal
+  // object — Spark broadcasts stage task binaries, so it ships once
+  // per executor exactly like a broadcast var) and nearest-centroid
+  // math becomes a PURE PROJECTION — no broadcast-exchange job, no
+  // crossJoin row explosion, no window, no groupBy shuffle. Past
+  // `graft.ivf.centroidLiteralMaxFloats` (default 16M floats ≈ 64 MB
+  // — beyond any single-level IVF a sane deployment runs before
+  // sharding the quantizer) the pairing falls back to the broadcast
+  // crossJoin shapes.
+
+  private def centroidLiteralMaxFloats(spark: SparkSession): Long =
+    spark.conf.getOption("graft.ivf.centroidLiteralMaxFloats")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+
+  /** Collected centroids sorted by id as an
+    * `array<struct<_1:int,_2:array<float>>>` literal, or None past
+    * the size gate.
+    */
+  private def centroidsAsLiteral(centroids: DataFrame): Option[Column] = {
+    val rows = centroids.select("centroid_id", "centroid_vec").collect()
+    val floats = rows.iterator.map(_.getSeq[Float](1).length.toLong).sum
+    if (floats > centroidLiteralMaxFloats(centroids.sparkSession)) None
+    else Some(typedLit(
+      rows.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq))
+  }
+
+  /** (dist, centroid_id) struct per centroid for `vec` — struct
+    * lexicographic ordering makes array_min/sort_array reproduce
+    * min_by's (cdist, centroid_id) tie-break exactly.
+    */
+  private def centroidDists(cl: Column, vec: Column): Column =
+    transform(cl, ct =>
+      struct(l2_dist(vec, ct("_2")).as("d"), ct("_1").as("c")))
+
+  /** Nearest-centroid assignment of a batch, ALL caller columns
+    * preserved. Literal path: one array_min over the centroid
+    * distances — a narrow projection, nothing moves. Fallback:
+    * broadcast crossJoin (batch × nCentroids candidate rows)
+    * collapsed by ONE min_by aggregation over the full row struct —
+    * partial aggregation folds each id's candidates map-side, so one
+    * full-width row per batch id shuffles and there is no join-back.
+    * Ties break by centroid id either way, matching the deterministic
+    * argmin the fit-time transform computes.
+    */
+  private def assignToCentroids(batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    centroidsAsLiteral(centroids) match {
+      case Some(cl) =>
+        batch.withColumn("cluster",
+          array_min(centroidDists(cl, col(vecCol)))("c"))
+      case None =>
+        val payload = batch.columns.filterNot(_ == idCol)
+        batch.crossJoin(broadcast(centroids))
+          .withColumn("__cdist", l2_dist(col(vecCol), col("centroid_vec")))
+          .groupBy(idCol)
+          .agg(min_by(
+            struct((payload.map(col) :+ col("centroid_id").as("cluster")): _*),
+            struct(col("__cdist"), col("centroid_id"))).as("__best"))
+          .select(col(idCol) +: (payload :+ "cluster")
+            .map(c => col(s"__best.$c")): _*)
+    }
+
   def appendToIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = newVecs.sparkSession
-    val centroids = loadIndex(spark, path)._2
-    val cluster = newVecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", l2_dist(col(vecCol), col("centroid_vec")))
-      .groupBy(idCol)
-      .agg(min_by(col("centroid_id"),
-        struct(col("cdist"), col("centroid_id"))).as("cluster"))
+    // the LIVE centroid table only — loadIndex would also list the
+    // assigned layout's files for its visibility view, an O(lists)
+    // metadata read the append never consumes
+    val centroids = spark.read.parquet(
+      centroidsGenPath(path, liveCentroidGen(spark, path)))
     // reserve → write → commit: the batch's rows are invisible (seq
     // above the committed ceiling) until the marker rename lands, so a
     // crash mid-append publishes nothing and the re-run's FRESH seq
     // can't collide with the orphan rows
     val seq = reserveSeq(spark, path)
-    // join the assignment back so EVERY caller column survives into
-    // the inverted lists (the fit-time layout keeps them too) — a
-    // batch-keyed hash join, nothing corpus-sized moves
-    withCodes(newVecs.join(cluster, idCol), vecCol)
+    withCodes(assignToCentroids(newVecs, centroids, idCol, vecCol), vecCol)
       .withColumn("ingest_seq", lit(seq))
       .repartition(col("cluster")) // one file per touched list per batch
       .write.mode("append").partitionBy("cluster")
@@ -630,19 +698,32 @@ object IvfIndex {
   }
 
   /** Each probe's nProbes nearest centroids: (probe_id, probe_vec,
-    * cluster). The window here is safe at any corpus size — a probe's
-    * partition holds nCentroids rows, a chosen parameter, never
-    * data-scaled.
+    * cluster). Literal path: per-row sort_array + slice over the
+    * centroid-distance structs — a projection, no crossJoin fanout
+    * and no window (sort cost is nCentroids·log per row, parameter-
+    * sized). Fallback keeps the crossJoin + window, which is still
+    * safe at any corpus size — a probe's window partition holds
+    * nCentroids rows, a chosen parameter, never data-scaled.
     */
   private def probeLists(centroids: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, nProbes: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val wC = Window.partitionBy("probe_id").orderBy(col("cdist").asc, col("centroid_id").asc)
-    p.crossJoin(broadcast(centroids))
-      .withColumn("cdist", l2_dist(col("probe_vec"), col("centroid_vec")))
-      .withColumn("crank", row_number().over(wC))
-      .filter(col("crank") <= nProbes)
-      .select(col("probe_id"), col("probe_vec"), col("centroid_id").as("cluster"))
+    centroidsAsLiteral(centroids) match {
+      case Some(cl) =>
+        p.select(col("probe_id"), col("probe_vec"),
+            explode(slice(sort_array(centroidDists(cl, col("probe_vec"))),
+              1, nProbes)).as("__n"))
+          .select(col("probe_id"), col("probe_vec"), col("__n")("c").as("cluster"))
+      case None =>
+        val wC = Window.partitionBy("probe_id")
+          .orderBy(col("cdist").asc, col("centroid_id").asc)
+        p.crossJoin(broadcast(centroids))
+          .withColumn("cdist", l2_dist(col("probe_vec"), col("centroid_vec")))
+          .withColumn("crank", row_number().over(wC))
+          .filter(col("crank") <= nProbes)
+          .select(col("probe_id"), col("probe_vec"),
+            col("centroid_id").as("cluster"))
+    }
   }
 
   /** The distinct cluster ids a probe batch will touch — the literals
@@ -861,16 +942,8 @@ object IvfIndex {
     fs.delete(new Path(dstPath), true)
     // secondary rows re-assign to the primary's centroid set (the
     // appendToIndex path); primary rows keep their clusters verbatim
-    val reassigned = liveB.drop("cluster")
-      .join(
-        liveB.select(col(idCol), col(vecCol))
-          .crossJoin(broadcast(centroids))
-          .withColumn("cdist", l2_dist(col(vecCol), col("centroid_vec")))
-          .groupBy(idCol)
-          .agg(min_by(col("centroid_id"),
-            struct(col("cdist"), col("centroid_id"))).as("cluster"))
-          .select(col(idCol), col("cluster")),
-        idCol)
+    val reassigned =
+      assignToCentroids(liveB.drop("cluster"), centroids, idCol, vecCol)
     liveA.unionByName(reassigned.select(liveA.columns.map(col): _*))
       .withColumn("ingest_seq", lit(0L))
       .repartition(col("cluster"))
