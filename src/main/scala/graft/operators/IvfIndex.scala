@@ -115,7 +115,7 @@ object IvfIndex {
           val n = p.getName
           n.startsWith(SeqPrefix) || n == TombstonesDir ||
             n.startsWith(CGenPrefix) || n.startsWith("centroids_g") ||
-            n == "assigned"
+            n == "assigned" || n == "_maint_intent"
         }
         .foreach(fs.delete(_, true))
     // the centroid table is independent of the assigned write (both
@@ -359,6 +359,13 @@ object IvfIndex {
   def appendToIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = newVecs.sparkSession
+    // single-writer intent (MaintenanceLock): the seq reservation
+    // already makes two same-seq appends loud, but an append racing a
+    // compaction/rebalance could have its rows dropped by the
+    // dynamic-overwrite rewrite, its reservation stranded by marker
+    // hygiene, or its target list retired mid-write — the intent
+    // makes every such interleaving fail loudly BEFORE any write
+    MaintenanceLock.withLock(spark, path) {
     // the LIVE centroid table only — loadIndex would also list the
     // assigned layout's files for its visibility view, an O(lists)
     // metadata read the append never consumes
@@ -375,6 +382,7 @@ object IvfIndex {
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$path/assigned")
     commitSeq(spark, path, seq)
+    }
   }
 
   // ── deletion (retraction) ─────────────────────────────────────────
@@ -396,6 +404,11 @@ object IvfIndex {
     */
   def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
+    // intent held across the tombstone append: a racing compaction
+    // clears the tombstone dir LAST assuming it folded everything —
+    // a tombstone landing mid-compaction would be cleared unfolded
+    // (a silently lost erasure)
+    MaintenanceLock.withLock(spark, path) {
     // tombstones are keyed in the INDEX'S OWN id type (read from the
     // assigned layout's parquet footer — a metadata read): a blind
     // cast("long") would turn a string-keyed index's erasure verb into
@@ -425,6 +438,7 @@ object IvfIndex {
         throw new IllegalArgumentException(
           "deleteFromIndex: id(s) not castable to the index id type " +
             s"$idType — no tombstone was published", e)
+    }
     }
   }
 
@@ -479,6 +493,7 @@ object IvfIndex {
     */
   def compactLists(spark: SparkSession, path: String, idCol: String): Unit = {
     if (!tombstonesExist(spark, path)) return
+    MaintenanceLock.withLock(spark, path) {
     val (assigned, centroids) = loadIndex(spark, path)
     val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
     val maxC = maxCommittedSeq(spark, path)
@@ -541,6 +556,7 @@ object IvfIndex {
       fs.delete(new Path(s"$path/$SeqPrefix$s"), false))
     reserved.foreach(s =>
       fs.delete(new Path(s"$path/$SeqPrefix$s$ReservedSuffix"), false))
+    }
   }
 
   /** Per-list LIVE row counts (tombstones masked) — the skew
@@ -590,7 +606,8 @@ object IvfIndex {
     */
   def rebalanceIndex(spark: SparkSession, path: String, idCol: String,
       vecCol: String, maxListFactor: Double = 2.0,
-      seed: Long = 42L): Seq[Int] = {
+      seed: Long = 42L): Seq[Int] = MaintenanceLock.withLock(
+      spark, path) {
     // re-run repair FIRST (the appendDocs purge-before-republish rule):
     // a prior rebalance that crashed after appending its sub-lists but
     // before its commit left orphan directories in exactly the fresh
@@ -664,7 +681,9 @@ object IvfIndex {
     */
   def vacuumIndex(spark: SparkSession, path: String,
       olderThanMs: Long = 3600000L): Seq[String] =
-    purgeUnreferencedLists(spark, path, olderThanMs, keepSpare = false)
+    MaintenanceLock.withLock(spark, path) {
+      purgeUnreferencedLists(spark, path, olderThanMs, keepSpare = false)
+    }
 
   private def purgeUnreferencedLists(spark: SparkSession, path: String,
       olderThanMs: Long, keepSpare: Boolean,

@@ -85,11 +85,25 @@ object Snapshots {
     * because each sequence IS a table version (time travel resolves
     * old sequences directly).
     */
-  private[operators] def writeManifestLines(spark: SparkSession, root: String,
-      lines: Seq[String], sweep: Boolean): Int = {
+  /** `expectedNext`: compare-and-swap commit — commit EXACTLY at that
+    * manifest number or fail. Callers that computed their state from
+    * manifest n pass n+1, so a concurrent commit that landed since the
+    * state was read surfaces as a loud conflict instead of silently
+    * publishing totals/generations derived from a stale base (the
+    * lost-update window of recomputing `next` at commit time). A
+    * zombie writer whose intent lease was stolen dies here too.
+    */
+  private[graft] def writeManifestLines(spark: SparkSession, root: String,
+      lines: Seq[String], sweep: Boolean,
+      expectedNext: Option[Int] = None): Int = {
     val f = fs(spark, root)
     val seqs = manifestSeqs(spark, root)
-    val next = if (seqs.isEmpty) 1 else seqs.max + 1
+    val next = expectedNext.getOrElse(if (seqs.isEmpty) 1 else seqs.max + 1)
+    if (seqs.exists(_ >= next))
+      throw new java.io.IOException(
+        s"manifest commit conflict for $root at seq $next: a concurrent " +
+          s"commit already published seq ${seqs.max} — state was derived " +
+          "from a stale manifest; re-read and retry")
     val tmp = new Path(root, s".tmp_manifest_$next")
     val out = f.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))

@@ -162,8 +162,11 @@ object TextIndex {
     * mask-strategy switch: past [[tombBroadcastMax]] rows the
     * tombstone horizon stops being broadcast.
     */
+  // `mseq` is the MANIFEST number this state was read from (0 for a
+  // fresh build) — the commit CASes at mseq+1, so a state derived from
+  // a superseded manifest cannot publish (see writeManifestLines).
   private case class IndexState(fmt: Int, nBuckets: Int, seq: Long,
-      nDocs: Long, sumDl: Long, nTombs: Long, gens: Gens)
+      nDocs: Long, sumDl: Long, nTombs: Long, gens: Gens, mseq: Int = 0)
 
   private def readState(spark: SparkSession, path: String): IndexState = {
     val seqs = Snapshots.manifestSeqs(spark, path)
@@ -176,7 +179,7 @@ object TextIndex {
     IndexState(fmt, kv("n_buckets").toInt, kv("seq").toLong,
       kv("n_docs").toLong, kv("sum_dl").toLong, kv("n_tombs").toLong,
       Gens(kv("postings").toInt, kv("term_stats").toInt,
-        kv("doc_stats").toInt))
+        kv("doc_stats").toInt), mseq = seqs.max)
   }
 
   private def readGens(spark: SparkSession, path: String): Gens =
@@ -190,7 +193,7 @@ object TextIndex {
         s"n_tombs=${st.nTombs}",
         s"postings=${st.gens.postings}", s"term_stats=${st.gens.stats}",
         s"doc_stats=${st.gens.docs}"),
-      sweep = true): Unit
+      sweep = true, expectedNext = Some(st.mseq + 1)): Unit
 
   /** The manifest's LIVE corpus totals (n_docs, sum_dl) — the BM25
     * inputs, read straight off the committed manifest with zero jobs.
@@ -489,6 +492,11 @@ object TextIndex {
           "with buildIndex")
       return buildIndex(docs, idCol, textCol, path)
     }
+    // single-writer intent held from before the first shared-dir write
+    // to after the manifest commit: a racing maintenance verb fails
+    // loudly HERE instead of overwriting this batch's sidecar
+    // generation, purging its staged files, or stranding its seq
+    MaintenanceLock.withLock(spark, path) {
     // the bucket count comes from the index being appended to — never
     // from the caller, who could otherwise split one term across two
     // bucket layouts
@@ -543,6 +551,7 @@ object TextIndex {
       gens = st.gens.copy(stats = stats1)))
     if (newStatsGen)
       sweepGens(spark, path, StatsPrefix, keepFloor = st.gens.stats)
+    }
   }
 
   /** Conjunctive search: documents containing ALL `terms`, scored by
@@ -880,7 +889,8 @@ object TextIndex {
     * superseded): maintenance writers serialize, per the Snapshots
     * conflict-on-commit contract.
     */
-  def compactIndex(spark: SparkSession, path: String): Unit = {
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    MaintenanceLock.withLock(spark, path) {
     val st = readState(spark, path) // includes the format check
     val gens = st.gens
     val tomb = tombstones(spark, path)
@@ -936,7 +946,7 @@ object TextIndex {
       sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
       sweepGens(spark, path, DocStatsPrefix, keepFloor = gens.docs)
     }
-  }
+    }
 
   /** Delete crash-leaked artifacts that no manifest references — a
     * maintenance job that died after fully writing its new generation
@@ -960,7 +970,8 @@ object TextIndex {
     * names.
     */
   def vacuumIndex(spark: SparkSession, path: String,
-      olderThanMs: Long = 3600000L): Seq[String] = {
+      olderThanMs: Long = 3600000L): Seq[String] =
+    MaintenanceLock.withLock(spark, path) {
     val st0 = readState(spark, path)
     val gens = st0.gens
     val fs = fsOf(spark, path)
@@ -985,7 +996,7 @@ object TextIndex {
     }
     orphans.foreach(st => fs.delete(st.getPath, true))
     orphanFiles ++ orphans.map(_.getPath.getName)
-  }
+    }
 
   /** Per-term document frequencies from the persisted stats table. */
   /** One-row observability view of the live manifest — fmt, bucket
@@ -1051,6 +1062,7 @@ object TextIndex {
     */
   def deleteDocs(docIds: DataFrame, idCol: String, path: String): Unit = {
     val spark = docIds.sparkSession
+    MaintenanceLock.withLock(spark, path) {
     val st = readState(spark, path)
     val ids = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
     // the recount's mask is the POST-delete horizon built in memory:
@@ -1088,6 +1100,7 @@ object TextIndex {
     val nNew = await(writeF)
     commitState(spark, path, st.copy(nDocs = n, sumDl = dl,
       nTombs = st.nTombs + nNew))
+    }
   }
 
   /** The per-doc tombstone horizon: `(doc_id, del_seq = max seq)` over

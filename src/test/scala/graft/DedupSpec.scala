@@ -731,6 +731,120 @@ class DedupSpec extends SparkSuite {
       s"merged index holds lists no centroid references: ${dataClusters -- liveClusters}")
   }
 
+  test("ivf maintenance is single-writer: held intent blocks every mutating verb; a killed append publishes nothing") {
+    import graft.operators.{IvfIndex, MaintenanceLock}
+    val base = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i + 4000)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val path = Tables.scratch("ivf_lock_drill")
+    IvfIndex.buildIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    // tombstones BEFORE the hold, so compactLists reaches its lock
+    IvfIndex.deleteFromIndex(Seq(0L, 1L).toDF("vec_id"), "vec_id", path)
+    val token = MaintenanceLock.acquire(spark, path)
+    try {
+      def newRows(from: Long) = (from until from + 5L).map { i =>
+        val rnd = new scala.util.Random(i)
+        (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+      }.toDF("vec_id", "embedding")
+      intercept[IllegalStateException] {
+        IvfIndex.appendToIndex(newRows(900L), "vec_id", "embedding", path) }
+      intercept[IllegalStateException] {
+        IvfIndex.deleteFromIndex(Seq(2L).toDF("vec_id"), "vec_id", path) }
+      intercept[IllegalStateException] {
+        IvfIndex.compactLists(spark, path, "vec_id") }
+      intercept[IllegalStateException] {
+        IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding") }
+      intercept[IllegalStateException] {
+        IvfIndex.vacuumIndex(spark, path, olderThanMs = 0L) }
+      // nothing moved while blocked
+      assert(IvfIndex.maxCommittedSeq(spark, path) === 0L)
+      assert(IvfIndex.loadLive(spark, path, "vec_id")._1.count() === 58L)
+    } finally MaintenanceLock.release(spark, path, token)
+    // released: the same verbs proceed
+    IvfIndex.compactLists(spark, path, "vec_id")
+    assert(IvfIndex.loadIndex(spark, path)._1.count() === 58L)
+    // killed mid-append: poison one batch row — the write job dies,
+    // the seq is never committed, the reader sees the old state
+    val poisoned = (700L until 720L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", when(col("vec_id") === 707L,
+        raise_error(lit("injected ivf append failure")).cast("array<float>"))
+        .otherwise(col("embedding")))
+    val thrown = intercept[Throwable] {
+      IvfIndex.appendToIndex(poisoned, "vec_id", "embedding", path)
+    }
+    assert(Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => Option(c.getMessage)
+        .exists(_.contains("injected ivf append failure"))))
+    assert(IvfIndex.maxCommittedSeq(spark, path) === 0L,
+      "killed append must not commit its seq")
+    assert(IvfIndex.loadLive(spark, path, "vec_id")._1.count() === 58L,
+      "killed append leaked rows into the live view")
+    // the intent released on the failure path; a clean retry lands at
+    // a FRESH seq past the orphan reservation and is fully visible
+    IvfIndex.appendToIndex((700L until 720L).map { i =>
+      val rnd = new scala.util.Random(i + 1)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    val live = IvfIndex.loadLive(spark, path, "vec_id")._1
+    assert(live.count() === 78L)
+    assert(live.groupBy("vec_id").count().filter(col("count") > 1).count() === 0L,
+      "retry after killed append duplicated rows")
+  }
+
+  test("ivf append racing compactLists: loser fails loudly, end state exact under any interleaving") {
+    import graft.operators.IvfIndex
+    val base = (0L until 80L).map { i =>
+      val rnd = new scala.util.Random(i + 5000)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val path = Tables.scratch("ivf_race_compact")
+    IvfIndex.buildIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    IvfIndex.deleteFromIndex(
+      (0L until 8L).toDF("vec_id"), "vec_id", path)
+    val batch = (600L until 700L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Option[Throwable]]()
+    val tA = new Thread(() => {
+      barrier.await()
+      outcomes.put("append",
+        try { IvfIndex.appendToIndex(batch, "vec_id", "embedding", path); None }
+        catch { case e: Throwable => Some(e) })
+    })
+    val tC = new Thread(() => {
+      barrier.await()
+      outcomes.put("compact",
+        try { IvfIndex.compactLists(spark, path, "vec_id"); None }
+        catch { case e: Throwable => Some(e) })
+    })
+    tA.start(); tC.start(); tA.join(); tC.join()
+    outcomes.forEach { (name, res) =>
+      res.foreach { e =>
+        assert(e.isInstanceOf[IllegalStateException],
+          s"$name failed with unexpected ${e.getClass}: ${e.getMessage}")
+      }
+    }
+    // losers re-run sequentially; the end state must be exact
+    if (outcomes.get("append").nonEmpty)
+      IvfIndex.appendToIndex(batch, "vec_id", "embedding", path)
+    if (outcomes.get("compact").nonEmpty)
+      IvfIndex.compactLists(spark, path, "vec_id")
+    val live = IvfIndex.loadLive(spark, path, "vec_id")._1
+    assert(live.count() === 172L, "72 surviving base + 100 appended")
+    assert(live.filter(col("vec_id") < 8).count() === 0L,
+      "deleted ids resurrected across the race")
+    assert(live.groupBy("vec_id").count().filter(col("count") > 1).count() === 0L,
+      "race produced duplicate rows")
+  }
+
   test("truncated (matryoshka) rerank: full-coverage candidates equal brute force; coarse pass genuinely truncates") {
     import graft.operators.SimilaritySearch
     val base = (0L until 60L).map { i =>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextIndex}
+import graft.operators.{Dedup, MaintenanceLock, TextIndex}
 import org.apache.spark.sql.functions._
 
 /** Inverted-index contract: search equals a direct corpus computation,
@@ -647,5 +647,227 @@ class TextIndexSpec extends SparkSuite {
       TextIndex.searchSynonyms(spark, out,
         Seq(Seq("hash", "key"), Seq("key", "join")))
     }
+  }
+
+  // ── concurrency drills: the single-writer intent + manifest CAS ────
+  // Every doc in these fixtures contains the token "common", so
+  // searchAll("common") IS the live-doc set — the independent count the
+  // manifest totals are asserted against after every interleaving.
+
+  private def maintDocs(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, s"common $tag w$i term${i % 7}"))
+      .toDF("doc_id", "text")
+
+  private def liveDocCount(path: String): Long =
+    TextIndex.searchAll(spark, path, Seq("common")).count()
+
+  private def manifestTotals(path: String): (Long, Long) = {
+    val r = TextIndex.indexStats(spark, path)
+      .select("seq", "n_docs").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("a held writer intent blocks append/delete/compact loudly; release unblocks") {
+    val out = Tables.scratch("textindex_lock_block")
+    TextIndex.buildIndex(maintDocs(0 until 20, "base"), "doc_id", "text",
+      out, nBuckets = 8)
+    val token = MaintenanceLock.acquire(spark, out)
+    try {
+      intercept[IllegalStateException] {
+        TextIndex.appendDocs(maintDocs(100 until 110, "blocked"),
+          "doc_id", "text", out)
+      }
+      intercept[IllegalStateException] {
+        TextIndex.deleteDocs(Seq(1L).toDF("doc_id"), "doc_id", out)
+      }
+      intercept[IllegalStateException] { TextIndex.compactIndex(spark, out) }
+      // nothing published while blocked
+      assert(manifestTotals(out) === ((1L, 20L)))
+      assert(liveDocCount(out) === 20L)
+    } finally MaintenanceLock.release(spark, out, token)
+    // release unblocks: the same append now lands
+    TextIndex.appendDocs(maintDocs(100 until 110, "ok"), "doc_id", "text", out)
+    assert(manifestTotals(out) === ((2L, 30L)))
+    assert(liveDocCount(out) === 30L)
+  }
+
+  test("intent acquisition is a true CAS: N racing acquirers, exactly one winner per round") {
+    val out = Tables.scratch("textindex_lock_cas")
+    new java.io.File(out).mkdirs()
+    (1 to 5).foreach { round =>
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[String]]()
+      val threads = (1 to 4).map { _ =>
+        val t = new Thread(() => {
+          barrier.await()
+          results.add(
+            try Some(MaintenanceLock.acquire(spark, out))
+            catch { case _: IllegalStateException => None })
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val winners = results.iterator().asScala.toSeq.flatten
+      assert(winners.length === 1,
+        s"round $round: ${winners.length} acquirers won the same intent")
+      MaintenanceLock.release(spark, out, winners.head)
+    }
+  }
+
+  test("lease steal: an expired intent is stolen; the zombie's release cannot evict the stealer") {
+    val out = Tables.scratch("textindex_lock_steal")
+    new java.io.File(out).mkdirs()
+    spark.conf.set("graft.index.writerLeaseMs", "0")
+    try {
+      val zombie = MaintenanceLock.acquire(spark, out)
+      Thread.sleep(20) // age past the 0ms lease
+      val stealer = MaintenanceLock.acquire(spark, out) // steal succeeds
+      assert(stealer !== zombie)
+      // the zombie waking up and releasing must NOT remove the
+      // stealer's marker (owner-checked release)
+      MaintenanceLock.release(spark, out, zombie)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(MaintenanceLock.markerPath(out)),
+        "zombie release evicted the stealer's intent")
+      MaintenanceLock.release(spark, out, stealer)
+      assert(!fs.exists(MaintenanceLock.markerPath(out)))
+    } finally spark.conf.unset("graft.index.writerLeaseMs")
+  }
+
+  test("manifest commit is a CAS: two committers from the same base state — second fails loudly") {
+    val root = Tables.scratch("manifest_cas_drill")
+    // both writers derived their state from "no manifest" → both
+    // target seq 1; the first rename wins, the second must conflict
+    // rather than publish state computed from a stale base
+    assert(graft.operators.Snapshots.writeManifestLines(
+      spark, root, Seq("a=1"), sweep = false, expectedNext = Some(1)) === 1)
+    intercept[java.io.IOException] {
+      graft.operators.Snapshots.writeManifestLines(
+        spark, root, Seq("a=2"), sweep = false, expectedNext = Some(1))
+    }
+    // a writer that re-read state proceeds at the next number
+    assert(graft.operators.Snapshots.writeManifestLines(
+      spark, root, Seq("a=3"), sweep = false, expectedNext = Some(2)) === 2)
+  }
+
+  test("two threads racing appendDocs: winner publishes, loser fails loudly; totals count exactly the winners") {
+    val out = Tables.scratch("textindex_race_append")
+    TextIndex.buildIndex(maintDocs(0 until 30, "base"), "doc_id", "text",
+      out, nBuckets = 8)
+    val batches = Map(
+      "raceA" -> maintDocs(1000 until 1200, "raceA"),
+      "raceB" -> maintDocs(2000 until 2200, "raceB"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Option[Throwable]]()
+    val threads = batches.map { case (name, df) =>
+      val t = new Thread(() => {
+        barrier.await()
+        outcomes.put(name,
+          try { TextIndex.appendDocs(df, "doc_id", "text", out); None }
+          catch { case e: Throwable => Some(e) })
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val winners = batches.keys.filter(outcomes.get(_).isEmpty).toSeq
+    assert(winners.nonEmpty, "at least one racer must publish")
+    // every loser failed LOUDLY with the protocol's exceptions — the
+    // intent gate or (zombie window) the manifest CAS — never silently
+    outcomes.forEach { (name, res) =>
+      res.foreach { e =>
+        assert(e.isInstanceOf[IllegalStateException] ||
+          e.isInstanceOf[java.io.IOException],
+          s"$name failed with unexpected ${e.getClass}: ${e.getMessage}")
+      }
+    }
+    // no lost postings, no double counts: totals equal base + winners,
+    // and the independent live-doc count agrees with the manifest
+    val expected = 30L + winners.map(w => batches(w).count()).sum
+    assert(manifestTotals(out)._2 === expected)
+    assert(liveDocCount(out) === expected)
+    // each winner's batch is searchable exactly once
+    winners.foreach { w =>
+      assert(TextIndex.searchAll(spark, out, Seq(w.toLowerCase)).count()
+        === batches(w).count())
+    }
+    // a loser retried AFTER the winner commits lands cleanly
+    batches.keys.filterNot(winners.contains).foreach { l =>
+      TextIndex.appendDocs(batches(l), "doc_id", "text", out)
+      assert(TextIndex.searchAll(spark, out, Seq(l.toLowerCase)).count()
+        === batches(l).count())
+    }
+    assert(manifestTotals(out)._2 === 430L)
+    assert(liveDocCount(out) === 430L)
+  }
+
+  test("appendDocs racing compactIndex on a tombstoned index: loser loud, no resurrections, totals exact") {
+    val out = Tables.scratch("textindex_race_compact")
+    TextIndex.buildIndex(maintDocs(0 until 40, "base"), "doc_id", "text",
+      out, nBuckets = 8)
+    TextIndex.deleteDocs((0L until 10L).toDF("doc_id"), "doc_id", out)
+    val batch = maintDocs(3000 until 3150, "compactrace")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Option[Throwable]]()
+    val tAppend = new Thread(() => {
+      barrier.await()
+      outcomes.put("append",
+        try { TextIndex.appendDocs(batch, "doc_id", "text", out); None }
+        catch { case e: Throwable => Some(e) })
+    })
+    val tCompact = new Thread(() => {
+      barrier.await()
+      outcomes.put("compact",
+        try { TextIndex.compactIndex(spark, out); None }
+        catch { case e: Throwable => Some(e) })
+    })
+    tAppend.start(); tCompact.start(); tAppend.join(); tCompact.join()
+    outcomes.forEach { (name, res) =>
+      res.foreach { e =>
+        assert(e.isInstanceOf[IllegalStateException] ||
+          e.isInstanceOf[java.io.IOException],
+          s"$name failed with unexpected ${e.getClass}: ${e.getMessage}")
+      }
+    }
+    // run whichever verb lost to completion, sequentially
+    if (outcomes.get("append").nonEmpty)
+      TextIndex.appendDocs(batch, "doc_id", "text", out)
+    if (outcomes.get("compact").nonEmpty)
+      TextIndex.compactIndex(spark, out)
+    // end state must be exact regardless of interleaving: 30 live base
+    // docs + the batch, deleted docs never resurrect
+    assert(liveDocCount(out) === 180L)
+    assert(manifestTotals(out)._2 === 180L)
+    assert(TextIndex.searchAll(spark, out, Seq("base")).count() === 30L)
+    assert(TextIndex.searchAll(spark, out, Seq("compactrace")).count() === 150L)
+  }
+
+  test("a sibling job killed mid-append publishes NOTHING: no manifest commit, intent released") {
+    val out = Tables.scratch("textindex_killed_sibling")
+    TextIndex.buildIndex(maintDocs(0 until 25, "base"), "doc_id", "text",
+      out, nBuckets = 8)
+    val before = manifestTotals(out)
+    // poison one row's text: whichever concurrent job evaluates it
+    // first (postings write or doc-stats sidecar) dies mid-verb
+    val poisoned = maintDocs(500 until 520, "poison")
+      .withColumn("text", when(col("doc_id") === 510L,
+        raise_error(lit("injected sibling-job failure"))).otherwise(col("text")))
+    val thrown = intercept[Throwable] {
+      TextIndex.appendDocs(poisoned, "doc_id", "text", out)
+    }
+    assert(Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => Option(c.getMessage).exists(_.contains("injected sibling-job failure"))))
+    // reader sees the OLD state: same manifest seq, same totals, no
+    // poison batch rows visible
+    assert(manifestTotals(out) === before)
+    assert(liveDocCount(out) === 25L)
+    assert(TextIndex.searchAll(spark, out, Seq("poison")).count() === 0L)
+    // the intent was released on the failure path: a clean append
+    // proceeds immediately and reconciles the crashed batch's leavings
+    TextIndex.appendDocs(maintDocs(500 until 520, "clean"), "doc_id", "text", out)
+    assert(liveDocCount(out) === 45L)
+    assert(TextIndex.searchAll(spark, out, Seq("clean")).count() === 20L)
+    assert(TextIndex.searchAll(spark, out, Seq("poison")).count() === 0L)
   }
 }
