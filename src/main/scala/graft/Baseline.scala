@@ -2166,7 +2166,8 @@ object Baseline {
     // + 100-row PMI joins) and the pack-efficiency rollup (the
     // q_text_pack windows + one keyed agg) are stock end to end
     // (variance pairs)
-    "q_text_cooccur_pmi", "q_train_pack_efficiency")
+    "q_text_cooccur_pmi", "q_train_pack_efficiency",
+    "q_train_pack_efficiency_sharded")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

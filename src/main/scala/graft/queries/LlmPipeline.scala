@@ -1129,7 +1129,11 @@ object LlmPipeline {
     // packed sequences of q_text_pack actually are (offset-bucketed
     // packing overflows a straddling doc into the bucket, so fill can
     // exceed 10000 bp — the report surfaces exactly that). Same pack
-    // semantics, one rollup on top; integer basis points.
+    // semantics, one rollup on top; integer basis points. Like
+    // q_text_pack itself, the per-source cumsum window here is the
+    // SMALL-STRATUM twin (one task per source at scale);
+    // `q_train_pack_efficiency_sharded` below audits the
+    // shard-bounded layout and is the 100 TB production form.
     "q_train_pack_efficiency" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 256
@@ -1139,6 +1143,46 @@ object LlmPipeline {
           TextFunctions.wordCount(col("text")).as("n_tok"))
         .withColumn("cum", sum("n_tok").over(w))
         .withColumn("seq_id", floor((col("cum") - col("n_tok")) / budget))
+        .groupBy("source", "seq_id")
+        .agg(sum("n_tok").as("seq_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum("seq_tokens").as("total_tok"),
+          max("seq_tokens").as("max_seq_tok"),
+          min("seq_tokens").as("min_seq_tok"))
+        .withColumn("capacity", col("n_seqs") * budget)
+        .withColumn("fill_bp", expr("(total_tok * 10000) div capacity"))
+        .orderBy("source")
+    }),
+
+    // Packing-efficiency audit over the SHARDED pack — the production
+    // form at 100 TB: the fill-rate rollup runs on q_text_pack_sharded's
+    // sequences, whose cumsum windows are (source, shard)-bounded (span
+    // docs max per task — see the sizing rule on q_text_pack_sharded)
+    // instead of one task per source. The report gains the per-shard
+    // boundary effect the sharded contract creates: each shard's last
+    // sequence closes partially full, so fill_bp here is the honest
+    // fill of the layout a trainer actually ships.
+    "q_train_pack_efficiency_sharded" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 256
+      val span = 200
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.wordCount(col("text")).as("n_tok"),
+          floor(col("doc_id") / span).as("shard"))
+      val wS = Window.partitionBy("source", "shard").orderBy("doc_id")
+      val local = toks
+        .withColumn("cum", sum("n_tok").over(wS))
+        .withColumn("local_seq", floor((col("cum") - col("n_tok")) / budget))
+      val wShards = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = local.groupBy("source", "shard")
+        .agg((max("local_seq") + 1).as("n_seqs"))
+        .withColumn("base", coalesce(sum("n_seqs").over(wShards), lit(0L)))
+      local.join(broadcast(bases.select("source", "shard", "base")),
+          Seq("source", "shard"))
+        .withColumn("seq_id", col("base") + col("local_seq"))
         .groupBy("source", "seq_id")
         .agg(sum("n_tok").as("seq_tokens"))
         .groupBy("source")
@@ -3615,6 +3659,36 @@ object LlmPipeline {
         |  SELECT source, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS seq_id,
         |    CAST(sum(n_tok) AS BIGINT) AS seq_tokens
         |  FROM cum GROUP BY source, seq_id)
+        |SELECT source, count(*) AS n_seqs, CAST(sum(seq_tokens) AS BIGINT) AS total_tok,
+        |  max(seq_tokens) AS max_seq_tok, min(seq_tokens) AS min_seq_tok,
+        |  CAST(count(*) * 256 AS BIGINT) AS capacity,
+        |  CAST((CAST(sum(seq_tokens) AS BIGINT) * 10000) // (count(*) * 256) AS BIGINT) AS fill_bp
+        |FROM seqs GROUP BY source ORDER BY source""".stripMargin,
+
+    // the q_text_pack_sharded CTE with the same per-source rollup —
+    // the production (shard-bounded) layout's fill report
+    "q_train_pack_efficiency_sharded" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tok,
+        |    CAST(floor(doc_id / 200) AS BIGINT) AS shard
+        |  FROM documents),
+        |loc AS (
+        |  SELECT doc_id, source, shard, n_tok,
+        |    CAST(floor((CAST(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) / 256.0) AS BIGINT) AS local_seq
+        |  FROM toks),
+        |bases AS (
+        |  SELECT source, shard,
+        |    COALESCE(CAST(sum(n_seqs) OVER (PARTITION BY source ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS base
+        |  FROM (SELECT source, shard, max(local_seq) + 1 AS n_seqs
+        |        FROM loc GROUP BY source, shard)),
+        |seqs AS (
+        |  SELECT l.source, CAST(b.base + l.local_seq AS BIGINT) AS seq_id,
+        |    CAST(sum(l.n_tok) AS BIGINT) AS seq_tokens
+        |  FROM loc l JOIN bases b ON l.source = b.source AND l.shard = b.shard
+        |  GROUP BY l.source, seq_id)
         |SELECT source, count(*) AS n_seqs, CAST(sum(seq_tokens) AS BIGINT) AS total_tok,
         |  max(seq_tokens) AS max_seq_tok, min(seq_tokens) AS min_seq_tok,
         |  CAST(count(*) * 256 AS BIGINT) AS capacity,

@@ -448,6 +448,36 @@ class PlanSpec extends SparkSuite {
       "shard list is corpus-order — span is missized for this corpus")
   }
 
+  test("q_train_pack_efficiency_sharded: the production audit's windows are shard-bounded; fill agrees with the sharded pack") {
+    // the fill-rate audit of the SHARDED layout must inherit the same
+    // window discipline as the pack itself — per-source cumsum windows
+    // (one task per source at 100 TB) are confined to the small-stratum
+    // twin q_train_pack_efficiency, whose scaladoc names this verb as
+    // the production form
+    val df = SparkEntry.queries("q_train_pack_efficiency_sharded")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        (w.partitionSpec.flatMap(_.references.map(_.name)),
+          w.orderSpec.flatMap(_.references.map(_.name)))
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { case (partCols, orderCols) =>
+      assert(partCols.contains("shard") || orderCols == Seq("shard"),
+        s"stratum-sized window in the sharded audit: partitionBy=$partCols orderBy=$orderCols")
+    }
+    // the audit is exactly the pack's sequences rolled up: totals per
+    // source must match q_text_pack_sharded's seq_tokens sums, and the
+    // sequence counts its distinct seq ids
+    val audit = df.select("source", "n_seqs", "total_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val packed = SparkEntry.queries("q_text_pack_sharded")(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("seq_tokens").as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(audit === packed,
+      "sharded audit disagrees with the sharded pack's sequences")
+  }
+
   test("funnel's three windows + per-user groupBy share ONE user_id exchange") {
     val plan = planOf(SparkEntry.queries("q_funnel_conversion")(spark, sf))
     // stages stack on the same partitioning: one hash exchange on
