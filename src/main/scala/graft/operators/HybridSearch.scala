@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the two persisted
@@ -17,9 +16,10 @@ import org.apache.spark.sql.functions._
   * UNION of per-leg contribution rows + one groupBy — deliberately NOT
   * a full-outer join, which cannot broadcast either side and would add
   * a join for every extra leg. At scale every stage is bounded:
-  *   - the BM25 leg is O(postings-of-terms) index I/O and its ranking
-  *     window runs over the already-`limit(n)`-ed rows (≤ n, driver-
-  *     bounded), never over the corpus;
+  *   - the BM25 leg is O(postings-of-terms) index I/O and its leg
+  *     rank comes from the bounded-heap aggregator over the already-
+  *     `limit(n)`-ed rows (≤ n, driver-bounded) — the plan carries NO
+  *     window operator at all;
   *   - the vector leg inherits the IVF layout's partition pruning and
   *     the bounded-heap cut (shuffle carries O(probes × n) rows);
   *   - the text leg is replicated to probes by a broadcast crossJoin
@@ -45,12 +45,17 @@ object HybridSearch {
       assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
       terms: Seq[String], idCol: String, vecCol: String,
       n: Int, k: Int, nProbes: Int, k0: Int = 60): DataFrame = {
-    // lexical leg: BM25 off the persisted index; the window input is
-    // the limit(n) result, so the single-partition rank is n-bounded
-    val textTop = TextIndex.bm25(spark, textIndexPath, terms, n)
-      .withColumn("leg_rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("doc_id"), col("leg_rank"))
+    // lexical leg: BM25 off the persisted index; the leg rank comes
+    // from the SAME bounded-heap aggregator as every other cut in the
+    // family (one synthetic group key — the leg has no probe notion),
+    // so the whole fused plan is WINDOW-FREE: no single-partition
+    // WindowExec anywhere, not even an n-bounded one
+    val textTop = SimilaritySearch.heapTopK(
+        TextIndex.bm25(spark, textIndexPath, terms, n)
+          .select(lit(0L).as("probe_id"), col("doc_id").as("neighbor_id"),
+            col("score")),
+        "score", n)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("leg_rank"))
     // vector leg: IVF search (partition-pruned lists, heap cut)
     val vecTop = IvfIndex.searchTopK(assigned, centroids, probes,
         idCol, vecCol, n, nProbes)

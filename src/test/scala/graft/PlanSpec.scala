@@ -568,30 +568,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("hybrid rrf: every window is bounded (lexical limit(n) / centroid rank); fusion has no outer join") {
+  test("hybrid rrf: the fused plan is WINDOW-FREE; fusion has no outer join") {
     // the RRF fusion must stay union + groupBy + heap cut: a full-
     // outer-join fusion cannot broadcast either side, and any window
     // over the fused candidates would funnel a probe's whole candidate
-    // union into one sort task. The single allowed Window is the BM25
-    // leg's rank over its already-limit(n)-ed rows.
+    // union into one sort task. Round 14 retired the last two bounded
+    // windows too — the BM25 leg's rank runs through the bounded-heap
+    // aggregator and the IVF probe-list rank through the literal-
+    // centroid sort_array projection — so the plan-level contract is
+    // now total: ZERO Window operators anywhere in the fused plan,
+    // and the WindowExec single-partition warning is gone from the
+    // logs.
     import org.apache.spark.sql.catalyst.plans.logical
     val df = SparkEntry.queries("q_hybrid_search_rrf")(spark, sf)
     val plan = df.queryExecution.optimizedPlan
     val windows = plan.collect { case w: logical.Window => w }
-    // two bounded windows are legitimate: the BM25 leg's rank over its
-    // limit(n) rows, and the IVF probe-list centroid rank (nCentroids
-    // rows per probe). Any window whose input reads the inverted lists
-    // (the `assigned` corpus layout) is the at-scale sort-task bug.
-    assert(windows.size <= 2, s"unexpected windows: ${windows.size}")
-    windows.foreach { w =>
-      val limited = w.child.collect {
-        case l: logical.GlobalLimit => l
-        case l: logical.LocalLimit => l
-      }.nonEmpty
-      val readsLists = w.child.collectLeaves().exists(_.toString.contains("assigned"))
-      assert(limited || !readsLists,
-        s"window over un-limited inverted-list input:\n${w.child.toString.take(800)}")
-    }
+    assert(windows.isEmpty,
+      s"fused plan carries ${windows.size} Window operator(s):\n${windows.headOption.map(_.toString.take(800))}")
     val outer = plan.collect {
       case j: logical.Join if j.joinType.sql.contains("OUTER") => j
     }
