@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive interval theta-join → bucketed equi-join (never BNLJ)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
 
+    // plans the manifest-stats annotation node (see ManifestSized):
+    // pass-through at execution, bound-carrying for JoinSelection
+    ext.injectPlannerStrategy(_ => graft.plans.ManifestSizedStrategy)
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
@@ -182,8 +186,17 @@ object GraftExtensions {
       val path = strArg(es.head, "graft_text_search indexPath")
       val terms = strArg(es(1), "graft_text_search terms")
         .split("\\s+").toSeq.filter(_.nonEmpty)
-      graft.operators.TextIndex.searchAll(SparkSession.active, path, terms)
+      val spark = SparkSession.active
+      val plan = graft.operators.TextIndex.searchAll(spark, path, terms)
         .queryExecution.analyzed
+      // stats-into-CBO: a conjunctive search returns at most the live
+      // doc count — a MANIFEST scalar (zero jobs) the size-only
+      // estimator cannot see (it scales the pruned postings bytes
+      // through the aggregate and lands orders of magnitude high). A
+      // TVF leg joined to a fact table broadcasts from this bound
+      // alone — no hint, no ANALYZE.
+      val (nDocs, _) = graft.operators.TextIndex.corpusTotals(spark, path)
+      graft.plans.ManifestSized.bounded(plan, nDocs)
     }
 
   /** The graft_ann_search TVF: IVF top-k over the live view of a
@@ -200,9 +213,15 @@ object GraftExtensions {
       val nProbes = intArg(es(3), "graft_ann_search nProbes")
       val s = SparkSession.active
       val (a, c) = graft.operators.IvfIndex.loadLive(s, idx, "vec_id")
-      graft.operators.IvfIndex.searchTopK(a, c, s.read.parquet(probes),
+      val probesDf = s.read.parquet(probes)
+      val plan = graft.operators.IvfIndex.searchTopK(a, c, probesDf,
           "vec_id", "embedding", k, nProbes)
         .queryExecution.analyzed
+      // stats-into-CBO: a top-k search returns EXACTLY probes × k rows
+      // at most — the probe count is a parquet-metadata count (the
+      // builder already runs the probed-cluster collect), and the
+      // bound makes a TVF-leg join broadcast without hints
+      graft.plans.ManifestSized.bounded(plan, probesDf.count() * k)
     }
 
   /** The graft_index_stats TVF: the one-row manifest view. */

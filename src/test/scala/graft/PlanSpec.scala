@@ -592,6 +592,87 @@ class PlanSpec extends SparkSuite {
     assert(!planOf(df).contains("CartesianProduct"))
   }
 
+  test("index TVF legs carry manifest-derived stats: a TVF-leg join broadcasts cold; the raw search leg does not") {
+    // the q_table_stats_bhj pattern extended to the retrieval TVFs:
+    // graft_text_search advertises (live n_docs × output row width)
+    // from the MANIFEST; graft_ann_search advertises probes × k. The
+    // size-only estimator, scaling the pruned postings/list bytes up
+    // through the aggregates, lands far above — so at a threshold
+    // between the two, ONLY the manifest bound buys the broadcast.
+    import graft.operators.{IvfIndex, TextIndex}
+    val idx = Tables.scratch("tvf_stats_tidx")
+    // padded corpus: three needles in every doc (3 postings buckets
+    // feed the raw estimate) + 40 distinct md5 tokens per doc
+    val docs = spark.range(0, 4000).select(col("id").as("doc_id"),
+      concat(lit("needlea needleb needlec "),
+        expr("concat_ws(' ', transform(sequence(1, 40), " +
+          "i -> md5(cast(id * 100 + i as string))))")).as("text"))
+    val factDir = Tables.scratch("tvf_stats_fact")
+    docs.write.mode("overwrite").parquet(factDir)
+    TextIndex.buildIndex(docs, "doc_id", "text", idx, nBuckets = 8)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "262144",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "262144")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val fact = spark.read.parquet(factDir)
+      assert(fact.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(262144),
+        "fact side under the threshold — fixture too small")
+      val tvf = spark.sql(s"SELECT * FROM graft_text_search('$idx', 'needlea')")
+      // 1) the leg's advertised stats ARE the manifest formula:
+      //    live n_docs × (8 + Σ output defaultSize)
+      val node = tvf.queryExecution.optimizedPlan.collectFirst {
+        case m: graft.plans.ManifestSized => m }
+      assert(node.nonEmpty, "TVF plan lost its ManifestSized annotation")
+      val width = 8L + node.get.output.map(_.dataType.defaultSize.toLong).sum
+      assert(node.get.stats.sizeInBytes === BigInt(4000L * width),
+        s"TVF stats not the manifest bound: ${node.get.stats.sizeInBytes}")
+      assert(node.get.stats.sizeInBytes < BigInt(262144))
+      // 2) the raw (unannotated) search leg estimates ABOVE the
+      //    threshold — the separation that proves the BHJ below comes
+      //    from the manifest bound alone
+      val raw = TextIndex.searchAll(spark, idx, Seq("needlea", "needleb", "needlec"))
+      val rawEst = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(rawEst > BigInt(262144),
+        s"raw search leg estimate $rawEst under threshold — fixture cannot separate")
+      // 3) TVF leg joined to the fact table: broadcast hash join, cold
+      val tvf3 = spark.sql(
+        s"SELECT * FROM graft_text_search('$idx', 'needlea needleb needlec')")
+      val bhj = tvf3.join(fact, "doc_id").queryExecution.executedPlan.toString
+      assert(bhj.contains("BroadcastHashJoin"),
+        s"manifest-sized TVF leg did not broadcast:\n${bhj.take(2000)}")
+      // 4) the same join through the raw leg does NOT broadcast
+      val smj = raw.select(col("doc_id"), col("total_tf"))
+        .join(fact, "doc_id").queryExecution.executedPlan.toString
+      assert(!smj.contains("BroadcastHashJoin"),
+        "raw leg unexpectedly broadcast — threshold too high for the fixture")
+      // 5) the ANN TVF: probes × k bound, same broadcast outcome
+      val vidx = Tables.scratch("tvf_stats_vidx")
+      val probesDir = Tables.scratch("tvf_stats_probes")
+      val emb = Tables(spark, sf, "embeddings")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = vidx)
+      emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(probesDir)
+      val ann = spark.sql(
+        s"SELECT * FROM graft_ann_search('$vidx', '$probesDir', 5, 8)")
+      val annNode = ann.queryExecution.optimizedPlan.collectFirst {
+        case m: graft.plans.ManifestSized => m }
+      assert(annNode.nonEmpty)
+      val annWidth = 8L + annNode.get.output.map(_.dataType.defaultSize.toLong).sum
+      assert(annNode.get.stats.sizeInBytes === BigInt(10L * 5L * annWidth))
+      val annJoin = ann.join(fact, ann("neighbor_id") === fact("doc_id"))
+        .queryExecution.executedPlan.toString
+      assert(annJoin.contains("BroadcastHashJoin"),
+        s"manifest-sized ANN leg did not broadcast:\n${annJoin.take(2000)}")
+      // row-exactness: the annotation changes nothing but the plan
+      assert(tvf3.join(fact, "doc_id").count() ===
+        raw.join(fact, "doc_id").count())
+    } finally prev.foreach { case (c, vOpt) =>
+      vOpt.fold(spark.conf.unset(c))(spark.conf.set(c, _))
+    }
+  }
+
   test("fuzzy decontamination: all joins equi — no cartesian, no nested loop") {
     // candidate generation is the prefix-gram equi-join; verification
     // joins back by doc id. A cartesian or BNLJ anywhere means the
