@@ -796,6 +796,75 @@ class DedupSpec extends SparkSuite {
       "retry after killed append duplicated rows")
   }
 
+  test("streaming dedup ingest: a micro-batch killed between its two writes converges on retry (own-partition overwrite)") {
+    // q_stream_dedup_ingest's foreachBatch claim, failure-injected:
+    // each batch makes TWO dynamic-partition overwrites of ITS OWN
+    // ingest partition (signatures, then the pair report). Kill the
+    // batch after the first write commits — the worst crash point,
+    // since a retry must REPLACE the durable signatures rather than
+    // duplicate them — then re-run the same batch id and assert the
+    // converged state equals a never-failed run.
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents")
+    val idxPath = Tables.scratch("stream_dedup_kill_idx")
+    val pairsPath = Tables.scratch("stream_dedup_kill_pairs")
+    val boot = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.signatureIndex(boot, "doc_id", "text", shingleSize = 2)
+      .withColumn("ingest", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest").parquet(idxPath)
+    // the verb's foreachBatch body, with an injectable kill point
+    // between the two writes
+    def body(b: org.apache.spark.sql.DataFrame, seq: Long,
+        killBeforePairs: Boolean): Unit = {
+      Dedup.signatureIndex(b, "doc_id", "text", shingleSize = 2)
+        .withColumn("ingest", lit(seq))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(idxPath)
+      if (killBeforePairs)
+        throw new RuntimeException("injected mid-batch kill")
+      val idx = spark.read.parquet(idxPath)
+      Dedup.incrementalNearDups(
+          idx.filter(col("ingest") < seq).drop("ingest"),
+          idx.filter(col("ingest") === seq).drop("ingest"),
+          threshold = 0.8)
+        .withColumn("ingest", lit(seq))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(pairsPath)
+    }
+    val killed = intercept[RuntimeException] { body(batch, 1L, true) }
+    assert(killed.getMessage.contains("injected mid-batch kill"))
+    // the crash left the batch's signatures durable (the half-done
+    // state the at-least-once retry walks into) and no pair report
+    val sigCount = Dedup.signatureIndex(batch, "doc_id", "text",
+      shingleSize = 2).count()
+    assert(spark.read.parquet(idxPath).filter(col("ingest") === 1L).count()
+      === sigCount)
+    assert(!new java.io.File(pairsPath).exists())
+    // the retry (same batch id → same partition) converges
+    body(batch, 1L, false)
+    val afterSigs = spark.read.parquet(idxPath).filter(col("ingest") === 1L)
+    assert(afterSigs.count() === sigCount,
+      "retry duplicated the killed batch's signatures")
+    assert(afterSigs.groupBy("doc").count().filter(col("count") > 1).count() === 0L)
+    // and the pair report equals the never-failed one-shot computation
+    val got = spark.read.parquet(pairsPath)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).sorted.toSeq
+    val oneShot = Dedup.incrementalNearDups(
+        Dedup.signatureIndex(boot, "doc_id", "text", shingleSize = 2),
+        Dedup.signatureIndex(batch, "doc_id", "text", shingleSize = 2),
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(r.fieldIndex("doc_a")),
+        r.getLong(r.fieldIndex("doc_b")),
+        math.round(r.getDouble(r.fieldIndex("jaccard")) * 1e6))).sorted.toSeq
+    assert(got === oneShot,
+      "retried batch's pair report diverged from the one-shot run")
+  }
+
   test("ivf append racing compactLists: loser fails loudly, end state exact under any interleaving") {
     import graft.operators.IvfIndex
     val base = (0L until 80L).map { i =>
