@@ -652,9 +652,15 @@ object Baseline {
     // cross join per batch. Deliverable-matched: the same two batch
     // reports, unioned.
     "q_decontaminate_incremental" -> ((s, dir) => {
+      // tokens materialize through a Project boundary before the
+      // shingle HOF (inlining re-embeds the split per lambda position
+      // — O(len²) tokenizations; the graft side never paid this, so
+      // leaving it would inflate the pair)
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), graft.operators.Dedup.shingles(
-          graft.operators.Dedup.tokens(col("text")), 2).as("grams"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.shingles(col("w"), 2).as("grams"))
       val bench = docs.filter(col("doc_id") % 10 === 0)
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val b1 = graft.operators.Dedup.crossJaccardJoin(
@@ -912,10 +918,13 @@ object Baseline {
     // the aggregate, where the graft side only aggregates pairs whose
     // rarest-first prefixes collide.
     "q_text_decontaminate_fuzzy" -> ((s, dir) => {
+      // same Project-boundary rule as the incremental control above
       val docs = t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"), array_distinct(
-        graft.operators.Dedup.shingles(
-          graft.operators.Dedup.tokens(col("text")), 2)).as("g"))
+      val grams = docs
+        .select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          array_distinct(graft.operators.Dedup.shingles(col("w"), 2)).as("g"))
       val e = grams.select(col("doc_id"), size(col("g")).as("sz"),
         explode(col("g")).as("gram"))
       val tr = e.filter(col("doc_id") % 10 =!= 0)
@@ -2167,7 +2176,7 @@ object Baseline {
     // q_text_pack windows + one keyed agg) are stock end to end
     // (variance pairs)
     "q_text_cooccur_pmi", "q_train_pack_efficiency",
-    "q_train_pack_efficiency_sharded")
+    "q_train_pack_efficiency_sharded", "q_train_dsir")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

@@ -1330,6 +1330,64 @@ object LlmPipeline {
         .orderBy("source", "lang")
     }),
 
+    // DSIR-style importance resampling (Xie et al. '23, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every RAW document by its likelihood ratio between a TARGET
+    // domain's hashed-bigram model and the raw corpus's — the
+    // data-selection verb that upsamples target-like pretraining data
+    // without training a classifier. Features are bigrams hashed into
+    // B=512 buckets (md5 → u32 → mod, bit-identical cross-engine);
+    // both bag-of-ngrams models use add-1 smoothing; logw(doc) =
+    // Σ_b c_doc[b]·ln((c_t[b]+1)/(c_r[b]+1)) + n_grams·ln((N_r+B)/(N_t+B)).
+    // Selection is the natural ratio test logw > 0, with a 1e-9 band
+    // (the q_embed_outliers rule: a boolean derived from a float
+    // boundary must not flip on engine summation order; a zero-bigram
+    // doc sits exactly at 0 and is excluded consistently).
+    //
+    // 100 TB shape: ONE explode+groupBy corpus shuffle produces the
+    // per-(doc, bucket) counts, and every downstream consumer — the
+    // 512-row models, the corpus totals, the per-doc weights — derives
+    // from that same frame, so ReuseExchange runs the tokenize+hash
+    // map stage exactly once; the models broadcast, the weight
+    // aggregation is one doc-keyed shuffle — no window, no collect,
+    // nothing corpus-sized on the driver; the target model is
+    // reusable across raw shards.
+    "q_train_dsir" -> ((s, dir) => {
+      val B = 512
+      val docs = t(s, dir, "documents")
+      val isTgt = col("source").isin("src0", "src1")
+      // tokens materialize through a Project boundary BEFORE shingling:
+      // inlining tokens(text) into the shingle HOF would re-embed the
+      // split into every lambda position (O(len²) tokenizations per
+      // doc — measured 8× the verb's whole runtime)
+      val docBAll = docs
+        .select(col("doc_id"), col("source"),
+          Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.shingles(col("w"), 2)).as("bg"))
+        .withColumn("b", expr(
+          "cast(conv(substring(md5(cast(bg as binary)), 1, 8), 16, 10) as bigint)")
+          % B)
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+      val model = docBAll.groupBy("b").agg(
+        sum(when(isTgt, col("c")).otherwise(0L)).as("ct"),
+        sum(when(!isTgt, col("c")).otherwise(0L)).as("cr"))
+      val scal = model.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+      docBAll.filter(!isTgt)
+        .join(broadcast(model), Seq("b"), "left")
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"), col("source"), col("c"), col("nt"), col("nr"),
+          (col("c") * (log(coalesce(col("ct"), lit(0L)) + 1) -
+            log(coalesce(col("cr"), lit(0L)) + 1))).as("part"))
+        .groupBy("doc_id", "source", "nt", "nr")
+        .agg(sum("c").as("n_grams"), sum("part").as("s1"))
+        .select(col("doc_id"), col("source"), col("n_grams"),
+          (col("s1") + col("n_grams") *
+            (log(col("nr") + B) - log(col("nt") + B))).as("logw"))
+        .withColumn("selected", col("logw") > 1e-9)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash-based sampling — the reproducible sampling
     // method a production pipeline uses instead of rand(): membership
     // is a pure function of the row key (md5 is bit-identical across
@@ -2600,9 +2658,13 @@ object LlmPipeline {
     // pairs never materialize), verified by exact jaccard — complete,
     // no LSH recall loss, hence the EXACT oracle below.
     "q_text_decontaminate_fuzzy" -> ((s, dir) => {
+      // tokens materialize through a Project boundary before the
+      // shingle HOF — inlining tokens(text) re-embeds the split into
+      // every lambda position (O(len²) tokenizations per doc; fixing
+      // this took the verb from 13.6 s to ~7 s at sf0.1)
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          Dedup.shingles(Dedup.tokens(col("text")), 2).as("grams"))
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"), Dedup.shingles(col("w"), 2).as("grams"))
       Dedup.crossJaccardJoin(
           docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
@@ -2622,9 +2684,10 @@ object LlmPipeline {
     // exact-jaccard recompute), which only holds if the frozen-order
     // prefix check is complete per batch.
     "q_decontaminate_incremental" -> ((s, dir) => {
+      // same Project-boundary rule as q_text_decontaminate_fuzzy
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          Dedup.shingles(Dedup.tokens(col("text")), 2).as("grams"))
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"), Dedup.shingles(col("w"), 2).as("grams"))
       val idx = Tables.scratch("contamination_idx")
       Dedup.buildContaminationIndex(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "grams", 0.8, idx)
@@ -3287,6 +3350,43 @@ object LlmPipeline {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // same integer inclusion test, bit for bit
+    // same tokenizer/bigram/md5-bucket construction as the Spark side;
+    // logw doubles compare at the canonicalizer's 6dp, the selected
+    // boolean sits behind the 1e-9 band
+    "q_train_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        |  FROM w),
+        |gb AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 512 AS b
+        |  FROM g),
+        |db AS (
+        |  SELECT doc_id, source, b, count(*) AS c FROM gb
+        |  WHERE source NOT IN ('src0', 'src1') GROUP BY 1, 2, 3),
+        |t AS (SELECT b, count(*) AS ct FROM gb
+        |      WHERE source IN ('src0', 'src1') GROUP BY b),
+        |r AS (SELECT b, count(*) AS cr FROM gb
+        |      WHERE source NOT IN ('src0', 'src1') GROUP BY b),
+        |sc AS (SELECT
+        |  (SELECT count(*) FROM gb WHERE source IN ('src0', 'src1')) AS nt,
+        |  (SELECT count(*) FROM gb WHERE source NOT IN ('src0', 'src1')) AS nr),
+        |agg AS (
+        |  SELECT d.doc_id, d.source, sc.nt, sc.nr,
+        |    CAST(sum(d.c) AS BIGINT) AS n_grams,
+        |    sum(d.c * (ln(COALESCE(t.ct, 0) + 1) - ln(COALESCE(r.cr, 0) + 1))) AS s1
+        |  FROM db d LEFT JOIN t USING (b) LEFT JOIN r USING (b), sc
+        |  GROUP BY d.doc_id, d.source, sc.nt, sc.nr)
+        |SELECT doc_id, source, n_grams,
+        |  s1 + n_grams * (ln(nr + 512) - ln(nt + 512)) AS logw,
+        |  (s1 + n_grams * (ln(nr + 512) - ln(nt + 512))) > 1e-9 AS selected
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "q_sample_weighted" ->
       """WITH m AS (SELECT max(n_chars) AS max_w FROM documents)
         |SELECT source, count(*) AS n_sampled,
