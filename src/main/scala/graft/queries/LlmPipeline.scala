@@ -123,6 +123,36 @@ object LlmPipeline {
         .orderBy("doc")
     }),
 
+    // SOFT dedup — the down-weighting alternative to hard dropping
+    // (what a pipeline ships when near-dup clusters carry signal it
+    // must not delete, e.g. popular boilerplate that should count
+    // once): every document gets a sampling weight 1/|its near-dup
+    // cluster| in integer basis points, singletons keep 10000. The
+    // corpus-level effect (expected tokens after weighted sampling)
+    // rides along per doc. Composition: banded pairs → CC labels →
+    // one |cluster|-keyed count → label-keyed join back; docs outside
+    // any cluster join nothing (left join, weight 10000). Integer
+    // arithmetic end-to-end — hash-exact across engines.
+    "q_dedup_soft" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleSize = 2)
+      val labels = Dedup.duplicateClusters(pairs)
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(labels.join(sizes, "label")
+            .select(col("doc").as("doc_id"), col("label"), col("n_members")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(col("label"), col("doc_id")).as("label"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"))
+        .withColumn("weight_bp", expr("10000 div n_members"))
+        .withColumn("eff_chars_bp",
+          expr("(n_chars * 10000) div n_members"))
+        .drop("n_chars")
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL dedup — the continuous-ingestion pattern: the
     // existing corpus's signature index (80% of docs) is built once
     // and persisted as parquet; a new batch (doc_id % 5 == 0) is
@@ -2858,6 +2888,22 @@ object LlmPipeline {
         |  cnt.n_members
         |FROM sized s JOIN k USING (label) JOIN cnt USING (label)
         |ORDER BY doc""".stripMargin),
+
+    // per-doc weight 1/|cluster| in integer bp; docs outside any
+    // near-dup cluster are their own singleton (weight 10000)
+    "q_dedup_soft" ->
+      (dupClusterCte + """,
+        |labels AS (SELECT u AS doc, min(v) AS label FROM reach GROUP BY u),
+        |sz AS (SELECT label, count(*) AS n_members FROM labels GROUP BY label)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(l.label, d.doc_id) AS label,
+        |  CAST(COALESCE(s.n_members, 1) AS BIGINT) AS n_members,
+        |  CAST(10000 // COALESCE(s.n_members, 1) AS BIGINT) AS weight_bp,
+        |  CAST((d.n_chars * 10000) // COALESCE(s.n_members, 1) AS BIGINT) AS eff_chars_bp
+        |FROM documents d
+        |  LEFT JOIN labels l ON d.doc_id = l.doc
+        |  LEFT JOIN sz s ON l.label = s.label
+        |ORDER BY d.doc_id""".stripMargin),
 
     "q_dedup_incremental" ->
       s"""WITH $gramIndexCte
