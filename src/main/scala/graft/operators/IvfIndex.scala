@@ -258,8 +258,7 @@ object IvfIndex {
     val visible =
       if (reserved.isEmpty) visible0
       else visible0.filter(!col("ingest_seq").isin(reserved.toSeq: _*))
-    (visible,
-      spark.read.parquet(centroidsGenPath(path, liveCentroidGen(spark, path))))
+    (visible, liveCentroids(spark, path))
   }
 
   /** Load the LIVE view of a persisted index: like [[loadIndex]] but
@@ -310,7 +309,9 @@ object IvfIndex {
 
   /** Collected centroids sorted by id as an
     * `array<struct<_1:int,_2:array<float>>>` literal, or None past
-    * the size gate.
+    * the size gate. When `centroids` is the driver-cached
+    * LocalRelation [[liveCentroids]] serves, the collect here is a
+    * local table scan — NO Spark job.
     */
   private def centroidsAsLiteral(centroids: DataFrame): Option[Column] = {
     val rows = centroids.select("centroid_id", "centroid_vec").collect()
@@ -318,6 +319,59 @@ object IvfIndex {
     if (floats > centroidLiteralMaxFloats(centroids.sparkSession)) None
     else Some(typedLit(
       rows.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq))
+  }
+
+  // ── driver-cached centroid table ──────────────────────────────────
+  // The centroid table is driver-resident by construction (the KMeans
+  // model lives on the driver), yet every search/append used to
+  // re-READ its parquet through a Spark job — pure job-submission
+  // latency on repeated searches (measured +1.4 s on the multi-search
+  // q_hybrid_cdc verb). The live generation now serves from a
+  // signature-validated driver cache as a LocalRelation: the
+  // signature is the directory's (name, length, mtime) listing — one
+  // FS metadata call, EXACT invalidation because every rewrite path
+  // (rebuild, rebalance) writes fresh UUID part names — and past the
+  // size gate the read falls back to a plain distributed scan,
+  // uncached.
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.sql.types.StructType,
+        java.util.List[org.apache.spark.sql.Row])]()
+
+  private def dirSignature(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): String =
+    fs.listStatus(dir)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+
+  /** The LIVE centroid table, served from the driver cache when its
+    * on-disk bytes sit under the literal gate (nCentroids is a chosen
+    * parameter — metadata, not data).
+    */
+  private def liveCentroids(spark: SparkSession, path: String): DataFrame = {
+    val p = centroidsGenPath(path, liveCentroidGen(spark, path))
+    val fs = fsOf(spark, path)
+    val dir = new Path(p)
+    val statuses = fs.listStatus(dir)
+    // gate on raw parquet bytes (floats are ≥4B encoded): past it the
+    // table is genuinely big — stream it, never collect
+    if (statuses.map(_.getLen).sum > centroidLiteralMaxFloats(spark) * 4)
+      return spark.read.parquet(p)
+    val sig = statuses
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+    val cached = centroidCache.get(p)
+    val (schema, rows) =
+      if (cached != null && cached._1 == sig) (cached._2, cached._3)
+      else {
+        val df = spark.read.parquet(p)
+        val r = java.util.Arrays.asList(df.collect(): _*)
+        if (centroidCache.size > 64) centroidCache.clear()
+        centroidCache.put(p, (sig, df.schema, r))
+        (df.schema, r)
+      }
+    spark.createDataFrame(rows, schema)
   }
 
   /** (dist, centroid_id) struct per centroid for `vec` — struct
@@ -366,11 +420,10 @@ object IvfIndex {
     // hygiene, or its target list retired mid-write — the intent
     // makes every such interleaving fail loudly BEFORE any write
     MaintenanceLock.withLock(spark, path) {
-    // the LIVE centroid table only — loadIndex would also list the
-    // assigned layout's files for its visibility view, an O(lists)
-    // metadata read the append never consumes
-    val centroids = spark.read.parquet(
-      centroidsGenPath(path, liveCentroidGen(spark, path)))
+    // the LIVE centroid table only (driver-cached) — loadIndex would
+    // also list the assigned layout's files for its visibility view,
+    // an O(lists) metadata read the append never consumes
+    val centroids = liveCentroids(spark, path)
     // reserve → write → commit: the batch's rows are invisible (seq
     // above the committed ceiling) until the marker rename lands, so a
     // crash mid-append publishes nothing and the re-run's FRESH seq
