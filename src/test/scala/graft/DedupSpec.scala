@@ -914,6 +914,76 @@ class DedupSpec extends SparkSuite {
       "race produced duplicate rows")
   }
 
+  test("ivf append racing rebalanceIndex: loser fails loudly; no appended row is silently lost to a retired list") {
+    // the nastiest pre-lock interleaving: an append lands rows in a
+    // hot list WHILE rebalance is splitting it — after the centroid-
+    // generation commit the hot list is retired and the appended rows
+    // become invisible (silent data loss, reclaimed by vacuum). The
+    // single-writer intent makes one side fail loudly instead; re-run
+    // the loser and assert every appended id is live and searchable.
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(91)
+    val hot = (0L until 80L).map { i =>
+      (i, Array.fill(16)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f)) }
+    val cold = (80L until 100L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4f - 2f)) }
+    val path = Tables.scratch("ivf_race_rebal")
+    IvfIndex.buildIndex((hot ++ cold).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    // batch lands IN the hot region, so pre-lock it would have been
+    // assigned to exactly the list rebalance retires
+    val batch = (500L until 540L).map { i =>
+      (i, Array.fill(16)(5.0f + (new scala.util.Random(i).nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Option[Throwable]]()
+    val tA = new Thread(() => {
+      barrier.await()
+      outcomes.put("append",
+        try { IvfIndex.appendToIndex(batch, "vec_id", "embedding", path); None }
+        catch { case e: Throwable => Some(e) })
+    })
+    val tR = new Thread(() => {
+      barrier.await()
+      outcomes.put("rebalance",
+        try { IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
+          maxListFactor = 1.5); None }
+        catch { case e: Throwable => Some(e) })
+    })
+    tA.start(); tR.start(); tA.join(); tR.join()
+    outcomes.forEach { (name, res) =>
+      res.foreach { e =>
+        assert(e.isInstanceOf[IllegalStateException],
+          s"$name failed with unexpected ${e.getClass}: ${e.getMessage}")
+      }
+    }
+    if (outcomes.get("append").nonEmpty)
+      IvfIndex.appendToIndex(batch, "vec_id", "embedding", path)
+    if (outcomes.get("rebalance").nonEmpty)
+      IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
+        maxListFactor = 1.5)
+    // every appended row must be LIVE — in a list the live centroid
+    // set references — and exactly once
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, path)
+    val liveIds = centroids.select("centroid_id")
+      .collect().map(_.getInt(0)).toSeq
+    val liveBatch = assigned
+      .filter(col("cluster").isin(liveIds: _*))
+      .filter(col("vec_id") >= 500L)
+    assert(liveBatch.count() === 40L,
+      "appended rows lost to a retired list across the race")
+    assert(liveBatch.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    // and exhaustive search actually RETURNS them: probe with one
+    // batch vector, expect batch neighbors in its top-k
+    val probes = batch.filter(col("vec_id") === 500L)
+    val got = IvfIndex.searchTopK(assigned, centroids, probes,
+        "vec_id", "embedding", k = 5, nProbes = liveIds.size)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall(id => id != 500L),
+      "search over the post-race index returned nothing sane")
+  }
+
   test("truncated (matryoshka) rerank: full-coverage candidates equal brute force; coarse pass genuinely truncates") {
     import graft.operators.SimilaritySearch
     val base = (0L until 60L).map { i =>
