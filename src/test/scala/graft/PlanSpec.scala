@@ -920,6 +920,14 @@ class PlanSpec extends SparkSuite {
       val n = SparkEntry.queries(name)(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on an empty event stream")
     }
+    // round-14 verbs, same rule: dsir (broadcast scalars + model
+    // joins), soft dedup (CC over zero pairs), sharded pack audit
+    // (shard-list windows over zero rows) must all short-circuit clean
+    Seq("q_train_dsir", "q_dedup_soft",
+        "q_train_pack_efficiency_sharded").foreach { name =>
+      val n = SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on an empty corpus")
+    }
   }
 
   test("q_chat_flatten: dialogue reassembles exactly (chars = line lengths + separators); window-free") {
