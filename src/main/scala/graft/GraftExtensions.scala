@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pass-through at execution, bound-carrying for JoinSelection
     ext.injectPlannerStrategy(_ => graft.plans.ManifestSizedStrategy)
 
+    // pushdown transparency for the annotation: Filter/Project written
+    // ABOVE a TVF in user SQL swap below the ManifestSized node inside
+    // the operator-optimization batch, so predicate pushdown and
+    // column pruning reach the search subplan while the (still-valid)
+    // bound floats to the top of the TVF leg for JoinSelection
+    ext.injectOptimizerRule(_ => graft.plans.PushThroughManifestSized)
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
@@ -163,9 +170,19 @@ object GraftExtensions {
       }
       val root = strArg(es.head, "graft_snapshot root")
       val version = es.drop(1).headOption.map(intArg(_, "graft_snapshot version"))
-      graft.operators.Snapshots
-        .read(SparkSession.active, root, version)
+      val s = SparkSession.active
+      val plan = graft.operators.Snapshots
+        .read(s, root, version)
         .queryExecution.analyzed
+      // stats-into-CBO: a committed version's cardinality is EXACTLY
+      // its footers' row sum — a driver metadata read (the version's
+      // file set is immutable). The scan's own file-size estimate
+      // already sizes bytes, but carries no rowCount; with the exact
+      // count advertised, joins/aggregates above the TVF estimate
+      // from real cardinality on a cold session.
+      maybeBounded(s, plan,
+        graft.plans.ManifestSized.parquetRowCount(s,
+          graft.operators.Snapshots.versionDir(s, root, version)))
     }
 
   private def strArg(e: Expression, what: String): String = e match {
@@ -173,6 +190,21 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got $other")
   }
+
+  /** Annotate `plan` with a manifest-derived row bound — but only when
+    * the session can PLAN the annotation node (ManifestSizedStrategy
+    * injected via the extensions). The snapshot-layer TVF builders are
+    * also registered on STOCK sessions ([[registerSnapshotSqlSurface]],
+    * the Baseline control JVM) where an unplannable ManifestSized
+    * would fail at execution — there the plain plan is returned and
+    * the (lazy) footer read never runs.
+    */
+  private def maybeBounded(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      rows: => Long): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    if (s.sessionState.planner.strategies.contains(graft.plans.ManifestSizedStrategy))
+      graft.plans.ManifestSized.bounded(plan, rows)
+    else plan
 
   /** The graft_text_search TVF: whitespace-split the terms literal and
     * return TextIndex.searchAll's analyzed plan — the partition-pruned
@@ -217,11 +249,14 @@ object GraftExtensions {
       val plan = graft.operators.IvfIndex.searchTopK(a, c, probesDf,
           "vec_id", "embedding", k, nProbes)
         .queryExecution.analyzed
-      // stats-into-CBO: a top-k search returns EXACTLY probes × k rows
-      // at most — the probe count is a parquet-metadata count (the
-      // builder already runs the probed-cluster collect), and the
-      // bound makes a TVF-leg join broadcast without hints
-      graft.plans.ManifestSized.bounded(plan, probesDf.count() * k)
+      // stats-into-CBO: a top-k search returns at most probes × k
+      // rows. The probe count comes from the parquet FOOTERS (driver
+      // file listing, no job) — a DataFrame count() here would run a
+      // full scan job at ANALYSIS time, on every statement that
+      // references the TVF. The bound makes a TVF-leg join broadcast
+      // without hints.
+      graft.plans.ManifestSized.bounded(plan,
+        graft.plans.ManifestSized.parquetRowCount(s, probes) * k)
     }
 
   /** The graft_index_stats TVF: the one-row manifest view. */
@@ -253,9 +288,14 @@ object GraftExtensions {
       val nProbes = intArg(es(6), "graft_hybrid_search nProbes")
       val s = SparkSession.active
       val (a, c) = graft.operators.IvfIndex.loadLive(s, vidx, "vec_id")
-      graft.operators.HybridSearch.rrfTopK(s, tidx, a, c,
+      val plan = graft.operators.HybridSearch.rrfTopK(s, tidx, a, c,
           s.read.parquet(probes), terms, "vec_id", "embedding", n, k, nProbes)
         .queryExecution.analyzed
+      // stats-into-CBO: the fused output is at most probes × k rows
+      // (one fused top-k per probe) — footer-derived probe count, no
+      // job; a hybrid TVF leg joined to a fact table broadcasts cold
+      graft.plans.ManifestSized.bounded(plan,
+        graft.plans.ManifestSized.parquetRowCount(s, probes) * k)
     }
 
   /** The graft_table_changes TVF: the row-level diff between two
@@ -267,12 +307,23 @@ object GraftExtensions {
     (es: Seq[Expression]) => {
       if (es.length != 4) throw new IllegalArgumentException(
         s"graft_table_changes expects (root, vFrom, vTo, keyCol); got ${es.length} args")
-      graft.operators.Snapshots.changes(SparkSession.active,
-          strArg(es.head, "graft_table_changes root"),
-          intArg(es(1), "graft_table_changes vFrom"),
-          intArg(es(2), "graft_table_changes vTo"),
+      val s = SparkSession.active
+      val root = strArg(es.head, "graft_table_changes root")
+      val vFrom = intArg(es(1), "graft_table_changes vFrom")
+      val vTo = intArg(es(2), "graft_table_changes vTo")
+      val plan = graft.operators.Snapshots.changes(s, root, vFrom, vTo,
           strArg(es(3), "graft_table_changes keyCol"))
         .queryExecution.analyzed
+      // stats-into-CBO: under the CDC key contract (key unique per
+      // version) the diff emits ≤ |vFrom| + |vTo| rows (inserts and
+      // deletes once, updates twice but only for keys live in BOTH
+      // sides) — footer counts of the two immutable version dirs,
+      // where the size-only estimate of a full-outer join explodes
+      maybeBounded(s, plan,
+        graft.plans.ManifestSized.parquetRowCount(s,
+          graft.operators.Snapshots.versionDir(s, root, Some(vFrom))) +
+        graft.plans.ManifestSized.parquetRowCount(s,
+          graft.operators.Snapshots.versionDir(s, root, Some(vTo))))
     }
 
   /** The graft_branch TVF: resolve a version through a BRANCH ref's
@@ -283,11 +334,17 @@ object GraftExtensions {
     (es: Seq[Expression]) => {
       if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
         s"graft_branch expects (root, name[, version]); got ${es.length} args")
-      graft.operators.Snapshots.readBranch(SparkSession.active,
-          strArg(es.head, "graft_branch root"),
-          strArg(es(1), "graft_branch name"),
-          es.drop(2).headOption.map(intArg(_, "graft_branch version")))
+      val s = SparkSession.active
+      val root = strArg(es.head, "graft_branch root")
+      val name = strArg(es(1), "graft_branch name")
+      val version = es.drop(2).headOption.map(intArg(_, "graft_branch version"))
+      val plan = graft.operators.Snapshots.readBranch(s, root, name, version)
         .queryExecution.analyzed
+      // same exact-footer cardinality as graft_snapshot, resolved
+      // through the branch ref's manifest
+      maybeBounded(s, plan,
+        graft.plans.ManifestSized.parquetRowCount(s,
+          graft.operators.Snapshots.branchVersionDir(s, root, name, version)))
     }
 
   /** Register ONLY the graft_snapshot name binding on a live session —

@@ -93,6 +93,13 @@ object IvfIndex {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, path: String, seed: Long = 42L): Unit = {
     val (assigned, centroids) = fit(corpus, idCol, vecCol, nCentroids, seed)
+    // the rebuild is itself a maintenance verb and SERIALIZES with the
+    // others through the writer intent: a rebuild racing an in-flight
+    // append/compaction fails loudly at acquire instead of deleting
+    // the holder's intent marker as "stale state" (which would reopen
+    // the unsynchronized-writer window — the holder's owner-checked
+    // release then no-ops and a third verb could acquire mid-flight)
+    MaintenanceLock.withLock(corpus.sparkSession, path) {
     // cluster-exclusive shuffle before the partitioned write: ONE file
     // per inverted list instead of write-tasks × clusters small files
     // (the TextIndex bucket rule) — nCentroids doubles as the build's
@@ -115,7 +122,7 @@ object IvfIndex {
           val n = p.getName
           n.startsWith(SeqPrefix) || n == TombstonesDir ||
             n.startsWith(CGenPrefix) || n.startsWith("centroids_g") ||
-            n == "assigned" || n == "_maint_intent"
+            n == "assigned"
         }
         .foreach(fs.delete(_, true))
     // the centroid table is independent of the assigned write (both
@@ -130,6 +137,7 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned")
     await(centF)
+    }
   }
 
   // ── centroid generations ──────────────────────────────────────────
@@ -546,7 +554,7 @@ object IvfIndex {
     */
   def compactLists(spark: SparkSession, path: String, idCol: String): Unit = {
     if (!tombstonesExist(spark, path)) return
-    MaintenanceLock.withLock(spark, path) {
+    MaintenanceLock.withLockToken(spark, path) { token =>
     val (assigned, centroids) = loadIndex(spark, path)
     val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
     val maxC = maxCommittedSeq(spark, path)
@@ -568,6 +576,13 @@ object IvfIndex {
       s"ivf_compact_${java.util.UUID.randomUUID}")
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // ownership re-check at the point of no return: the rewrite below
+    // is the verb's first NON-CAS'd destructive step (a dynamic
+    // overwrite replaces live partition directories in place) — a
+    // compaction whose lease was somehow stolen despite the heartbeat
+    // (a JVM paused past the full lease) must die HERE, before it can
+    // drop a successor append's rows from the partitions it rewrites
+    MaintenanceLock.assertHeld(spark, path, token)
     try
       kept.observe(obs, collect_set(col("cluster")).as("clusters"))
         .repartition(col("cluster"))
@@ -577,14 +592,36 @@ object IvfIndex {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val nonEmpty = obs.get("clusters")
+    // a fully-masked rewrite runs ZERO write tasks, so the metric row
+    // never materializes and the observation resolves to an EMPTY map
+    // — that IS the all-lists-deleted signal, not an error
+    val nonEmpty = obs.get.getOrElse("clusters", scala.collection.Seq.empty[Int])
       .asInstanceOf[scala.collection.Seq[Int]].toSet
+    // second ownership re-check before the hygiene tail (explicit list
+    // deletes, retired-list purge, tombstone clear, seq-marker sweep):
+    // none of these steps is CAS'd, and each is destructive
+    MaintenanceLock.assertHeld(spark, path, token)
+    val fs = fsOf(spark, path)
+    // full-erasure edge: when EVERY row was tombstoned the dynamic
+    // overwrite touched no partition and the per-list deletes below
+    // would leave assigned/ without a single parquet file — bricking
+    // every later loadIndex/deleteFromIndex with "Unable to infer
+    // schema". Keep the layout readable by writing ONE empty-but-
+    // schema'd file into the lowest live list (overwrite replaces that
+    // list's stale files in the same step, so at any crash point the
+    // surviving tombstones still mask whatever is on disk); searches
+    // return zero rows and appendToIndex re-grows the index normally.
+    val keepSchemaIn =
+      if (nonEmpty.isEmpty && live.nonEmpty) Some(live.min) else None
+    keepSchemaIn.foreach { sentinel =>
+      kept.drop("cluster").limit(0).repartition(1)
+        .write.mode("overwrite").parquet(s"$path/assigned/cluster=$sentinel")
+    }
     // a list whose rows were ALL deleted produces no output partition,
     // so the dynamic overwrite never replaces its directory — drop it
     // explicitly (BEFORE the tombstones clear, so a crash here still
     // masks the leftover rows)
-    val fs = fsOf(spark, path)
-    live.filterNot(nonEmpty).foreach { c =>
+    live.filterNot(nonEmpty).filterNot(keepSchemaIn.contains).foreach { c =>
       fs.delete(new Path(s"$path/assigned/cluster=$c"), true) }
     // retired lists a past rebalance left on disk still physically
     // hold rows for ids retired-then-deleted — and the tombstone clear

@@ -246,6 +246,29 @@ object Snapshots {
     writeManifest(spark, root, Seq(1))
   }
 
+  /** The resolved data directory of a committed version (latest when
+    * `version` is None) — for manifest-stats TVF annotations that
+    * derive exact row counts from parquet footers without a job.
+    */
+  def versionDir(spark: SparkSession, root: String,
+      version: Option[Int] = None): String = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in manifest (have ${vs.mkString(",")})")
+    versionPath(root, v)
+  }
+
+  /** [[versionDir]] resolved through a BRANCH ref's manifest. */
+  def branchVersionDir(spark: SparkSession, root: String, name: String,
+      version: Option[Int] = None): String = {
+    val bvs = branchVersions(spark, root, name)
+    val v = version.getOrElse(bvs.max)
+    require(bvs.contains(v),
+      s"version $v not on branch '$name' (have ${bvs.mkString(",")})")
+    versionPath(root, v)
+  }
+
   /** Read a specific version, or the latest when `version` is None. */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, root)

@@ -1,7 +1,9 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 /** Stats-into-CBO for index-served relations (the `q_table_stats_bhj`
@@ -11,19 +13,27 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   * propagates up from the underlying postings/list scans.
   *
   * Why it matters: a search's OUTPUT is bounded by manifest totals
-  * (`searchAll` ≤ live n_docs rows; an ANN top-k is exactly
-  * probes × k rows) — bounds the planner cannot see, because the
-  * size-only visitor scales the leaf bytes through the aggregates and
-  * lands orders of magnitude high. A TVF leg joined to a fact table
-  * then sort-merge-shuffles the fact side where the manifest already
+  * (`searchAll` ≤ live n_docs rows; an ANN/hybrid top-k is at most
+  * probes × k rows; a snapshot version is exactly its footers' row
+  * sum) — bounds the planner cannot see, because the size-only
+  * visitor scales the leaf bytes through the aggregates and lands
+  * orders of magnitude high. A TVF leg joined to a fact table then
+  * sort-merge-shuffles the fact side where the manifest already
   * proves the leg broadcast-sized. With the bound advertised, plain
   * `JoinSelection` picks the broadcast hash join on its own — no
   * hint, no ANALYZE, cold session.
   *
-  * The node is resolved (output = child output), survives
-  * optimization untouched (no rule matches it), and plans to its
+  * The node is resolved (output = child output) and plans to its
   * child's physical plan via [[ManifestSizedStrategy]] — zero
-  * execution footprint.
+  * execution footprint. It is NOT opaque to the optimizer: user SQL
+  * places Filter/Project ABOVE the TVF, and without help those would
+  * stop at the annotation boundary (no pushdown rule matches an
+  * unknown node). [[PushThroughManifestSized]] swaps the annotation
+  * below them — the row bound stays a valid UPPER bound above a
+  * filter (filters only shrink) and is re-widthed under a projection
+  * — so predicate pushdown and column pruning reach the underlying
+  * search subplan exactly as if the annotation were absent, while
+  * JoinSelection keeps seeing the bound at the top of the TVF leg.
   */
 case class ManifestSized(child: LogicalPlan, sizeBytes: BigInt,
     rowBound: BigInt) extends UnaryNode {
@@ -45,6 +55,54 @@ object ManifestSized {
   def bounded(plan: LogicalPlan, rowBound: Long): ManifestSized =
     ManifestSized(plan, BigInt(rowBound.max(0L)) * rowWidth(plan.output),
       BigInt(rowBound.max(0L)))
+
+  /** Exact row count of a parquet directory from its FOOTERS — a
+    * driver file-listing plus one footer read per file, NO Spark job.
+    * This is what lets a TVF builder advertise `probes × k` (or a
+    * snapshot version's exact cardinality) at ANALYSIS time without
+    * running a data-sized count() action per query resolution: a
+    * DataFrame `count()` on a v1 parquet source is a real scan job,
+    * paid again on every statement that references the TVF.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
+}
+
+/** Pushdown transparency for [[ManifestSized]]: rewrite
+  * `Filter(c, ManifestSized(x))` → `ManifestSized'(Filter(c, x))` and
+  * `Project(l, ManifestSized(x))` → `ManifestSized'(Project(l, x))`,
+  * re-deriving the byte bound from the new output width each time.
+  * Runs inside the operator-optimization batch (fixed point), so the
+  * ordinary pushdown rules then carry the filter/projection the rest
+  * of the way into the search subplan — the annotation floats to the
+  * top of the TVF leg, which is exactly where JoinSelection reads it.
+  */
+object PushThroughManifestSized extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, ManifestSized(child, _, rowBound)) =>
+      ManifestSized.bounded(Filter(cond, child),
+        rowBound.min(BigInt(Long.MaxValue)).toLong)
+    case p @ Project(exprs, ManifestSized(child, _, rowBound))
+        if p.resolved && exprs.forall(_.deterministic) =>
+      ManifestSized.bounded(Project(exprs, child),
+        rowBound.min(BigInt(Long.MaxValue)).toLong)
+  }
 }
 
 /** Plans [[ManifestSized]] as its child — the node exists only for

@@ -758,6 +758,13 @@ class DedupSpec extends SparkSuite {
         IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding") }
       intercept[IllegalStateException] {
         IvfIndex.vacuumIndex(spark, path, olderThanMs = 0L) }
+      // a REBUILD is a maintenance verb too: it must serialize through
+      // the same intent, not evict the holder's marker as stale state
+      intercept[IllegalStateException] {
+        IvfIndex.buildIndex(base.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", nCentroids = 4, path = path) }
+      assert(MaintenanceLock.isHeld(spark, path, token),
+        "a blocked rebuild evicted the holder's writer intent")
       // nothing moved while blocked
       assert(IvfIndex.maxCommittedSeq(spark, path) === 0L)
       assert(IvfIndex.loadLive(spark, path, "vec_id")._1.count() === 58L)
@@ -1467,5 +1474,108 @@ class DedupSpec extends SparkSuite {
       assert(broadcasts.isEmpty,
         s"knn join hinted a broadcast: ${broadcasts.headOption}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ivf full erasure: compacting an all-tombstoned index keeps the layout readable; append re-grows it") {
+    import graft.operators.IvfIndex
+    // the q_forget-everything path: every row tombstoned, then
+    // compacted. The dynamic overwrite touches no partition and the
+    // per-list deletes would leave assigned/ without a single parquet
+    // file — the round-14 bug bricked every later read with "Unable
+    // to infer schema". The fix keeps one empty-but-schema'd list.
+    val rows = (0L until 40L).map { i =>
+      val rnd = new scala.util.Random(i + 7000)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val path = Tables.scratch("ivf_forget_all")
+    IvfIndex.buildIndex(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    IvfIndex.deleteFromIndex(rows.map(_._1).toDF("vec_id"), "vec_id", path)
+    IvfIndex.compactLists(spark, path, "vec_id")
+    // erasure is PHYSICAL: zero rows anywhere under assigned/, not
+    // just masked rows
+    assert(spark.read.parquet(s"$path/assigned").count() === 0L,
+      "full-erasure compaction left physical rows behind")
+    // the erased index still reads and searches (zero results)
+    val (assigned, centroids) = IvfIndex.loadLive(spark, path, "vec_id")
+    assert(assigned.count() === 0L)
+    val probes = Seq((999L, Array.fill(16)(0.1f))).toDF("vec_id", "embedding")
+    assert(IvfIndex.searchTopK(assigned, centroids, probes,
+      "vec_id", "embedding", 3, 2).count() === 0L)
+    // the erasure verb itself still works (id-type resolution reads
+    // the kept schema), and a fresh append re-grows the index
+    IvfIndex.deleteFromIndex(Seq(1L).toDF("vec_id"), "vec_id", path)
+    IvfIndex.appendToIndex(rows.take(10).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val (live, cents2) = IvfIndex.loadLive(spark, path, "vec_id")
+    assert(live.count() === 10L, "append after full erasure lost rows")
+    assert(IvfIndex.searchTopK(live, cents2, probes,
+      "vec_id", "embedding", 3, 2).count() === 3L)
+  }
+
+  test("centroid driver cache invalidates through every rewrite path; the size gate falls back to a plain scan") {
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(31)
+    val hot = (0L until 60L).map { i =>
+      (i, Array.fill(8)(3.0f + (rnd.nextFloat() - 0.5f) * 0.1f)) }
+    val cold = (60L until 80L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 4f - 2f)) }
+    val path = Tables.scratch("ivf_cache_inval")
+    val probes = Seq((999L, hot.head._2)).toDF("vec_id", "embedding")
+    def probedIds(): Seq[Int] = {
+      val (_, c) = IvfIndex.loadLive(spark, path, "vec_id")
+      IvfIndex.probedClusterIds(c, probes, "vec_id", "embedding", nProbes = 2)
+    }
+    def centroidCount(p: String): Long =
+      IvfIndex.loadLive(spark, p, "vec_id")._2.count()
+    IvfIndex.buildIndex((hot ++ cold).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    val gen0 = probedIds() // warms the driver cache for gen 0
+    assert(gen0.nonEmpty && gen0.forall(_ < 4))
+    // (1) rebalance gen commit: the hot list splits into FRESH ids ≥ 4
+    // under a NEW generation directory — the next search must plan
+    // against the committed generation, never the cached gen-0 table
+    val split = IvfIndex.rebalanceIndex(spark, path, "vec_id", "embedding",
+      maxListFactor = 1.5)
+    assert(split.nonEmpty, "test needs a genuinely split index")
+    val gen1 = probedIds()
+    assert(gen1.exists(_ >= 4), s"stale cached centroids after rebalance: $gen1")
+    assert(!gen1.exists(split.contains),
+      s"search probed a retired centroid: $gen1 vs split $split")
+    // (2) compaction folds tombstones without touching the centroid
+    // table: the cache must keep serving the SAME set
+    IvfIndex.deleteFromIndex(Seq(60L).toDF("vec_id"), "vec_id", path)
+    IvfIndex.compactLists(spark, path, "vec_id")
+    assert(probedIds() === gen1,
+      "compaction disturbed the centroid set the cache serves")
+    // (3) buildIndex overwrite: same path, fresh UUID part names →
+    // fresh (name,length,mtime) signature → the 3-centroid rebuild is
+    // served, not the cached rebalanced table
+    IvfIndex.buildIndex((hot ++ cold).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 3, path = path)
+    assert(centroidCount(path) === 3L,
+      "stale centroid cache served after an in-place rebuild")
+    assert(probedIds().forall(_ < 3))
+    // (4) mergeIndexes rewrites the DST centroid table in place: a dst
+    // reused across merges must serve the NEW primary's set
+    val bRows = (200L until 220L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 4f - 2f)) }
+    val bPath = Tables.scratch("ivf_cache_inval_b")
+    val dst = Tables.scratch("ivf_cache_inval_dst")
+    IvfIndex.buildIndex(bRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 2, path = bPath)
+    IvfIndex.mergeIndexes(spark, path, bPath, dst, "vec_id", "embedding")
+    assert(centroidCount(dst) === 3L) // warms the dst cache (primary = path)
+    IvfIndex.mergeIndexes(spark, bPath, path, dst, "vec_id", "embedding")
+    assert(centroidCount(dst) === 2L,
+      "stale centroid cache served after a dst re-merge")
+    // (5) the size gate: past graft.ivf.centroidLiteralMaxFloats the
+    // read falls back to a plain distributed scan (uncached) — results
+    // must be identical to the cached path
+    val cached = probedIds()
+    spark.conf.set("graft.ivf.centroidLiteralMaxFloats", "1")
+    try assert(probedIds() === cached,
+      "gate fallback scan disagrees with the cached centroid table")
+    finally spark.conf.unset("graft.ivf.centroidLiteralMaxFloats")
   }
 }

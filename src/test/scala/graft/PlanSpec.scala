@@ -673,6 +673,97 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("hybrid/snapshot/branch/changes TVFs carry manifest stats; a filter pushes THROUGH the annotation") {
+    // round-15: ManifestSized extended from the text/ANN legs to the
+    // remaining TVFs, plus pushdown transparency (a Filter above a TVF
+    // used to stop at the annotation boundary)
+    import graft.operators.{IvfIndex, Snapshots, TextIndex}
+    val factDir = Tables.scratch("tvf2_fact")
+    val docs = spark.range(0, 4000).select(col("id").as("doc_id"),
+      concat(lit("needlea "),
+        expr("concat_ws(' ', transform(sequence(1, 40), " +
+          "i -> md5(cast(id * 100 + i as string))))")).as("text"))
+    docs.write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "262144",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "262144")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      assert(fact.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(262144))
+      def msNode(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case m: graft.plans.ManifestSized => m }
+      // ── snapshot + branch: EXACT footer cardinality, no job ──
+      val root = Tables.scratch("tvf2_snap")
+      Snapshots.create(spark, root,
+        docs.limit(500).select(col("doc_id"), (col("doc_id") % 7).as("grp")))
+      Snapshots.commitMerge(spark, root,
+        spark.range(0, 120).select(col("id").as("doc_id"), lit(99L).as("grp")),
+        "doc_id")
+      val snap1 = spark.sql(s"SELECT * FROM graft_snapshot('$root', 1)")
+      assert(msNode(snap1).exists(_.stats.rowCount === Some(BigInt(500))),
+        s"graft_snapshot v1 rowCount: ${msNode(snap1).map(_.stats.rowCount)}")
+      Snapshots.createBranch(spark, root, "audit")
+      Snapshots.commitToBranch(spark, root, "audit",
+        docs.limit(200).select(col("doc_id"), lit(1L).as("grp")))
+      val br = spark.sql(s"SELECT * FROM graft_branch('$root', 'audit')")
+      assert(msNode(br).exists(_.stats.rowCount === Some(BigInt(200))),
+        s"graft_branch rowCount: ${msNode(br).map(_.stats.rowCount)}")
+      // ── table_changes: bound |v1|+|v2|; the BHJ the raw leg misses ──
+      val chg = spark.sql(
+        s"SELECT * FROM graft_table_changes('$root', 1, 2, 'doc_id')")
+      assert(msNode(chg).exists(_.stats.rowCount === Some(BigInt(1000))),
+        s"graft_table_changes bound: ${msNode(chg).map(_.stats.rowCount)}")
+      // separation: the raw diff is a full-outer join whose size-only
+      // estimate explodes past the threshold — the bound alone buys BHJ
+      val rawChg = Snapshots.changes(spark, root, 1, 2, "doc_id")
+      assert(rawChg.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(262144),
+        "raw changes estimate under threshold — fixture cannot separate")
+      val chgJoin = chg.join(fact, Seq("doc_id"))
+        .queryExecution.executedPlan.toString
+      assert(chgJoin.contains("BroadcastHashJoin"),
+        s"manifest-sized changes leg did not broadcast:\n${chgJoin.take(2000)}")
+      // ── hybrid: probes × k bound, BHJ on a fact join ──
+      val tidx = Tables.scratch("tvf2_tidx")
+      TextIndex.buildIndex(docs, "doc_id", "text", tidx, nBuckets = 8)
+      val vidx = Tables.scratch("tvf2_vidx")
+      val probesDir = Tables.scratch("tvf2_probes")
+      val emb = Tables(spark, sf, "embeddings")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = vidx)
+      emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(probesDir)
+      val hyb = spark.sql(s"SELECT * FROM graft_hybrid_search('$tidx', " +
+        s"'$vidx', '$probesDir', 'needlea', 20, 5, 8)")
+      val hybNode = msNode(hyb)
+      assert(hybNode.exists(_.stats.rowCount === Some(BigInt(50))),
+        s"graft_hybrid_search bound: ${hybNode.map(_.stats.rowCount)}")
+      val hybJoin = hyb.join(fact, Seq("doc_id"))
+        .queryExecution.executedPlan.toString
+      assert(hybJoin.contains("BroadcastHashJoin"),
+        s"manifest-sized hybrid leg did not broadcast:\n${hybJoin.take(2000)}")
+      // ── pushdown transparency: Filter written ABOVE the TVF in SQL
+      // swaps below the annotation and reaches the postings scan ──
+      val filtered = spark.sql(
+        s"SELECT * FROM graft_text_search('$tidx', 'needlea') WHERE doc_id < 100")
+      val opt = filtered.queryExecution.optimizedPlan
+      assert(opt.isInstanceOf[graft.plans.ManifestSized],
+        s"Filter did not push through the annotation; plan root: ${opt.nodeName}")
+      // the predicate lands in the scan-side Filter/DataFilters BELOW
+      // the aggregate (the PushedFilters display string truncates, so
+      // match the pushed data-filter form)
+      val phys = filtered.queryExecution.executedPlan.toString
+      val pushed = """doc_id#\d+L < 100""".r.findFirstIn(phys)
+      assert(pushed.isDefined &&
+        phys.indexOf(pushed.get) > phys.lastIndexOf("HashAggregate"),
+        s"doc_id predicate never pushed below the aggregate:\n${phys.take(3000)}")
+      assert(filtered.count() === 100L)
+    } finally prev.foreach { case (c, vOpt) =>
+      vOpt.fold(spark.conf.unset(c))(spark.conf.set(c, _))
+    }
+  }
+
   test("fuzzy decontamination: all joins equi — no cartesian, no nested loop") {
     // candidate generation is the prefix-gram equi-join; verification
     // joins back by doc id. A cartesian or BNLJ anywhere means the

@@ -911,4 +911,106 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.searchAll(spark, out, Seq("clean")).count() === 20L)
     assert(TextIndex.searchAll(spark, out, Seq("poison")).count() === 0L)
   }
+
+  test("lease age prefers the BODY timestamp: a coarse-mtime store cannot expire a fresh marker") {
+    val out = Tables.scratch("textindex_lock_body_ts")
+    new java.io.File(out).mkdirs()
+    val holder = MaintenanceLock.acquire(spark, out)
+    val marker = new java.io.File(
+      MaintenanceLock.markerPath(out).toUri.getPath)
+    // a second-granularity (or skewed) store rounds the mtime into the
+    // past — the body timestamp the holder wrote must win, so the
+    // marker is NOT stealable
+    assert(marker.setLastModified(System.currentTimeMillis() - 3600000L))
+    spark.conf.set("graft.index.writerLeaseMs", "60000")
+    try {
+      intercept[IllegalStateException] { MaintenanceLock.acquire(spark, out) }
+      assert(MaintenanceLock.isHeld(spark, out, holder))
+      // converse: a stale BODY timestamp is stolen even under a fresh
+      // mtime (mtime is only the pre-timestamp-marker fallback)
+      java.nio.file.Files.write(marker.toPath,
+        s"$holder\n${System.currentTimeMillis() - 3600000L}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val stealer = MaintenanceLock.acquire(spark, out)
+      assert(stealer !== holder)
+      assert(MaintenanceLock.isHeld(spark, out, stealer))
+      MaintenanceLock.release(spark, out, stealer)
+    } finally spark.conf.unset("graft.index.writerLeaseMs")
+  }
+
+  test("heartbeat keeps a long verb's lease alive past the nominal lease age") {
+    // the round-14 gap: a verb longer than writerLeaseMs used to age
+    // out of its OWN lease and could be stolen mid-run — two live
+    // writers. withLock now re-stamps the body timestamp from a daemon
+    // thread, so only a genuinely dead holder's marker expires.
+    val out = Tables.scratch("textindex_lock_heartbeat")
+    new java.io.File(out).mkdirs()
+    spark.conf.set("graft.index.writerLeaseMs", "400")
+    spark.conf.set("graft.index.writerHeartbeatMs", "100")
+    try {
+      MaintenanceLock.withLockToken(spark, out) { token =>
+        // the verb runs 3× the lease; every one of these acquire
+        // attempts would steal an un-heartbeated marker
+        var stolen: Option[String] = None
+        (1 to 6).foreach { _ =>
+          Thread.sleep(200)
+          try stolen = Some(MaintenanceLock.acquire(spark, out))
+          catch { case _: IllegalStateException => () }
+        }
+        assert(stolen.isEmpty, s"lease stolen mid-verb despite heartbeats: $stolen")
+        MaintenanceLock.assertHeld(spark, out, token)
+      }
+    } finally {
+      spark.conf.unset("graft.index.writerLeaseMs")
+      spark.conf.unset("graft.index.writerHeartbeatMs")
+    }
+  }
+
+  test("assertHeld aborts a writer whose lease was stolen; a zombie heartbeat cannot re-stamp the stealer's marker") {
+    // the ownership re-check IVF compaction runs at its points of no
+    // return (before the dynamic-overwrite rewrite and before the
+    // hygiene tail), drilled at the lock layer
+    val out = Tables.scratch("textindex_lock_stolen_assert")
+    new java.io.File(out).mkdirs()
+    val zombie = MaintenanceLock.acquire(spark, out)
+    MaintenanceLock.assertHeld(spark, out, zombie) // held: passes
+    spark.conf.set("graft.index.writerLeaseMs", "0")
+    val stealer = try { Thread.sleep(10); MaintenanceLock.acquire(spark, out) }
+      finally spark.conf.unset("graft.index.writerLeaseMs")
+    intercept[IllegalStateException] {
+      MaintenanceLock.assertHeld(spark, out, zombie) }
+    assert(!MaintenanceLock.heartbeat(spark, out, zombie),
+      "a zombie heartbeat re-stamped the stealer's marker")
+    assert(MaintenanceLock.isHeld(spark, out, stealer),
+      "the zombie's probes disturbed the stealer's intent")
+    MaintenanceLock.release(spark, out, stealer)
+  }
+
+  test("steal is conditional on the observed token: a fresh successor marker in the check-delete window is never evicted") {
+    // check-then-act regression drill: acquirer A sees an expired
+    // marker, but before A's delete lands the expired holder releases
+    // and a NEW holder B acquires. A's conditional evict re-reads the
+    // body and must leave B's fresh marker alone. Simulated by
+    // swapping the marker between A's age observation and its steal:
+    // with lease 60 s and a fresh body timestamp, A's re-read sees a
+    // token it did not observe expired → A must FAIL, not evict.
+    val out = Tables.scratch("textindex_lock_cond_steal")
+    new java.io.File(out).mkdirs()
+    val marker = new java.io.File(
+      MaintenanceLock.markerPath(out).toUri.getPath)
+    // plant an EXPIRED marker (stale body ts), then a successor B
+    // replaces it with a fresh one before A arrives — from A's view B's
+    // marker is simply live, and under a live lease A must fail loudly
+    java.nio.file.Files.write(marker.toPath,
+      s"dead-holder\n${System.currentTimeMillis() - 3600000L}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.conf.set("graft.index.writerLeaseMs", "60000")
+    try {
+      val b = MaintenanceLock.acquire(spark, out) // steals the dead marker
+      intercept[IllegalStateException] { MaintenanceLock.acquire(spark, out) }
+      assert(MaintenanceLock.isHeld(spark, out, b),
+        "a racing acquirer evicted the live successor's marker")
+      MaintenanceLock.release(spark, out, b)
+    } finally spark.conf.unset("graft.index.writerLeaseMs")
+  }
 }
