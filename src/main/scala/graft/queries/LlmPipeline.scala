@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
 object LlmPipeline {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  // ── concurrent verb chains ──────────────────────────────────────────
+  // The TextIndex/IvfIndex "concurrent maintenance jobs" discipline at
+  // the QUERY level: a verb composed of INDEPENDENT layer pipelines
+  // (q_forget's table / text-index / vector-index erasures share no
+  // state) pays sum-of-chain latencies run sequentially while most of
+  // the cluster idles; submitted from separate threads the scheduler
+  // interleaves their stages and wall-clock is max(), not sum(). Each
+  // chain is internally sequential (its own build → tombstone →
+  // compact order is a real dependency), and every cross-chain
+  // dependency is an explicit await.
+  private def inFlight[T](f: => T): java.util.concurrent.Future[T] = {
+    val task = new java.util.concurrent.FutureTask[T](() => f)
+    val th = new Thread(task, s"graft-llm-chain-${java.util.UUID.randomUUID}")
+    th.setDaemon(true)
+    th.start()
+    task
+  }
+
+  private def await[T](f: java.util.concurrent.Future[T]): T =
+    try f.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+
   /** DuckDB twin of GraftHash.cosine: double accumulation (the builtin
     * list_cosine_similarity runs in float32 — off by ~1e-8).
     */
@@ -740,29 +762,51 @@ object LlmPipeline {
         .join(t(s, dir, "embeddings")
           .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
       Snapshots.create(s, root, corpus)
-      TextIndex.buildIndex(Snapshots.read(s, root), "doc_id", "text", tidx)
-      IvfIndex.buildIndex(Snapshots.read(s, root), "doc_id", "embedding",
-        nCentroids = 8, path = vidx)
       val isForgotten = col("doc_id") % 17 === 0
       val ids = corpus.filter(isForgotten).select("doc_id")
-      // table: DELETE commit, then expire history + vacuum orphans so
-      // NO resolvable version serves the ids
-      Snapshots.commitDelete(s, root, isForgotten)
+      // v1 pinned BEFORE the chains fork: Snapshots.read resolves the
+      // version path (and lists its immutable files) eagerly, so the
+      // concurrent DELETE commit below cannot change what the index
+      // builds ingest — and expire waits for every v1 reader
+      val v1 = Snapshots.read(s, root)
+      // the three layers' erase pipelines are INDEPENDENT (separate
+      // artifacts, separate locks) — run them as concurrent chains;
+      // each chain keeps its own build → tombstone → compact order
+      val textChain = inFlight {
+        // text index: build, tombstone (exact immediately), then
+        // reconciling compaction (physical purge of the posting rows)
+        TextIndex.buildIndex(v1, "doc_id", "text", tidx)
+        TextIndex.deleteDocs(ids, "doc_id", tidx)
+        TextIndex.compactIndex(s, tidx)
+      }
+      val vecChain = inFlight {
+        // vector index: build, tombstone, list fold (physical purge)
+        IvfIndex.buildIndex(v1, "doc_id", "embedding",
+          nCentroids = 8, path = vidx)
+        IvfIndex.deleteFromIndex(ids, "doc_id", vidx)
+        IvfIndex.compactLists(s, vidx, "doc_id")
+      }
+      // table: DELETE commit (writes v2; v1's files stay untouched, so
+      // the concurrent builds' pinned reads are safe)
+      val tblChain = inFlight { Snapshots.commitDelete(s, root, isForgotten) }
+      await(textChain); await(vecChain); await(tblChain)
+      // expire history + vacuum orphans LAST — it deletes v1's files,
+      // so it must not run before every chain has finished reading v1
       Snapshots.expire(s, root, retain = 1)
-      // text index: tombstone (exact immediately) + reconciling
-      // compaction (physical purge of the posting rows)
-      TextIndex.deleteDocs(ids, "doc_id", tidx)
-      TextIndex.compactIndex(s, tidx)
-      // vector index: tombstone + list fold (physical purge)
-      IvfIndex.deleteFromIndex(ids, "doc_id", vidx)
-      IvfIndex.compactLists(s, vidx, "doc_id")
-      // audit PHYSICAL residue on every surface, raw reads — no masks
-      val tableResidue = Snapshots.read(s, root).filter(isForgotten).count()
+      // audit PHYSICAL residue on every surface, raw reads — no masks;
+      // the four audits are independent scans, same concurrency shape
+      val tableResidueF = inFlight {
+        Snapshots.read(s, root).filter(isForgotten).count() }
+      val postResidueF = inFlight {
+        s.read.parquet(TextIndex.postingsDir(s, tidx))
+          .join(ids, "doc_id").count() }
+      val listResidueF = inFlight {
+        s.read.parquet(s"$vidx/assigned")
+          .join(ids, Seq("doc_id"), "left_semi").count() }
       val histResidue = Snapshots.versions(s, root).size - 1
-      val postResidue = s.read.parquet(TextIndex.postingsDir(s, tidx))
-        .join(ids, "doc_id").count()
-      val listResidue = s.read.parquet(s"$vidx/assigned")
-        .join(ids, Seq("doc_id"), "left_semi").count()
+      val tableResidue = await(tableResidueF)
+      val postResidue = await(postResidueF)
+      val listResidue = await(listResidueF)
       val forgotten =
         tableResidue == 0 && histResidue == 0 && postResidue == 0 && listResidue == 0
       Snapshots.read(s, root)
