@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Targeted scaling probes the per-query Bench cannot express — phase
+  * timings INSIDE a verb. First resident probe: incremental
+  * decontamination amortization. The `q_decontaminate_incremental`
+  * baseline pair's claim is that the persisted contamination index is
+  * paid ONCE and per-batch checks then exclude the benchmark entirely
+  * — so per-batch cost must be flat in the batch count and far below
+  * the build. This main times the build and N per-batch checks
+  * separately (the query surface fuses them into one measured verb).
+  *
+  * Usage: scripts/run.sh graft.ScaleProbe <sfDir> [nBatches=4]
+  * Prints one JSON line: {"build":s, "batches":[s,...], "sf":...}.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = {
+      System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // same shapes as q_decontaminate_incremental (tokens projected
+    // before the shingle HOF — the O(len²) rule)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), Dedup.shingles(col("w"), 2).as("grams"))
+    val idx = Tables.scratch("contamination_idx_probe")
+    // JIT warm-up at the smallest sf
+    val warm = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), Dedup.shingles(col("w"), 2).as("grams"))
+    val warmIdx = Tables.scratch("contamination_idx_probe_warm")
+    Dedup.buildContaminationIndex(
+      warm.filter(col("doc_id") % 10 === 0), "doc_id", "grams", 0.8, warmIdx)
+    Dedup.checkContamination(warm.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "grams", 0.8, warmIdx).write.format("noop").mode("overwrite").save()
+
+    val build = timed {
+      Dedup.buildContaminationIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "grams", 0.8, idx)
+    }
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val batches = (0 until nBatches).map { b =>
+      timed {
+        Dedup.checkContamination(
+            train.filter(col("doc_id") % nBatches === b),
+            "doc_id", "grams", 0.8, idx)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    val bs = batches.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(f"""{"build":$build%.3f,"batches":$bs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
