@@ -114,6 +114,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_index_stats(indexPath) - one-row live manifest view"),
       GraftExtensions.indexStatsTvfBuilder))
 
+    // IVF skew advisory in SQL (the observability half of
+    // rebalanceIndex, under graft.ivf.maxListFactor — default 2.0):
+    //   SELECT * FROM graft_ivf_skew('/path/to/ivf')
+    // one row naming the lists a rebalance would split, same selection
+    // rule, so `WHERE rebalance_advised` schedules the repair at
+    // cadence from plain SQL.
+    ext.injectTableFunction((FunctionIdentifier("graft_ivf_skew"),
+      info("graft_ivf_skew",
+        "graft_ivf_skew(indexPath) - one-row hot-list advisory"),
+      GraftExtensions.ivfSkewTvfBuilder))
+
     // SQL surface for hybrid retrieval: RRF fusion of the two index-
     // served legs (HybridSearch.rrfTopK) —
     //   SELECT * FROM graft_hybrid_search(textIdx, vecIdx, probes,
@@ -257,6 +268,22 @@ object GraftExtensions {
       // without hints.
       graft.plans.ManifestSized.bounded(plan,
         graft.plans.ManifestSized.parquetRowCount(s, probes) * k)
+    }
+
+  /** The graft_ivf_skew TVF: one-row hot-list advisory under the
+    * session's `graft.ivf.maxListFactor` (default 2.0, rebalance's own
+    * default). Index id convention as for graft_ann_search: vec_id.
+    */
+  val ivfSkewTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"graft_ivf_skew expects (indexPath); got ${es.length} args")
+      val s = SparkSession.active
+      val factor = s.conf.getOption("graft.ivf.maxListFactor")
+        .map(_.toDouble).getOrElse(2.0)
+      graft.operators.IvfIndex.skewReport(s,
+          strArg(es.head, "graft_ivf_skew indexPath"), "vec_id", factor)
+        .queryExecution.analyzed
     }
 
   /** The graft_index_stats TVF: the one-row manifest view. */

@@ -666,6 +666,33 @@ object IvfIndex {
     live.sorted.map(c => (c, counted.getOrElse(c, 0L)))
   }
 
+  /** One-row skew ADVISORY — the observability half of
+    * [[rebalanceIndex]], so a pipeline can schedule the repair at
+    * cadence from SQL (`graft_ivf_skew` TVF) instead of an operator
+    * eyeballing list sizes. Names the lists [[rebalanceIndex]] would
+    * split under the same `maxListFactor` rule (LIVE size strictly
+    * above factor × mean, and ≥ 2 rows — a 1-row list can never be a
+    * hot spot), using the SAME selection arithmetic, so
+    * `rebalance_advised = false` ⇔ a rebalance run would be a no-op.
+    * Driver cost: [[listSizes]] — one masked nCentroids-row aggregate;
+    * the report itself is a LocalRelation (metadata, never data).
+    */
+  def skewReport(spark: SparkSession, path: String, idCol: String,
+      maxListFactor: Double = 2.0): DataFrame = {
+    val sizes = listSizes(spark, path, idCol)
+    val total = sizes.map(_._2).sum
+    val mean = if (sizes.isEmpty) 0.0 else total.toDouble / sizes.size
+    val hot = sizes.filter(s => s._2 > maxListFactor * mean && s._2 >= 2)
+      .map(_._1).sorted
+    import spark.implicits._
+    Seq((sizes.size.toLong, total,
+        sizes.map(_._2).foldLeft(0L)(math.max),
+        math.round(maxListFactor * 10000),
+        hot.length.toLong, hot.mkString(","), hot.nonEmpty))
+      .toDF("n_lists", "total_live", "max_list", "factor_bp",
+        "n_hot", "hot_lists", "rebalance_advised")
+  }
+
   /** Split oversized inverted lists — the maintenance verb for
     * hot-centroid skew. Real corpora drift: a centroid that captures a
     * dense region accumulates a list far above corpus/nCentroids, and

@@ -2147,6 +2147,55 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF skew ADVISORY from SQL — the graft_ivf_skew TVF closing the
+    // rebalance loop: a pipeline reads the one-row advisory
+    // (hot lists under graft.ivf.maxListFactor, the exact selection
+    // rule rebalanceIndex applies) and schedules the repair at cadence
+    // when `rebalance_advised`. Engine-side invariants measured here:
+    // the advisory equals an independent recount off the masked live
+    // list sizes (skew_consistent), and an advised rebalance strictly
+    // reduces the max list (progress_ok — deterministic: every split
+    // sub-list is smaller than its hot parent, and every un-split list
+    // was already ≤ factor × mean < max). total_live ties the report
+    // to the corpus exactly — the SQL oracle's check.
+    "q_sim_ivf_skew" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Tables.scratch("ivf_skew_idx")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 4, path = idx)
+      val prevFactor = s.conf.getOption("graft.ivf.maxListFactor")
+      s.conf.set("graft.ivf.maxListFactor", "1.25")
+      try {
+        val before = s.sql(s"SELECT * FROM graft_ivf_skew('$idx')").head()
+        // independent recount, same rule (live sizes, > factor × mean, ≥ 2)
+        val sizes = IvfIndex.listSizes(s, idx, "vec_id")
+        val mean = sizes.map(_._2).sum.toDouble / sizes.size
+        val hotRe = sizes.filter(x => x._2 > 1.25 * mean && x._2 >= 2)
+          .map(_._1).sorted
+        val consistent =
+          before.getAs[String]("hot_lists") == hotRe.mkString(",") &&
+          before.getAs[Long]("n_hot") == hotRe.length.toLong &&
+          before.getAs[Long]("max_list") == sizes.map(_._2).max &&
+          before.getAs[Boolean]("rebalance_advised") == hotRe.nonEmpty
+        // the advisory drives the repair: rebalance iff advised
+        if (before.getAs[Boolean]("rebalance_advised"))
+          IvfIndex.rebalanceIndex(s, idx, "vec_id", "embedding",
+            maxListFactor = 1.25)
+        val after = s.sql(s"SELECT * FROM graft_ivf_skew('$idx')").head()
+        val progressOk = !before.getAs[Boolean]("rebalance_advised") ||
+          after.getAs[Long]("max_list") < before.getAs[Long]("max_list")
+        val liveOk = after.getAs[Long]("total_live") ==
+          before.getAs[Long]("total_live")
+        import s.implicits._
+        Seq((before.getAs[Long]("total_live"),
+            before.getAs[Long]("factor_bp"),
+            consistent, progressOk && liveOk))
+          .toDF("total_live", "factor_bp", "skew_consistent", "progress_ok")
+      } finally prevFactor match {
+        case Some(f) => s.conf.set("graft.ivf.maxListFactor", f)
+        case None => s.conf.unset("graft.ivf.maxListFactor")
+      }
+    }),
+
     // IVF DELETE — retraction for the vector index (GDPR-erasure /
     // unlearning): deleteFromIndex is an O(deleted ids) tombstone
     // append; the live view (loadLive) masks immediately with a
@@ -4328,6 +4377,12 @@ object LlmPipeline {
          |  FROM embeddings p, embeddings c
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_sim_ivf_skew" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_live,
+        |  CAST(12500 AS BIGINT) AS factor_bp,
+        |  true AS skew_consistent, true AS progress_ok
+        |FROM embeddings""".stripMargin,
 
     "q_sim_topk_agg" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (
