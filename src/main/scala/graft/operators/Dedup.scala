@@ -526,6 +526,20 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nClusters: Int, seed: Long = 42L): DataFrame = {
+    // an empty corpus has no duplicates — and no train set for the
+    // blocking quantizer (k-means needs ≥1 point); short-circuit to
+    // the empty result shape. The isEmpty probe is one limit-1 task,
+    // noise next to the k-means fit it guards.
+    if (df.isEmpty)
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("dup_of",
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("max_cos",
+            org.apache.spark.sql.types.DoubleType))))
     val (assigned, _) = IvfIndex.fit(df, idCol, vecCol, nClusters, seed)
     val a = assigned.select(col("cluster"), col(idCol).as("vid_a"), col(vecCol).as("v_a"))
     val b = assigned.select(col("cluster"), col(idCol).as("vid_b"), col(vecCol).as("v_b"))

@@ -83,10 +83,46 @@ object PartitionedSnapshots {
   def versions(spark: SparkSession, root: String): Seq[Int] =
     Snapshots.manifestSeqs(spark, root)
 
+  // ── empty-table readability ─────────────────────────────────────────
+  // A partitioned write of ZERO rows produces ZERO partition dirs — a
+  // version can legitimately map no partitions (an empty create, or a
+  // table whose every row was deleted), and `spark.read.parquet()` of
+  // no paths cannot infer a schema. The table's schema is therefore
+  // recorded ONCE at create as a sidecar, and empty mappings read as
+  // an empty TYPED frame — the same keep-the-schema rule as IvfIndex's
+  // full-erasure compaction.
+
+  private val SchemaFile = "_schema.json"
+
+  private def writeSchema(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    val out = fs(spark, root).create(new Path(root, SchemaFile), true)
+    try out.write(df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def emptyTyped(spark: SparkSession, root: String): Option[DataFrame] = {
+    val p = new Path(root, SchemaFile)
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val json = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      Some(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    }
+  }
+
   /** Create the table at version 1 (drops any existing table at root). */
   def create(spark: SparkSession, root: String, df: DataFrame, partCol: String): Int = {
     fs(spark, root).delete(new Path(root), true)
     val dirs = writeVersion(spark, root, df, partCol, 1)
+    // schema sidecar BEFORE the manifest commit (the commit publishes)
+    writeSchema(spark, root, df)
     Snapshots.writeManifestLines(spark, root,
       dirs.sorted.map(d => s"$d\t1"), sweep = false)
   }
@@ -95,6 +131,9 @@ object PartitionedSnapshots {
     * every partition's manifest-resolved data dir. */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
     val m = mapping(spark, root, version)
+    if (m.isEmpty)
+      return emptyTyped(spark, root).getOrElse(throw new IllegalStateException(
+        s"version maps no partitions and no schema sidecar exists at $root"))
     spark.read.parquet(m.toSeq.sorted.map { case (d, v) => partPath(root, d, v) }: _*)
   }
 
@@ -134,7 +173,12 @@ object PartitionedSnapshots {
       val raw = unescapePathName(d.stripPrefix(s"$StagePartCol="))
       keep(raw)
     }
-    require(m.nonEmpty, "no partition matches the filter")
+    // SQL semantics: a predicate matching no partition returns an
+    // empty (typed) relation, not an error — pre-sidecar tables keep
+    // the loud failure since their schema is unrecoverable pathless
+    if (m.isEmpty)
+      return emptyTyped(spark, root).getOrElse(throw new IllegalArgumentException(
+        "no partition matches the filter (and no schema sidecar exists)"))
     spark.read.parquet(m.toSeq.sorted.map { case (d, v) => partPath(root, d, v) }: _*)
   }
 

@@ -72,9 +72,13 @@ object Partitioning {
   def zorderWrite(
       df: DataFrame, path: String, numFiles: Int,
       keyA: String, keyB: String): Unit = {
+    // coalesce: min/max are NULL over an empty input — the z-key
+    // degenerates to the constant 0 and the write is an empty layout
     val r = df.agg(
-      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
-      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+      coalesce(min(col(keyA)).cast("double"), lit(0.0)),
+      coalesce(max(col(keyA)).cast("double"), lit(0.0)),
+      coalesce(min(col(keyB)).cast("double"), lit(0.0)),
+      coalesce(max(col(keyB)).cast("double"), lit(0.0))).head()
     val (aLo, aHi, bLo, bHi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     def scaled(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0)

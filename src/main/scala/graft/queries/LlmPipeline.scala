@@ -632,7 +632,11 @@ object LlmPipeline {
       val preDir = Tables.scratch("text_index_delete_pre")
       TextIndex.searchAll(s, idx, terms).write.mode("overwrite").parquet(preDir)
       TextIndex.compactIndex(s, idx)
-      val purged = s.read.parquet(TextIndex.postingsDir(s, idx))
+      // raw physical-residue read, with the one audited column DECLARED
+      // (an empty corpus leaves the postings generation file-less —
+      // inference would fail where the audit should read zero rows)
+      val purged = s.read.schema("doc_id BIGINT")
+        .parquet(TextIndex.postingsDir(s, idx))
         .filter(col("doc_id") % 7 === 0).count() == 0
       // materialize the post-compaction answer ONCE — it feeds both
       // exceptAll directions and the final output
@@ -1617,7 +1621,8 @@ object LlmPipeline {
     // are the method's only recall loss).
     "q_dedup_semantic" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val maxId = emb.agg(max("vec_id")).head.getLong(0) + 1
+      // coalesce: max() is NULL on an empty corpus (the B.9 empty-net rule)
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
       val planted = emb.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + maxId)
         .withColumn("embedding", transform(col("embedding"), (x, j) =>
@@ -1657,7 +1662,8 @@ object LlmPipeline {
     // recomputes both jaccard and levenshtein on the same candidates.
     "q_dedup_editdist" -> ((s, dir) => {
       val all = t(s, dir, "documents")
-      val maxDoc = all.agg(max("doc_id")).head.getLong(0) + 1
+      // coalesce: max() is NULL on an empty corpus (the B.9 empty-net rule)
+      val maxDoc = all.agg(coalesce(max("doc_id"), lit(-1L))).head.getLong(0) + 1
       val base = all.filter(col("source") === "src0").select("doc_id", "text")
       val mut = base.filter(col("doc_id") % 5 === 0)
         .withColumn("doc_id", col("doc_id") + maxDoc)

@@ -463,7 +463,7 @@ object Sources {
       // insert keys offset by max(o_orderkey): collision-free at every
       // scale factor (a fixed literal offset silently turns inserts
       // into updates once the table outgrows it)
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val maxKey = orders.agg(coalesce(max("o_orderkey"), lit(-1L))).head.getLong(0) + 1
       val updates = orders.filter(col("o_orderkey") % 20 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.1)
         .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
@@ -487,7 +487,7 @@ object Sources {
       val root = graft.Tables.scratch("schema_merge_tbl")
       val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
       Snapshots.create(s, root, cust)
-      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val maxCust = cust.agg(coalesce(max("c_custkey"), lit(-1L))).head.getLong(0) + 1
       val updates = cust.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 1000)
         .unionByName(cust.filter(col("c_custkey") % 97 === 0)
@@ -526,7 +526,7 @@ object Sources {
       val agg0 = Snapshots.read(s, root, Some(1)).groupBy("o_orderstatus")
         .agg(cents.as("cents0"), count(lit(1)).as("n0"))
         .localCheckpoint()
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val maxKey = orders.agg(coalesce(max("o_orderkey"), lit(-1L))).head.getLong(0) + 1
       val updates = orders.filter(col("o_orderkey") % 20 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.1)
         .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
@@ -569,7 +569,8 @@ object Sources {
       import graft.operators.Snapshots
       val root = graft.Tables.scratch("timetravel_tbl")
       val cust = t(s, dir, "customer")
-      val cents = sum(round(col("c_acctbal") * 100).cast("long"))
+      // coalesce: sum() is NULL over an empty table (the B.9 empty-net rule)
+      val cents = coalesce(sum(round(col("c_acctbal") * 100).cast("long")), lit(0L))
       Snapshots.create(s, root, cust)
       val pre = Snapshots.read(s, root, Some(1))
         .agg(count(lit(1)), cents).collect()(0)
@@ -577,7 +578,7 @@ object Sources {
       // insert keys offset by max(c_custkey) — collision-free at every
       // scale factor (the oracle predicts v2's count as customer +
       // inserts, which a key collision would silently desync)
-      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val maxCust = cust.agg(coalesce(max("c_custkey"), lit(-1L))).head.getLong(0) + 1
       val updates = cust.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 1000)
         .unionByName(cust.filter(col("c_custkey") % 97 === 0)
@@ -659,7 +660,7 @@ object Sources {
       val root = graft.Tables.scratch("changes_tbl")
       val cust = t(s, dir, "customer")
       Snapshots.create(s, root, cust)
-      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val maxCust = cust.agg(coalesce(max("c_custkey"), lit(-1L))).head.getLong(0) + 1
       val updates = cust.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 1000)
         .unionByName(cust.filter(col("c_custkey") % 97 === 0)
@@ -684,7 +685,7 @@ object Sources {
       val root = graft.Tables.scratch("cdf_evolve_tbl")
       val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
       Snapshots.create(s, root, cust)
-      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val maxCust = cust.agg(coalesce(max("c_custkey"), lit(-1L))).head.getLong(0) + 1
       val tierOf = (bal: org.apache.spark.sql.Column) =>
         when(bal > 5000, "gold").otherwise("std")
       val updates = cust.filter(col("c_custkey") % 10 === 0)
@@ -713,13 +714,14 @@ object Sources {
       import graft.operators.Snapshots
       val root = graft.Tables.scratch("rollback_tbl")
       val cust = t(s, dir, "customer")
-      val cents = sum(round(col("c_acctbal") * 100).cast("long"))
+      // coalesce: sum() is NULL over an empty table (the B.9 empty-net rule)
+      val cents = coalesce(sum(round(col("c_acctbal") * 100).cast("long")), lit(0L))
       Snapshots.create(s, root, cust)
       val pre = Snapshots.read(s, root, Some(1))
         .agg(count(lit(1)), cents).collect()(0)
       val (preN, preCents) = (pre.getLong(0), pre.getLong(1))
       // max-derived offset: collision-free inserts at every scale factor
-      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val maxCust = cust.agg(coalesce(max("c_custkey"), lit(-1L))).head.getLong(0) + 1
       val bad = cust.filter(col("c_custkey") % 5 === 0)
         .withColumn("c_acctbal", -col("c_acctbal"))
         .unionByName(cust.filter(col("c_custkey") % 7 === 0)
@@ -748,7 +750,7 @@ object Sources {
       val root = graft.Tables.scratch("sql_tt_tbl")
       val cust = t(s, dir, "customer")
       Snapshots.create(s, root, cust)
-      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val maxCust = cust.agg(coalesce(max("c_custkey"), lit(-1L))).head.getLong(0) + 1
       Snapshots.commitMerge(s, root,
         cust.filter(col("c_custkey") % 97 === 0)
           .withColumn("c_custkey", col("c_custkey") + maxCust)
@@ -776,7 +778,7 @@ object Sources {
       val cust = t(s, dir, "customer")
       Snapshots.create(s, root, cust.repartition(8))
       // max-derived offset: collision-free inserts at every scale factor
-      val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val maxCust = cust.agg(coalesce(max("c_custkey"), lit(-1L))).head.getLong(0) + 1
       val inserts = cust.filter(col("c_custkey") % 50 === 0)
         .withColumn("c_custkey", col("c_custkey") + maxCust)
       Snapshots.commitMerge(s, root, inserts, "c_custkey")
@@ -805,7 +807,7 @@ object Sources {
       val preN = PartitionedSnapshots.read(s, root, Some(1)).count()
       // max+1: o_orderkey starts at 0, so a bare max offset would map
       // key 0 onto the existing max key — insert silently became update
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val maxKey = orders.agg(coalesce(max("o_orderkey"), lit(-1L))).head.getLong(0) + 1
       val updates = orders
         .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 13 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.2)
@@ -1008,7 +1010,7 @@ object Sources {
         orders.repartitionByRange(8, col("o_orderdate"))
           .sortWithinPartitions("o_orderdate"),
         statsCols = Seq("o_orderdate"))
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val maxKey = orders.agg(coalesce(max("o_orderkey"), lit(-1L))).head.getLong(0) + 1
       val updates = orders.filter(col("o_orderkey") % 20 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.1)
         .unionByName(orders.filter(col("o_orderkey") % 17 === 0)

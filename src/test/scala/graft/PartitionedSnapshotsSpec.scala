@@ -45,8 +45,20 @@ class PartitionedSnapshotsSpec extends SparkSuite {
     PartitionedSnapshots.create(spark, root3, plus, "p")
     assert(PartitionedSnapshots.readPartitions(spark, root3, _ == "a+b")
       .count() === 1)
-    intercept[IllegalArgumentException](
-      PartitionedSnapshots.readPartitions(spark, root, _ == "nope"))
+    // round-15 contract: a predicate matching no partition returns an
+    // EMPTY TYPED frame (SQL semantics) via the create-time schema
+    // sidecar — not an error
+    val none = PartitionedSnapshots.readPartitions(spark, root, _ == "nope")
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === PartitionedSnapshots.read(spark, root).columns.toSeq)
+    // and an EMPTY create stays readable end-to-end (zero partition
+    // dirs — the schema sidecar is the only source of truth)
+    val root4 = freshRoot("psnap_empty_create")
+    PartitionedSnapshots.create(spark, root4,
+      esc.limit(0), "p")
+    assert(PartitionedSnapshots.read(spark, root4).count() === 0L)
+    assert(PartitionedSnapshots.read(spark, root4).columns.toSeq ===
+      Seq("k", "p", "v"))
   }
 
   test("commitMerge rewrites only touched partitions; untouched files byte-identical") {

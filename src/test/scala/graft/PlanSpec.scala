@@ -983,6 +983,67 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("EVERY B.9 verb on a zero-row corpus: no crash; index verbs covered by the empty-INDEX erasure drills") {
+    // round-15: the per-round empty-corpus patches generalized into one
+    // standing net — every LLM-pipeline and snapshot-family verb runs
+    // against a fixture where ALL tables are zero-row, and must
+    // short-circuit cleanly (empty or spine output), never throw. The
+    // failure mode this guards: .max/.head on an empty driver collect,
+    // arithmetic on a null scalar row, a zero-task write that leaves an
+    // unreadable artifact.
+    val emptyDir = Tables.scratch("b9_empty_root")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { tn =>
+      Tables(spark, sf, tn).limit(0)
+        .write.mode("overwrite").parquet(Tables.path(emptyDir, tn))
+    }
+    // k-means-backed verbs cannot BUILD over zero rows (an IVF
+    // quantizer needs a train set — FAISS refuses an empty add/train
+    // the same way); their empty story is the EMPTY-INDEX path: build,
+    // erase everything, compact, keep serving — drilled in DedupSpec
+    // ("ivf full erasure") and below for the text index. The two
+    // streaming ingest verbs ride the paced-snapshot harness and build
+    // those same artifacts in-region.
+    val needsBuiltArtifact = Set(
+      "q_sim_ivf", "q_sim_ivf_pq", "q_sim_ivf_cdc", "q_sim_ivf_delete",
+      "q_sim_ivf_incremental", "q_sim_ivf_merge", "q_sim_ivf_rebalance",
+      "q_sim_ivf_skew", "q_sim_knn_join", "q_sim_label_knn",
+      "q_sim_filtered_ann", "q_sim_range_search",
+      "q_sql_ann", "q_sql_hybrid", "q_hybrid_search_rrf", "q_hybrid_cdc",
+      "q_forget", "q_stream_dedup_ingest", "q_stream_ivf_ingest")
+    val b9 = (graft.queries.LlmPipeline.queries.keys.toSeq ++
+      graft.queries.Sources.queries.keys.filter(_.startsWith("q_table_"))).sorted
+    val failures = b9.filterNot(needsBuiltArtifact).flatMap { name =>
+      try { SparkEntry.queries(name)(spark, emptyDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160))
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} B.9 verb(s) crash on a zero-row corpus:\n${failures.mkString("\n")}")
+  }
+
+  test("text index full erasure: compacting an all-tombstoned index keeps serving; append re-grows it") {
+    // the IVF full-erasure drill's text twin (the q_forget-everything
+    // path on the lexical side)
+    import graft.operators.TextIndex
+    val out = Tables.scratch("text_forget_all")
+    val docs = spark.range(0, 30).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma doc "), col("id").cast("string")).as("text"))
+    TextIndex.buildIndex(docs, "doc_id", "text", out, nBuckets = 4)
+    TextIndex.deleteDocs(docs.select("doc_id"), "doc_id", out)
+    TextIndex.compactIndex(spark, out)
+    // physically erased, still serving: zero hits, live totals zero
+    assert(TextIndex.searchAll(spark, out, Seq("alpha")).count() === 0L)
+    assert(TextIndex.bm25(spark, out, Seq("alpha", "beta"), 5).count() === 0L)
+    val (nDocs, _) = TextIndex.corpusTotals(spark, out)
+    assert(nDocs === 0L, s"erased index still reports $nDocs live docs")
+    // and the index re-grows normally
+    TextIndex.appendDocs(docs.limit(10), "doc_id", "text", out)
+    assert(TextIndex.searchAll(spark, out, Seq("alpha")).count() === 10L)
+  }
+
   test("round-13 curation verbs on an EMPTY documents table: no crash, empty (or all-zero) results") {
     // the q_text_mixture empty-table rule, applied to every new verb
     // with a driver-side histogram walk or broadcast-scalar agg: empty
