@@ -716,24 +716,45 @@ object LlmPipeline {
         t(s, dir, "documents").select("doc_id", "text")
           .join(t(s, dir, "embeddings")
             .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id"))
+      // v1 pinned eagerly (path + file listing resolve at call time),
+      // then the verb's three pipelines run as CONCURRENT chains (the
+      // q_forget discipline): the table's commit/feed chain, the text
+      // index's build→sync chain, and the vector index's build→sync
+      // chain share no state — each sync leg awaits only the feed it
+      // consumes. Commits write NEW version dirs (v1's files are never
+      // touched; there is no expire here), so the builds' pinned v1
+      // reads are safe under the concurrent commits.
       val v1 = Snapshots.read(s, root)
-      TextIndex.buildIndex(v1, "doc_id", "text", tidx)
-      IvfIndex.buildIndex(v1, "doc_id", "embedding", nCentroids = 8, path = vidx)
-      Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
-        Map("text" -> concat(col("text"), lit(" vector")),
-          "embedding" -> reverse(col("embedding"))))
-      Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
       val chDir = Tables.scratch("hybrid_cdc_feed")
-      Snapshots.changes(s, root, 1, 3, "doc_id")
-        .write.mode("overwrite").parquet(chDir)
-      val ch = s.read.parquet(chDir)
-      val retract = ch.filter(col("_change_type").isin("delete", "update_preimage"))
-      TextIndex.deleteDocs(retract.select("doc_id"), "doc_id", tidx)
-      IvfIndex.deleteFromIndex(retract.select("doc_id"), "doc_id", vidx)
-      val reingest = ch.filter(col("_change_type") === "update_postimage")
-      TextIndex.appendDocs(reingest.select("doc_id", "text"), "doc_id", "text", tidx)
-      IvfIndex.appendToIndex(reingest.select("doc_id", "embedding"),
-        "doc_id", "embedding", vidx)
+      val feedChain = inFlight {
+        Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
+          Map("text" -> concat(col("text"), lit(" vector")),
+            "embedding" -> reverse(col("embedding"))))
+        Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
+        Snapshots.changes(s, root, 1, 3, "doc_id")
+          .write.mode("overwrite").parquet(chDir)
+      }
+      def retractOf(ch: DataFrame) =
+        ch.filter(col("_change_type").isin("delete", "update_preimage"))
+      def reingestOf(ch: DataFrame) =
+        ch.filter(col("_change_type") === "update_postimage")
+      val textChain = inFlight {
+        TextIndex.buildIndex(v1, "doc_id", "text", tidx)
+        await(feedChain) // FutureTask.get is idempotent across chains
+        val ch = s.read.parquet(chDir)
+        TextIndex.deleteDocs(retractOf(ch).select("doc_id"), "doc_id", tidx)
+        TextIndex.appendDocs(reingestOf(ch).select("doc_id", "text"),
+          "doc_id", "text", tidx)
+      }
+      val vecChain = inFlight {
+        IvfIndex.buildIndex(v1, "doc_id", "embedding", nCentroids = 8, path = vidx)
+        await(feedChain)
+        val ch = s.read.parquet(chDir)
+        IvfIndex.deleteFromIndex(retractOf(ch).select("doc_id"), "doc_id", vidx)
+        IvfIndex.appendToIndex(reingestOf(ch).select("doc_id", "embedding"),
+          "doc_id", "embedding", vidx)
+      }
+      await(textChain); await(vecChain)
       val (a, c) = IvfIndex.loadLive(s, vidx, "doc_id")
       val probes = Snapshots.read(s, root).filter(col("doc_id") < 5)
         .select("doc_id", "embedding")
