@@ -325,10 +325,16 @@ object LlmPipeline {
       val shardA = Tables.scratch("text_merge_a")
       val shardB = Tables.scratch("text_merge_b")
       val dst = Tables.scratch("text_merge_dst")
-      TextIndex.buildIndex(docs.filter(col("doc_id") < 250),
-        "doc_id", "text", shardA, nBuckets = 32)
-      TextIndex.buildIndex(docs.filter(col("doc_id") >= 250),
-        "doc_id", "text", shardB, nBuckets = 64)
+      // the two shard builds are independent jobs (separate paths,
+      // separate locks) — exactly the shard-parallel build the merge
+      // verb exists for; the merge awaits both
+      val buildA = inFlight { TextIndex.buildIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", shardA,
+        nBuckets = 32) }
+      val buildB = inFlight { TextIndex.buildIndex(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", shardB,
+        nBuckets = 64) }
+      await(buildA); await(buildB)
       TextIndex.mergeIndexes(s, shardA, shardB, dst)
       val (nDocs, _) = TextIndex.corpusTotals(s, dst)
       TextIndex.searchAll(s, dst, Seq("hash", "merge", "vector"))
@@ -672,15 +678,22 @@ object LlmPipeline {
       val root = Tables.scratch("text_cdc_tbl")
       val idx = Tables.scratch("text_cdc_idx")
       Snapshots.create(s, root, docs.select("doc_id", "text", "lang"))
-      TextIndex.buildIndex(Snapshots.read(s, root), "doc_id", "text", idx)
-      Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
-        Map("text" -> concat(col("text"), lit(" vector"))))
-      Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
-      // materialize the feed ONCE — its full-outer diff join would
-      // otherwise recompute under each maintenance leg's action
+      // build ∥ feed: the index build over pinned v1 and the table's
+      // commit/feed chain share no state (commits write NEW version
+      // dirs; no expire) — the q_forget/q_hybrid_cdc chain discipline
+      val v1 = Snapshots.read(s, root)
       val chDir = Tables.scratch("text_cdc_feed")
-      Snapshots.changes(s, root, 1, 3, "doc_id")
-        .write.mode("overwrite").parquet(chDir)
+      val feedChain = inFlight {
+        Snapshots.commitUpdate(s, root, col("doc_id") % 11 === 0,
+          Map("text" -> concat(col("text"), lit(" vector"))))
+        Snapshots.commitDelete(s, root, col("doc_id") % 13 === 0)
+        // materialize the feed ONCE — its full-outer diff join would
+        // otherwise recompute under each maintenance leg's action
+        Snapshots.changes(s, root, 1, 3, "doc_id")
+          .write.mode("overwrite").parquet(chDir)
+      }
+      TextIndex.buildIndex(v1, "doc_id", "text", idx)
+      await(feedChain)
       val ch = s.read.parquet(chDir)
       TextIndex.deleteDocs(
         ch.filter(col("_change_type").isin("delete", "update_preimage"))
@@ -1869,10 +1882,15 @@ object LlmPipeline {
       val a = Tables.scratch("ivf_merge_a")
       val b = Tables.scratch("ivf_merge_b")
       val dst = Tables.scratch("ivf_merge_dst")
-      IvfIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", nCentroids = 8, path = a)
-      IvfIndex.buildIndex(emb.filter(col("vec_id") % 2 =!= 0),
-        "vec_id", "embedding", nCentroids = 8, path = b)
+      // shard-parallel builds (separate paths, separate locks); the
+      // merge awaits both — the text-merge twin's chain shape
+      val buildA = inFlight { IvfIndex.buildIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCentroids = 8, path = a) }
+      val buildB = inFlight { IvfIndex.buildIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        nCentroids = 8, path = b) }
+      await(buildA); await(buildB)
       IvfIndex.mergeIndexes(s, a, b, dst, "vec_id", "embedding")
       val (assigned, centroids) = IvfIndex.loadIndex(s, dst)
       IvfIndex.searchTopK(assigned, centroids,
@@ -2282,15 +2300,21 @@ object LlmPipeline {
       val root = graft.Tables.scratch("ivf_cdc_tbl")
       val idx = graft.Tables.scratch("ivf_cdc_idx")
       Snapshots.create(s, root, emb.select("vec_id", "embedding"))
-      IvfIndex.buildIndex(Snapshots.read(s, root),
-        "vec_id", "embedding", nCentroids = 8, path = idx)
-      Snapshots.commitUpdate(s, root, col("vec_id") % 11 === 0,
-        Map("embedding" -> reverse(col("embedding"))))
-      Snapshots.commitDelete(s, root, col("vec_id") % 13 === 0)
-      // materialize the feed once (its diff join feeds both legs)
+      // build ∥ feed (the q_forget/q_hybrid_cdc chain discipline):
+      // the build indexes pinned v1 while the commits write NEW
+      // version dirs and the feed materializes — no shared state
+      val v1 = Snapshots.read(s, root)
       val chDir = graft.Tables.scratch("ivf_cdc_feed")
-      Snapshots.changes(s, root, 1, 3, "vec_id")
-        .write.mode("overwrite").parquet(chDir)
+      val feedChain = inFlight {
+        Snapshots.commitUpdate(s, root, col("vec_id") % 11 === 0,
+          Map("embedding" -> reverse(col("embedding"))))
+        Snapshots.commitDelete(s, root, col("vec_id") % 13 === 0)
+        // materialize the feed once (its diff join feeds both legs)
+        Snapshots.changes(s, root, 1, 3, "vec_id")
+          .write.mode("overwrite").parquet(chDir)
+      }
+      IvfIndex.buildIndex(v1, "vec_id", "embedding", nCentroids = 8, path = idx)
+      await(feedChain)
       val ch = s.read.parquet(chDir)
       IvfIndex.deleteFromIndex(
         ch.filter(col("_change_type").isin("delete", "update_preimage"))
