@@ -2241,6 +2241,51 @@ object LlmPipeline {
       }
     }),
 
+    // ANN RECALL AUDIT — the eval knob every vector-index deployment
+    // tunes: recall@k of the IVF search as nProbes grows (1→2→4→all),
+    // measured against the exact brute-force top-k. Two engine-side
+    // invariants ride the exact deliverable:
+    //  - recall_monotone_ok: probed lists NEST as nProbes grows, so
+    //    per-probe recall can only grow — provable, not just expected
+    //    (an item that evicts an exact-top-k member from a superset's
+    //    top-k scores above it, hence is itself exact-top-k; at most
+    //    k−1 such items exist, so the member stays in the top-k);
+    //  - exhaustive_exact: at nProbes = nCentroids the IVF answer
+    //    equals brute force bit-for-bit (same cosine, same id
+    //    tie-break) — the IVF contract's ground truth.
+    // Deliverable: the exact top-5 (SQL-oracle-checkable) carrying the
+    // audit booleans; the curve's intermediate values are asserted in
+    // the spec (they are engine-measured, not oracle-derivable).
+    "q_sim_recall_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Tables.scratch("ivf_recall_idx")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+      val (a, c) = IvfIndex.loadIndex(s, idx)
+      val probes = emb.filter(col("vec_id") < 10)
+      // the exact answer feeds four recall joins AND the output —
+      // materialize once (tmp-parquet over cache: the array column
+      // re-read is cheaper than the storage-block copy)
+      val exactDir = Tables.scratch("ivf_recall_exact")
+      SimilaritySearch.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+        .write.mode("overwrite").parquet(exactDir)
+      val exact = s.read.parquet(exactDir)
+      val exactIds = exact.select("probe_id", "neighbor_id")
+      val nExact = exactIds.count()
+      val hitsAt = Seq(1, 2, 4, 8).map { p =>
+        IvfIndex.searchTopK(a, c, probes, "vec_id", "embedding",
+            k = 5, nProbes = p)
+          .select("probe_id", "neighbor_id")
+          .join(exactIds, Seq("probe_id", "neighbor_id"))
+          .count()
+      }
+      val monotone = hitsAt.sliding(2).forall(w => w.head <= w.last)
+      val fullExact = hitsAt.last == nExact
+      exact
+        .withColumn("recall_monotone_ok", lit(monotone))
+        .withColumn("exhaustive_exact", lit(fullExact))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF DELETE — retraction for the vector index (GDPR-erasure /
     // unlearning): deleteFromIndex is an O(deleted ids) tombstone
     // append; the live view (loadLive) masks immediately with a
@@ -4434,6 +4479,17 @@ object LlmPipeline {
         |  CAST(12500 AS BIGINT) AS factor_bp,
         |  true AS skew_consistent, true AS progress_ok
         |FROM embeddings""".stripMargin,
+
+    "q_sim_recall_curve" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos,
+         |  true AS recall_monotone_ok, true AS exhaustive_exact FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q_sim_topk_agg" ->
       s"""SELECT probe_id, rank, neighbor_id, cos FROM (

@@ -1578,4 +1578,25 @@ class DedupSpec extends SparkSuite {
       "gate fallback scan disagrees with the cached centroid table")
     finally spark.conf.unset("graft.ivf.centroidLiteralMaxFloats")
   }
+
+  test("recall curve: probe sets nest (the monotonicity premise); audit booleans hold on the exact deliverable") {
+    import graft.operators.IvfIndex
+    val df = SparkEntry.queries("q_sim_recall_curve")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length % 5 === 0)
+    assert(rows.forall(r => r.getAs[Boolean]("recall_monotone_ok") &&
+      r.getAs[Boolean]("exhaustive_exact")),
+      "recall audit booleans did not hold")
+    // the monotonicity proof's PREMISE asserted directly: the probed
+    // cluster set at nProbes p is a subset of the set at p' > p
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = Tables.scratch("recall_nest_idx")
+    IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+    val (_, c) = IvfIndex.loadIndex(spark, idx)
+    val probes = emb.filter(col("vec_id") < 10)
+    val sets = Seq(1, 2, 4, 8).map(p =>
+      IvfIndex.probedClusterIds(c, probes, "vec_id", "embedding", p).toSet)
+    sets.sliding(2).foreach { w =>
+      assert(w.head.subsetOf(w.last), s"probe sets do not nest: $w") }
+  }
 }
