@@ -1579,6 +1579,60 @@ class DedupSpec extends SparkSuite {
     finally spark.conf.unset("graft.ivf.centroidLiteralMaxFloats")
   }
 
+  test("compaction racing a lease thief: aborts loudly or completes — the live view stays exact either way") {
+    // end-to-end exercise of the round-15 assertHeld checkpoints: with
+    // a zero lease every acquire steals, so a thief grabbing the
+    // intent mid-compaction forces the verb to die at its next
+    // ownership re-check (or to have already passed its destructive
+    // tail). BOTH outcomes are legal; what must hold REGARDLESS is
+    // mask idempotence — the live view reads exactly the undeleted
+    // rows at every interruption point, and a clean re-run completes
+    // the fold.
+    import graft.operators.{IvfIndex, MaintenanceLock}
+    val rows = (0L until 40L).map { i =>
+      val rnd = new scala.util.Random(i + 9000)
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val path = Tables.scratch("ivf_compact_thief")
+    IvfIndex.buildIndex(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    IvfIndex.deleteFromIndex(
+      rows.filter(_._1 % 4 == 0).map(_._1).toDF("vec_id"), "vec_id", path)
+    spark.conf.set("graft.index.writerLeaseMs", "0")
+    spark.conf.set("graft.index.writerHeartbeatMs", "60000")
+    try {
+      @volatile var outcome: Either[Throwable, Unit] = Right(())
+      val t = new Thread(() => {
+        outcome = try Right(IvfIndex.compactLists(spark, path, "vec_id"))
+        catch { case e: Throwable => Left(e) }
+      })
+      t.start()
+      Thread.sleep(80)
+      val thief = MaintenanceLock.acquire(spark, path) // steals (lease 0)
+      MaintenanceLock.release(spark, path, thief)
+      t.join()
+      outcome.left.foreach { e =>
+        assert(e.isInstanceOf[IllegalStateException] &&
+          e.getMessage.contains("lost its writer intent"),
+          s"unexpected failure mode: $e")
+      }
+      // exactness survives whichever branch ran
+      val live = IvfIndex.loadLive(spark, path, "vec_id")._1
+      assert(live.count() === 30L, "live view lost or resurrected rows")
+      assert(live.filter(col("vec_id") % 4 === 0).count() === 0L,
+        "a deleted row is visible after the race")
+    } finally {
+      spark.conf.unset("graft.index.writerLeaseMs")
+      spark.conf.unset("graft.index.writerHeartbeatMs")
+    }
+    // clean re-run completes the fold; erasure is then physical
+    IvfIndex.compactLists(spark, path, "vec_id")
+    assert(spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id") % 4 === 0).count() === 0L,
+      "re-run compaction left physical residue")
+    assert(IvfIndex.loadLive(spark, path, "vec_id")._1.count() === 30L)
+  }
+
   test("recall curve: probe sets nest (the monotonicity premise); audit booleans hold on the exact deliverable") {
     import graft.operators.IvfIndex
     val df = SparkEntry.queries("q_sim_recall_curve")(spark, sf)
