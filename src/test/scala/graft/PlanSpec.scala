@@ -759,6 +759,21 @@ class PlanSpec extends SparkSuite {
         phys.indexOf(pushed.get) > phys.lastIndexOf("HashAggregate"),
         s"doc_id predicate never pushed below the aggregate:\n${phys.take(3000)}")
       assert(filtered.count() === 100L)
+      // column pruning reaches through the annotation too (the generic
+      // UnaryNode pass-through absorbs the Project into the aggregate):
+      // the optimized root stays the annotation, its output is pruned
+      // to the selected column, and the row bound survives (the stored
+      // byte bound keeps the pre-pruning width — a conservative upper
+      // bound, which is all a bound must be)
+      val projected = spark.sql(
+        s"SELECT doc_id FROM graft_text_search('$tidx', 'needlea')")
+      val pOpt = projected.queryExecution.optimizedPlan
+      assert(pOpt.isInstanceOf[graft.plans.ManifestSized],
+        s"projection stripped the annotation; root: ${pOpt.nodeName}")
+      assert(pOpt.output.map(_.name) === Seq("doc_id"),
+        s"column pruning stopped at the annotation: ${pOpt.output}")
+      assert(pOpt.stats.rowCount === Some(BigInt(4000)),
+        s"row bound lost under pruning: ${pOpt.stats.rowCount}")
     } finally prev.foreach { case (c, vOpt) =>
       vOpt.fold(spark.conf.unset(c))(spark.conf.set(c, _))
     }
