@@ -1502,6 +1502,12 @@ class DedupSpec extends SparkSuite {
     val probes = Seq((999L, Array.fill(16)(0.1f))).toDF("vec_id", "embedding")
     assert(IvfIndex.searchTopK(assigned, centroids, probes,
       "vec_id", "embedding", 3, 2).count() === 0L)
+    // the round-15 observability verbs serve the EMPTY index too:
+    // the skew advisory reports zero rows / nothing to split
+    val report = IvfIndex.skewReport(spark, path, "vec_id", 2.0).head()
+    assert(report.getAs[Long]("total_live") === 0L &&
+      !report.getAs[Boolean]("rebalance_advised"),
+      s"skew advisory wrong on an erased index: $report")
     // the erasure verb itself still works (id-type resolution reads
     // the kept schema), and a fresh append re-grows the index
     IvfIndex.deleteFromIndex(Seq(1L).toDF("vec_id"), "vec_id", path)
