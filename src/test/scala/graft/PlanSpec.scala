@@ -779,6 +779,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("parquetRowCount: footer-exact over flat and partitioned layouts (the TVF builders' job-free cardinality source)") {
+    val flat = Tables.scratch("footer_count_flat")
+    spark.range(0, 137).write.mode("overwrite").parquet(flat)
+    assert(graft.plans.ManifestSized.parquetRowCount(spark, flat) === 137L)
+    val part = Tables.scratch("footer_count_part")
+    spark.range(0, 137).withColumn("p", col("id") % 3)
+      .write.partitionBy("p").mode("overwrite").parquet(part)
+    assert(graft.plans.ManifestSized.parquetRowCount(spark, part) === 137L,
+      "recursive listing missed partition subdirectories")
+    val empty = Tables.scratch("footer_count_empty")
+    spark.range(0, 1).limit(0).repartition(1).write.mode("overwrite").parquet(empty)
+    assert(graft.plans.ManifestSized.parquetRowCount(spark, empty) === 0L)
+  }
+
   test("fuzzy decontamination: all joins equi — no cartesian, no nested loop") {
     // candidate generation is the prefix-gram equi-join; verification
     // joins back by doc id. A cartesian or BNLJ anywhere means the
