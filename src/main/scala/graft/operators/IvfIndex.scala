@@ -650,12 +650,37 @@ object IvfIndex {
   }
 
   /** Per-list LIVE row counts (tombstones masked) — the skew
-    * diagnostic [[rebalanceIndex]] acts on. nCentroids rows
-    * (parameter-sized, never data-sized), so collecting it is a
-    * metadata read.
+    * diagnostic [[rebalanceIndex]] acts on and [[skewReport]] polls at
+    * cadence. nCentroids rows (parameter-sized, never data-sized), so
+    * collecting it is a metadata read.
+    *
+    * QUIESCED fast path: with no pending tombstones and no reserved
+    * (in-flight or crashed) ingest seqs, EVERY row on disk is visible
+    * — a row's seq is either committed (≤ the ceiling) or still
+    * carries its `.reserved` marker, and compaction removes orphan
+    * rows together with their reservations — so the per-list counts
+    * are exactly each live cluster directory's parquet FOOTER row
+    * sums: one driver metadata pass, NO Spark job, no corpus scan.
+    * That is what makes the skew advisory a cadence-pollable verb at
+    * 100 TB (an advisory that re-counts the corpus per poll is a scan,
+    * not an advisory). Any pending tombstone or reservation falls back
+    * to the exact masked aggregate.
     */
   def listSizes(spark: SparkSession, path: String,
       idCol: String): Seq[(Int, Long)] = {
+    val (_, reserved) = seqMarkers(spark, path)
+    if (!tombstonesExist(spark, path) && reserved.isEmpty) {
+      val live = liveCentroids(spark, path)
+        .select("centroid_id").collect().map(_.getInt(0)).toSeq
+      val fs = fsOf(spark, path)
+      return live.sorted.map { c =>
+        val dir = new Path(s"$path/assigned/cluster=$c")
+        // empty lists report 0: a centroid with no rows is still live
+        (c, if (fs.exists(dir))
+          graft.plans.ManifestSized.parquetRowCount(spark, dir.toString)
+        else 0L)
+      }
+    }
     val (assigned, centroids) = loadIndex(spark, path)
     val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
     val counted = maskDeleted(spark, path,

@@ -1639,6 +1639,50 @@ class DedupSpec extends SparkSuite {
     assert(IvfIndex.loadLive(spark, path, "vec_id")._1.count() === 30L)
   }
 
+  test("listSizes quiesced fast path: footer counts equal the masked aggregate across every index state") {
+    // the 100 TB property behind the skew advisory: on a quiesced
+    // index (no tombstones, no reservations) the per-list counts come
+    // from parquet FOOTERS — a driver metadata pass — and must equal
+    // the exact masked Spark aggregate in every state transition
+    import graft.operators.IvfIndex
+    val rows = (0L until 50L).map { i =>
+      val rnd = new scala.util.Random(i + 11000)
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }
+    val path = Tables.scratch("ivf_listsizes_fast")
+    IvfIndex.buildIndex(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    def sparkCounts(): Map[Int, Long] =
+      IvfIndex.loadLive(spark, path, "vec_id")._1
+        .groupBy("cluster").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def sizes(): Map[Int, Long] =
+      IvfIndex.listSizes(spark, path, "vec_id").toMap.filter(_._2 > 0)
+    assert(sizes() === sparkCounts(), "fast path wrong on a fresh build")
+    // committed append: still quiesced → footer counts include it
+    IvfIndex.appendToIndex((100L until 120L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    assert(sizes().values.sum === 70L)
+    assert(sizes() === sparkCounts(), "fast path wrong after a committed append")
+    // a crashed reservation forces the conservative fallback — same
+    // numbers (the orphan batch never wrote rows)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$path/_seq_99.reserved"))
+    assert(sizes() === sparkCounts(), "fallback disagrees under a reservation")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_seq_99.reserved"), false)
+    // pending tombstones: exact masked fallback
+    IvfIndex.deleteFromIndex(Seq(0L, 1L, 100L).toDF("vec_id"), "vec_id", path)
+    assert(sizes().values.sum === 67L)
+    assert(sizes() === sparkCounts(), "masked fallback wrong under tombstones")
+    // compaction folds: quiesced again, physical footer counts
+    IvfIndex.compactLists(spark, path, "vec_id")
+    assert(sizes().values.sum === 67L)
+    assert(sizes() === sparkCounts(), "fast path wrong after compaction")
+  }
+
   test("recall curve: probe sets nest (the monotonicity premise); audit booleans hold on the exact deliverable") {
     import graft.operators.IvfIndex
     val df = SparkEntry.queries("q_sim_recall_curve")(spark, sf)
