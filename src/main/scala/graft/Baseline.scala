@@ -1247,6 +1247,93 @@ object Baseline {
         .orderBy("probe_id", "rank")
     }),
 
+    // q_stream_ivf_autorepair control: the stock user's cadence loop.
+    // Per batch they assign arrivals with the current model and append
+    // flat; the POLL is a corpus-sized groupBy(cluster).count() (no
+    // metadata advisory exists), and the REPAIR is a full k-means
+    // refit + whole-corpus rewrite (no hot-list split exists) — the
+    // O(corpus)-per-poll + O(corpus)-per-repair loop the advisory TVF
+    // and rebalance verb replace with O(metadata) + O(hot). Same
+    // drifting paced source, same 1.25 rule, same exhaustive final
+    // search and booleans.
+    "q_stream_ivf_autorepair" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, dir, "embeddings")
+      val acc = Tables.scratch("baseline_autorepair_idx")
+      var model = new KMeans().setK(4).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cluster")
+        .fit(emb.filter(col("vec_id") % 2 === 0)
+          .withColumn("__v", array_to_vector(col("embedding"))))
+      model.transform(emb.filter(col("vec_id") % 2 === 0)
+          .withColumn("__v", array_to_vector(col("embedding")))).drop("__v")
+        .write.mode("overwrite").parquet(acc)
+      val loopOk = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def pollAndRepair(): Boolean = {
+        // the stock poll: a full corpus aggregate per cadence tick
+        val sizes = s.read.parquet(acc).groupBy("cluster").count()
+          .collect().map(_.getLong(1))
+        val mean = sizes.sum.toDouble / sizes.length
+        if (sizes.exists(sz => sz > 1.25 * mean && sz >= 2)) {
+          // the stock repair: full refit + whole-corpus rewrite (k
+          // grows by one per repair, the list-count growth a split
+          // produces — same-k refit on drifted data can never clear
+          // the rule)
+          val all = s.read.parquet(acc).drop("cluster")
+            .withColumn("__v", array_to_vector(col("embedding")))
+          model = new KMeans().setK(model.clusterCenters.length + 1)
+            .setSeed(42L).setFeaturesCol("__v").setPredictionCol("cluster")
+            .fit(all)
+          model.transform(all).drop("__v")
+            .write.mode("overwrite").parquet(Tables.scratch("baseline_autorepair_tmp"))
+          s.read.parquet(Tables.scratch("baseline_autorepair_tmp"))
+            .write.mode("overwrite").parquet(acc)
+          true
+        } else false
+      }
+      val q = graft.streaming.StreamOps
+        .tableStreamPaced(s, dir, "embeddings", "vec_id", 3)
+        .filter(col("vec_id") % 2 === 1)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          model.transform(batch.withColumn("__v",
+              array_to_vector(col("embedding")))).drop("__v")
+            .write.mode("append").parquet(acc)
+          pollAndRepair()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      var drains = 0
+      while (pollAndRepair() && drains < 16) drains += 1
+      val cleanAfter = {
+        val sizes = s.read.parquet(acc).groupBy("cluster").count()
+          .collect().map(_.getLong(1))
+        val mean = sizes.sum.toDouble / sizes.length
+        !sizes.exists(sz => sz > 1.25 * mean && sz >= 2)
+      }
+      val assigned = s.read.parquet(acc)
+      val p = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("neighbor_vec"))
+      def hofCos(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+           | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+           |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", hofCos("probe_vec", "neighbor_vec"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .withColumn("repair_loop_ok", lit(loopOk.get()))
+        .withColumn("advisory_clean", lit(cleanAfter))
+        .select("probe_id", "rank", "neighbor_id", "cos",
+          "repair_loop_ok", "advisory_clean")
+        .orderBy("probe_id", "rank")
+    }),
+
     // q_sim_ivf_rebalance control: the user without the split verb
     // fixes hot-centroid skew by REBUILDING the whole index — a full
     // k-means refit over the corpus at doubled k, rewritten flat —

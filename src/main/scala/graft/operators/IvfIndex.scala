@@ -99,7 +99,7 @@ object IvfIndex {
     // the holder's intent marker as "stale state" (which would reopen
     // the unsynchronized-writer window — the holder's owner-checked
     // release then no-ops and a third verb could acquire mid-flight)
-    MaintenanceLock.withLock(corpus.sparkSession, path) {
+    MaintenanceLock.withLockToken(corpus.sparkSession, path) { token =>
     // cluster-exclusive shuffle before the partitioned write: ONE file
     // per inverted list instead of write-tasks × clusters small files
     // (the TextIndex bucket rule) — nCentroids doubles as the build's
@@ -116,6 +116,11 @@ object IvfIndex {
     // running dynamic mode would otherwise leave retired rebalance
     // lists (cluster ids the fresh build never writes) alive.
     val fs = fsOf(corpus.sparkSession, path)
+    // ownership re-check before the sweep: it is destructive and not
+    // CAS'd — a rebuild whose lease was somehow stolen (JVM paused
+    // past the full lease despite heartbeats) must die HERE, before it
+    // can delete a live successor's uncommitted artifacts
+    MaintenanceLock.assertHeld(corpus.sparkSession, path, token)
     if (fs.exists(new Path(path)))
       fs.listStatus(new Path(path)).map(_.getPath)
         .filter { p =>
@@ -574,8 +579,6 @@ object IvfIndex {
     // twice. collect_set(cluster) carries nCentroids values: metadata.
     val obs = org.apache.spark.sql.Observation(
       s"ivf_compact_${java.util.UUID.randomUUID}")
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // ownership re-check at the point of no return: the rewrite below
     // is the verb's first NON-CAS'd destructive step (a dynamic
     // overwrite replaces live partition directories in place) — a
@@ -583,15 +586,17 @@ object IvfIndex {
     // (a JVM paused past the full lease) must die HERE, before it can
     // drop a successor append's rows from the partitions it rewrites
     MaintenanceLock.assertHeld(spark, path, token)
-    try
-      kept.observe(obs, collect_set(col("cluster")).as("clusters"))
-        .repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$path/assigned")
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // dynamic mode scoped to THIS write via the per-writer option —
+    // never the session conf: maintenance verbs now run on concurrent
+    // threads of one session (LlmPipeline.inFlight chains), and a
+    // session-global set/restore racing a sibling compaction could
+    // flip ITS in-flight overwrite back to STATIC, whose whole-dir
+    // truncate forfeits the crash-safety this rewrite was chosen for
+    kept.observe(obs, collect_set(col("cluster")).as("clusters"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$path/assigned")
     // a fully-masked rewrite runs ZERO write tasks, so the metric row
     // never materializes and the observation resolves to an EMPTY map
     // — that IS the all-lists-deleted signal, not an error
@@ -669,18 +674,8 @@ object IvfIndex {
   def listSizes(spark: SparkSession, path: String,
       idCol: String): Seq[(Int, Long)] = {
     val (_, reserved) = seqMarkers(spark, path)
-    if (!tombstonesExist(spark, path) && reserved.isEmpty) {
-      val live = liveCentroids(spark, path)
-        .select("centroid_id").collect().map(_.getInt(0)).toSeq
-      val fs = fsOf(spark, path)
-      return live.sorted.map { c =>
-        val dir = new Path(s"$path/assigned/cluster=$c")
-        // empty lists report 0: a centroid with no rows is still live
-        (c, if (fs.exists(dir))
-          graft.plans.ManifestSized.parquetRowCount(spark, dir.toString)
-        else 0L)
-      }
-    }
+    if (!tombstonesExist(spark, path) && reserved.isEmpty)
+      return listSizesBound(spark, path)
     val (assigned, centroids) = loadIndex(spark, path)
     val live = centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
     val counted = maskDeleted(spark, path,
@@ -691,22 +686,65 @@ object IvfIndex {
     live.sorted.map(c => (c, counted.getOrElse(c, 0L)))
   }
 
+  /** Per-list UPPER-BOUND row counts from parquet FOOTERS — one driver
+    * metadata pass, NO Spark job, at any corpus size. On a QUIESCED
+    * index (no pending tombstones, no reserved seqs) the bound IS the
+    * exact live count; under load it over-counts by exactly the
+    * masked/invisible rows (tombstoned rows not yet folded, rows of an
+    * in-flight or crashed reservation), which only shrink on fold.
+    * This is [[skewReport]]'s sizing source: an advisory polled at
+    * cadence must stay metadata-sized even on an index that never
+    * quiesces (continuous delete load) — exactness is only needed by
+    * [[rebalanceIndex]] itself, which re-measures with the masked
+    * aggregate ([[listSizes]]) before acting.
+    */
+  def listSizesBound(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    // centroid ids come from the driver-cached LIVE centroid table (a
+    // LocalRelation on a warm session — no job past the first read)
+    val live = liveCentroids(spark, path)
+      .select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val fs = fsOf(spark, path)
+    live.sorted.map { c =>
+      val dir = new Path(s"$path/assigned/cluster=$c")
+      // empty lists report 0: a centroid with no rows is still live
+      (c, if (fs.exists(dir))
+        graft.plans.ManifestSized.parquetRowCount(spark, dir.toString)
+      else 0L)
+    }
+  }
+
+  /** Pending tombstone ROW count from the sidecar's parquet footers —
+    * driver metadata; an upper bound on masked rows (tombstones for
+    * since-re-ingested or repeatedly-deleted ids fold to fewer dead
+    * rows than sidecar rows).
+    */
+  def tombstoneRowCount(spark: SparkSession, path: String): Long =
+    if (tombstonesExist(spark, path))
+      graft.plans.ManifestSized.parquetRowCount(spark, s"$path/$TombstonesDir")
+    else 0L
+
   /** One-row skew ADVISORY — the observability half of
     * [[rebalanceIndex]], so a pipeline can schedule the repair at
     * cadence from SQL (`graft_ivf_skew` TVF) instead of an operator
     * eyeballing list sizes. Names the lists [[rebalanceIndex]] would
-    * split under the same `maxListFactor` rule (LIVE size strictly
-    * above factor × mean, and ≥ 2 rows — a 1-row list can never be a
-    * hot spot), using the SAME selection arithmetic, so
-    * `rebalance_advised = false` ⇔ a rebalance run would be a no-op.
-    * Driver cost: [[listSizes]] — one masked nCentroids-row aggregate;
-    * the report itself is a LocalRelation (metadata, never data).
+    * split under the same `maxListFactor` rule (size strictly above
+    * factor × mean, and ≥ 2 rows — a 1-row list can never be a hot
+    * spot), using the SAME selection arithmetic over
+    * [[listSizesBound]]'s footer counts. On a QUIESCED index the
+    * bound is exact, so `rebalance_advised = false` ⇔ a rebalance run
+    * would be a no-op; under pending tombstones/reservations the
+    * advisory sizes are upper bounds (the poll stays METADATA-sized —
+    * zero Spark jobs — even on an index that never quiesces under
+    * continuous delete load; `total_live` subtracts the tombstone
+    * sidecar's footer count). The repair itself re-measures exactly.
     */
   def skewReport(spark: SparkSession, path: String, idCol: String,
       maxListFactor: Double = 2.0): DataFrame = {
-    val sizes = listSizes(spark, path, idCol)
-    val total = sizes.map(_._2).sum
-    val mean = if (sizes.isEmpty) 0.0 else total.toDouble / sizes.size
+    val sizes = listSizesBound(spark, path)
+    val total = math.max(0L,
+      sizes.map(_._2).sum - tombstoneRowCount(spark, path))
+    val mean = if (sizes.isEmpty) 0.0
+      else sizes.map(_._2).sum.toDouble / sizes.size
     val hot = sizes.filter(s => s._2 > maxListFactor * mean && s._2 >= 2)
       .map(_._1).sorted
     import spark.implicits._
@@ -748,8 +786,8 @@ object IvfIndex {
     */
   def rebalanceIndex(spark: SparkSession, path: String, idCol: String,
       vecCol: String, maxListFactor: Double = 2.0,
-      seed: Long = 42L): Seq[Int] = MaintenanceLock.withLock(
-      spark, path) {
+      seed: Long = 42L): Seq[Int] = MaintenanceLock.withLockToken(
+      spark, path) { token =>
     // re-run repair FIRST (the appendDocs purge-before-republish rule):
     // a prior rebalance that crashed after appending its sub-lists but
     // before its commit left orphan directories in exactly the fresh
@@ -757,6 +795,11 @@ object IvfIndex {
     // duplicate every moved row. Purge unreferenced lists up front
     // (no age guard: rebalance is a single-writer maintenance verb,
     // like compaction — concurrency is excluded by the CAS commit).
+    // Ownership re-check first: the purge is destructive and not
+    // CAS'd — a rebalance whose lease was stolen must die here, before
+    // it can delete a live peer's uncommitted sub-lists (whose CAS
+    // commit would then publish bricked lists).
+    MaintenanceLock.assertHeld(spark, path, token)
     purgeUnreferencedLists(spark, path, olderThanMs = 0L, keepSpare = true)
     val (assigned, centroids) = loadIndex(spark, path)
     val sizes = listSizes(spark, path, idCol)
@@ -804,6 +847,10 @@ object IvfIndex {
     if (!created)
       throw new IllegalStateException(
         s"concurrent IVF maintenance: commit marker $marker already exists")
+    // the older-generation sweep is destructive and not CAS'd (the
+    // commit above was) — re-assert ownership before deleting what an
+    // in-flight successor might still be reading as ITS spare
+    MaintenanceLock.assertHeld(spark, path, token)
     (1 until gen).foreach { g =>
       fs.delete(new Path(centroidsGenPath(path, g)), true)
       fs.delete(new Path(s"$path/$CGenPrefix$g"), false)

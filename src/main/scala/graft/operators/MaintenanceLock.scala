@@ -20,47 +20,60 @@ import org.apache.spark.sql.SparkSession
   * Mechanics (the reference's own rename/create-as-commit semantics,
   * `CubefsFileSystem.java:218-245`, applied to a lock file):
   *
-  *   - ACQUIRE: `create(_maint_intent, overwrite=false)` — atomic
-  *     fail-if-exists on HDFS-like stores; the file body is
-  *     `<holder token (a UUID)>\n<acquisition epoch millis>`, so both
-  *     ownership and age are checkable from the BODY (mtime is only
-  *     the fallback — object stores and coarse-mtime filesystems
-  *     round it, and a second-granularity mtime can make a
-  *     freshly-stolen marker look expired to a third acquirer within
-  *     the same second).
-  *   - LEASE + HEARTBEAT: a marker older than
+  *   - ACQUIRE: publish `_maint_intent` atomically WITH its full body
+  *     `<holder token (a UUID)>\n<acquisition epoch millis>` — on the
+  *     local scheme the body is written to a holder-unique temp file
+  *     and HARDLINKED to the marker name (link(2) is atomic
+  *     fail-if-exists AND publishes complete content — a reader can
+  *     never observe an empty or partial marker); on HDFS-like stores
+  *     `create(overwrite=false)` is the atomic claim. Ownership and
+  *     age are checkable from the BODY (mtime is only the fallback —
+  *     object stores and coarse-mtime filesystems round it).
+  *   - IMMUTABLE MARKER: once created, the marker file is NEVER
+  *     rewritten — not even by its own holder. Liveness is stamped in
+  *     a separate per-holder sidecar (below), so no code path can
+  *     clobber a successor's marker: the check-then-act window of an
+  *     "isHeld, then rewrite the marker" heartbeat is gone by
+  *     construction, and `isHeld`/`readBody` can never see a
+  *     mid-rewrite torn body.
+  *   - LEASE + HEARTBEAT: a holder older than
   *     `graft.index.writerLeaseMs` (default 15 min) is presumed
-  *     crashed and STOLEN. [[withLock]] re-stamps the body timestamp
-  *     every `graft.index.writerHeartbeatMs` (default lease/3) from a
-  *     daemon thread, so a LIVE verb of any duration — a large
-  *     compaction or rebalance easily outruns a fixed lease — never
-  *     looks expired; only a genuinely dead holder's marker ages out.
-  *     Liveness without a coordinator — the Delta/Iceberg-style
-  *     answer to a dead writer's lock.
+  *     crashed and STOLEN. [[withLock]] re-stamps liveness every
+  *     `graft.index.writerHeartbeatMs` (default lease/3) from a daemon
+  *     thread into `_maint_hb.<token>` — a file only THAT holder ever
+  *     writes, rewritten atomically (temp + ATOMIC_MOVE on local;
+  *     temp + rename on HDFS-like), so a long verb never looks
+  *     expired and a zombie's late stamp touches nothing shared. Age
+  *     resolution: the marker token's heartbeat sidecar if present,
+  *     else the marker's own acquisition timestamp, else mtime.
   *   - STEAL: read the expired marker's token FIRST, then delete only
   *     if a re-read still shows THAT token — a fresh marker a new
   *     holder created after the expired one released is never evicted
-  *     (the naive age-check → delete → create is check-then-act).
+  *     (the naive age-check → delete → create is check-then-act). The
+  *     evicted token's heartbeat sidecar is removed with it.
   *   - ZOMBIE SAFETY: a stolen writer that is somehow still alive (a
   *     JVM paused past the full lease despite heartbeats) cannot
-  *     corrupt the index: TextIndex manifest commits are CAS'd against
-  *     the manifest number their state was read from
-  *     ([[Snapshots.writeManifestLines]] `expectedNext`), IVF
-  *     rebalance commits CAS the `_cgen_` marker, and IVF compaction
-  *     re-asserts ownership ([[assertHeld]]) immediately before its
-  *     destructive tail (the dynamic-overwrite rewrite, the retired-
-  *     list purge, the tombstone clear, the seq-marker hygiene) and
-  *     aborts if the token is no longer its own.
-  *   - RELEASE: delete ONLY if the body still holds our token — a
-  *     zombie's release must not evict the stealer.
+  *     corrupt the index: its heartbeats stamp only its OWN sidecar
+  *     (the stealer's marker is untouchable), TextIndex manifest
+  *     commits are CAS'd against the manifest number their state was
+  *     read from ([[Snapshots.writeManifestLines]] `expectedNext`),
+  *     IVF rebalance commits CAS the `_cgen_` marker, and the
+  *     destructive non-CAS'd steps (IVF compaction's rewrite + hygiene
+  *     tail, buildIndex's stale-artifact sweep, rebalance's purge)
+  *     re-assert ownership ([[assertHeld]]) immediately before running
+  *     and abort if the token is no longer theirs.
+  *   - RELEASE: delete the marker ONLY if the body still holds our
+  *     token (a zombie's release must not evict the stealer); our own
+  *     heartbeat sidecar is removed unconditionally.
   *
   * Cost: two driver FS metadata ops per maintenance verb plus one
-  * marker rewrite per heartbeat interval — noise next to any index
+  * sidecar rewrite per heartbeat interval — noise next to any index
   * write.
   */
 private[graft] object MaintenanceLock {
 
   private val MarkerName = "_maint_intent"
+  private val HbPrefix = "_maint_hb."
 
   private def leaseMs(spark: SparkSession): Long =
     spark.conf.getOption("graft.index.writerLeaseMs")
@@ -75,9 +88,17 @@ private[graft] object MaintenanceLock {
 
   private[graft] def markerPath(path: String) = new Path(path, MarkerName)
 
-  /** (token, body acquisition/heartbeat timestamp) parsed from the
-    * marker body; None when the marker is unreadable (vanished, or a
-    * pre-timestamp body is treated as token-only).
+  private[graft] def hbPath(path: String, token: String) =
+    new Path(path, HbPrefix + token)
+
+  private def isLocal(p: Path): Boolean = {
+    val scheme = p.toUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  /** (token, body acquisition timestamp) parsed from the marker body;
+    * None when the marker is unreadable (vanished, or a pre-timestamp
+    * body is treated as token-only).
     */
   private def readBody(fs: org.apache.hadoop.fs.FileSystem,
       marker: Path): Option[(String, Option[Long])] =
@@ -93,29 +114,100 @@ private[graft] object MaintenanceLock {
           scala.util.Try(s.trim.toLong).toOption)))
     } catch { case _: java.io.IOException => None }
 
-  private def writeBody(fs: org.apache.hadoop.fs.FileSystem, marker: Path,
-      token: String, createOnly: Boolean): Boolean = {
+  /** Atomically publish the marker with its full body, failing if one
+    * already exists. Local scheme: body → holder-unique temp file,
+    * then link(2) to the marker name — atomic exclusivity AND complete
+    * content at publish (createNewFile-then-write would expose an
+    * empty marker mid-create). HDFS-like: create(overwrite=false).
+    */
+  private def createMarker(fs: org.apache.hadoop.fs.FileSystem, marker: Path,
+      token: String): Boolean = {
     val body = s"$token\n${System.currentTimeMillis()}"
       .getBytes(StandardCharsets.UTF_8)
-    val uri = marker.toUri
-    if (uri.getScheme == null || uri.getScheme == "file") {
-      // local scheme: Hadoop's create(overwrite=false) is
-      // exists-then-create (TOCTOU); java's createNewFile is a real
-      // O_CREAT|O_EXCL — atomic even under thread races. Heartbeats
-      // truncate-in-place (the file never disappears, so a racing
-      // acquirer's createNewFile still fails mid-rewrite).
-      val f = new java.io.File(uri.getPath)
-      Option(f.getParentFile).foreach(_.mkdirs())
+    if (isLocal(marker)) {
+      val dir = new java.io.File(marker.toUri.getPath).getParentFile
+      if (dir != null) dir.mkdirs()
+      val tmp = new java.io.File(dir, s".${MarkerName}.$token.tmp").toPath
       try {
-        if (createOnly && !f.createNewFile()) false
-        else { java.nio.file.Files.write(f.toPath, body); true }
+        java.nio.file.Files.write(tmp, body)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(marker.toUri.getPath), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no-hardlink filesystem: fall back to O_CREAT|O_EXCL then
+            // fill — readers tolerate the empty-body window (an
+            // unparsable token matches no holder and never expires
+            // against a just-now mtime)
+            val f = new java.io.File(marker.toUri.getPath)
+            if (!f.createNewFile()) false
+            else { java.nio.file.Files.write(f.toPath, body); true }
+        }
       } catch { case _: java.io.IOException => false }
+      finally {
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: java.io.IOException => () }
+      }
     } else
       try {
-        val out = fs.create(marker, !createOnly) // atomic fail-if-exists on HDFS
+        val out = fs.create(marker, false) // atomic fail-if-exists on HDFS
         try out.write(body) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+  }
+
+  /** Re-stamp the holder's liveness sidecar — a file only `token`'s
+    * holder ever writes, replaced ATOMICALLY so a concurrent age check
+    * never reads a torn timestamp.
+    */
+  private def stampHb(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      token: String): Unit = {
+    val hb = hbPath(path, token)
+    val body = System.currentTimeMillis().toString
+      .getBytes(StandardCharsets.UTF_8)
+    if (isLocal(hb)) {
+      val dest = java.nio.file.Paths.get(hb.toUri.getPath)
+      val tmp = dest.resolveSibling(s".${HbPrefix}$token.tmp")
+      java.nio.file.Files.write(tmp, body)
+      java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(hb.getParent, s".${HbPrefix}$token.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      // rename-over requires the dest absent on plain FileSystem; the
+      // missing-hb window is benign — age falls back to the marker's
+      // acquisition timestamp, and a spurious steal dies at the
+      // stolen verb's assertHeld/CAS, never at the data
+      try fs.delete(hb, false) catch { case _: java.io.IOException => () }
+      fs.rename(tmp, hb)
+    }
+  }
+
+  /** The freshest liveness timestamp for the marker's holder: its
+    * heartbeat sidecar if present, else the marker's acquisition
+    * timestamp from the body, else the marker mtime (pre-timestamp
+    * markers on coarse-mtime stores).
+    */
+  private def freshnessTs(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      held: Option[(String, Option[Long])]): Option[Long] = held match {
+    case Some((token, bodyTs)) =>
+      val hbTs =
+        try {
+          val in = fs.open(hbPath(path, token))
+          val s = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+          scala.util.Try(s.trim.toLong).toOption
+        } catch { case _: java.io.IOException => None }
+      hbTs.orElse(bodyTs).orElse(
+        try Some(fs.getFileStatus(markerPath(path)).getModificationTime)
+        catch { case _: java.io.IOException => None })
+    case None => None
   }
 
   /** Acquire the writer intent for the index at `path`; returns the
@@ -128,17 +220,15 @@ private[graft] object MaintenanceLock {
     if (!fs.exists(root)) fs.mkdirs(root)
     val marker = markerPath(path)
     val token = java.util.UUID.randomUUID.toString
-    if (writeBody(fs, marker, token, createOnly = true)) return token
+    if (createMarker(fs, marker, token)) return token
     // held — steal only past the lease age (presumed-dead holder).
-    // Age comes from the BODY timestamp the holder's heartbeats
-    // re-stamp; mtime is the fallback for pre-timestamp markers only.
+    // Age comes from the holder's heartbeat sidecar (re-stamped while
+    // it lives), falling back to the marker's acquisition timestamp,
+    // then mtime for pre-timestamp markers.
     val held = readBody(fs, marker)
     val now = System.currentTimeMillis()
-    val age = held match {
-      case Some((_, Some(ts))) => now - ts
-      case Some((_, None)) =>
-        try now - fs.getFileStatus(marker).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    val age = freshnessTs(fs, path, held) match {
+      case Some(ts) => now - ts
       case None => Long.MaxValue // vanished: retry the create below
     }
     if (age > leaseMs(spark)) {
@@ -150,9 +240,15 @@ private[graft] object MaintenanceLock {
         case Some((t, _)) => readBody(fs, marker).forall(_._1 == t)
         case None => true // vanished both times: nothing to evict
       }
-      if (stillExpiredToken)
+      if (stillExpiredToken) {
         try fs.delete(marker, false) catch { case _: java.io.IOException => () }
-      if (writeBody(fs, marker, token, createOnly = true)) return token
+        // the dead holder's sidecar goes with its marker
+        held.foreach { case (t, _) =>
+          try fs.delete(hbPath(path, t), false)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      if (createMarker(fs, marker, token)) return token
     }
     throw new IllegalStateException(
       s"concurrent index maintenance on $path: writer intent " +
@@ -163,7 +259,8 @@ private[graft] object MaintenanceLock {
   }
 
   /** Does the marker body still carry `token`? False once a stealer
-    * replaced it (or the marker vanished).
+    * replaced it (or the marker vanished). The marker is immutable
+    * after create, so this read can never observe a torn body.
     */
   def isHeld(spark: SparkSession, path: String, token: String): Boolean =
     readBody(fsOf(spark, path), markerPath(path)).exists(_._1 == token)
@@ -171,8 +268,9 @@ private[graft] object MaintenanceLock {
   /** Abort loudly if the intent is no longer ours — called by verbs
     * immediately before a destructive, non-CAS'd step (e.g. IVF
     * compaction's dynamic-overwrite rewrite and its tombstone/marker
-    * hygiene tail), so a stolen-but-alive writer dies BEFORE it can
-    * drop a successor's rows.
+    * hygiene tail, buildIndex's stale-artifact sweep, rebalance's
+    * unreferenced-list purge), so a stolen-but-alive writer dies
+    * BEFORE it can drop a successor's rows.
     */
   def assertHeld(spark: SparkSession, path: String, token: String): Unit =
     if (!isHeld(spark, path, token))
@@ -181,18 +279,23 @@ private[graft] object MaintenanceLock {
           "stolen — this writer was presumed dead); aborting before " +
           "any destructive step. Re-run the verb.")
 
-  /** Re-stamp the marker's body timestamp if we still own it. Returns
-    * false (and stamps nothing) once the lease was stolen.
+  /** Re-stamp our liveness sidecar if we still own the intent. Returns
+    * false (and stamps nothing shared) once the lease was stolen —
+    * and even a stamp racing the steal touches only OUR sidecar, never
+    * the stealer's marker.
     */
   def heartbeat(spark: SparkSession, path: String, token: String): Boolean = {
     val fs = fsOf(spark, path)
-    val marker = markerPath(path)
     if (!isHeld(spark, path, token)) false
-    else writeBody(fs, marker, token, createOnly = false)
+    else {
+      try stampHb(fs, path, token) catch { case _: java.io.IOException => () }
+      true
+    }
   }
 
   /** Release the intent if we still own it (a stolen marker belongs to
-    * the stealer and is left alone).
+    * the stealer and is left alone); our heartbeat sidecar is ours
+    * alone and is removed unconditionally.
     */
   def release(spark: SparkSession, path: String, token: String): Unit = {
     val fs = fsOf(spark, path)
@@ -200,6 +303,9 @@ private[graft] object MaintenanceLock {
       try fs.delete(markerPath(path), false) catch {
         case _: java.io.IOException => ()
       }
+    try fs.delete(hbPath(path, token), false) catch {
+      case _: java.io.IOException => ()
+    }
   }
 
   /** Run `f` holding the intent for `path`, heartbeating from a daemon
@@ -225,7 +331,11 @@ private[graft] object MaintenanceLock {
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try f(token)
     finally {
+      // stop the stamper and WAIT for an in-flight stamp before
+      // deleting the sidecar, so release leaves no orphan hb file
       hb.shutdownNow()
+      try hb.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       release(spark, path, token)
     }
   }

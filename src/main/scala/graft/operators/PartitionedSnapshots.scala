@@ -210,6 +210,11 @@ object PartitionedSnapshots {
         existingTouched.map(d => partPath(root, d, cur(d))): _*)
     val merged = Upsert.merge(target, updates, key)
     val written = writeVersion(spark, root, merged, partCol, next)
+    // refresh the schema sidecar on EVERY commit (one driver file
+    // write): a create-time-only sidecar would hand empty reads a
+    // schema that disagrees with non-empty reads once a later commit
+    // widened the row type
+    writeSchema(spark, root, merged)
     val entries = (cur -- written) ++ written.map(_ -> next)
     Snapshots.writeManifestLines(spark, root,
       entries.toSeq.sorted.map { case (d, v) => s"$d\t$v" }, sweep = false)

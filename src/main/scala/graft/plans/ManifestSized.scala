@@ -64,6 +64,17 @@ object ManifestSized {
     * DataFrame `count()` on a v1 parquet source is a real scan job,
     * paid again on every statement that references the TVF.
     */
+  // Per-FILE footer-count cache keyed by (path, length, mtime): the
+  // TVF builders run at ANALYSIS time on every statement resolution,
+  // and a version with thousands of files would pay thousands of
+  // footer opens per query. The listing itself (cheap, and required
+  // anyway to discover the file set) validates every entry — an
+  // immutable snapshot version hits 100%, a rewritten probes table
+  // (new names/len/mtime) misses and re-reads, so the cache is safe
+  // for MUTABLE directories too. Bounded by wholesale clear.
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def parquetRowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
@@ -75,9 +86,17 @@ object ManifestSized {
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet") &&
           !name.startsWith("_") && !name.startsWith(".")) {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-        try n += r.getRecordCount finally r.close()
+        val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        val cached = footerCache.get(key)
+        if (cached != null) n += cached
+        else {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          val cnt = try r.getRecordCount finally r.close()
+          if (footerCache.size > 65536) footerCache.clear()
+          footerCache.put(key, cnt)
+          n += cnt
+        }
       }
     }
     n

@@ -2286,6 +2286,68 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // ADVISORY-DRIVEN AUTO-REPAIR — the production loop the skew
+    // advisory exists for, composed end to end: a drifting paced
+    // ingest appends micro-batches into a deliberately small index
+    // (nCentroids=4, so drift concentrates lists), and EACH batch
+    // boundary runs poll → advisory → (if advised) rebalance — the
+    // cadence loop an operator would schedule, here driven by the
+    // stream itself. After the stream drains, repairs run until the
+    // advisory reads clean (each pass strictly shrinks the max list,
+    // and a 1-row list is never hot, so the loop terminates).
+    // Engine-side invariants on the exact deliverable:
+    //  - repair_loop_ok: every advisory that fired (on the then-
+    //    quiesced index — appends committed, no tombstones) was
+    //    followed by a rebalance that actually split (advisory⇔repair
+    //    consistency, the q_sim_ivf_skew rule under composition);
+    //  - advisory_clean: the final advisory reads rebalance_advised =
+    //    false. Exhaustive probing over the final live centroid set
+    //    must then equal brute-force top-5 over the WHOLE corpus —
+    //    only possible if every streamed row landed in a live list
+    //    and every mid-stream split moved every row exactly once.
+    "q_stream_ivf_autorepair" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Tables.scratch("stream_ivf_autorepair")
+      IvfIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCentroids = 4, path = idx)
+      val loopOk = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def pollAndRepair(): Boolean = {
+        val adv = IvfIndex.skewReport(s, idx, "vec_id", 1.25).head()
+        if (adv.getAs[Boolean]("rebalance_advised")) {
+          val split = IvfIndex.rebalanceIndex(s, idx, "vec_id", "embedding",
+            maxListFactor = 1.25)
+          // quiesced advisory ⇔ repair: an advised rebalance MUST split
+          if (split.isEmpty) loopOk.set(false)
+          true
+        } else false
+      }
+      val q = graft.streaming.StreamOps
+        .tableStreamPaced(s, dir, "embeddings", "vec_id", 3)
+        .filter(col("vec_id") % 2 === 1)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfIndex.appendToIndex(batch, "vec_id", "embedding", idx)
+          pollAndRepair() // the cadence poll, at every batch boundary
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // drain: repair until the advisory reads clean (strictly
+      // shrinking max list ⇒ terminates; the bound is a safety net)
+      var drains = 0
+      while (pollAndRepair() && drains < 16) drains += 1
+      val cleanAfter = !IvfIndex.skewReport(s, idx, "vec_id", 1.25)
+        .head().getAs[Boolean]("rebalance_advised")
+      val (assigned, centroids) = IvfIndex.loadIndex(s, idx)
+      val nLive = centroids.count().toInt
+      IvfIndex.searchTopK(assigned, centroids, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbes = nLive)
+        .withColumn("repair_loop_ok", lit(loopOk.get()))
+        .withColumn("advisory_clean", lit(cleanAfter))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF DELETE — retraction for the vector index (GDPR-erasure /
     // unlearning): deleteFromIndex is an O(deleted ids) tombstone
     // append; the live view (loadLive) masks immediately with a
@@ -4410,6 +4472,21 @@ object LlmPipeline {
     // proof the ingest actually arrived in ≥3 paced micro-batches
     "q_stream_ivf_ingest" ->
       s"""SELECT probe_id, rank, neighbor_id, cos, true AS multi_batch FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${duckCos("p.embedding", "c.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // auto-repair composition: mid-stream rebalances move rows but
+    // never change the answer — exhaustive probing over the final
+    // live generation = the same exact brute-force top-5; the two
+    // booleans are the engine-side advisory⇔repair proof
+    "q_stream_ivf_autorepair" ->
+      s"""SELECT probe_id, rank, neighbor_id, cos,
+         |  true AS repair_loop_ok, true AS advisory_clean FROM (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |    ${duckCos("p.embedding", "c.embedding")} AS cos,
          |    row_number() OVER (PARTITION BY p.vec_id

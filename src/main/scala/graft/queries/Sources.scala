@@ -247,14 +247,17 @@ object Sources {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
       orders.write.mode(SaveMode.Overwrite)
         .partitionBy("o_orderstatus").parquet(out)
-      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        orders.filter(col("o_orderstatus") === "F")
-          .withColumn("o_totalprice", col("o_totalprice") * 2)
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("o_orderstatus").parquet(out)
-      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // dynamic mode scoped to THIS write via the per-writer option —
+      // a session-global set/restore is a cross-thread hazard when
+      // other writes run concurrently on the same session (they would
+      // inherit dynamic mode mid-window, and a racing restore could
+      // flip an in-flight dynamic overwrite back to a static
+      // whole-table truncate)
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(out)
       s.read.parquet(out)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

@@ -1703,4 +1703,161 @@ class DedupSpec extends SparkSuite {
     sets.sliding(2).foreach { w =>
       assert(w.head.subsetOf(w.last), s"probe sets do not nest: $w") }
   }
+
+  test("two compactions on two indexes run CONCURRENTLY: per-write dynamic overwrite, no cross-thread conf race, both end states exact") {
+    // the round-15 watch item: compactLists used to set/restore the
+    // session-global partitionOverwriteMode — two compactions on
+    // different indexes (exactly what the inFlight chain-overlap
+    // pattern encourages) would race the restore, and a mid-flight
+    // flip back to STATIC truncates the whole assigned dir. The mode
+    // is now scoped per-write; this drill runs the composition the
+    // old code never exercised.
+    import graft.operators.IvfIndex
+    def mkIndex(tag: String, seedBase: Long): String = {
+      val rows = (0L until 60L).map { i =>
+        val rnd = new scala.util.Random(i + seedBase)
+        (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+      }
+      val path = Tables.scratch(s"ivf_cc_$tag")
+      IvfIndex.buildIndex(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCentroids = 4, path = path)
+      IvfIndex.deleteFromIndex(
+        (0L until 60L by 5L).toDF("vec_id"), "vec_id", path)
+      path
+    }
+    val (pa, pb) = (mkIndex("a", 31000L), mkIndex("b", 32000L))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(pa, pb).map { p =>
+      val t = new Thread(() => {
+        barrier.await()
+        try IvfIndex.compactLists(spark, p, "vec_id")
+        catch { case e: Throwable => failures.add(e) }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"concurrent compaction failed: ${failures.peek()}")
+    Seq(pa, pb).foreach { p =>
+      // tombstones folded physically, sidecar cleared, no truncation:
+      // every undeleted row survives on disk
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/tombstones")),
+        s"$p: tombstone sidecar not cleared")
+      val physical = spark.read.parquet(s"$p/assigned")
+      assert(physical.count() === 48L,
+        s"$p: a concurrent static-mode flip truncated the layout")
+      assert(physical.filter(col("vec_id") % 5 === 0).count() === 0L,
+        s"$p: physical residue of deleted rows")
+      assert(IvfIndex.loadLive(spark, p, "vec_id")._1.count() === 48L)
+    }
+  }
+
+  test("skew advisory is metadata-sized under load: zero Spark jobs on a tombstoned index; equals the exact rule when quiesced") {
+    // round-15 watch item 3: a non-quiesced index used to fall back to
+    // a corpus-sized masked aggregate — run by the TVF at ANALYSIS
+    // time, so a cadence poller on an index under continuous delete
+    // load paid a scan per poll. The advisory now sizes from parquet
+    // FOOTERS always (upper bound under load, exact when quiesced);
+    // the exact masked rule remains rebalanceIndex's own.
+    import graft.operators.IvfIndex
+    val rows = (0L until 60L).map { i =>
+      val rnd = new scala.util.Random(i + 41000)
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }
+    val path = Tables.scratch("ivf_skew_bound")
+    IvfIndex.buildIndex(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    // QUIESCED: advisory == the exact selection rule off masked sizes
+    val exact = IvfIndex.listSizes(spark, path, "vec_id")
+    val mean = exact.map(_._2).sum.toDouble / exact.size
+    val hotExact = exact.filter(x => x._2 > 1.25 * mean && x._2 >= 2)
+      .map(_._1).sorted
+    val quiesced = IvfIndex.skewReport(spark, path, "vec_id", 1.25).head()
+    assert(quiesced.getAs[Long]("total_live") === exact.map(_._2).sum)
+    assert(quiesced.getAs[Long]("max_list") === exact.map(_._2).max)
+    assert(quiesced.getAs[String]("hot_lists") === hotExact.mkString(","))
+    assert(quiesced.getAs[Boolean]("rebalance_advised") === hotExact.nonEmpty)
+    // UNDER LOAD: tombstone the index, then resolve the TVF — zero
+    // Spark jobs (footer counts + the driver-cached centroid table,
+    // warmed by the quiesced read above)
+    IvfIndex.deleteFromIndex(Seq(0L, 1L, 2L).toDF("vec_id"), "vec_id", path)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val loaded = try {
+      val df = spark.sql(s"SELECT * FROM graft_ivf_skew('$path')")
+      Thread.sleep(1000) // listener delivery is async
+      df
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs === 0,
+      s"advisory resolution launched $jobs Spark jobs on a tombstoned index")
+    // the report is a LocalRelation: reading it is job-free too, and
+    // total_live subtracts the tombstone sidecar's footer rows
+    val r = loaded.head()
+    assert(r.getAs[Long]("total_live") === 57L,
+      s"tombstone-adjusted total wrong: ${r.getAs[Long]("total_live")}")
+    // sizes are upper bounds under load (footer counts still include
+    // the masked rows) — the max list can only shrink after the fold
+    IvfIndex.compactLists(spark, path, "vec_id")
+    val folded = IvfIndex.skewReport(spark, path, "vec_id", 1.25).head()
+    assert(folded.getAs[Long]("total_live") === 57L)
+    assert(folded.getAs[Long]("max_list") <= r.getAs[Long]("max_list"))
+  }
+
+  test("auto-repair loop: planted ingest drift FIRES the advisory at a batch boundary; post-repair search stays exact") {
+    // the q_stream_ivf_autorepair composition with drift planted so
+    // the mid-stream fire is deterministic: the bootstrap is spread,
+    // every ingested batch lands in ONE dense region, so its list
+    // crosses factor × mean and the batch-boundary poll must advise
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val rnd = new scala.util.Random(17)
+    val spread = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 4f - 2f)) }
+    val path = Tables.scratch("ivf_autorepair_drill")
+    IvfIndex.buildIndex(spread.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    var fires = 0
+    def pollRepair(): Unit = {
+      val adv = IvfIndex.skewReport(spark, path, "vec_id", 1.25).head()
+      if (adv.getAs[Boolean]("rebalance_advised")) {
+        fires += 1
+        val split = IvfIndex.rebalanceIndex(spark, path, "vec_id",
+          "embedding", maxListFactor = 1.25)
+        assert(split.nonEmpty,
+          "quiesced advisory advised but the repair found nothing to split")
+      }
+    }
+    // three drifting batches, poll at each boundary (the cadence loop)
+    val ingested = Seq.newBuilder[(Long, Array[Float])]
+    (0 until 3).foreach { b =>
+      val batch = (100L + b * 30L until 130L + b * 30L).map { i =>
+        (i, Array.fill(8)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f)) }
+      ingested ++= batch
+      IvfIndex.appendToIndex(batch.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path)
+      pollRepair()
+    }
+    assert(fires >= 1, "planted drift never fired the advisory")
+    // post-repair exactness: exhaustive probing over the final live
+    // generation equals brute force over the full drifted corpus
+    // (the KNOWN inputs — reading assigned/ raw would double-count
+    // retired spare lists)
+    val corpus = (spread ++ ingested.result()).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") < 3 || col("vec_id") >= 185L)
+    val (a, c) = IvfIndex.loadIndex(spark, path)
+    val got = IvfIndex.searchTopK(a, c, probes, "vec_id", "embedding",
+        k = 5, nProbes = c.count().toInt)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exact = SimilaritySearch.bruteForceTopK(corpus, probes,
+        "vec_id", "embedding", k = 5)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === exact, "post-repair search diverged from brute force")
+  }
 }

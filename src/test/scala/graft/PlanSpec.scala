@@ -711,6 +711,13 @@ class PlanSpec extends SparkSuite {
       val br = spark.sql(s"SELECT * FROM graft_branch('$root', 'audit')")
       assert(msNode(br).exists(_.stats.rowCount === Some(BigInt(200))),
         s"graft_branch rowCount: ${msNode(br).map(_.stats.rowCount)}")
+      // the branch leg BROADCASTS on a fact join from the bound alone
+      // (cold session, no hint, no ANALYZE) — the same plan row the
+      // snapshot/changes/hybrid TVFs assert
+      val brJoin = br.join(fact, Seq("doc_id"))
+        .queryExecution.executedPlan.toString
+      assert(brJoin.contains("BroadcastHashJoin"),
+        s"manifest-sized branch leg did not broadcast:\n${brJoin.take(2000)}")
       // ── table_changes: bound |v1|+|v2|; the BHJ the raw leg misses ──
       val chg = spark.sql(
         s"SELECT * FROM graft_table_changes('$root', 1, 2, 'doc_id')")

@@ -1013,4 +1013,77 @@ class TextIndexSpec extends SparkSuite {
       MaintenanceLock.release(spark, out, b)
     } finally spark.conf.unset("graft.index.writerLeaseMs")
   }
+
+  test("heartbeat hammer: tight re-stamping vs a spinning reader — isHeld never flickers, assertHeld never aborts a healthy holder") {
+    // round-15 watch item 2: heartbeats used to rewrite the MARKER in
+    // place (truncate-then-write), so a concurrent readBody — a
+    // rival's age check or the verb's own assertHeld — could observe
+    // an empty/partial body and spuriously abort a healthy verb. The
+    // marker is now immutable after create and liveness is stamped in
+    // a per-holder sidecar replaced with an atomic rename, so the
+    // torn-read window is gone by construction. Hammer it: ~1 s of
+    // 5 ms heartbeats against a reader spinning isHeld/assertHeld.
+    val out = Tables.scratch("textindex_lock_hammer")
+    new java.io.File(out).mkdirs()
+    spark.conf.set("graft.index.writerLeaseMs", "60000")
+    spark.conf.set("graft.index.writerHeartbeatMs", "5")
+    try {
+      MaintenanceLock.withLockToken(spark, out) { token =>
+        val mismatches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          while (!stop.get()) {
+            if (!MaintenanceLock.isHeld(spark, out, token))
+              mismatches.incrementAndGet()
+            try MaintenanceLock.assertHeld(spark, out, token)
+            catch { case _: IllegalStateException => mismatches.incrementAndGet() }
+          }
+        })
+        reader.start()
+        Thread.sleep(1000) // ~200 heartbeat rewrites under the spin
+        stop.set(true); reader.join()
+        assert(mismatches.get() === 0,
+          s"${mismatches.get()} torn/false isHeld reads during heartbeats")
+        // the sidecar is being stamped (liveness is real, not vacuous)
+        val hb = new java.io.File(
+          MaintenanceLock.hbPath(out, token).toUri.getPath)
+        assert(hb.exists(), "no heartbeat sidecar was ever stamped")
+      }
+      // release removed both the marker and the sidecar
+      val dir = new java.io.File(out)
+      assert(!dir.listFiles().exists(_.getName.startsWith("_maint")),
+        s"lock artifacts leaked: ${dir.listFiles().map(_.getName).mkString(",")}")
+    } finally {
+      spark.conf.unset("graft.index.writerLeaseMs")
+      spark.conf.unset("graft.index.writerHeartbeatMs")
+    }
+  }
+
+  test("a zombie's late heartbeat can never clobber the stealer's marker (the stamp touches only the zombie's own sidecar)") {
+    // the round-15 check-then-act residue: isHeld-then-rewrite let a
+    // zombie passing its check just before the steal overwrite the
+    // stealer's fresh marker — two writers each believing they hold.
+    // Heartbeats now write a per-holder sidecar and never the marker,
+    // so even a stamp racing the steal is harmless. Drill the exact
+    // post-steal interleaving and verify the marker BYTES.
+    val out = Tables.scratch("textindex_lock_zombie_stamp")
+    new java.io.File(out).mkdirs()
+    val zombie = MaintenanceLock.acquire(spark, out)
+    spark.conf.set("graft.index.writerLeaseMs", "0")
+    val stealer = try { Thread.sleep(10); MaintenanceLock.acquire(spark, out) }
+      finally spark.conf.unset("graft.index.writerLeaseMs")
+    // the zombie hammers heartbeats AFTER the steal
+    (1 to 20).foreach { _ =>
+      assert(!MaintenanceLock.heartbeat(spark, out, zombie),
+        "a zombie heartbeat claimed success after the steal")
+    }
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(MaintenanceLock.markerPath(out).toUri.getPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(body.startsWith(stealer + "\n"),
+      s"marker no longer the stealer's after zombie stamps: ${body.take(60)}")
+    assert(MaintenanceLock.isHeld(spark, out, stealer))
+    assert(!MaintenanceLock.isHeld(spark, out, zombie))
+    MaintenanceLock.release(spark, out, stealer)
+  }
 }
