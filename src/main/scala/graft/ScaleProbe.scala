@@ -65,8 +65,28 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // the CONTROL at the same batch count: no persisted index — every
+    // batch re-processes the benchmark from scratch inside a one-shot
+    // cross join (the q_decontaminate_incremental control's shape).
+    // Interleaving is unnecessary here: both sides just ran in this
+    // JVM, and the PAIR at N batches is (build + Σ graft batches) vs
+    // Σ control batches — the amortized operating point the 2-batch
+    // BASELINE.md record cannot show.
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val controlBatches = (0 until nBatches).map { b =>
+      timed {
+        Dedup.crossJaccardJoin(
+            train.filter(col("doc_id") % nBatches === b),
+            bench, "doc_id", "grams", 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     val bs = batches.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(f"""{"build":$build%.3f,"batches":$bs,"sf":"$sfDir"}""")
+    val cs = controlBatches.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val g = build + batches.sum
+    val c = controlBatches.sum
+    println(f"""{"build":$build%.3f,"batches":$bs,"control_batches":$cs,""" +
+      f""""graft_total":$g%.3f,"control_total":$c%.3f,"pair_ratio":${g / c}%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -105,14 +105,18 @@ object ScaleUp {
     replicate("documents", i =>
       offsetBy(docs, "doc_id", docStep, i)
         .withColumn("text", mutateText(col("text"), i)))
-    // jitter in [-0.005, 0.005), deterministic in (vec_id, dim)
+    // jitter in [-0.005, 0.005), deterministic in (vec_id, dim).
+    // The per-element cast back to FLOAT is load-bearing: the division
+    // promotes to double, and an uncast transform would silently
+    // publish array<double> embeddings — a replica whose SCHEMA (not
+    // just values) differs from the base table it claims to replicate.
     replicate("embeddings", i =>
       offsetBy(emb, "vec_id", vecStep, i)
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else transform(col("embedding"), (x, j) =>
-            x + (pmod(hash(col("vec_id"), j, lit(i)), lit(1000)) - 500)
-              .cast("float") / 100000.0f)))
+            (x + (pmod(hash(col("vec_id"), j, lit(i)), lit(1000)) - 500)
+              .cast("float") / 100000.0f).cast("float"))))
 
     spark.stop()
     sys.exit(0)

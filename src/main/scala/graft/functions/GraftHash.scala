@@ -201,22 +201,39 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
-  /** Dense float-vector kernels (double accumulation). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Dense vector kernels (double accumulation). Each takes the two
+    * sides' ELEMENT WIDTH as codegen-constant booleans: the Catalyst
+    * expression resolves the child's element type at plan time
+    * (array<float> or array<double>) and the kernel reads through the
+    * matching accessor. Reading a double-backed column vector with
+    * `getFloat` is not a wrong VALUE — it is an executor
+    * NullPointerException (OnHeapColumnVector keeps per-type arrays,
+    * and the float one is null), so width dispatch here is a
+    * correctness fix, not a convenience. The per-element branch is on
+    * a call-constant argument — the JIT sees one target per call site.
+    */
+  @inline private def elemAt(a: ArrayData, i: Int, isDouble: Boolean): Double =
+    if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
+
+  def dot(a: ArrayData, b: ArrayData): Double = dot(a, b, false, false)
+
+  def dot(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += elemAt(a, i, aD) * elemAt(b, i, bD); i += 1 }
     s
   }
 
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): Double = cosine(a, b, false, false)
+
+  def cosine(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dp = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = elemAt(a, i, aD)
+      val y = elemAt(b, i, bD)
       dp += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -224,12 +241,14 @@ object GraftHash {
     if (denom == 0.0) 0.0 else dp / denom
   }
 
-  def l2(a: ArrayData, b: ArrayData): Double = {
+  def l2(a: ArrayData, b: ArrayData): Double = l2(a, b, false, false)
+
+  def l2(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val d = elemAt(a, i, aD) - elemAt(b, i, bD)
       s += d * d
       i += 1
     }
@@ -276,7 +295,10 @@ object GraftHash {
   def hyperplaneBucket(v: ArrayData, nBits: Int): Long =
     hyperplaneBucket(v, nBits, 0)
 
-  def hyperplaneBucket(v: ArrayData, nBits: Int, table: Int): Long = {
+  def hyperplaneBucket(v: ArrayData, nBits: Int, table: Int): Long =
+    hyperplaneBucket(v, nBits, table, false)
+
+  def hyperplaneBucket(v: ArrayData, nBits: Int, table: Int, vD: Boolean): Long = {
     // 63, not 64: the plane matrix holds MaxBits rows, and 1L << 63 would
     // flip the sign bit — callers treat buckets as non-negative keys
     require(nBits > 0 && nBits <= 63 && nBits <= MaxBits,
@@ -290,7 +312,7 @@ object GraftHash {
       var i = 0
       val off = bit * dim
       while (i < dim) {
-        s += m(off + i) * v.getFloat(i)
+        s += m(off + i) * elemAt(v, i, vD)
         i += 1
       }
       if (s > 0) out |= (1L << bit)
@@ -307,7 +329,11 @@ object GraftHash {
     * table would buy at zero extra corpus rows: the corpus still emits
     * one bucket per table; only the (tiny) probe side fans out.
     */
-  def hyperplaneProbes(v: ArrayData, nBits: Int, table: Int, nFlips: Int): ArrayData = {
+  def hyperplaneProbes(v: ArrayData, nBits: Int, table: Int, nFlips: Int): ArrayData =
+    hyperplaneProbes(v, nBits, table, nFlips, false)
+
+  def hyperplaneProbes(v: ArrayData, nBits: Int, table: Int, nFlips: Int,
+      vD: Boolean): ArrayData = {
     require(nBits > 0 && nBits <= 63 && nBits <= MaxBits,
       s"hyperplaneProbes: nBits must be in [1, 63], got $nBits")
     require(nFlips >= 0 && nFlips <= nBits,
@@ -322,7 +348,7 @@ object GraftHash {
       var i = 0
       val off = bit * dim
       while (i < dim) {
-        s += m(off + i) * v.getFloat(i)
+        s += m(off + i) * elemAt(v, i, vD)
         i += 1
       }
       if (s > 0) base |= (1L << bit)

@@ -15,32 +15,59 @@ import org.apache.spark.sql.functions.{array_distinct, col, lit}
 object VectorExpressions {
   private val FloatArray = ArrayType(FloatType)
 
+  /** Is an input a numeric vector the kernels can read, and through
+    * which accessor? Reading a double-backed column vector with
+    * getFloat is an executor NPE (OnHeapColumnVector keeps per-type
+    * arrays), so the element WIDTH is resolved here at plan time and
+    * passed to the kernel as a codegen-constant — and anything that is
+    * not array<float|double> is rejected at ANALYSIS, not as a
+    * ClassCastException three stages into a 100 TB job.
+    */
+  private def vecWidth(e: Expression): Option[Boolean] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _ => None
+  }
+
   abstract class VecBinary extends BinaryExpression {
     protected def kernel: String // static method on GraftHash
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (vecWidth(left).isDefined && vecWidth(right).isDefined)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$kernel expects array<float> or array<double> inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    // resolved by checkInputDataTypes before any evaluation
+    @transient protected lazy val leftIsDouble: Boolean = vecWidth(left).get
+    @transient protected lazy val rightIsDouble: Boolean = vecWidth(right).get
     override def nullSafeEval(l: Any, r: Any): Any = kernelEval(
       l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     protected def kernelEval(a: ArrayData, b: ArrayData): Double
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.GraftHash.$kernel($a, $b);")
+        s"${ev.value} = graft.functions.GraftHash.$kernel($a, $b, " +
+          s"$leftIsDouble, $rightIsDouble);")
   }
 
   case class CosineSim(left: Expression, right: Expression) extends VecBinary {
     override protected def kernel = "cosine"
-    override protected def kernelEval(a: ArrayData, b: ArrayData): Double = GraftHash.cosine(a, b)
+    override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
+      GraftHash.cosine(a, b, leftIsDouble, rightIsDouble)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
   case class DotProduct(left: Expression, right: Expression) extends VecBinary {
     override protected def kernel = "dot"
-    override protected def kernelEval(a: ArrayData, b: ArrayData): Double = GraftHash.dot(a, b)
+    override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
+      GraftHash.dot(a, b, leftIsDouble, rightIsDouble)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
   case class L2Dist(left: Expression, right: Expression) extends VecBinary {
     override protected def kernel = "l2"
-    override protected def kernelEval(a: ArrayData, b: ArrayData): Double = GraftHash.l2(a, b)
+    override protected def kernelEval(a: ArrayData, b: ArrayData): Double =
+      GraftHash.l2(a, b, leftIsDouble, rightIsDouble)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
@@ -106,11 +133,17 @@ object VectorExpressions {
   case class HyperplaneProbes(child: Expression, nBits: Int, table: Int, nFlips: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (vecWidth(child).isDefined)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_probes expects array<float> or array<double>, got ${child.dataType.sql}")
+    @transient private lazy val vD: Boolean = vecWidth(child).get
     override def nullSafeEval(v: Any): Any =
-      GraftHash.hyperplaneProbes(v.asInstanceOf[ArrayData], nBits, table, nFlips)
+      GraftHash.hyperplaneProbes(v.asInstanceOf[ArrayData], nBits, table, nFlips, vD)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.GraftHash.hyperplaneProbes($c, $nBits, $table, $nFlips);")
+        s"${ev.value} = graft.functions.GraftHash.hyperplaneProbes($c, $nBits, $table, $nFlips, $vD);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -119,11 +152,17 @@ object VectorExpressions {
     */
   case class HyperplaneBucket(child: Expression, nBits: Int, table: Int = 0) extends UnaryExpression {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (vecWidth(child).isDefined)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bucket expects array<float> or array<double>, got ${child.dataType.sql}")
+    @transient private lazy val vD: Boolean = vecWidth(child).get
     override def nullSafeEval(v: Any): Any =
-      GraftHash.hyperplaneBucket(v.asInstanceOf[ArrayData], nBits, table)
+      GraftHash.hyperplaneBucket(v.asInstanceOf[ArrayData], nBits, table, vD)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.GraftHash.hyperplaneBucket($c, $nBits, $table);")
+        s"${ev.value} = graft.functions.GraftHash.hyperplaneBucket($c, $nBits, $table, $vD);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

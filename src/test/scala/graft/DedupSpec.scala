@@ -1809,6 +1809,64 @@ class DedupSpec extends SparkSuite {
     assert(folded.getAs[Long]("max_list") <= r.getAs[Long]("max_list"))
   }
 
+  test("array<double> embeddings: kernels read the vectorized parquet scan correctly; exotic element types fail at analysis") {
+    // regression for the round-16 sf1 finding: a double-element vector
+    // column read through the NESTED vectorized parquet reader NPE'd
+    // in the float accessor (OnHeapColumnVector keeps per-type arrays
+    // — getFloat on a double vector loads a null float[]). The
+    // expressions now resolve element width at plan time; anything
+    // not array<float|double> dies at ANALYSIS, not mid-job.
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)) }
+    val fdir = Tables.scratch("dblvec_float")
+    val ddir = Tables.scratch("dblvec_double")
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(fdir)
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(ddir)
+    val f = spark.read.parquet(fdir)
+    val d = spark.read.parquet(ddir) // vectorized scan of array<double>
+    import graft.functions.VectorExpressions._
+    def vals(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"),
+        cosine_sim(col("embedding"), col("embedding")).as("c"),
+        dot_product(col("embedding"), col("embedding")).as("dp"),
+        l2_dist(col("embedding"), col("embedding")).as("l2"),
+        hyperplane_bucket(col("embedding"), 12).as("hb"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val (vf, vd) = (vals(f), vals(d))
+    vf.zip(vd).foreach { case ((i1, c1, d1, l1, h1), (i2, c2, d2, l2v, h2)) =>
+      assert(i1 === i2 && h1 === h2)
+      assert(math.abs(c1 - c2) < 1e-6 && math.abs(d1 - d2) < 1e-5 &&
+        math.abs(l1 - l2v) < 1e-6,
+        s"double-width kernel diverged at vec $i1")
+    }
+    // the whole IVF path over a double-element corpus: build, search
+    // exhaustively, equals brute force over the same frame
+    val idx = Tables.scratch("dblvec_idx")
+    IvfIndex.buildIndex(d, "vec_id", "embedding", nCentroids = 4, path = idx)
+    val (a, c) = IvfIndex.loadIndex(spark, idx)
+    val probes = d.filter(col("vec_id") < 3)
+    val got = IvfIndex.searchTopK(a, c, probes, "vec_id", "embedding",
+        k = 5, nProbes = 4)
+      .select("probe_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exact = SimilaritySearch.bruteForceTopK(d, probes,
+        "vec_id", "embedding", k = 5)
+      .select("probe_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === exact, "IVF over array<double> diverged from brute force")
+    // not-a-vector input: loud ANALYSIS failure, not an executor NPE
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(expr("cosine_sim(array('a','b'), array('a','b'))"))
+        .collect()
+    }
+    assert(bad.getMessage.contains("array<float> or array<double>"))
+  }
+
   test("auto-repair loop: planted ingest drift FIRES the advisory at a batch boundary; post-repair search stays exact") {
     // the q_stream_ivf_autorepair composition with drift planted so
     // the mid-stream fire is deterministic: the bootstrap is spread,

@@ -164,4 +164,26 @@ class GraftHashSpec extends AnyFunSuite {
     val b2 = GraftHash.lshBands(sig, 4).toLongArray().toSeq
     assert(b1 == b2 && b1.length == 32)
   }
+
+  test("vector kernels: double-width inputs compute the same values as their float casts") {
+    // the width flag dispatches the accessor; a double vector read via
+    // getFloat on a columnar batch is an NPE, not a wrong number — the
+    // kernel-level half of the array<double> regression (the columnar
+    // round-trip half lives in DedupSpec)
+    def doubleArr(xs: Seq[Double]) =
+      new GenericArrayData(xs.toArray[Any].map(_.asInstanceOf[Any]))
+    val fs = Seq(0.25f, -1.5f, 3.75f, 0.0f, 2.125f)
+    val ds = fs.map(_.toDouble)
+    val fa = floatArr(fs); val da = doubleArr(ds)
+    assert(GraftHash.cosine(da, da, true, true) ===
+      GraftHash.cosine(fa, fa, false, false))
+    assert(GraftHash.cosine(da, fa, true, false) ===
+      GraftHash.cosine(fa, fa, false, false))
+    assert(GraftHash.dot(da, da, true, true) === GraftHash.dot(fa, fa, false, false))
+    assert(GraftHash.l2(da, fa, true, false) === GraftHash.l2(fa, fa, false, false))
+    assert(GraftHash.hyperplaneBucket(da, 12, 3, true) ===
+      GraftHash.hyperplaneBucket(fa, 12, 3, false))
+    assert(GraftHash.hyperplaneProbes(da, 12, 1, 4, true).toLongArray().toSeq ===
+      GraftHash.hyperplaneProbes(fa, 12, 1, 4, false).toLongArray().toSeq)
+  }
 }
