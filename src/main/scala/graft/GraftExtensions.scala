@@ -115,14 +115,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.indexStatsTvfBuilder))
 
     // IVF skew advisory in SQL (the observability half of
-    // rebalanceIndex, under graft.ivf.maxListFactor — default 2.0):
-    //   SELECT * FROM graft_ivf_skew('/path/to/ivf')
+    // rebalanceIndex; factor = optional 2nd arg, else
+    // graft.ivf.maxListFactor, else 2.0):
+    //   SELECT * FROM graft_ivf_skew('/path/to/ivf'[, 1.25])
     // one row naming the lists a rebalance would split, same selection
     // rule, so `WHERE rebalance_advised` schedules the repair at
     // cadence from plain SQL.
     ext.injectTableFunction((FunctionIdentifier("graft_ivf_skew"),
       info("graft_ivf_skew",
-        "graft_ivf_skew(indexPath) - one-row hot-list advisory"),
+        "graft_ivf_skew(indexPath[, maxListFactor]) - one-row hot-list advisory"),
       GraftExtensions.ivfSkewTvfBuilder))
 
     // SQL surface for hybrid retrieval: RRF fusion of the two index-
@@ -276,11 +277,21 @@ object GraftExtensions {
     */
   val ivfSkewTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     (es: Seq[Expression]) => {
-      if (es.length != 1) throw new IllegalArgumentException(
-        s"graft_ivf_skew expects (indexPath); got ${es.length} args")
+      if (es.length < 1 || es.length > 2) throw new IllegalArgumentException(
+        s"graft_ivf_skew expects (indexPath[, maxListFactor]); got ${es.length} args")
       val s = SparkSession.active
-      val factor = s.conf.getOption("graft.ivf.maxListFactor")
-        .map(_.toDouble).getOrElse(2.0)
+      // factor precedence: explicit 2nd argument, else the session
+      // conf, else rebalance's own default — the per-statement arg
+      // exists so a cadence poll never has to MUTATE session conf
+      // (set/restore is a cross-thread hazard under concurrent chains,
+      // the partitionOverwriteMode lesson)
+      val factor = es.drop(1).headOption.map {
+        case Literal(v, _: org.apache.spark.sql.types.NumericType) if v != null =>
+          v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_ivf_skew maxListFactor must be a numeric literal, got $other")
+      }.orElse(s.conf.getOption("graft.ivf.maxListFactor").map(_.toDouble))
+        .getOrElse(2.0)
       graft.operators.IvfIndex.skewReport(s,
           strArg(es.head, "graft_ivf_skew indexPath"), "vec_id", factor)
         .queryExecution.analyzed

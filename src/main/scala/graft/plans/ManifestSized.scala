@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, IntegerLiteral}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Statistics, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
@@ -113,14 +113,37 @@ object ManifestSized {
   * top of the TVF leg, which is exactly where JoinSelection reads it.
   */
 object PushThroughManifestSized extends Rule[LogicalPlan] {
+  private def asLong(b: BigInt): Long = b.min(BigInt(Long.MaxValue)).toLong
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(cond, ManifestSized(child, _, rowBound)) =>
-      ManifestSized.bounded(Filter(cond, child),
-        rowBound.min(BigInt(Long.MaxValue)).toLong)
+      ManifestSized.bounded(Filter(cond, child), asLong(rowBound))
     case p @ Project(exprs, ManifestSized(child, _, rowBound))
         if p.resolved && exprs.forall(_.deterministic) =>
-      ManifestSized.bounded(Project(exprs, child),
-        rowBound.min(BigInt(Long.MaxValue)).toLong)
+      ManifestSized.bounded(Project(exprs, child), asLong(rowBound))
+    // a LIMIT above the TVF tightens the bound to min(n, bound) and
+    // still floats the annotation to the top of the leg. GlobalLimit
+    // bounds total output; a bare LocalLimit is per-partition and
+    // passes the bound through unchanged.
+    case g @ GlobalLimit(IntegerLiteral(n), ManifestSized(child, _, rowBound)) =>
+      ManifestSized.bounded(g.withNewChildren(Seq(child)),
+        math.min(n.toLong, asLong(rowBound)))
+    case g @ GlobalLimit(IntegerLiteral(n),
+        l @ LocalLimit(_, ManifestSized(child, _, rowBound))) =>
+      ManifestSized.bounded(
+        g.withNewChildren(Seq(l.withNewChildren(Seq(child)))),
+        math.min(n.toLong, asLong(rowBound)))
+    case l @ LocalLimit(_, ManifestSized(child, _, rowBound)) =>
+      ManifestSized.bounded(l.withNewChildren(Seq(child)), asLong(rowBound))
+    // an Aggregate's output cardinality is at most its input's (one
+    // row per group; ≤ 1 row when ungrouped), so the bound survives as
+    // an upper bound and the annotated leg stays broadcast-eligible —
+    // SELECT k, count(*) FROM tvf GROUP BY k joined to a fact table.
+    case a @ Aggregate(groupingExprs, aggExprs, ManifestSized(child, _, rowBound), _)
+        if a.resolved && aggExprs.forall(_.deterministic) =>
+      ManifestSized.bounded(
+        a.withNewChildren(Seq(child)),
+        if (groupingExprs.isEmpty) 1L else asLong(rowBound))
   }
 }
 

@@ -2207,10 +2207,11 @@ object LlmPipeline {
       val emb = t(s, dir, "embeddings")
       val idx = Tables.scratch("ivf_skew_idx")
       IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 4, path = idx)
-      val prevFactor = s.conf.getOption("graft.ivf.maxListFactor")
-      s.conf.set("graft.ivf.maxListFactor", "1.25")
-      try {
-        val before = s.sql(s"SELECT * FROM graft_ivf_skew('$idx')").head()
+      // the factor rides the STATEMENT (optional TVF arg) — no session
+      // conf set/restore, so a cadence poll composes with concurrent
+      // chains (the partitionOverwriteMode lesson applied here too)
+      locally {
+        val before = s.sql(s"SELECT * FROM graft_ivf_skew('$idx', 1.25)").head()
         // independent recount, same rule (live sizes, > factor × mean, ≥ 2)
         val sizes = IvfIndex.listSizes(s, idx, "vec_id")
         val mean = sizes.map(_._2).sum.toDouble / sizes.size
@@ -2225,7 +2226,7 @@ object LlmPipeline {
         if (before.getAs[Boolean]("rebalance_advised"))
           IvfIndex.rebalanceIndex(s, idx, "vec_id", "embedding",
             maxListFactor = 1.25)
-        val after = s.sql(s"SELECT * FROM graft_ivf_skew('$idx')").head()
+        val after = s.sql(s"SELECT * FROM graft_ivf_skew('$idx', 1.25)").head()
         val progressOk = !before.getAs[Boolean]("rebalance_advised") ||
           after.getAs[Long]("max_list") < before.getAs[Long]("max_list")
         val liveOk = after.getAs[Long]("total_live") ==
@@ -2235,9 +2236,6 @@ object LlmPipeline {
             before.getAs[Long]("factor_bp"),
             consistent, progressOk && liveOk))
           .toDF("total_live", "factor_bp", "skew_consistent", "progress_ok")
-      } finally prevFactor match {
-        case Some(f) => s.conf.set("graft.ivf.maxListFactor", f)
-        case None => s.conf.unset("graft.ivf.maxListFactor")
       }
     }),
 

@@ -128,4 +128,26 @@ class PartitionedSnapshotsSpec extends SparkSuite {
     assert(byStatus.filter(_._1 != "F").values.forall(_ == true))
     assert(rows.forall(_.getAs[Boolean]("v1_intact")))
   }
+
+  test("schema sidecar is refreshed on every commit; empty reads agree with non-empty reads") {
+    // round-15 advice: a create-time-only sidecar hands empty reads a
+    // schema that can disagree with later commits'. The sidecar is now
+    // rewritten on every commitMerge (one driver file write) — assert
+    // it tracks the latest commit, and that an empty partition-filter
+    // read's schema equals a non-empty read's after commits.
+    val root = freshRoot("psnap_sidecar")
+    val df = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v")
+    PartitionedSnapshots.create(spark, root, df, "p")
+    val sidecar = new java.io.File(s"$root/_schema.json")
+    assert(sidecar.exists())
+    val m0 = sidecar.lastModified()
+    Thread.sleep(5)
+    PartitionedSnapshots.commitMerge(spark, root,
+      Seq((3L, "a", 30)).toDF("k", "p", "v"), "k", "p")
+    assert(sidecar.lastModified() >= m0, "sidecar not rewritten on commit")
+    val empty = PartitionedSnapshots.readPartitions(spark, root, _ == "zzz")
+    assert(empty.count() === 0L)
+    assert(empty.schema === PartitionedSnapshots.read(spark, root).schema,
+      "empty read's schema disagrees with a non-empty read")
+  }
 }

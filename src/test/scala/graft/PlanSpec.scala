@@ -781,6 +781,30 @@ class PlanSpec extends SparkSuite {
         s"column pruning stopped at the annotation: ${pOpt.output}")
       assert(pOpt.stats.rowCount === Some(BigInt(4000)),
         s"row bound lost under pruning: ${pOpt.stats.rowCount}")
+      // LIMIT above the TVF: the annotation floats up and TIGHTENS to
+      // min(n, bound) — the broadcast estimate a `tvf LIMIT 10 ⋈ fact`
+      // leg should plan from
+      val limited = spark.sql(
+        s"SELECT * FROM graft_text_search('$tidx', 'needlea') LIMIT 10")
+      val lOpt = limited.queryExecution.optimizedPlan
+      assert(lOpt.isInstanceOf[graft.plans.ManifestSized],
+        s"Limit stripped the annotation; root: ${lOpt.nodeName}")
+      assert(lOpt.stats.rowCount === Some(BigInt(10)),
+        s"limit did not tighten the bound: ${lOpt.stats.rowCount}")
+      assert(limited.count() === 10L)
+      // Aggregate above the TVF: output ≤ input, so the bound survives
+      // and the aggregated leg stays broadcast-eligible
+      val agged = spark.sql(
+        s"SELECT doc_id, count(*) AS n FROM graft_text_search('$tidx', 'needlea') GROUP BY doc_id")
+      val aOpt = agged.queryExecution.optimizedPlan
+      assert(aOpt.isInstanceOf[graft.plans.ManifestSized],
+        s"Aggregate stripped the annotation; root: ${aOpt.nodeName}")
+      assert(aOpt.stats.rowCount === Some(BigInt(4000)),
+        s"aggregate lost the bound: ${aOpt.stats.rowCount}")
+      val aggJoin = agged.join(fact, Seq("doc_id"))
+        .queryExecution.executedPlan.toString
+      assert(aggJoin.contains("BroadcastHashJoin"),
+        s"aggregated TVF leg did not broadcast:\n${aggJoin.take(2000)}")
     } finally prev.foreach { case (c, vOpt) =>
       vOpt.fold(spark.conf.unset(c))(spark.conf.set(c, _))
     }
@@ -798,6 +822,13 @@ class PlanSpec extends SparkSuite {
     val empty = Tables.scratch("footer_count_empty")
     spark.range(0, 1).limit(0).repartition(1).write.mode("overwrite").parquet(empty)
     assert(graft.plans.ManifestSized.parquetRowCount(spark, empty) === 0L)
+    // the per-file footer cache is validated by the listing (path,
+    // len, mtime): a REWRITTEN directory must re-count, never serve
+    // the stale sum — the mutable-probes-table case
+    spark.range(0, 41).repartition(1).write.mode("overwrite").parquet(flat)
+    assert(graft.plans.ManifestSized.parquetRowCount(spark, flat) === 41L,
+      "footer cache served a stale count after an overwrite")
+    assert(graft.plans.ManifestSized.parquetRowCount(spark, flat) === 41L)
   }
 
   test("fuzzy decontamination: all joins equi — no cartesian, no nested loop") {
@@ -1046,7 +1077,8 @@ class PlanSpec extends SparkSuite {
       "q_sim_ivf_skew", "q_sim_recall_curve", "q_sim_knn_join", "q_sim_label_knn",
       "q_sim_filtered_ann", "q_sim_range_search",
       "q_sql_ann", "q_sql_hybrid", "q_hybrid_search_rrf", "q_hybrid_cdc",
-      "q_forget", "q_stream_dedup_ingest", "q_stream_ivf_ingest")
+      "q_forget", "q_stream_dedup_ingest", "q_stream_ivf_ingest",
+      "q_stream_ivf_autorepair")
     val b9 = (graft.queries.LlmPipeline.queries.keys.toSeq ++
       graft.queries.Sources.queries.keys.filter(_.startsWith("q_table_"))).sorted
     val failures = b9.filterNot(needsBuiltArtifact).flatMap { name =>
