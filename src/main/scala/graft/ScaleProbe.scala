@@ -5,21 +5,30 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Targeted scaling probes the per-query Bench cannot express — phase
-  * timings INSIDE a verb. First resident probe: incremental
-  * decontamination amortization. The `q_decontaminate_incremental`
-  * baseline pair's claim is that the persisted contamination index is
-  * paid ONCE and per-batch checks then exclude the benchmark entirely
-  * — so per-batch cost must be flat in the batch count and far below
-  * the build. This main times the build and N per-batch checks
-  * separately (the query surface fuses them into one measured verb).
+  * timings INSIDE a verb.
   *
-  * Usage: scripts/run.sh graft.ScaleProbe <sfDir> [nBatches=4]
-  * Prints one JSON line: {"build":s, "batches":[s,...], "sf":...}.
+  * Probe 1 (default): incremental decontamination amortization. The
+  * `q_decontaminate_incremental` baseline pair's claim is that the
+  * persisted contamination index is paid ONCE and per-batch checks
+  * then exclude the benchmark entirely — so per-batch cost must be
+  * flat in the batch count and far below the build. Times the build,
+  * N index-served batch checks, AND the control's N one-shot checks
+  * (the pair at its amortized operating point).
+  *
+  * Probe 2 (`skew` mode): the advisory's poll cost under LOAD. Builds
+  * an IVF index, tombstones ids (so the index never quiesces), then
+  * times N skewReport polls (footer metadata) against one exact
+  * masked listSizes aggregate (the Spark-job path rebalance itself
+  * uses) — the advisory's claim is poll ≪ scan and poll flat in
+  * corpus size.
+  *
+  * Usage: scripts/run.sh graft.ScaleProbe <sfDir> [nBatches=4 | skew]
+  * Prints one JSON line per probe.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val mode = args.drop(1).headOption.getOrElse("4")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,6 +45,29 @@ object ScaleProbe {
       System.gc()
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+
+    if (mode == "skew") {
+      import graft.operators.IvfIndex
+      val emb = Tables(spark, sfDir, "embeddings")
+      val idx = Tables.scratch("skew_probe_idx")
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", nCentroids = 8, path = idx)
+      // tombstone ~2% of ids: the index is now permanently non-quiesced
+      // (the continuous-delete-load shape an advisory poller must survive)
+      IvfIndex.deleteFromIndex(
+        emb.filter(col("vec_id") % 50 === 0).select("vec_id"),
+        "vec_id", idx)
+      // warm one poll (footer cache + centroid cache), then time 8
+      val polls = (0 until 9).map { _ =>
+        timed { IvfIndex.skewReport(spark, idx, "vec_id", 1.25).collect() }
+      }.drop(1)
+      val exact = timed { IvfIndex.listSizes(spark, idx, "vec_id") }
+      val ps = polls.map(t => f"$t%.4f").mkString("[", ",", "]")
+      println(f"""{"probe":"skew","polls":$ps,"poll_median":${
+        polls.sorted.apply(polls.size / 2)}%.4f,"exact_masked":$exact%.3f,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+    val nBatches = mode.toInt
     // same shapes as q_decontaminate_incremental (tokens projected
     // before the shingle HOF — the O(len²) rule)
     val docs = Tables(spark, sfDir, "documents")

@@ -178,12 +178,19 @@ private[graft] object MaintenanceLock {
       val tmp = new Path(hb.getParent, s".${HbPrefix}$token.tmp")
       val out = fs.create(tmp, true)
       try out.write(body) finally out.close()
-      // rename-over requires the dest absent on plain FileSystem; the
-      // missing-hb window is benign — age falls back to the marker's
-      // acquisition timestamp, and a spurious steal dies at the
-      // stolen verb's assertHeld/CAS, never at the data
-      try fs.delete(hb, false) catch { case _: java.io.IOException => () }
-      fs.rename(tmp, hb)
+      // FileContext rename with OVERWRITE is the HDFS-atomic replace
+      // (plain FileSystem.rename refuses an existing dest). Fallback:
+      // delete+rename, whose missing-hb window is benign — age falls
+      // back to the marker's acquisition timestamp, and a spurious
+      // steal dies at the stolen verb's assertHeld/CAS, never at data.
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(hb.toUri, fs.getConf)
+          .rename(tmp, hb, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: Exception =>
+          try fs.delete(hb, false) catch { case _: java.io.IOException => () }
+          fs.rename(tmp, hb)
+      }
     }
   }
 
