@@ -201,6 +201,69 @@ object Baseline {
         .limit(20)
     }),
 
+    // q_text_search_eval control, deliverable-matched: the stock user
+    // evaluates ranking quality from the same flat postings + doclen
+    // artifacts (one tokenize pass), scoring BM25 by scanning ALL
+    // postings rows for each query's terms and ranking the graded
+    // ideal with a row_number window (no bounded-heap aggregate in
+    // stock Spark); same NDCG@10 / P@10 / best-doc RR math on the
+    // driver. The graft side's pruned-postings reads + heap ideal are
+    // what the pair prices.
+    "q_text_search_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = Tables.scratch("baseline_eval_postings")
+      val dls = Tables.scratch("baseline_eval_doclen")
+      val toks = docs.select(col("doc_id"),
+        graft.operators.Dedup.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(post)
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(dls)
+      val k = 10
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val rows = Seq("hash merge", "hash vector", "table vector").map { q =>
+        val terms = q.split(" ").toSeq
+        val tf = s.read.parquet(post).filter(col("term").isin(terms: _*))
+          .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        val dl = s.read.parquet(dls)
+        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg("dl").as("avgdl"))
+        val ranked = tf.join(broadcast(dfT), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+              col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id").agg(sum("contrib").as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k).collect()
+          .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }
+        val relDf = tf.groupBy("doc_id").agg(sum("tf").as("rel"))
+        val w = Window.orderBy(col("rel").desc, col("doc_id").asc)
+        val ideal = relDf.withColumn("r", row_number().over(w))
+          .filter(col("r") <= k).collect()
+          .map(r => (r.getLong(0), r.getInt(2), r.getDouble(1)))
+        val relOfRanked = if (ranked.isEmpty) Map.empty[Long, Double]
+          else relDf.filter(col("doc_id").isin(ranked.map(_._1): _*))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val dcg = ranked.map { case (doc, r) =>
+          relOfRanked.getOrElse(doc, 0.0) / log2(r + 1.0) }.sum
+        val idcg = ideal.map { case (_, r, rel) => rel / log2(r + 1.0) }.sum
+        val ndcg = if (idcg == 0.0) 0.0 else dcg / idcg
+        val idealSet = ideal.map(_._1).toSet
+        val p10 = ranked.count(x => idealSet(x._1)).toDouble / k
+        val rr = ideal.sortBy(_._2).headOption.flatMap { case (best, _, _) =>
+          ranked.collectFirst { case (doc, r) if doc == best => 1.0 / r }
+        }.getOrElse(0.0)
+        (q, ndcg, p10, rr)
+      }
+      import s.implicits._
+      rows.toDF("query", "ndcg10", "p10", "rr_best").orderBy("query")
+    }),
+
     // q_text_phrase_index control, capability-matched like the bm25
     // pair: the graft side's artifact is the FULL retrieval index
     // (positional postings + doc-length + df sidecars — it serves

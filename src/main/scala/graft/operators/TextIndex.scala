@@ -1183,6 +1183,24 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Graded-relevance IDEAL ranking for retrieval evaluation:
+    * relevance(doc) = total tf of `terms` in doc — the same
+    * pruned-postings integers [[bm25]] consumes, so the eval's ground
+    * truth is index-served too (one pruned scan, corpus never read).
+    * Top-k by (rel desc, doc_id asc) through the bounded heap — no
+    * per-query corpus-sized sort at any scale. Returns
+    * (rank, doc_id, rel).
+    */
+  def relevanceTopK(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame =
+    SimilaritySearch.heapTopK(
+        prunedPostings(spark, path, terms)
+          .groupBy("doc_id").agg(sum("tf").cast("double").as("rel"))
+          .select(lit(1L).as("probe_id"), col("doc_id").as("neighbor_id"),
+            col("rel")),
+        "rel", k)
+      .select(col("rank"), col("neighbor_id").as("doc_id"), col("rel"))
+
   /** Driver-side twin of [[bucketOf]] for computing the partition
     * filter literals: evaluates the same XxHash64 expression Catalyst
     * runs in the build job, so build and probe can never disagree.

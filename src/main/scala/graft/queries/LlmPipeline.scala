@@ -48,6 +48,50 @@ object LlmPipeline {
   private val duckToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0))"
 
+  /** One q_text_search_eval oracle row: BM25 top-10 (the
+    * q_text_bm25_index formula verbatim), graded relevance = total
+    * term count per doc, ideal by (rel desc, doc_id), then
+    * NDCG@10 / P@10 / best-doc reciprocal rank — double casts
+    * throughout (a bare 1.0/bigint types DECIMAL in DuckDB).
+    */
+  private def duckSearchEval(q: String): String = {
+    val in = q.split(" ").map(t => s"'$t'").mkString(", ")
+    s"""(WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+       |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+       |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       |       WHERE w IN ($in) GROUP BY 1, 2, 3),
+       |dfs AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+       |scores AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln((st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+       |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+       |  FROM tf, dfs, st WHERE tf.w = dfs.w GROUP BY tf.doc_id),
+       |bm AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |  FROM scores) WHERE r <= 10),
+       |rel AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS rel FROM tf GROUP BY doc_id),
+       |ideal AS (SELECT doc_id, r, rel FROM (
+       |  SELECT doc_id, rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS r
+       |  FROM rel) WHERE r <= 10),
+       |dcg AS (SELECT sum(coalesce(rel.rel, CAST(0 AS DOUBLE)) / log2(CAST(bm.r + 1 AS DOUBLE))) AS v
+       |        FROM bm LEFT JOIN rel USING (doc_id)),
+       |idcg AS (SELECT sum(rel / log2(CAST(r + 1 AS DOUBLE))) AS v FROM ideal),
+       |p AS (SELECT CAST(count(*) AS DOUBLE) / CAST(10 AS DOUBLE) AS v
+       |      FROM bm JOIN ideal USING (doc_id)),
+       |rr AS (SELECT coalesce(max(CAST(1 AS DOUBLE) / CAST(bm.r AS DOUBLE)), CAST(0 AS DOUBLE)) AS v
+       |       FROM bm WHERE bm.doc_id = (SELECT doc_id FROM ideal WHERE r = 1))
+       |SELECT '$q' AS query,
+       |  CASE WHEN (SELECT v FROM idcg) = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE (SELECT v FROM dcg) / (SELECT v FROM idcg) END AS ndcg10,
+       |  (SELECT v FROM p) AS p10,
+       |  (SELECT v FROM rr) AS rr_best)""".stripMargin
+  }
+
   /** Shared oracle fragment: distinct-bigram sets + the INVERTED-INDEX
     * pair enumeration. The naive all-pairs form (`g a, g b` +
     * list_intersect) is O(n²·|toks|) and made the oracle infeasible at
@@ -469,6 +513,50 @@ object LlmPipeline {
       val idx = Tables.scratch("text_index_bm25")
       TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
       TextIndex.bm25(s, idx, Seq("hash", "merge", "vector"), k = 20)
+    }),
+
+    // RETRIEVAL QUALITY EVAL — the search-side twin of
+    // q_sim_recall_curve (the eval knob a RAG deployment tunes before
+    // trusting a ranker): NDCG@10 / P@10 / best-doc reciprocal rank of
+    // the index-served BM25 ranking against a GRADED ideal, for three
+    // query strings. The ground truth is index-served too —
+    // relevance(doc) = total tf of the query's terms from the SAME
+    // pruned postings bm25 consumes, ideal order (rel desc, doc_id)
+    // via the bounded heap — so the whole eval is one pruned postings
+    // scan per query, corpus never read, no corpus-sized sort. All
+    // per-query math runs on k=10 driver rows (parameter-sized).
+    "q_text_search_eval" -> ((s, dir) => {
+      val idx = Tables.scratch("text_index_eval")
+      TextIndex.buildIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      val k = 10
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val rows = Seq("hash merge", "hash vector", "table vector").map { q =>
+        val terms = q.split(" ").toSeq
+        val ranked = TextIndex.bm25(s, idx, terms, k).collect()
+          .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }
+        val ideal = TextIndex.relevanceTopK(s, idx, terms, k).collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+            r.getAs[Double]("rel")))
+        // empty-corpus short-circuit (the B.9 zero-row net): no
+        // candidates → every metric is 0 by definition
+        val relOfRanked = if (ranked.isEmpty) Map.empty[Long, Double]
+          else TextIndex.prunedPostings(s, idx, terms)
+            .filter(col("doc_id").isin(ranked.map(_._1): _*))
+            .groupBy("doc_id").agg(sum("tf").cast("double").as("rel"))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val dcg = ranked.map { case (doc, r) =>
+          relOfRanked.getOrElse(doc, 0.0) / log2(r + 1.0) }.sum
+        val idcg = ideal.map { case (_, r, rel) => rel / log2(r + 1.0) }.sum
+        val ndcg = if (idcg == 0.0) 0.0 else dcg / idcg
+        val idealSet = ideal.map(_._1).toSet
+        val p10 = ranked.count(x => idealSet(x._1)).toDouble / k
+        val rr = ideal.sortBy(_._2).headOption.flatMap { case (best, _, _) =>
+          ranked.collectFirst { case (doc, r) if doc == best => 1.0 / r }
+        }.getOrElse(0.0)
+        (q, ndcg, p10, rr)
+      }
+      import s.implicits._
+      rows.toDF("query", "ndcg10", "p10", "rr_best").orderBy("query")
     }),
 
     // Index observability in SQL: graft_index_stats serves the live
@@ -3254,6 +3342,10 @@ object LlmPipeline {
 
     // index-served BM25: identical deliverable to q_text_bm25 — the
     // oracle is the same corpus-side computation
+    "q_text_search_eval" ->
+      Seq("hash merge", "hash vector", "table vector")
+        .map(duckSearchEval).mkString("", "\nUNION ALL\n", "\nORDER BY query"),
+
     "q_text_bm25_index" ->
       """WITH d AS (
         |  SELECT doc_id,
