@@ -1014,6 +1014,42 @@ class TextIndexSpec extends SparkSuite {
     } finally spark.conf.unset("graft.index.writerLeaseMs")
   }
 
+  test("relevanceTopK: heap ideal equals the manual tf-sum ranking; search-eval metrics well-formed, perfect on an order-preserving corpus") {
+    // crafted corpus: equal doc lengths, tf of 'alpha' strictly
+    // decreasing in doc_id — for a single-term query BM25 is strictly
+    // increasing in tf at fixed dl, so the served ranking EQUALS the
+    // graded ideal and every metric must be exactly 1.0
+    val docs = (0L until 12L).map { i =>
+      val alphas = Seq.fill((12 - i).toInt)("alpha")
+      val pad = Seq.fill(i.toInt)("filler")
+      (i, (alphas ++ pad ++ Seq("tail")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = Tables.scratch("textindex_eval_spec")
+    TextIndex.buildIndex(docs, "doc_id", "text", idx, nBuckets = 4)
+    // heap ideal == manual tf-sum ranking (desc rel, asc doc)
+    val ideal = TextIndex.relevanceTopK(spark, idx, Seq("alpha"), 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rel")))
+    assert(ideal.toSeq === (1 to 5).map(r => (r, (r - 1).toLong, (13 - r).toDouble)),
+      s"heap ideal diverged from the manual ranking: ${ideal.toSeq}")
+    // BM25 top-5 must equal the ideal order here → NDCG/P/RR all 1.0
+    val ranked = TextIndex.bm25(spark, idx, Seq("alpha"), 5).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ranked === ideal.map(_._2).toSeq,
+      "BM25 at fixed dl did not order by tf")
+    // the verb end-to-end on the real fixture: 3 rows, well-formed
+    val rows = SparkEntry.queries("q_text_search_eval")(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (n, p, rr) = (r.getAs[Double]("ndcg10"), r.getAs[Double]("p10"),
+        r.getAs[Double]("rr_best"))
+      assert(n > 0.0 && n <= 1.0 + 1e-9, s"ndcg out of range: $n")
+      assert(p >= 0.0 && p <= 1.0 && rr >= 0.0 && rr <= 1.0,
+        s"p10/rr out of range: $p $rr")
+    }
+  }
+
   test("heartbeat hammer: tight re-stamping vs a spinning reader — isHeld never flickers, assertHeld never aborts a healthy holder") {
     // round-15 watch item 2: heartbeats used to rewrite the MARKER in
     // place (truncate-then-write), so a concurrent readBody — a
