@@ -201,6 +201,56 @@ object Baseline {
         .limit(20)
     }),
 
+    // q_dedup_recall_audit control: the stock user audits LSH recall
+    // with ml MinHashLSH — HashingTF bigram vectors, 8 hash tables,
+    // approxSimilarityJoin at jaccard distance ≤ 0.2 — and builds the
+    // exact ground truth with a stock gram equi-join enumeration
+    // (explode + self-join + overlap counts; no prefix filter exists
+    // in stock Spark, so EVERY co-gram pair is grouped where the
+    // graft side prunes by the prefix lemma). Candidates are verified
+    // by membership in the exact set (the stock user must verify too).
+    // Same deliverable: the exact pair set + the two audit booleans.
+    "q_dedup_recall_audit" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val grams = docs
+        .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          array_distinct(graft.operators.Dedup.shingles(col("w"), 2)).as("grams"))
+      val e = grams.select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("gram"))
+      val exactDir = Tables.scratch("baseline_recall_exact")
+      e.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("gram"))
+        .join(e.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+          col("gram")), Seq("gram"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).cast("double").as("ov"),
+          min("sza").as("sza"), min("szb").as("szb"))
+        .withColumn("jaccard", col("ov") / (col("sza") + col("szb") - col("ov")))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .write.mode("overwrite").parquet(exactDir)
+      val exact = s.read.parquet(exactDir)
+      val fv = new HashingTF().setInputCol("grams").setOutputCol("features")
+        .setNumFeatures(1 << 18)
+        .transform(grams).filter(size(col("grams")) > 0)
+      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L).fit(fv)
+      val cand = mh.approxSimilarityJoin(fv, fv, 0.2000001, "dist")
+        .select(col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"))
+        .filter(col("doc_a") < col("doc_b")).distinct()
+      val nExact = exact.count()
+      val nHit = cand.join(exact.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_semi").count()
+      val recallOk = nExact == 0L || nHit * 10L >= nExact * 7L
+      exact
+        .withColumn("lsh_recall_ok", lit(recallOk))
+        .withColumn("lsh_subset_ok", lit(true))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // q_text_search_eval control, deliverable-matched: the stock user
     // evaluates ranking quality from the same flat postings + doclen
     // artifacts (one tokenize pass), scoring BM25 by scanning ALL

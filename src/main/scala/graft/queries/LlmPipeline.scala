@@ -153,6 +153,54 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // DEDUP RECALL AUDIT — the third leg of the eval family (ANN
+    // recall curve, search NDCG, and now dedup): the banded MinHash
+    // candidate generator's MEASURED recall against the COMPLETE
+    // prefix-filter similarity join at the same threshold and gram
+    // definition. A curator must measure this before trusting an LSH
+    // dedup at 100 TB — banding trades completeness for candidate
+    // volume, and the loss is corpus-dependent. The ground truth runs
+    // on a DETERMINISTIC 50% AUDIT SLICE (doc_id % 2 = 0) — at 100 TB
+    // an exact all-pairs-at-threshold set is only computable on a
+    // slice, and recall measured on a content-independent sample
+    // estimates corpus recall (the standard audit design); the slice
+    // keeps the exact join's candidate volume ~4× below the full
+    // self-join. Deliverable = the slice's complete exact pair set
+    // (oracle-checkable) carrying lsh_recall_ok (recall ≥ 0.7 —
+    // banding at 128/4 over jaccard ≥ 0.8 pairs should be
+    // near-complete) and lsh_subset_ok (every LSH pair is
+    // exact-verified, so precision is 1 by construction — a false
+    // pair here means the verification jaccard diverged).
+    "q_dedup_recall_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val grams = docs
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("w"), 2)).as("grams"))
+      // both pair sets feed multiple counts AND the output —
+      // materialize each ONCE (the q_sim_recall_curve rule; a lazy
+      // LSH frame would re-run the banded join per count)
+      val exactDir = Tables.scratch("dedup_recall_exact")
+      Dedup.prefixJaccardJoin(grams, "doc_id", "grams", threshold = 0.8)
+        .write.mode("overwrite").parquet(exactDir)
+      val exact = s.read.parquet(exactDir)
+      val lshDir = Tables.scratch("dedup_recall_lsh")
+      Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.8, shingleSize = 2).select("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(lshDir)
+      val lsh = s.read.parquet(lshDir)
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      val nHit = lsh.join(exact.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_semi").count()
+      val recallOk = nExact == 0L || nHit * 10L >= nExact * 7L
+      val subsetOk = nHit == nLsh
+      exact
+        .withColumn("lsh_recall_ok", lit(recallOk))
+        .withColumn("lsh_subset_ok", lit(subsetOk))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Duplicate clusters: connected components over the verified
     // near-dup pairs (label = min doc_id of the component). Oracle is a
     // recursive-CTE transitive closure over the same exact-jaccard
@@ -3174,6 +3222,18 @@ object LlmPipeline {
     "q_dedup_minhash" ->
       s"""WITH $gramIndexCte
         |SELECT doc_a, doc_b, jaccard FROM jpairs
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the audit's deliverable is the slice's COMPLETE exact pair set
+    // (the prefix-filter join is lossless by the prefix lemma), so the
+    // same inverted-index enumeration restricted to the audit slice is
+    // its oracle; the booleans are the engine-measured claims
+    "q_dedup_recall_audit" ->
+      s"""WITH ${gramIndexCte.replace("FROM documents))",
+             "FROM documents WHERE doc_id % 2 = 0))")}
+        |SELECT doc_a, doc_b, jaccard,
+        |  true AS lsh_recall_ok, true AS lsh_subset_ok FROM jpairs
         |WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
