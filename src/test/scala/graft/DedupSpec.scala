@@ -1867,6 +1867,40 @@ class DedupSpec extends SparkSuite {
     assert(bad.getMessage.contains("array<float> or array<double>"))
   }
 
+  test("graft_ivf_skew factor precedence: statement arg > session conf > default; non-numeric arg rejected at analysis") {
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(53)
+    // planted skew: 30 of 40 rows in one dense region, so factor 1.25
+    // advises but the lax factor 10.0 does not — the knob is observable
+    val rows = (0L until 10L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 4f - 2f)) } ++
+      (10L until 40L).map { i =>
+        (i, Array.fill(8)(5.0f + (rnd.nextFloat() - 0.5f) * 0.2f)) }
+    val path = Tables.scratch("ivf_skew_factor_arg")
+    IvfIndex.buildIndex(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 4, path = path)
+    def advised(sql: String): Boolean =
+      spark.sql(sql).head().getAs[Boolean]("rebalance_advised")
+    // statement arg wins over a conflicting session conf
+    spark.conf.set("graft.ivf.maxListFactor", "100.0")
+    try {
+      assert(advised(s"SELECT * FROM graft_ivf_skew('$path', 1.25)"),
+        "tight statement factor ignored (conf won)")
+      assert(!advised(s"SELECT * FROM graft_ivf_skew('$path', 10.0)"),
+        "lax statement factor ignored")
+      // no arg → session conf (100.0 → nothing can be hot)
+      assert(!advised(s"SELECT * FROM graft_ivf_skew('$path')"),
+        "session conf fallback not applied")
+    } finally spark.conf.unset("graft.ivf.maxListFactor")
+    // no arg, no conf → the 2.0 default (planted skew is ~3× mean)
+    assert(advised(s"SELECT * FROM graft_ivf_skew('$path')"),
+      "default factor 2.0 missed planted 3x skew")
+    // non-numeric factor: loud analysis-time failure
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ivf_skew('$path', 'tight')").head()
+    }
+  }
+
   test("auto-repair loop: planted ingest drift FIRES the advisory at a batch boundary; post-repair search stays exact") {
     // the q_stream_ivf_autorepair composition with drift planted so
     // the mid-stream fire is deterministic: the bootstrap is spread,
