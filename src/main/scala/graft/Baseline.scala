@@ -1618,6 +1618,75 @@ object Baseline {
             .as("recall_ok"))
     }),
 
+    // q_decontaminate_semantic control: the stock formulation — HOF
+    // cosine scored over a plain crossJoin (auto-broadcast picks up the
+    // small side), threshold filter, then the row_number-window argmax
+    // a stock user writes for "best match per flagged row". What the
+    // pair measures: the codegen'd cosine kernel + condition-join +
+    // max_by partial agg vs HOF cosine + post-join filter + window.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tests = emb.filter(col("vec_id") % 20 === 0)
+        .withColumn("tv", transform(col("embedding"), (x, j) =>
+          (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+            / 100000.0d).cast("float")))
+        .select((col("vec_id") / 20).cast("long").as("test_id"), col("tv"))
+      val hofCos = expr(
+        """aggregate(zip_with(cv, tv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+          | / (sqrt(aggregate(cv, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+          |    * sqrt(aggregate(tv, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val scored = emb.select(col("vec_id"), col("embedding").as("cv"))
+        .crossJoin(tests)
+        .withColumn("cos", hofCos).filter(col("cos") >= 0.95)
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("test_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "test_id", "cos")
+    }),
+
+    // q_sim_bitext_mining control: stock mining is index-free — ONE
+    // crossJoin scores every src × tgt cosine via HOF, both kNN
+    // directions are row_number windows over that scored table, and the
+    // per-src best is a third window. Deliverable-matched (same planted
+    // translations, same margin math, same threshold). What the pair
+    // measures: two IVF builds + pruned shuffle-join kNN + bounded-heap
+    // cuts vs the all-pairs scan + three window sorts — the layout
+    // story whose gap widens with corpus (the windows sort the full
+    // scored table; the graft side's shuffles carry O(n·k) rows).
+    "q_sim_bitext_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val src = emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("embedding").as("cv"))
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+            / 100000.0d).cast("float")))
+        .select((col("vec_id") + maxId).as("tgt_id"), col("embedding").as("tv"))
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"))
+        .unionByName(planted)
+      val hofCos = expr(
+        """aggregate(zip_with(cv, tv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+          | / (sqrt(aggregate(cv, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+          |    * sqrt(aggregate(tv, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      val scored = src.crossJoin(tgt).withColumn("cos", hofCos)
+        .select("src_id", "tgt_id", "cos").localCheckpoint()
+      val wf = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id").asc)
+      val wr = Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id").asc)
+      val fwd = scored.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 4)
+      val rev = scored.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 4)
+      val fAvg = fwd.groupBy("src_id").agg(avg("cos").as("sa"))
+      val rAvg = rev.groupBy("tgt_id").agg(avg("cos").as("ta"))
+      val mutual = fwd.select("src_id", "tgt_id", "cos")
+        .join(rev.select("src_id", "tgt_id"), Seq("src_id", "tgt_id"))
+      val wb = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id").asc)
+      mutual.join(fAvg, Seq("src_id")).join(rAvg, Seq("tgt_id"))
+        .withColumn("margin", col("cos") / ((col("sa") + col("ta")) / 2))
+        .filter(col("margin") >= 1.6)
+        .withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+        .select("src_id", "tgt_id", "cos", "margin")
+    }),
+
     // q_sim_ann_multiprobe control: stock ANN is no ANN — brute-force
     // HOF cosine over the whole corpus per probe, window top-5.
     "q_sim_ann_multiprobe" -> ((s, dir) => {
@@ -2376,7 +2445,13 @@ object Baseline {
     // q_text_pack windows + one keyed agg) are stock end to end
     // (variance pairs)
     "q_text_cooccur_pmi", "q_train_pack_efficiency",
-    "q_train_pack_efficiency_sharded", "q_train_dsir")
+    "q_train_pack_efficiency_sharded", "q_train_dsir",
+    // BPE merge training is stock end to end (groupBy word-freq, zip-
+    // explode pair counts, TakeOrdered argmax, aggregate-HOF fold,
+    // localCheckpoint) — a stock user writes the identical plan, so
+    // the control is that plan (variance pair); encode adds one stock
+    // explode + vocab hash join + keyed agg on top of the same run
+    "q_text_bpe_train", "q_text_bpe_encode")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

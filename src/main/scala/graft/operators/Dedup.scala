@@ -551,6 +551,37 @@ object Dedup {
       .agg(min("vid_a").as("dup_of"), max("cos").as("max_cos"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of the n-gram
+    * decontaminate family: flag every corpus row whose embedding is
+    * `threshold`-close (exact cosine) to ANY benchmark/test-set vector.
+    * Paraphrased or re-templated contamination survives the lexical
+    * n-gram checks (no 13-gram overlaps) but not this one — the check
+    * modern eval-hygiene pipelines run alongside the lexical pass.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (thousands of
+    * rows, never corpus-sized) so it BROADCASTS; the corpus streams
+    * through one codegen'd scan scoring |tests| cosines per row with
+    * the threshold applied inside the join condition — no shuffle, no
+    * window, output sized by the contaminated set. Per flagged row the
+    * best-matching test item is kept by a max_by partial aggregate
+    * (ties → lowest test id). Exact by construction (every corpus ×
+    * test pair is scored), so the oracle is an exact threshold join.
+    * Returns (idCol, test_id = best match, cos = its cosine).
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tests: DataFrame, testIdCol: String, testVecCol: String,
+      threshold: Double): DataFrame = {
+    val p = tests.select(col(testIdCol).as("test_id"), col(testVecCol).as("test_vec"))
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    c.join(broadcast(p), cosine_sim(col("__cv"), col("test_vec")) >= threshold)
+      .withColumn("cos", cosine_sim(col("__cv"), col("test_vec")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("test_id"), struct(col("cos"), negate(col("test_id")))).as("test_id"),
+        max("cos").as("cos"))
+  }
+
   /** Embedding near-dup via hyperplane LSH buckets + in-bucket cosine. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,

@@ -200,4 +200,62 @@ object SimilaritySearch {
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
     heapTopK(exact.select("probe_id", "neighbor_id", "cos"), "cos", k)
   }
+
+  /** Margin-based MUTUAL-kNN pair mining (Artetxe & Schwenk '19,
+    * arXiv:1811.01136 — the LASER/CCMatrix bitext-mining scorer, and
+    * the same shape mines any cross-set alignment: caption↔image
+    * embeddings, question↔answer, translation pairs). For two vector
+    * sets indexed as IVF layouts, each side kNN-joins into the other;
+    * a pair scores margin = cos(x,y) / ((avgₖcos(x→tgt) +
+    * avgₖcos(y→src)) / 2) — the RATIO strategy, which suppresses hub
+    * vectors that score high against everything (raw-cosine mining's
+    * failure mode). Kept pairs must be MUTUAL (each inside the other's
+    * kNN), clear `marginThreshold`, and per src vector only the
+    * best-margin tgt survives (the paper's "max" strategy; ties →
+    * lowest tgt id).
+    *
+    * Scale shape: both directions are [[IvfIndex.knnJoin]]s — shuffle
+    * joins on the pruned list id with bounded-heap cuts (probe tables
+    * here are corpus-sized, so searchTopK's broadcast would be fatal);
+    * the per-vector kNN averages are partial aggregates over k rows
+    * each; the mutual check and both average attachments are keyed
+    * hash joins on pair/vector ids, O(n·k) rows end to end. No window,
+    * no cartesian. With exhaustive probing (verify scale) the result
+    * is exact → brute-force DuckDB oracle; at corpus scale nProbes <
+    * nLists is the documented recall/cost knob, auditable with
+    * q_sim_recall_curve's machinery.
+    */
+  def marginMutualKnn(
+      srcAssigned: DataFrame, srcCentroids: DataFrame,
+      tgtAssigned: DataFrame, tgtCentroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbes: Int,
+      marginThreshold: Double): DataFrame = {
+    val srcRows = srcAssigned.select(col(idCol), col(vecCol))
+    val tgtRows = tgtAssigned.select(col(idCol), col(vecCol))
+    // src → tgt: every src vector probes the tgt index (and vice versa)
+    val fwd = IvfIndex.knnJoin(tgtAssigned, tgtCentroids, srcRows,
+      idCol, vecCol, k, nProbes)
+    val rev = IvfIndex.knnJoin(srcAssigned, srcCentroids, tgtRows,
+      idCol, vecCol, k, nProbes)
+    val fAvg = fwd.groupBy(col("probe_id").as("src_id"))
+      .agg(avg("cos").as("src_knn_avg"))
+    val rAvg = rev.groupBy(col("probe_id").as("tgt_id"))
+      .agg(avg("cos").as("tgt_knn_avg"))
+    val mutual = fwd
+      .select(col("probe_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cos"))
+      .join(rev.select(col("probe_id").as("tgt_id"),
+        col("neighbor_id").as("src_id")), Seq("src_id", "tgt_id"))
+    mutual
+      .join(fAvg, Seq("src_id"))
+      .join(rAvg, Seq("tgt_id"))
+      .withColumn("margin",
+        col("cos") / ((col("src_knn_avg") + col("tgt_knn_avg")) / 2))
+      .filter(col("margin") >= marginThreshold)
+      .groupBy("src_id")
+      .agg(max_by(struct(col("tgt_id"), col("cos"), col("margin")),
+        struct(col("margin"), negate(col("tgt_id")))).as("best"))
+      .select(col("src_id"), col("best.tgt_id").as("tgt_id"),
+        col("best.cos").as("cos"), col("best.margin").as("margin"))
+  }
 }

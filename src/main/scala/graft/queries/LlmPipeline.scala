@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Aggregators, TextFunctions, VectorExpressions}
-import graft.operators.{Dedup, HybridSearch, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
+import graft.operators.{Bpe, Dedup, HybridSearch, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,75 @@ object LlmPipeline {
     s"(list_aggregate(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)), 'sum')" +
       s" / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))" +
       s" * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))))"
+
+  /** The q_text_bpe_train oracle, generated per merge round: chained
+    * CTEs replaying Bpe.trainMerges merge for merge. The rewrite uses
+    * the ISLANDS-PARITY formulation of greedy LTR non-overlapping
+    * merging (a run of consecutive candidate positions — only possible
+    * when lhs == rhs — selects every other position from the run
+    * start; isolated candidates are always selected), provably equal
+    * to the engine's skip-flag fold, so the oracle is a cross-
+    * implementation check of the merge semantics, not a transcription.
+    */
+  private def duckBpe(m: Int): String =
+    duckBpeCtes(m) + "\n" + (1 to m).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS merge_rank, (SELECT a FROM b$k) AS lhs,
+         |  (SELECT b FROM b$k) AS rhs, (SELECT n FROM b$k) AS n,
+         |  (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM w$k) AS tokens_after""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+
+  /** Encode tail over the same replayed training run: the final symbol
+    * table joined back to the per-doc word stream.
+    */
+  private def duckBpeEncode(m: Int): String =
+    duckBpeCtes(m) + "\n" +
+      s"""SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(w$m.syms)) AS BIGINT) AS n_subwords,
+         |  CAST(max(len(w$m.syms)) AS BIGINT) AS max_word_syms
+         |FROM (SELECT doc_id, $duckWordStream AS word FROM documents) d
+         |JOIN w$m ON d.word = w$m.word
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  private val duckWordStream =
+    """unnest(list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0))"""
+
+  private def duckBpeCtes(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                t -> len(t) > 0)) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin)
+    for (k <- 1 to m) {
+      val p = s"w${k - 1}"
+      sb.append(s""",
+        |p$k AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $p)
+        |  GROUP BY 1, 2),
+        |b$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |pos$k AS (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS i FROM $p),
+        |cand$k AS (SELECT q.word, q.i FROM pos$k q, b$k
+        |  WHERE q.syms[q.i] = b$k.a AND q.i < len(q.syms) AND q.syms[q.i + 1] = b$k.b),
+        |sel$k AS (SELECT word, i FROM (
+        |  SELECT word, i, min(i) OVER (PARTITION BY word, g) AS g0 FROM (
+        |    SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+        |    FROM cand$k))
+        |  WHERE (i - g0) % 2 = 0),
+        |w$k AS MATERIALIZED (
+        |  SELECT word, cnt, list(sym ORDER BY i) AS syms FROM (
+        |    SELECT q.word, q.cnt, q.i,
+        |      CASE WHEN s1.i IS NOT NULL THEN (SELECT a || b FROM b$k)
+        |           ELSE q.syms[q.i] END AS sym
+        |    FROM pos$k q
+        |    LEFT JOIN sel$k s1 ON q.word = s1.word AND q.i = s1.i
+        |    LEFT JOIN sel$k s2 ON q.word = s2.word AND q.i = s2.i + 1
+        |    WHERE s2.i IS NULL)
+        |  GROUP BY word, cnt)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** DuckDB twin of Dedup.tokens: lowercase, split \W+, drop empties. */
   private val duckToks =
@@ -2049,6 +2118,44 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // Margin-based mutual-kNN PAIR MINING (Artetxe & Schwenk '19 — the
+    // LASER/CCMatrix bitext miner; same shape aligns caption↔image or
+    // question↔answer sets). Corpus split into two "languages" (even /
+    // odd ids); organic cross-set cosines are random (margins ≤ ~1.5),
+    // so the query PLANTS translations: every 10th even vector re-enters
+    // the tgt side under a fresh id with a deterministic arithmetic
+    // jitter both engines replay bit-for-bit. Both directions are IVF
+    // kNN joins with exhaustive probing → the mined pair set is exact
+    // and the DuckDB oracle recomputes the full margin pipeline
+    // (mutual top-4, ratio margin, threshold 1.6, per-src best). The
+    // planted pairs must surface with margin ≈ cos/avgₖ ≫ organic.
+    "q_sim_bitext_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      // jitter BEFORE the re-id: lateral column alias resolution would
+      // otherwise bind the lambda's vec_id to the just-aliased new id
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+            / 100000.0d).cast("float")))
+        .select((col("vec_id") + maxId).as("vec_id"), col("embedding"))
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "embedding").unionByName(planted)
+      val srcIdx = Tables.scratch("bitext_src_idx")
+      val tgtIdx = Tables.scratch("bitext_tgt_idx")
+      // independent index builds — concurrent chains (wall = max, not sum)
+      val fSrc = inFlight(IvfIndex.buildIndex(src, "vec_id", "embedding",
+        nCentroids = 8, path = srcIdx))
+      IvfIndex.buildIndex(tgt, "vec_id", "embedding", nCentroids = 8, path = tgtIdx)
+      await(fSrc)
+      val (sa, sc) = IvfIndex.loadIndex(s, srcIdx)
+      val (ta, tc) = IvfIndex.loadIndex(s, tgtIdx)
+      SimilaritySearch.marginMutualKnn(sa, sc, ta, tc, "vec_id", "embedding",
+          k = 4, nProbes = 8, marginThreshold = 1.6)
+        .orderBy("src_id")
+    }),
+
     // Same top-k via the bounded-heap typed aggregator (no window sort;
     // O(n log k) with partial aggregation — the 100 TB top-k path).
     "q_sim_topk_agg" -> ((s, dir) => {
@@ -2951,6 +3058,34 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer-merge TRAINING (Sennrich '16) — the vocabulary
+    // construction run before any training job. The corpus collapses
+    // to its word-frequency table in one groupBy; each of the 6 rounds
+    // is then vocab-sized: a zip-explode pair count, a 1-row driver
+    // argmax, and a codegen'd array-fold rewrite (greedy LTR
+    // non-overlapping, the subword-nmt contract). Deliverable = the
+    // ranked merge table + the compression curve (tokens_after strictly
+    // decreasing). Deterministic tie-break (n desc, pair asc) ⇒ the
+    // DuckDB oracle replays the whole run merge for merge (its rewrite
+    // uses the islands-parity formulation — provably the same greedy
+    // LTR result, a cross-IMPLEMENTATION check, not just cross-engine).
+    "q_text_bpe_train" -> ((s, dir) => {
+      Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 6)
+        .orderBy("merge_rank")
+    }),
+
+    // ENCODE under the trained tokenizer — the inference path and the
+    // number a token budget is actually spent in. Merges never cross
+    // word boundaries, so the final symbol table IS the tokenizer
+    // applied to every vocab word: the corpus encodes via one doc-word
+    // explode + a vocab-sized hash join + a per-doc aggregate (no
+    // per-doc merge replay). Oracle: the same chained-CTE replay, its
+    // final symbol table joined back to the per-doc word stream.
+    "q_text_bpe_encode" -> ((s, dir) => {
+      Bpe.encodeStats(t(s, dir, "documents"), "doc_id", "text", nMerges = 6)
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: greedy offset-bucketing of documents into
     // fixed token-budget training sequences per source (window cumsum
     // → bucket id → per-sequence stats). The per-source window is the
@@ -3087,6 +3222,29 @@ object LlmPipeline {
         .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_id"),
           col("jaccard"))
         .orderBy("doc_id", "bench_id")
+    }),
+
+    // SEMANTIC decontamination — the embedding-space member of the
+    // decontamination family: contamination that was paraphrased or
+    // re-templated into the corpus shares no long exact gram and keeps
+    // only a modest bigram-jaccard, but its embedding stays ~identical.
+    // The corpus has no organic matches at τ=0.95 (max cross cosine
+    // ≈0.49 at sf0.01), so the query PLANTS them: every 20th corpus
+    // vector re-enters as a "benchmark item" under test_id = vec_id/20
+    // with a deterministic arithmetic jitter (cos ≥ 0.999) both engines
+    // replay bit-for-bit. The benchmark side broadcasts (eval sets are
+    // never corpus-sized); the corpus streams through one codegen'd
+    // threshold-join scan — exact by construction, EXACT oracle.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tests = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") / 20).cast("long").as("test_id"),
+          transform(col("embedding"), (x, j) =>
+            (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+              / 100000.0d).cast("float")).as("test_vec"))
+      Dedup.semanticDecontaminate(emb, "vec_id", "embedding",
+          tests, "test_id", "test_vec", threshold = 0.95)
+        .orderBy("vec_id")
     }),
 
     // INCREMENTAL fuzzy decontamination — the production shape of the
@@ -4728,6 +4886,45 @@ object LlmPipeline {
          |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
+    // exhaustive probing both directions → the mined set is the exact
+    // margin pipeline over brute-force kNN: mutual top-4, ratio margin,
+    // threshold, per-src best (ties → lowest tgt id). The planted
+    // translations re-derive from the same arithmetic jitter (DuckDB
+    // lambda index j is 1-based, hence j - 1).
+    "q_sim_bitext_mining" ->
+      s"""WITH m AS (SELECT max(vec_id) + 1 AS mx FROM embeddings),
+         |src AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0),
+         |tgt AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 1
+         |  UNION ALL
+         |  SELECT vec_id + (SELECT mx FROM m) AS id,
+         |    list_transform(embedding, (x, j) -> CAST(CAST(x AS DOUBLE)
+         |      + ((vec_id * 31 + (j - 1) * 7) % 1000 - 500) / 100000.0 AS FLOAT)) AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |fwd AS (SELECT * FROM (
+         |  SELECT s.id AS src_id, t.id AS tgt_id, ${duckCos("s.v", "t.v")} AS cos,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${duckCos("s.v", "t.v")} DESC, t.id ASC) AS rnk
+         |  FROM src s, tgt t) WHERE rnk <= 4),
+         |rev AS (SELECT * FROM (
+         |  SELECT t.id AS tgt_id, s.id AS src_id, ${duckCos("t.v", "s.v")} AS cos,
+         |    row_number() OVER (PARTITION BY t.id
+         |      ORDER BY ${duckCos("t.v", "s.v")} DESC, s.id ASC) AS rnk
+         |  FROM tgt t, src s) WHERE rnk <= 4),
+         |favg AS (SELECT src_id, avg(cos) AS sa FROM fwd GROUP BY 1),
+         |ravg AS (SELECT tgt_id, avg(cos) AS ta FROM rev GROUP BY 1),
+         |sc AS (
+         |  SELECT f.src_id, f.tgt_id, f.cos, f.cos / ((fa.sa + ra.ta) / 2) AS margin
+         |  FROM fwd f
+         |  JOIN rev r ON f.src_id = r.src_id AND f.tgt_id = r.tgt_id
+         |  JOIN favg fa ON f.src_id = fa.src_id
+         |  JOIN ravg ra ON f.tgt_id = ra.tgt_id),
+         |best AS (SELECT src_id, tgt_id, cos, margin,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rn
+         |  FROM sc WHERE margin >= 1.6)
+         |SELECT src_id, tgt_id, cos, margin FROM best WHERE rn = 1
+         |ORDER BY src_id""".stripMargin,
+
     "q_text_langid" ->
       """SELECT doc_id,
         |  CASE
@@ -5028,6 +5225,28 @@ object LlmPipeline {
          |FROM jpairs
          |WHERE jaccard >= 0.8 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // exact threshold join over the replanted benchmark side: every
+    // corpus × test cosine is scored, flagged rows keep their best
+    // match (ties → lowest test id)
+    "q_decontaminate_semantic" ->
+      s"""WITH tests AS (
+         |  SELECT vec_id // 20 AS test_id,
+         |    list_transform(embedding, (x, j) -> CAST(CAST(x AS DOUBLE)
+         |      + ((vec_id * 31 + (j - 1) * 7) % 1000 - 500) / 100000.0 AS FLOAT)) AS tv
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |sc AS (
+         |  SELECT c.vec_id, t.test_id, ${duckCos("c.embedding", "t.tv")} AS cos
+         |  FROM embeddings c, tests t
+         |  WHERE ${duckCos("c.embedding", "t.tv")} >= 0.95)
+         |SELECT vec_id, test_id, cos FROM (
+         |  SELECT vec_id, test_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, test_id ASC) AS rn
+         |  FROM sc) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_text_bpe_train" -> duckBpe(6),
+
+    "q_text_bpe_encode" -> duckBpeEncode(6),
 
     "q_sql_cosine" ->
       s"""SELECT a.vec_id AS vid, ${duckCos("a.embedding", "b.embedding")} AS cos

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge training: hand-verified merge sequence pinning the three
+  * contracts a tokenizer's consumers depend on — overlap-INCLUSIVE
+  * pair statistics, greedy LEFT-TO-RIGHT non-overlapping application,
+  * and the deterministic (n desc, pair asc) tie-break.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hand corpus: overlap-inclusive counts, LTR application, tie-break, exhaustion") {
+    // words: aa×2 [a,a]; ab×1 [a,b]; aaa×1 [a,a,a]; b×1 [b]
+    val docs = Seq("aa aa ab", "aaa b").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", nMerges = 4)
+      .collect().map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("n"), r.getAs[Long]("tokens_after")))
+      .sortBy(_._1).toSeq
+    // round 1: (a,a) counts 2 (from aa×2) + 2 (OVERLAP-inclusive from
+    //   aaa) = 4; apply LTR: aaa → [aa, a] (an RTL rewrite would give
+    //   [a, aa] and change round 2's pair table). tokens: 2+2+2+1 = 7
+    // round 2: (a,b)=1 ties (aa,a)=1 → lhs "a" < "aa" wins. tokens 6
+    // round 3: only (aa,a)=1 → aaa fully merged. tokens 5
+    // round 4: no pairs left → EXHAUSTED, only 3 rows despite nMerges=4
+    assert(got === Seq(
+      (1, "a", "a", 4L, 7L),
+      (2, "a", "b", 1L, 6L),
+      (3, "aa", "a", 1L, 5L)), s"merge sequence diverged: $got")
+  }
+
+  test("an all-single-symbol corpus yields zero merges; empty corpus yields zero merges") {
+    val singles = Seq("a b c", "a b").toDF("text")
+    assert(Bpe.trainMerges(singles, "text", nMerges = 3).count() === 0L)
+    val empty = Seq.empty[String].toDF("text")
+    assert(Bpe.trainMerges(empty, "text", nMerges = 3).count() === 0L)
+  }
+
+  test("encodeStats: per-doc subword totals reconcile with the training run's corpus total; merges shorten encodings") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aaa b")).toDF("doc_id", "text")
+    val got = Bpe.encodeStats(docs, "doc_id", "text", nMerges = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"),
+         r.getAs[Long]("max_word_syms"))).toMap
+    // after the hand-verified 3 merges: aa→[aa], ab→[ab], aaa→[aaa], b→[b]
+    assert(got === Map(1L -> ((3L, 3L, 1L)), 2L -> ((2L, 2L, 1L))), s"$got")
+    // zero merges = character-level encoding: n_subwords == word lengths
+    val raw = Bpe.encodeStats(docs, "doc_id", "text", nMerges = 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subwords")).toMap
+    assert(raw === Map(1L -> 6L, 2L -> 4L), s"$raw")
+  }
+
+  test("real corpus: tokens_after strictly decreases and merged symbols compose from earlier ranks") {
+    val docs = Tables(spark, sf, "documents")
+    val rows = Bpe.trainMerges(docs, "text", nMerges = 5)
+      .orderBy("merge_rank").collect()
+    assert(rows.length === 5)
+    val tokens = rows.map(_.getAs[Long]("tokens_after"))
+    assert(tokens.zip(tokens.tail).forall { case (a, b) => b < a },
+      s"compression curve not strictly decreasing: ${tokens.toSeq}")
+    // every merge operand is either a single char or a previously
+    // produced symbol (the merge-table well-formedness invariant a
+    // tokenizer loader checks)
+    val produced = scala.collection.mutable.Set.empty[String]
+    rows.foreach { r =>
+      Seq(r.getAs[String]("lhs"), r.getAs[String]("rhs")).foreach { s =>
+        assert(s.length == 1 || produced(s),
+          s"operand '$s' at rank ${r.getAs[Int]("merge_rank")} never produced")
+      }
+      produced += r.getAs[String]("lhs") + r.getAs[String]("rhs")
+    }
+    // counts are non-increasing in rank ONLY within same-composition
+    // classes in general, but the corpus must give positive counts
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+  }
+}

@@ -1952,4 +1952,92 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(got === exact, "post-repair search diverged from brute force")
   }
+
+  test("semantic decontamination: planted clones flagged with their exact best match; unseen tests flag nothing") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 100L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    // 3 benchmark items are near-clones of corpus rows 5/40/77; 2 are
+    // fresh random vectors (genuinely unseen eval items)
+    val cloneOf = Map(100L -> 5L, 101L -> 40L, 102L -> 77L)
+    val clones = corpus.filter(col("vec_id").isin(5L, 40L, 77L))
+      .select(
+        when(col("vec_id") === 5L, 100L).when(col("vec_id") === 40L, 101L)
+          .otherwise(102L).as("test_id"),
+        transform(col("embedding"), x => (x + lit(1e-4f))).as("test_vec"))
+    val unseen = (103L until 105L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("test_id", "test_vec")
+    val tests = clones.unionByName(unseen)
+    val flagged = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+      tests, "test_id", "test_vec", threshold = 0.98)
+    val got = flagged.collect()
+      .map(r => r.getAs[Long]("test_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(got === cloneOf, s"flag set diverged: $got")
+    // the unseen items (and no organic pair) ever clear the threshold
+    assert(!got.keySet.exists(_ >= 103L))
+    // a lower threshold can only grow the flagged set (monotone)
+    val loose = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+        tests, "test_id", "test_vec", threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(cloneOf.values.toSet.subsetOf(loose))
+    // empty benchmark side → empty result, not an error
+    assert(Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+      tests.limit(0), "test_id", "test_vec", threshold = 0.5).isEmpty)
+  }
+
+  test("bitext mining: operator result equals the margin pipeline recomputed from brute-force kNN") {
+    val rnd = new scala.util.Random(31)
+    val src = (0L until 80L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val organicTgt = (1000L until 1060L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    // planted translations: tgt 2000+i is a jittered clone of src i
+    val planted = src.filter(_._1 % 4 == 0).map { case (i, v) =>
+      (2000L + i, v.map(_ + 1e-4f))
+    }
+    val srcDf = src.toDF("vec_id", "embedding")
+    val tgtDf = (organicTgt ++ planted).toDF("vec_id", "embedding")
+    val sPath = Tables.scratch("bitext_spec_src")
+    val tPath = Tables.scratch("bitext_spec_tgt")
+    IvfIndex.buildIndex(srcDf, "vec_id", "embedding", nCentroids = 4, path = sPath)
+    IvfIndex.buildIndex(tgtDf, "vec_id", "embedding", nCentroids = 4, path = tPath)
+    val (sa, sc) = IvfIndex.loadIndex(spark, sPath)
+    val (ta, tc) = IvfIndex.loadIndex(spark, tPath)
+    val k = 3
+    val mined = SimilaritySearch.marginMutualKnn(sa, sc, ta, tc,
+        "vec_id", "embedding", k = k, nProbes = 4, marginThreshold = 1.2)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"))).sortBy(_._1).toSeq
+    // independent recomputation off brute-force kNN (different
+    // machinery: broadcast brute force vs the operator's shuffle join)
+    def knn(corpus: org.apache.spark.sql.DataFrame, probes: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.bruteForceTopK(corpus, probes, "vec_id", "embedding", k)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    val fwd = knn(tgtDf, srcDf)
+    val rev = knn(srcDf, tgtDf)
+    val fAvg = fwd.groupBy(_._1).view.mapValues(xs => xs.map(_._3).sum / xs.size).toMap
+    val rAvg = rev.groupBy(_._1).view.mapValues(xs => xs.map(_._3).sum / xs.size).toMap
+    val revSet = rev.map(t => (t._2, t._1)).toSet // (src, tgt) present reverse
+    val want = fwd
+      .filter { case (s, t, _) => revSet((s, t)) }
+      .map { case (s, t, c) => (s, t, c / ((fAvg(s) + rAvg(t)) / 2)) }
+      .filter(_._3 >= 1.2)
+      .groupBy(_._1).map { case (s, xs) =>
+        xs.minBy { case (_, t, m) => (-m, t) } }
+      .toSeq.sortBy(_._1)
+    assert(mined.map(x => (x._1, x._2)) === want.map(x => (x._1, x._2)),
+      s"mined pairs diverge from brute-force margin pipeline")
+    mined.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-9, s"margin diverged: $g vs $w") }
+    // every planted pair surfaced, mapped to its true source
+    val minedMap = mined.map(x => (x._1, x._2)).toMap
+    planted.foreach { case (tid, _) =>
+      assert(minedMap.get(tid - 2000L).contains(tid),
+        s"planted pair ${tid - 2000L}→$tid not mined") }
+  }
 }

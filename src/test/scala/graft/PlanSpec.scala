@@ -1013,6 +1013,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_sim_bitext_mining: no cartesian product, no window — both kNN directions are joins + bounded heaps") {
+    val df = SparkEntry.queries("q_sim_bitext_mining")(spark, sf)
+    val plan = planOf(df)
+    // the all-pairs score table (the stock miner's shape) must never
+    // materialize: pair generation is the pruned list-id join, both
+    // per-probe cuts and the per-src best are partial aggregates
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("margin") >= 1.6))
+    // every planted translation (tgt = src + maxId; the embeddings
+    // fixture has 500 vectors at sf0.001, planted = ids 0,10,…,490) is
+    // mined back to its source
+    val mined = rows.map(r =>
+      r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    (0L until 500L by 10L).foreach { i =>
+      assert(mined.get(i).contains(i + 500L), s"planted pair $i missing")
+    }
+  }
+
   test("q_text_cooccur_pmi: top-k via TakeOrdered on integer counts; PMI finite on the cut only") {
     val df = SparkEntry.queries("q_text_cooccur_pmi")(spark, sf)
     val plan = planOf(df)
@@ -1075,6 +1096,7 @@ class PlanSpec extends SparkSuite {
       "q_sim_ivf", "q_sim_ivf_pq", "q_sim_ivf_cdc", "q_sim_ivf_delete",
       "q_sim_ivf_incremental", "q_sim_ivf_merge", "q_sim_ivf_rebalance",
       "q_sim_ivf_skew", "q_sim_recall_curve", "q_sim_knn_join", "q_sim_label_knn",
+      "q_sim_bitext_mining",
       "q_sim_filtered_ann", "q_sim_range_search",
       "q_sql_ann", "q_sql_hybrid", "q_hybrid_search_rrf", "q_hybrid_cdc",
       "q_forget", "q_stream_dedup_ingest", "q_stream_ivf_ingest",
