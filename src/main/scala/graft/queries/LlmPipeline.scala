@@ -415,6 +415,67 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // STREAMING decontamination GATE — the admission control a
+    // training-data ingest runs: every arriving embedding micro-batch
+    // is checked against the FIXED benchmark set before admission
+    // (Dedup.semanticDecontaminate — the benchmark broadcasts, the
+    // batch streams the threshold-join scan); contaminated rows divert
+    // to a quarantine log, clean rows land in the admitted store, and
+    // both per-batch writes are dynamic overwrites of the batch's own
+    // ingest partition (a retried batch replaces, never duplicates —
+    // the foreachBatch at-least-once contract). Because the benchmark
+    // is fixed, per-batch checks are independent and their union must
+    // equal the ONE-SHOT check over the whole stream — the same exact
+    // oracle as q_decontaminate_semantic — and admission must conserve:
+    // admitted + quarantined == streamed, engine-measured.
+    "q_stream_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val tests = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") / 20).cast("long").as("test_id"),
+          transform(col("embedding"), (x, j) =>
+            (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+              / 100000.0d).cast("float")).as("test_vec"))
+        .localCheckpoint() // fixed benchmark — never re-derived per batch
+      val quarantine = Tables.scratch("stream_decon_quarantine")
+      val admitted = Tables.scratch("stream_decon_admitted")
+      // seed the logs' schemas so a zero-flag stream still reads
+      Seq.empty[(Long, Long, Double)].toDF("vec_id", "test_id", "cos")
+        .withColumn("ingest", lit(-1L))
+        .write.mode("overwrite").partitionBy("ingest").parquet(quarantine)
+      Seq.empty[Long].toDF("vec_id").withColumn("ingest", lit(-1L))
+        .write.mode("overwrite").partitionBy("ingest").parquet(admitted)
+      val q = graft.streaming.StreamOps
+        .tableStreamPaced(s, dir, "embeddings", "vec_id", 3)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val flagged = Dedup.semanticDecontaminate(batch, "vec_id", "embedding",
+            tests, "test_id", "test_vec", threshold = 0.95).localCheckpoint()
+          flagged.withColumn("ingest", lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest").parquet(quarantine)
+          batch.join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
+            .select("vec_id").withColumn("ingest", lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest").parquet(admitted)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      val nFlagged = s.read.parquet(quarantine).count()
+      val nAdmitted = s.read.parquet(admitted).count()
+      val conserved = nFlagged + nAdmitted == emb.count()
+      s.read.parquet(quarantine)
+        .select(col("vec_id"), col("test_id"), col("cos"))
+        .withColumn("multi_batch", lit(nBatches >= 3))
+        .withColumn("conservation_ok", lit(conserved))
+        .orderBy("vec_id")
+    }),
+
     // END-TO-END corpus dedup — the operation a pipeline user actually
     // runs: near-dup pairs → connected components → keep ONE
     // representative (min doc_id) per cluster plus every unduplicated
@@ -5240,6 +5301,24 @@ object LlmPipeline {
          |  FROM embeddings c, tests t
          |  WHERE ${duckCos("c.embedding", "t.tv")} >= 0.95)
          |SELECT vec_id, test_id, cos FROM (
+         |  SELECT vec_id, test_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, test_id ASC) AS rn
+         |  FROM sc) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the union of per-batch gate checks equals the one-shot check
+    // (fixed benchmark ⇒ batch independence); booleans engine-measured
+    "q_stream_decontaminate" ->
+      s"""WITH tests AS (
+         |  SELECT vec_id // 20 AS test_id,
+         |    list_transform(embedding, (x, j) -> CAST(CAST(x AS DOUBLE)
+         |      + ((vec_id * 31 + (j - 1) * 7) % 1000 - 500) / 100000.0 AS FLOAT)) AS tv
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |sc AS (
+         |  SELECT c.vec_id, t.test_id, ${duckCos("c.embedding", "t.tv")} AS cos
+         |  FROM embeddings c, tests t
+         |  WHERE ${duckCos("c.embedding", "t.tv")} >= 0.95)
+         |SELECT vec_id, test_id, cos, true AS multi_batch,
+         |  true AS conservation_ok FROM (
          |  SELECT vec_id, test_id, cos,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, test_id ASC) AS rn
          |  FROM sc) WHERE rn = 1 ORDER BY vec_id""".stripMargin,

@@ -1987,6 +1987,25 @@ class DedupSpec extends SparkSuite {
       tests.limit(0), "test_id", "test_vec", threshold = 0.5).isEmpty)
   }
 
+  test("streaming decontamination gate: union of batch checks equals the one-shot check; gate conserves") {
+    // fixed benchmark ⇒ per-batch checks are independent, so the
+    // streamed gate's quarantine log must reproduce the batch verb
+    // exactly (same planted benchmark, same threshold), and the
+    // engine-measured conservation/multi-batch booleans must hold
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("test_id"),
+        math.round(r.getAs[Double]("cos") * 1e9))
+    val streamed = SparkEntry.queries("q_stream_decontaminate")(spark, sf).collect()
+    val oneShot = SparkEntry.queries("q_decontaminate_semantic")(spark, sf).collect()
+    assert(streamed.map(key).toSeq === oneShot.map(key).toSeq,
+      "streamed gate diverged from the one-shot check")
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      assert(r.getAs[Boolean]("multi_batch"), "gate did not see >= 3 batches")
+      assert(r.getAs[Boolean]("conservation_ok"), "admitted + quarantined != streamed")
+    }
+  }
+
   test("bitext mining: operator result equals the margin pipeline recomputed from brute-force kNN") {
     val rnd = new scala.util.Random(31)
     val src = (0L until 80L).map { i =>
