@@ -2451,7 +2451,11 @@ object Baseline {
     // localCheckpoint) — a stock user writes the identical plan, so
     // the control is that plan (variance pair); encode adds one stock
     // explode + vocab hash join + keyed agg on top of the same run
-    "q_text_bpe_train", "q_text_bpe_encode")
+    "q_text_bpe_train", "q_text_bpe_encode",
+    // the in-engine logistic filter is stock end to end too (map
+    // literals, exp, keyed aggs, parameter-sized collects) — a stock
+    // user writes the identical training loop (variance pair)
+    "q_text_classifier_filter")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

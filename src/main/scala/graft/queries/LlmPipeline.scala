@@ -113,6 +113,65 @@ object LlmPipeline {
     sb.toString
   }
 
+  /** The q_text_classifier_filter oracle: replays the in-engine
+    * logistic-regression training run step for step — same
+    * frequency-ranked vocabulary (count desc, token asc), same bias
+    * row f=-1 on every doc, same full-batch gradient `w ← w − (lr·g)/N`
+    * and the same `1/(1+exp(−s))` sigmoid (libm exp both engines — the
+    * q_text_bigram_lm ln precedent).
+    */
+  private def duckLogReg(nFeatures: Int, iters: Int, lr: Double,
+      mu: Double): String = {
+    // the curator keep-rule label, non-interpolated (the \W escape)
+    val yExpr =
+      """CASE WHEN len(list_filter(string_split_regex(lower(text), '\W+'), t -> t = 'vector')) >= 2 THEN 1.0 ELSE 0.0 END"""
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tok AS (
+        |  SELECT doc_id, $yExpr AS y,
+        |    unnest(list_filter(string_split_regex(lower(text), '${"\\W+"}'),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents),""".stripMargin)
+    sb.append(s"""
+      |voc AS (SELECT tok, f FROM (
+      |  SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) - 1 AS f
+      |  FROM (SELECT tok, count(*) AS n FROM tok GROUP BY tok))
+      |  WHERE f < $nFeatures),
+      |fx AS MATERIALIZED (
+      |  SELECT doc_id, y, f, CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM tok JOIN voc USING (tok) GROUP BY doc_id, y, f
+      |  UNION ALL
+      |  SELECT doc_id, $yExpr AS y,
+      |    -1 AS f, 1.0 AS cnt
+      |  FROM documents),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |w0 AS (SELECT f, 0.0 AS w FROM (SELECT f FROM voc UNION ALL SELECT -1 AS f)),
+      |v0 AS (SELECT f, 0.0 AS v FROM (SELECT f FROM voc UNION ALL SELECT -1 AS f))""".stripMargin)
+    for (k <- 1 to iters) {
+      val p = s"w${k - 1}"
+      val pv = s"v${k - 1}"
+      sb.append(s""",
+        |s$k AS (SELECT fx.doc_id, fx.y, sum(fx.cnt * $p.w) AS s
+        |  FROM fx JOIN $p USING (f) GROUP BY fx.doc_id, fx.y),
+        |r$k AS (SELECT doc_id, (1.0 / (1.0 + exp(-s)) - y) AS r FROM s$k),
+        |g$k AS (SELECT fx.f, sum(r$k.r * fx.cnt) AS g
+        |  FROM fx JOIN r$k USING (doc_id) GROUP BY fx.f),
+        |v$k AS MATERIALIZED (
+        |  SELECT $pv.f, $mu * $pv.v + coalesce(g$k.g, 0.0) / (SELECT n FROM nn) AS v
+        |  FROM $pv LEFT JOIN g$k USING (f)),
+        |w$k AS MATERIALIZED (
+        |  SELECT $p.f, $p.w - $lr * v$k.v AS w
+        |  FROM $p JOIN v$k USING (f))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT doc_id, s AS logit, CAST(y AS BIGINT) AS label,
+      |  s >= 0.0 AS predicted, (s >= 0.0) = (y = 1.0) AS correct
+      |FROM (SELECT fx.doc_id, fx.y, sum(fx.cnt * w$iters.w) AS s
+      |      FROM fx JOIN w$iters USING (f) GROUP BY fx.doc_id, fx.y)
+      |ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB twin of Dedup.tokens: lowercase, split \W+, drop empties. */
   private val duckToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), x -> len(x) > 0))"
@@ -3119,6 +3178,31 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // MODEL-BASED corpus filter (fastText-class, Joulin '16 — the
+    // CCNet/RefinedWeb learned-filter step, in the FineWeb-Edu
+    // DISTILLATION shape: an expensive curator keep-rule becomes the
+    // training label and a cheap token model learns to reproduce it):
+    // a logistic classifier over frequency-ranked bag-of-token
+    // features, trained IN-ENGINE by full-batch GD (one Spark job per
+    // step — the gradient is an F+1-row parameter-sized collect) and
+    // applied to every doc. Label here: the topical-density keep rule
+    // "mentions 'vector' at least twice" (balanced ~50/50 on the
+    // fixture corpus and linearly separable on the feature the model
+    // must DISCOVER; any curator label column slots in). 15 heavy-ball
+    // momentum steps at lr 0.05 / mu 0.9 — plain GD needs ~40 steps for
+    // the same ~0.88 accuracy on raw-count features, whose stable lr is
+    // small (larger steps oscillate; measured during tuning). Training
+    // is deterministic end to end (vocab rank ties, double sums, libm
+    // exp), so the oracle replays all 15 steps, velocity and all.
+    "q_text_classifier_filter" -> ((s, dir) => {
+      graft.operators.TextClassifier.trainAndScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          label = when(size(filter(split(lower(col("text")), "\\W+"),
+            w => w === "vector")) >= 2, 1.0).otherwise(0.0),
+          nFeatures = 64, iters = 15, lr = 0.05)
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer-merge TRAINING (Sennrich '16) — the vocabulary
     // construction run before any training job. The corpus collapses
     // to its word-frequency table in one groupBy; each of the 6 rounds
@@ -5326,6 +5410,8 @@ object LlmPipeline {
     "q_text_bpe_train" -> duckBpe(6),
 
     "q_text_bpe_encode" -> duckBpeEncode(6),
+
+    "q_text_classifier_filter" -> duckLogReg(64, 15, 0.05, 0.9),
 
     "q_sql_cosine" ->
       s"""SELECT a.vec_id AS vid, ${duckCos("a.embedding", "b.embedding")} AS cos
