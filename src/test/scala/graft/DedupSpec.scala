@@ -2006,6 +2006,58 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("streaming gate redelivery: a crashed-then-redelivered batch replaces its own partitions — logs exact, never duplicated") {
+    // the at-least-once contract the gate's per-write dynamic
+    // overwrites buy: batch bid's writes land ONLY in partition
+    // ingest=bid, so a redelivery (or a crash between the quarantine
+    // and admitted writes followed by a redelivery) replaces rather
+    // than appends
+    val rnd = new scala.util.Random(47)
+    val emb = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val tests = emb.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") / 20).cast("long").as("test_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("test_vec"))
+      .localCheckpoint()
+    val quarantine = Tables.scratch("gate_replay_q")
+    val admitted = Tables.scratch("gate_replay_a")
+    Seq.empty[(Long, Long, Double)].toDF("vec_id", "test_id", "cos")
+      .withColumn("ingest", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest").parquet(quarantine)
+    Seq.empty[Long].toDF("vec_id").withColumn("ingest", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest").parquet(admitted)
+    def deliver(batch: org.apache.spark.sql.DataFrame, bid: Long,
+        crashAfterQuarantine: Boolean = false): Unit = {
+      val flagged = Dedup.semanticDecontaminate(batch, "vec_id", "embedding",
+        tests, "test_id", "test_vec", threshold = 0.98).localCheckpoint()
+      flagged.withColumn("ingest", lit(bid))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(quarantine)
+      if (crashAfterQuarantine) return // simulated mid-batch crash
+      batch.join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select("vec_id").withColumn("ingest", lit(bid))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(admitted)
+    }
+    val b0 = emb.filter(col("vec_id") < 30)
+    val b1 = emb.filter(col("vec_id") >= 30)
+    deliver(b0, 0)
+    deliver(b1, 1, crashAfterQuarantine = true) // crash mid-batch
+    deliver(b1, 1) // redelivery
+    deliver(b1, 1) // and a spurious second redelivery
+    def state() = (
+      spark.read.parquet(quarantine).select("vec_id", "test_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      spark.read.parquet(admitted).select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    val (qRows, aRows) = state()
+    // quarantine == exactly the planted clones (0,20,40), each once
+    assert(qRows === Seq((0L, 0L), (20L, 1L), (40L, 2L)), s"$qRows")
+    // admitted == everything else, each exactly once
+    assert(aRows === (0L until 60L).filterNot(Seq(0L, 20L, 40L).contains).toSeq)
+  }
+
   test("bitext mining: operator result equals the margin pipeline recomputed from brute-force kNN") {
     val rnd = new scala.util.Random(31)
     val src = (0L until 80L).map { i =>
