@@ -2455,7 +2455,9 @@ object Baseline {
     // the in-engine logistic filter is stock end to end too (map
     // literals, exp, keyed aggs, parameter-sized collects) — a stock
     // user writes the identical training loop (variance pair)
-    "q_text_classifier_filter")
+    // the persisted-model scoring verb is a parquet write/read + one
+    // broadcast join on top of the same training loop (variance pair)
+    "q_text_classifier_filter", "q_text_classifier_score")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

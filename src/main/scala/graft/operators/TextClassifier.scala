@@ -37,7 +37,78 @@ object TextClassifier {
 
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
       label: Column, nFeatures: Int, iters: Int, lr: Double,
-      momentum: Double = 0.9): DataFrame = {
+      momentum: Double = 0.9): DataFrame =
+    fit(docs, idCol, textCol, label, nFeatures, iters, lr, momentum) match {
+      case None =>
+        docs.select(col(idCol), lit(0.0).as("logit"),
+          label.cast("long").as("label"), lit(true).as("predicted"),
+          (label.cast("long") === 1L).as("correct")).limit(0)
+      case Some((feats, w, _)) =>
+        val wFinal = typedlit(w.toMap)
+        feats
+          .withColumn("wx", col("cnt") * element_at(wFinal, col("f")))
+          .groupBy(col("did").as(idCol), col("y")).agg(sum("wx").as("logit"))
+          .select(col(idCol), col("logit"), col("y").cast("long").as("label"),
+            (col("logit") >= 0.0).as("predicted"),
+            ((col("logit") >= 0.0) === (col("y") === 1.0)).as("correct"))
+    }
+
+  /** Train and PERSIST the model as a reusable artifact — the index
+    * family's build-once / serve-many discipline applied to the
+    * learned filter: a production pipeline trains on the labeled
+    * slice once and scores every future ingest batch against the
+    * saved weights, no labels and no training jobs at score time. The
+    * artifact is one F+1-row parquet (token, f, w; the bias travels
+    * as f = -1 with a null token) — readable by any engine.
+    */
+  def trainAndSave(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, nFeatures: Int, iters: Int, lr: Double, path: String,
+      momentum: Double = 0.9): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (wRows, vocabRows) =
+      fit(docs, idCol, textCol, label, nFeatures, iters, lr, momentum) match {
+        case None => (Map(-1 -> 0.0), Array.empty[(String, Int)])
+        case Some((_, w, vocab)) => (w.toMap, vocab)
+      }
+    val byF = vocabRows.map { case (tok, f) => (f, tok) }.toMap
+    wRows.toSeq.sortBy(_._1)
+      .map { case (f, wv) => (byF.get(f), f, wv) }
+      .toDF("token", "f", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Score an unlabeled corpus against a [[trainAndSave]] artifact:
+    * ONE distributed pass — doc-token explode, broadcast token→weight
+    * join (the model is parameter-sized by construction), per-doc sum,
+    * bias added to every doc (token-less documents score bias alone).
+    * Returns (idCol, logit, keep = logit ≥ 0).
+    */
+  def scoreWith(spark: org.apache.spark.sql.SparkSession, modelPath: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val model = spark.read.parquet(modelPath)
+    val bias = model.filter(col("f") === -1).select("w").head.getDouble(0)
+    val tokenWeights = model.filter(col("f") =!= -1).select("token", "w")
+    val sums = docs
+      .select(col(idCol), explode(filter(split(lower(col(textCol)), "\\W+"),
+        t => length(t) > 0)).as("token"))
+      .join(broadcast(tokenWeights), Seq("token"))
+      .groupBy(col(idCol)).agg(sum("w").as("wsum"))
+    docs.select(col(idCol))
+      .join(sums, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        (lit(bias) + coalesce(col("wsum"), lit(0.0))).as("logit"))
+      .withColumn("keep", col("logit") >= 0.0)
+  }
+
+  /** The training loop: returns (feature table, trained weights keyed
+    * by feature id with -1 = bias, ranked vocabulary), or None on an
+    * empty corpus/vocabulary.
+    */
+  private def fit(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, nFeatures: Int, iters: Int, lr: Double,
+      momentum: Double)
+      : Option[(DataFrame, scala.collection.mutable.Map[Int, Double], Array[(String, Int)])] = {
     val toks = docs.select(col(idCol).as("did"), label.cast("double").as("y"),
       explode(filter(split(lower(col(textCol)), "\\W+"),
         t => length(t) > 0)).as("tok"))
@@ -45,10 +116,7 @@ object TextClassifier {
       .orderBy(col("n").desc, col("tok").asc).limit(nFeatures)
       .collect().zipWithIndex.map { case (r, i) => (r.getString(0), i) }
     val nDocs = docs.count().toDouble
-    if (vocab.isEmpty || nDocs == 0)
-      return docs.select(col(idCol), lit(0.0).as("logit"),
-        label.cast("long").as("label"), lit(true).as("predicted"),
-        (label.cast("long") === 1L).as("correct")).limit(0)
+    if (vocab.isEmpty || nDocs == 0) return None
     val fmap = typedlit(vocab.toMap)
     // (doc, feature, count) + the bias row f=-1 on every doc — built
     // once, reused by every step and the final scoring pass
@@ -85,12 +153,6 @@ object TextClassifier {
         w(f) -= lr * v(f)
       }
     }
-    val wFinal = typedlit(w.toMap)
-    feats
-      .withColumn("wx", col("cnt") * element_at(wFinal, col("f")))
-      .groupBy(col("did").as(idCol), col("y")).agg(sum("wx").as("logit"))
-      .select(col(idCol), col("logit"), col("y").cast("long").as("label"),
-        (col("logit") >= 0.0).as("predicted"),
-        ((col("logit") >= 0.0) === (col("y") === 1.0)).as("correct"))
+    Some((feats, w, vocab))
   }
 }

@@ -121,7 +121,35 @@ object LlmPipeline {
     * q_text_bigram_lm ln precedent).
     */
   private def duckLogReg(nFeatures: Int, iters: Int, lr: Double,
-      mu: Double): String = {
+      mu: Double, trainWhere: String = "true"): String =
+    duckLogRegCtes(nFeatures, iters, lr, mu, trainWhere) + s"""
+      |SELECT doc_id, s AS logit, CAST(y AS BIGINT) AS label,
+      |  s >= 0.0 AS predicted, (s >= 0.0) = (y = 1.0) AS correct
+      |FROM (SELECT fx.doc_id, fx.y, sum(fx.cnt * w$iters.w) AS s
+      |      FROM fx JOIN w$iters USING (f) GROUP BY fx.doc_id, fx.y)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Held-out scoring tail: every document scored occurrence-wise
+    * against the replayed weights (token-less docs score bias alone) —
+    * the q_text_classifier_score oracle.
+    */
+  private def duckLogRegScore(nFeatures: Int, iters: Int, lr: Double,
+      mu: Double, trainWhere: String): String =
+    duckLogRegCtes(nFeatures, iters, lr, mu, trainWhere) + s""",
+      |bias AS (SELECT w FROM w$iters WHERE f = -1),
+      |vw AS (SELECT voc.tok AS token, w$iters.w
+      |  FROM voc JOIN w$iters ON voc.f = w$iters.f),
+      |alltok AS (SELECT doc_id, $duckWordStream AS token FROM documents),
+      |ds AS (SELECT t.doc_id, sum(vw.w) AS wsum
+      |  FROM alltok t JOIN vw USING (token) GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  (SELECT w FROM bias) + coalesce(ds.wsum, 0.0) AS logit,
+      |  ((SELECT w FROM bias) + coalesce(ds.wsum, 0.0)) >= 0.0 AS keep
+      |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  private def duckLogRegCtes(nFeatures: Int, iters: Int, lr: Double,
+      mu: Double, trainWhere: String): String = {
     // the curator keep-rule label, non-interpolated (the \W escape)
     val yExpr =
       """CASE WHEN len(list_filter(string_split_regex(lower(text), '\W+'), t -> t = 'vector')) >= 2 THEN 1.0 ELSE 0.0 END"""
@@ -131,7 +159,7 @@ object LlmPipeline {
         |  SELECT doc_id, $yExpr AS y,
         |    unnest(list_filter(string_split_regex(lower(text), '${"\\W+"}'),
         |      t -> len(t) > 0)) AS tok
-        |  FROM documents),""".stripMargin)
+        |  FROM documents WHERE $trainWhere),""".stripMargin)
     sb.append(s"""
       |voc AS (SELECT tok, f FROM (
       |  SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) - 1 AS f
@@ -143,8 +171,8 @@ object LlmPipeline {
       |  UNION ALL
       |  SELECT doc_id, $yExpr AS y,
       |    -1 AS f, 1.0 AS cnt
-      |  FROM documents),
-      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |  FROM documents WHERE $trainWhere),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE $trainWhere),
       |w0 AS (SELECT f, 0.0 AS w FROM (SELECT f FROM voc UNION ALL SELECT -1 AS f)),
       |v0 AS (SELECT f, 0.0 AS v FROM (SELECT f FROM voc UNION ALL SELECT -1 AS f))""".stripMargin)
     for (k <- 1 to iters) {
@@ -163,12 +191,6 @@ object LlmPipeline {
         |  SELECT $p.f, $p.w - $lr * v$k.v AS w
         |  FROM $p JOIN v$k USING (f))""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT doc_id, s AS logit, CAST(y AS BIGINT) AS label,
-      |  s >= 0.0 AS predicted, (s >= 0.0) = (y = 1.0) AS correct
-      |FROM (SELECT fx.doc_id, fx.y, sum(fx.cnt * w$iters.w) AS s
-      |      FROM fx JOIN w$iters USING (f) GROUP BY fx.doc_id, fx.y)
-      |ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -3203,6 +3225,27 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // PERSISTED-MODEL scoring — the production shape of the learned
+    // filter (train-once / serve-many, the index family's discipline
+    // applied to the model): the classifier trains on the LABELED half
+    // of the corpus only (doc_id even — labels exist only where a
+    // curator graded), persists as an F+1-row parquet artifact, and
+    // every document — including the held-out unlabeled half — scores
+    // against the saved weights in ONE label-free broadcast-join pass.
+    // The oracle replays the half-corpus training run and the
+    // occurrence-wise scoring tail.
+    "q_text_classifier_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lbl = when(size(filter(split(lower(col("text")), "\\W+"),
+        w => w === "vector")) >= 2, 1.0).otherwise(0.0)
+      val model = Tables.scratch("clf_model")
+      graft.operators.TextClassifier.trainAndSave(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", lbl,
+        nFeatures = 64, iters = 15, lr = 0.05, path = model)
+      graft.operators.TextClassifier.scoreWith(s, model, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer-merge TRAINING (Sennrich '16) — the vocabulary
     // construction run before any training job. The corpus collapses
     // to its word-frequency table in one groupBy; each of the 6 rounds
@@ -5412,6 +5455,8 @@ object LlmPipeline {
     "q_text_bpe_encode" -> duckBpeEncode(6),
 
     "q_text_classifier_filter" -> duckLogReg(64, 15, 0.05, 0.9),
+
+    "q_text_classifier_score" -> duckLogRegScore(64, 15, 0.05, 0.9, "doc_id % 2 = 0"),
 
     "q_sql_cosine" ->
       s"""SELECT a.vec_id AS vid, ${duckCos("a.embedding", "b.embedding")} AS cos

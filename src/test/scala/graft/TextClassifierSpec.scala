@@ -43,6 +43,36 @@ class TextClassifierSpec extends SparkSuite {
     assert(run().toSeq === run().toSeq)
   }
 
+  test("persisted model round-trip: scoreWith reproduces trainAndScore's logits; token-less docs score bias") {
+    val docs = Tables(spark, sf, "documents").limit(120).localCheckpoint()
+    val lbl = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+    val path = Tables.scratch("clf_roundtrip_model")
+    TextClassifier.trainAndSave(docs, "doc_id", "text", lbl,
+      nFeatures = 16, iters = 5, lr = 0.1, path = path)
+    val direct = TextClassifier.trainAndScore(docs, "doc_id", "text", lbl,
+        nFeatures = 16, iters = 5, lr = 0.1)
+      .select("doc_id", "logit").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scored = TextClassifier.scoreWith(spark, path, docs, "doc_id", "text")
+      .collect()
+    assert(scored.length === 120)
+    scored.foreach { r =>
+      val want = direct(r.getAs[Long]("doc_id"))
+      // occurrence-wise vs cnt·w summation: same value modulo float
+      // association — equal far inside the 6dp canonicalization
+      assert(math.abs(r.getAs[Double]("logit") - want) < 1e-9,
+        s"round-trip logit diverged: $r vs $want")
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Double]("logit") >= 0.0))
+    }
+    // a doc with no in-vocab tokens scores exactly the bias
+    val alien = Seq((999L, "zzzq wwxy")).toDF("doc_id", "text")
+    val bias = spark.read.parquet(path).filter(col("f") === -1)
+      .head.getAs[Double]("w")
+    val got = TextClassifier.scoreWith(spark, path, alien, "doc_id", "text")
+      .head.getAs[Double]("logit")
+    assert(got === bias, s"token-less doc scored $got, bias is $bias")
+  }
+
   test("empty corpus short-circuits to an empty typed frame") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = TextClassifier.trainAndScore(empty, "doc_id", "text",
