@@ -1654,7 +1654,9 @@ object Baseline {
     // scored table; the graft side's shuffles carry O(n·k) rows).
     "q_sim_bitext_mining" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val maxId = emb.agg(max("vec_id")).head.getLong(0) + 1
+      // same empty-table guard as the deliverable side (LlmPipeline
+      // q_sim_bitext_mining): coalesce keeps the head from NPE'ing
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
       val src = emb.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("src_id"), col("embedding").as("cv"))
       val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -2457,7 +2459,13 @@ object Baseline {
     // user writes the identical training loop (variance pair)
     // the persisted-model scoring verb is a parquet write/read + one
     // broadcast join on top of the same training loop (variance pair)
-    "q_text_classifier_filter", "q_text_classifier_score")
+    "q_text_classifier_filter", "q_text_classifier_score",
+    // round-17: the persisted-tokenizer apply is the same stock train
+    // loop + a parquet round-trip + one stock LEFT vocab join; the
+    // mini-batch classifier is the same stock GD loop with an md5
+    // filter per step — a stock user writes the identical plans
+    // (variance pairs)
+    "q_text_bpe_apply", "q_text_classifier_minibatch")
 
   /** Same leaked-block hygiene as Bench.releaseLeakedBlocks: queries
     * that localCheckpoint (dedup/clustering/snapshot proofs) leave

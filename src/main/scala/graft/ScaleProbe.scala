@@ -67,6 +67,58 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "bitext") {
+      // Probe 3: bitext mining's pruned-probe operating point — the
+      // q_sim_bitext_recall curve with wall-clock attached. Exhaustive
+      // mutual-kNN mining is exact but O(|src|×|tgt|) pair volume
+      // (every probe joins every list); nProbes=p bounds each
+      // direction's shuffle join to p/nLists of that volume. This
+      // probe times mining at nProbes 1→2→4→8(=all) on the planted
+      // fixture and reports each level's planted-translation recall —
+      // the cost/recall curve a deployment reads to pick its probe
+      // count. Sub-quadratic claim: time(p) should scale ~p/8 of
+      // time(8) once the fixed costs (probe-list assignment, k-row
+      // aggs) amortize.
+      import graft.operators.{IvfIndex, SimilaritySearch}
+      val emb = Tables(spark, sfDir, "embeddings")
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+            / 100000.0d).cast("float")))
+        .select((col("vec_id") + maxId).as("vec_id"), col("embedding"))
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "embedding").unionByName(planted)
+      val srcIdx = Tables.scratch("bitext_probe_src")
+      val tgtIdx = Tables.scratch("bitext_probe_tgt")
+      IvfIndex.buildIndex(src, "vec_id", "embedding", nCentroids = 8, path = srcIdx)
+      IvfIndex.buildIndex(tgt, "vec_id", "embedding", nCentroids = 8, path = tgtIdx)
+      val (sa, sc) = IvfIndex.loadIndex(spark, srcIdx)
+      val (ta, tc) = IvfIndex.loadIndex(spark, tgtIdx)
+      val nPlanted = emb.filter(col("vec_id") % 10 === 0).count()
+      // JIT warm-up at the cheapest level
+      SimilaritySearch.marginMutualKnn(sa, sc, ta, tc, "vec_id", "embedding",
+        k = 4, nProbes = 1, marginThreshold = 1.6)
+        .write.format("noop").mode("overwrite").save()
+      val rows = Seq(1, 2, 4, 8).map { p =>
+        var found = 0L; var mined = 0L
+        val sec = timed {
+          val m = SimilaritySearch.marginMutualKnn(sa, sc, ta, tc,
+            "vec_id", "embedding", k = 4, nProbes = p, marginThreshold = 1.6)
+            .localCheckpoint()
+          mined = m.count()
+          found = m.filter(col("src_id") % 10 === 0 &&
+            col("tgt_id") === col("src_id") + maxId).count()
+        }
+        f"""{"n_probes":$p,"sec":$sec%.3f,"mined":$mined,"planted_found":$found,"recall":${
+          found.toDouble / math.max(1L, nPlanted)}%.4f}"""
+      }
+      println(s"""{"probe":"bitext","n_planted":$nPlanted,"levels":[${
+        rows.mkString(",")}],"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val nBatches = mode.toInt
     // same shapes as q_decontaminate_incremental (tokens projected
     // before the shingle HOF — the O(len²) rule)

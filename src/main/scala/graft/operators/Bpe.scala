@@ -171,4 +171,55 @@ object Bpe {
         sum(col("n_syms")).as("n_subwords"),
         max(col("n_syms")).cast("long").as("max_word_syms"))
   }
+
+  /** Train and PERSIST the tokenizer as a reusable artifact — the
+    * build-once / serve-many discipline ([[TextClassifier.trainAndSave]]
+    * pattern): a production pipeline trains the tokenizer on its
+    * curated slice ONCE and every future corpus encodes against the
+    * saved tables, no training jobs at encode time. The artifact is
+    * two parquet tables under `path`:
+    *   - `merges/`  — the ranked merge table (merge_rank, lhs, rhs, n,
+    *     tokens_after), the file a tokenizer ships as `merges.txt`;
+    *   - `symbols/` — the final per-word symbol table (word, syms),
+    *     i.e. the trained tokenizer pre-applied to every training
+    *     word — vocab-sized (Zipf: ~√corpus), the lookup side of
+    *     every future encode join.
+    * Both engine-agnostic parquet, readable by anything.
+    */
+  def trainAndSave(docs: DataFrame, textCol: String, nMerges: Int,
+      path: String): Unit = {
+    val (merges, wf) = train(docs, textCol, nMerges)
+    merges.coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    wf.select("word", "syms").write.mode("overwrite").parquet(path + "/symbols")
+  }
+
+  /** Encode an ARBITRARY corpus against a [[trainAndSave]] artifact:
+    * one doc-word explode + a vocab-sized LEFT hash join against the
+    * saved symbol table + one per-doc aggregate — zero training jobs,
+    * and (unlike an inner join) out-of-vocabulary words are never
+    * dropped: an unseen word falls back to its CHARACTER length (the
+    * encoding BPE assigns a word none of whose learned merges the
+    * serving layer can prove applicable without a per-word replay —
+    * the conservative sequence-length upper bound a budget planner
+    * wants). Returns per doc: (idCol, n_words, n_subwords,
+    * max_word_syms, n_oov — how many word occurrences fell back,
+    * the drift signal that tells a pipeline the tokenizer needs
+    * retraining).
+    */
+  def encodeWith(spark: org.apache.spark.sql.SparkSession, modelPath: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val syms = spark.read.parquet(modelPath + "/symbols")
+      .select(col("word"), size(col("syms")).as("n_syms"))
+    val words = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\W+"),
+        t => length(t) > 0)).as("word"))
+    words.join(syms, Seq("word"), "left_outer")
+      .withColumn("n_enc",
+        coalesce(col("n_syms"), length(col("word"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_enc")).as("n_subwords"),
+        max(col("n_enc")).as("max_word_syms"),
+        sum(when(col("n_syms").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
 }

@@ -37,8 +37,9 @@ object TextClassifier {
 
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
       label: Column, nFeatures: Int, iters: Int, lr: Double,
-      momentum: Double = 0.9): DataFrame =
-    fit(docs, idCol, textCol, label, nFeatures, iters, lr, momentum) match {
+      momentum: Double = 0.9, batchOf16: Int = 16): DataFrame =
+    fit(docs, idCol, textCol, label, nFeatures, iters, lr, momentum,
+        batchOf16) match {
       case None =>
         docs.select(col(idCol), lit(0.0).as("logit"),
           label.cast("long").as("label"), lit(true).as("predicted"),
@@ -63,11 +64,12 @@ object TextClassifier {
     */
   def trainAndSave(docs: DataFrame, idCol: String, textCol: String,
       label: Column, nFeatures: Int, iters: Int, lr: Double, path: String,
-      momentum: Double = 0.9): Unit = {
+      momentum: Double = 0.9, batchOf16: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (wRows, vocabRows) =
-      fit(docs, idCol, textCol, label, nFeatures, iters, lr, momentum) match {
+      fit(docs, idCol, textCol, label, nFeatures, iters, lr, momentum,
+          batchOf16) match {
         case None => (Map(-1 -> 0.0), Array.empty[(String, Int)])
         case Some((_, w, vocab)) => (w.toMap, vocab)
       }
@@ -103,11 +105,26 @@ object TextClassifier {
 
   /** The training loop: returns (feature table, trained weights keyed
     * by feature id with -1 = bias, ranked vocabulary), or None on an
-    * empty corpus/vocabulary.
+    * empty corpus.
+    *
+    * `batchOf16` < 16 enables SEEDED MINI-BATCH GD — the 100 TB knob:
+    * full-batch GD is `iters` corpus passes, the one corpus-bound cost
+    * in the family. Each step k instead trains on the deterministic
+    * md5-bucket slice {doc : first hex digit of md5("<id>:<k>") among
+    * the first `batchOf16` of 16} — the q_sample_seeded machinery, so
+    * the per-step sample is (a) O(batchOf16/16) of the corpus, (b)
+    * DIFFERENT every step (the salt is the step index: over 16/b steps
+    * the expected coverage is the whole corpus), and (c) exactly
+    * replayable by any engine that has md5 — the DuckDB oracle applies
+    * the same bucket rule per step, so mini-batch training stays
+    * hash-gate exact, not just statistically close. The gradient
+    * normalizes by the ACTUAL sample size (read from the bias group's
+    * row count in the same one-job collect — no extra count job);
+    * an empty sample degrades to a pure momentum step.
     */
   private def fit(docs: DataFrame, idCol: String, textCol: String,
       label: Column, nFeatures: Int, iters: Int, lr: Double,
-      momentum: Double)
+      momentum: Double, batchOf16: Int = 16)
       : Option[(DataFrame, scala.collection.mutable.Map[Int, Double], Array[(String, Int)])] = {
     val toks = docs.select(col(idCol).as("did"), label.cast("double").as("y"),
       explode(filter(split(lower(col(textCol)), "\\W+"),
@@ -116,7 +133,11 @@ object TextClassifier {
       .orderBy(col("n").desc, col("tok").asc).limit(nFeatures)
       .collect().zipWithIndex.map { case (r, i) => (r.getString(0), i) }
     val nDocs = docs.count().toDouble
-    if (vocab.isEmpty || nDocs == 0) return None
+    // only an EMPTY CORPUS short-circuits: a non-empty corpus whose
+    // tokens are all filtered out still trains the bias feature (the
+    // f=-1 row exists on every doc), matching the oracle's replay —
+    // an all-OOV corpus scores every doc by the trained bias alone
+    if (nDocs == 0) return None
     val fmap = typedlit(vocab.toMap)
     // (doc, feature, count) + the bias row f=-1 on every doc — built
     // once, reused by every step and the final scoring pass
@@ -136,20 +157,37 @@ object TextClassifier {
     // parameter-sized on the driver
     val v = scala.collection.mutable.Map[Int, Double](
       ((-1 +: vocab.indices.toArray).map(_ -> 0.0)): _*)
-    for (_ <- 0 until iters) {
+    val hexDigits = "0123456789abcdef".take(math.max(0, batchOf16))
+      .map(_.toString)
+    for (k <- 1 to iters) {
+      // the step's training slice: full corpus, or the step-salted
+      // deterministic md5 bucket (each doc's bias row travels with it,
+      // so the f=-1 group below counts the sample exactly)
+      val stepFeats =
+        if (batchOf16 >= 16) feats
+        else feats.filter(
+          substring(md5(concat(col("did").cast("string"), lit(s":$k"))
+            .cast("binary")), 1, 1).isin(hexDigits: _*))
       val wmap = typedlit(w.toMap)
-      val resid = feats
+      val resid = stepFeats
         .withColumn("wx", col("cnt") * element_at(wmap, col("f")))
         .groupBy("did", "y").agg(sum("wx").as("s"))
         .select(col("did"),
           (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("r"))
-      // ONE job per step: the F+1-row gradient collect
-      val grads = feats.join(resid, "did")
-        .groupBy("f").agg(sum(col("r") * col("cnt")).as("g"))
+      // ONE job per step: the F+1-row gradient collect (each row also
+      // carries its group's row count — the f=-1 group's count IS the
+      // step's sample size, since the bias row appears once per doc)
+      val gradRows = stepFeats.join(resid, "did")
+        .groupBy("f").agg(sum(col("r") * col("cnt")).as("g"),
+          count(lit(1)).as("m"))
         .collect()
-        .map(r2 => r2.getInt(0) -> r2.getDouble(1)).toMap
+      val grads = gradRows.map(r2 => r2.getInt(0) -> r2.getDouble(1)).toMap
+      val nk =
+        if (batchOf16 >= 16) nDocs
+        else math.max(1.0, gradRows.find(_.getInt(0) == -1)
+          .map(_.getLong(2).toDouble).getOrElse(0.0))
       w.keys.foreach { f =>
-        v(f) = momentum * v(f) + grads.getOrElse(f, 0.0) / nDocs
+        v(f) = momentum * v(f) + grads.getOrElse(f, 0.0) / nk
         w(f) -= lr * v(f)
       }
     }

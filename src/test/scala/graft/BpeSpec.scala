@@ -51,6 +51,31 @@ class BpeSpec extends SparkSuite {
     assert(raw === Map(1L -> 6L, 2L -> 4L), s"$raw")
   }
 
+  test("encodeWith: persisted artifact serves a held-out corpus; OOV words count as their character lengths, never drop") {
+    // training corpus (the hand-verified 3-merge run: aa→[aa], ab→[ab],
+    // aaa→[aaa], b→[b])
+    val trainDocs = Seq((1L, "aa aa ab"), (2L, "aaa b")).toDF("doc_id", "text")
+    val model = Tables.scratch("bpe_spec_model")
+    Bpe.trainAndSave(trainDocs, "text", nMerges = 3, path = model)
+    // artifact shape: ranked merges + final symbol table, both readable
+    val merges = spark.read.parquet(model + "/merges")
+    assert(merges.count() === 3L)
+    // serve a corpus the tokenizer never saw: "aa" in-vocab (1 symbol),
+    // "zq" (len 2) and "xyz" (len 3) OOV → character-length fallback
+    val serve = Seq((9L, "aa zq xyz")).toDF("doc_id", "text")
+    val got = Bpe.encodeWith(spark, model, serve, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"),
+        r.getAs[Long]("max_word_syms"), r.getAs[Long]("n_oov")))
+    assert(got.toSeq === Seq((3L, 6L, 3L, 2L)),
+      s"OOV fallback diverged: ${got.toSeq}")
+    // an all-OOV doc still encodes (the inner-join formulation would
+    // silently emit nothing for it)
+    val allOov = Seq((10L, "zz qq")).toDF("doc_id", "text")
+    val oovRow = Bpe.encodeWith(spark, model, allOov, "doc_id", "text").collect()
+    assert(oovRow.length === 1 && oovRow(0).getAs[Long]("n_subwords") === 4L &&
+      oovRow(0).getAs[Long]("n_oov") === 2L)
+  }
+
   test("real corpus: tokens_after strictly decreases and merged symbols compose from earlier ranks") {
     val docs = Tables(spark, sf, "documents")
     val rows = Bpe.trainMerges(docs, "text", nMerges = 5)

@@ -2111,4 +2111,37 @@ class DedupSpec extends SparkSuite {
       assert(minedMap.get(tid - 2000L).contains(tid),
         s"planted pair ${tid - 2000L}→$tid not mined") }
   }
+
+  test("bitext mining recall curve: single-probe mining clears the 80% planted floor; exhaustive recovers all") {
+    // the q_sim_bitext_recall contract at spec scale: mining at
+    // nProbes=1 (the cheapest operating point — 1/nLists of the
+    // exhaustive pair volume) already recovers >=80% of planted
+    // translations, and exhaustive probing recovers every one
+    val rnd = new scala.util.Random(77)
+    val src = (0L until 120L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val organicTgt = (1000L until 1080L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val planted = src.filter(_._1 % 4 == 0).map { case (i, v) =>
+      (2000L + i, v.map(_ + 1e-4f))
+    }
+    val srcDf = src.toDF("vec_id", "embedding")
+    val tgtDf = (organicTgt ++ planted).toDF("vec_id", "embedding")
+    val sPath = Tables.scratch("bitext_curve_src")
+    val tPath = Tables.scratch("bitext_curve_tgt")
+    IvfIndex.buildIndex(srcDf, "vec_id", "embedding", nCentroids = 4, path = sPath)
+    IvfIndex.buildIndex(tgtDf, "vec_id", "embedding", nCentroids = 4, path = tPath)
+    val (sa, sc) = IvfIndex.loadIndex(spark, sPath)
+    val (ta, tc) = IvfIndex.loadIndex(spark, tPath)
+    val plantedSet = planted.map(p => (p._1 - 2000L, p._1)).toSet
+    def foundAt(p: Int): Int =
+      SimilaritySearch.marginMutualKnn(sa, sc, ta, tc, "vec_id", "embedding",
+          k = 3, nProbes = p, marginThreshold = 1.2)
+        .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id")))
+        .count(plantedSet)
+    val curve = Seq(1, 2, 4).map(foundAt)
+    assert(curve.last === plantedSet.size,
+      s"exhaustive probing missed planted pairs: $curve of ${plantedSet.size}")
+    assert(curve.head * 10 >= plantedSet.size * 8,
+      s"single-probe recall below the 80% floor: $curve of ${plantedSet.size}")
+  }
 }
