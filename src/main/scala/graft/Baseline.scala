@@ -2019,6 +2019,16 @@ object Baseline {
     // cost is per state partition, so a 32-store control would measure
     // partition-count mismatch, not pacing.
     "q_stream_stream_paced" -> ((s, dir) => {
+      // DELIVERABLE-MATCHED control (the r6 "not a twin" disposition
+      // closed): the graft side drains 3 paced micro-batches (2
+      // cross-batch state handoffs), so the control must too — and the
+      // pacing mechanism is stock end to end (repartitionByRange
+      // pre-split + maxFilesPerTrigger=1 + mtimes pinned to range
+      // order with plain Hadoop setTimes, exactly what a stock user
+      // writes to rate-limit a file stream). What the pair now
+      // measures is the identical plan at the identical batch count —
+      // a variance pair, replacing the old 1-batch-vs-3 comparison
+      // whose delta was pure state-commit machinery.
       // nanosAsLong is already set by this session's builder; state
       // partitions are restored in finally so a drain failure cannot
       // leak the streaming-sized conf into later batch controls
@@ -2027,9 +2037,18 @@ object Baseline {
         s.conf.getOption("spark.graft.streaming.shufflePartitions").getOrElse(prevParts))
       val sink = s"baseline_paced_${System.nanoTime()}"
       try {
-        val rawSchema = s.read.parquet(Tables.path(dir, "events")).schema
-        val ev = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val raw = s.read.parquet(Tables.path(dir, "events"))
+        val src = Tables.scratch(s"baseline_paced_src_${System.nanoTime()}")
+        raw.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(src)
+        val sp = new org.apache.hadoop.fs.Path(src)
+        val fsys = sp.getFileSystem(s.sessionState.newHadoopConf())
+        fsys.listStatus(sp).filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName).zipWithIndex
+          .foreach { case (st, i) =>
+            fsys.setTimes(st.getPath, 1755000000000L + i * 1000L, -1L) }
+        val ev = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "part-*").parquet(src)
           .transform(graft.Tables.normalizeTs)
         val views = ev.filter(col("event_type") === "view")
           .select(col("user_id").as("v_user"), col("ts").as("v_ts"))

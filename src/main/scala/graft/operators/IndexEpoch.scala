@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** TWO-INDEX TRANSACTIONAL SYNC — the cross-index atomicity layer a
+  * multi-modal search stack needs (the Iceberg/Delta snapshot-manifest
+  * pattern lifted ONE level, from files-within-a-table to
+  * indexes-within-a-stack): a text index and a vector index synced
+  * from the same change feed each commit their own generations
+  * independently, so a reader between the two commits sees text at v3
+  * and vectors at v1 — a torn hybrid ranking. The epoch manifest fixes
+  * that with one CAS: `_manifest_<n>` at the epoch root pins BOTH
+  * index generations (the text index's manifest content + the vector
+  * index's committed ingest seq), published atomically (tmp write +
+  * rename, fail-if-exists — the [[Snapshots]] commit machinery
+  * verbatim). Cross-index readers resolve the max committed epoch and
+  * read each index AS OF its pinned generation
+  * ([[TextIndex.searchAllAsOf]], [[IvfIndex.loadLiveAsOf]]); the flip
+  * to the new pair is the one rename, so there is no schedule in
+  * which a reader observes a mixed pair. A crash anywhere between the
+  * two index commits and the epoch publish leaves the epoch at its
+  * previous value — both indexes may be internally committed, but the
+  * STACK stays at the old consistent pair until the coordinator's
+  * publish lands (and a re-run of the sync is idempotent: both index
+  * syncs are seq-scoped, and the publish CAS simply lands at the next
+  * epoch).
+  *
+  * Pin lifetime: epoch pins survive seq-scoped maintenance (append /
+  * delete — old rows stay readable under their seq ceilings) but not
+  * LAYOUT maintenance (compaction, rebalance, vacuum physically
+  * rewrite rows), exactly as a table snapshot does not survive
+  * expire — a deployment runs layout maintenance only after advancing
+  * the epoch past the pins it retires.
+  */
+object IndexEpoch {
+
+  /** Atomically publish an epoch pinning both index states verbatim
+    * (a [[TextIndex.exportManifest]] export and an
+    * [[IvfIndex.exportPin]] export — CONTENT, not pointers, so the
+    * pins survive each index's own manifest sweep; each export also
+    * lists its tombstone files, the delete-file tracking that makes
+    * the pin a true snapshot). CAS: the publish lands at exactly
+    * `current max + 1`; a competing committer that read the same
+    * state loses the rename and throws — re-read and retry. Returns
+    * the published epoch number.
+    */
+  def publish(spark: SparkSession, root: String,
+      textPin: Seq[String], vecPin: Seq[String]): Int = {
+    val seqs = Snapshots.manifestSeqs(spark, root)
+    val next = if (seqs.isEmpty) 1 else seqs.max + 1
+    Snapshots.writeManifestLines(spark, root,
+      textPin.map("t:" + _) ++ vecPin.map("v:" + _),
+      sweep = false, expectedNext = Some(next))
+  }
+
+  /** The current committed epoch: (epoch number, pinned text state,
+    * pinned vector state) — one small FS read, no Spark job (the same
+    * zero-job discipline as the skew advisory). None before the first
+    * publish.
+    */
+  def current(spark: SparkSession, root: String)
+      : Option[(Int, Seq[String], Seq[String])] = {
+    val seqs = Snapshots.manifestSeqs(spark, root)
+    if (seqs.isEmpty) None
+    else {
+      val lines = Snapshots.readManifestLines(spark, root, seqs.max)
+      Some((seqs.max,
+        lines.filter(_.startsWith("t:")).map(_.stripPrefix("t:")),
+        lines.filter(_.startsWith("v:")).map(_.stripPrefix("v:"))))
+    }
+  }
+}

@@ -287,6 +287,67 @@ object IvfIndex {
     (maskDeleted(spark, path, assigned, idCol), centroids)
   }
 
+  /** The live committed PIN — what [[IndexEpoch.publish]] embeds (the
+    * Iceberg snapshot pattern): the max committed ingest seq PLUS the
+    * tombstone sidecar's file list. The file list is load-bearing: a
+    * delete committed just after the pin carries `del_seq` equal to
+    * the pinned seq (tombstones are stamped with the max committed
+    * seq AT delete time), so seq arithmetic alone cannot tell
+    * "deleted at pin" from "deleted after pin" — only the listing
+    * can, exactly why Iceberg snapshots track their delete files.
+    * One listing, no Spark job.
+    */
+  def exportPin(spark: SparkSession, path: String): Seq[String] = {
+    val seq = maxCommittedSeq(spark, path)
+    val tombDir = new Path(s"$path/$TombstonesDir")
+    val tombFiles =
+      if (!fsOf(spark, path).exists(tombDir)) Seq.empty[String]
+      else fsOf(spark, path).listStatus(tombDir).map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq.sorted
+    s"seq=$seq" +: tombFiles.map("tombfile:" + _)
+  }
+
+  /** [[loadLive]] AT A PIN ([[exportPin]]) — the epoch-coordinated
+    * read ([[IndexEpoch]]): rows admit iff `ingest_seq <=` the pinned
+    * seq (minus crashed reservations), and the tombstone horizon is
+    * exactly the pin's file list — an append or delete committed
+    * AFTER the pin is invisible, so the epoch reader sees the index
+    * exactly as it was when the pin published. Valid while the pinned
+    * rows and files exist physically — i.e. until layout maintenance
+    * (compaction/rebalance/vacuum) rewrites them, the documented
+    * epoch-pin lifetime.
+    */
+  def loadLiveAsOf(spark: SparkSession, path: String, idCol: String,
+      pin: Seq[String]): (DataFrame, DataFrame) = {
+    val asOfSeq = pin.collectFirst {
+      case l if l.startsWith("seq=") => l.stripPrefix("seq=").toLong
+    }.getOrElse(sys.error("IVF pin missing seq"))
+    val tombFiles = pin.filter(_.startsWith("tombfile:"))
+      .map(n => s"$path/$TombstonesDir/${n.stripPrefix("tombfile:")}")
+    val (_, reserved) = seqMarkers(spark, path)
+    val raw = spark.read.parquet(s"$path/assigned")
+      .filter(col("ingest_seq") <= asOfSeq)
+    val visible =
+      if (reserved.isEmpty) raw
+      else raw.filter(!col("ingest_seq").isin(reserved.toSeq: _*))
+    val masked =
+      if (tombFiles.isEmpty) visible
+      else {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("del_id",
+            visible.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("del_seq",
+            org.apache.spark.sql.types.LongType)))
+        val pinned = spark.read.schema(schema).parquet(tombFiles: _*)
+          .groupBy("del_id").agg(max("del_seq").as("del_seq"))
+        visible.join(broadcast(pinned),
+          visible(idCol) === pinned("del_id") &&
+            visible("ingest_seq") <= pinned("del_seq"),
+          "left_anti")
+      }
+    (masked, liveCentroids(spark, path))
+  }
+
   /** Incremental maintenance: assign NEW vectors to the EXISTING
     * centroids (nearest-centroid, no refit) and append them to the
     * persisted inverted lists — FAISS's add-without-train, the ingest

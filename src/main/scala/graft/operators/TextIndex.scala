@@ -171,15 +171,50 @@ object TextIndex {
   private def readState(spark: SparkSession, path: String): IndexState = {
     val seqs = Snapshots.manifestSeqs(spark, path)
     require(seqs.nonEmpty, s"no text index manifest at $path")
-    val kv = Snapshots.readManifestLines(spark, path, seqs.max)
+    readStateAt(spark, path, seqs.max)
+  }
+
+  /** The state AT a pinned manifest — the [[IndexEpoch]] read path:
+    * generations, seq ceiling, and tombstone horizon all resolve from
+    * manifest `mseq` instead of the live max, so an epoch-pinned
+    * reader sees the index exactly as that commit published it.
+    */
+  private def readStateAt(spark: SparkSession, path: String,
+      mseq: Int): IndexState =
+    parseState(Snapshots.readManifestLines(spark, path, mseq), mseq)
+
+  private def parseState(lines: Seq[String], mseq: Int): IndexState = {
+    // exported pins append non-kv "tombfile:" lines — ignore them here
+    val kv = lines.filter(_.contains("="))
       .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
     val fmt = kv("fmt").toInt
     require(fmt == Fmt,
-      s"text index at $path has format $fmt; this binary speaks $Fmt only")
+      s"text index has format $fmt; this binary speaks $Fmt only")
     IndexState(fmt, kv("n_buckets").toInt, kv("seq").toLong,
       kv("n_docs").toLong, kv("sum_dl").toLong, kv("n_tombs").toLong,
       Gens(kv("postings").toInt, kv("term_stats").toInt,
-        kv("doc_stats").toInt), mseq = seqs.max)
+        kv("doc_stats").toInt), mseq = mseq)
+  }
+
+  /** The live committed PIN — what [[IndexEpoch.publish]] embeds (the
+    * Iceberg catalog/snapshot pattern: a pin must carry the state, not
+    * point at it): the manifest CONTENT (manifest files are swept past
+    * one round) plus the tombstone sidecar's FILE LIST (tombstones are
+    * seq-scoped, but a delete committed just after the pin reuses the
+    * pinned seq — only the file list separates "deleted at pin" from
+    * "deleted after pin", exactly why Iceberg snapshots track delete
+    * files). One FS read + one listing, no Spark job.
+    */
+  def exportManifest(spark: SparkSession, path: String): Seq[String] = {
+    val seqs = Snapshots.manifestSeqs(spark, path)
+    require(seqs.nonEmpty, s"no text index manifest at $path")
+    val tombDir = new Path(s"$path/$TombstonesDir")
+    val tombFiles =
+      if (!fsOf(spark, path).exists(tombDir)) Seq.empty[String]
+      else fsOf(spark, path).listStatus(tombDir).map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq.sorted
+    Snapshots.readManifestLines(spark, path, seqs.max) ++
+      tombFiles.map("tombfile:" + _)
   }
 
   private def readGens(spark: SparkSession, path: String): Gens =
@@ -565,6 +600,50 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
       .filter(col("n_terms") === terms.distinct.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** [[searchAll]] AT A PINNED MANIFEST — the epoch-coordinated read
+    * ([[IndexEpoch]]): the same pruned-bucket access path, but
+    * generations, the seq ceiling, AND the tombstone horizon resolve
+    * from the pinned manifest CONTENT (an [[exportManifest]] export —
+    * embedded in the epoch, so it survives the manifest-file sweep),
+    * so postings appended after the pin are invisible and docs
+    * deleted after the pin still serve. Valid while the pinned
+    * generations exist on disk — i.e. until layout maintenance
+    * (compaction/vacuum) retires them, the documented epoch-pin
+    * lifetime.
+    */
+  def searchAllAsOf(spark: SparkSession, path: String,
+      terms: Seq[String], manifest: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchAllAsOf needs at least one term")
+    val st = parseState(manifest, 0)
+    val distinctTerms = terms.distinct
+    val raw = spark.read.schema(PostingsSchema)
+      .parquet(postingsPath(path, st.gens.postings))
+      .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, st.nBuckets)): _*))
+      .filter(col("term").isin(distinctTerms: _*))
+      .filter(col("seq") <= st.seq)
+    // the pinned tombstone horizon is exactly the pin's FILE LIST —
+    // a delete committed after the pin lives in a file the pin never
+    // listed, so it cannot reach back (the delete-file tracking that
+    // makes the pin a true snapshot)
+    val tombFiles = manifest.filter(_.startsWith("tombfile:"))
+      .map(n => s"$path/$TombstonesDir/${n.stripPrefix("tombfile:")}")
+    val masked =
+      if (tombFiles.isEmpty) raw
+      else {
+        val pinned = spark.read.schema(TombSchema).parquet(tombFiles: _*)
+          .groupBy(col("doc_id").as("del_doc_id"))
+          .agg(max("seq").as("del_seq"))
+        raw.join(broadcast(pinned),
+          col("doc_id") === col("del_doc_id") && col("seq") <= col("del_seq"),
+          "left_anti")
+      }
+    masked
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .filter(col("n_terms") === distinctTerms.size)
       .select(col("doc_id"), col("total_tf"))
   }
 

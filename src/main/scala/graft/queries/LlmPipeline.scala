@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Aggregators, TextFunctions, VectorExpressions}
-import graft.operators.{Bpe, Dedup, HybridSearch, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
+import graft.operators.{Bpe, Dedup, HybridSearch, IndexEpoch, IvfIndex, Multimodal, SimilaritySearch, TextIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1210,9 +1210,15 @@ object LlmPipeline {
     // + re-embed via reverse), a DELETE commit retracts docs; ONE
     // change feed v1→v3 then syncs BOTH persisted indexes with
     // O(changes) maintenance (seq-scoped tombstone retract +
-    // re-ingest, no compaction, no refit in either index), and the
-    // RRF-fused hybrid search over the synced indexes must equal the
-    // hybrid ranking recomputed from the mutated corpus EXACTLY
+    // re-ingest, no compaction, no refit in either index). The two
+    // syncs commit through a TWO-INDEX EPOCH (IndexEpoch — one CAS
+    // pins both generations, so no reader ever sees text at v3 with
+    // vectors at v1): atomic_ok audits the full drill — mid-sync the
+    // epoch still serves the consistent v1 pair while the raw pair is
+    // provably torn, a crash there leaves the epoch unpublished, and
+    // after the one-rename flip the epoch reads equal the live reads.
+    // The RRF-fused hybrid search over the synced indexes must equal
+    // the hybrid ranking recomputed from the mutated corpus EXACTLY
     // (exhaustive probing makes the vector leg exact; both mutation
     // legs are load-bearing — a missed text retract, vector
     // re-ingest, or erasure in EITHER index shifts a fused rank and
@@ -1227,13 +1233,11 @@ object LlmPipeline {
           .join(t(s, dir, "embeddings")
             .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id"))
       // v1 pinned eagerly (path + file listing resolve at call time),
-      // then the verb's three pipelines run as CONCURRENT chains (the
-      // q_forget discipline): the table's commit/feed chain, the text
-      // index's build→sync chain, and the vector index's build→sync
-      // chain share no state — each sync leg awaits only the feed it
-      // consumes. Commits write NEW version dirs (v1's files are never
-      // touched; there is no expire here), so the builds' pinned v1
-      // reads are safe under the concurrent commits.
+      // then the table's commit/feed chain and the two index BUILDS
+      // run as CONCURRENT chains (the q_forget discipline) — they
+      // share no state. Commits write NEW version dirs (v1's files
+      // are never touched; there is no expire here), so the builds'
+      // pinned v1 reads are safe under the concurrent commits.
       val v1 = Snapshots.read(s, root)
       val chDir = Tables.scratch("hybrid_cdc_feed")
       val feedChain = inFlight {
@@ -1248,28 +1252,82 @@ object LlmPipeline {
         ch.filter(col("_change_type").isin("delete", "update_preimage"))
       def reingestOf(ch: DataFrame) =
         ch.filter(col("_change_type") === "update_postimage")
+      // the two BUILDS stay concurrent chains; the SYNCS (O(changes))
+      // run sequenced on this thread so the verb can DRILL the window
+      // between the two index commits — the torn-read hazard the
+      // two-index EPOCH (IndexEpoch) exists to close
       val textChain = inFlight {
         TextIndex.buildIndex(v1, "doc_id", "text", tidx)
-        await(feedChain) // FutureTask.get is idempotent across chains
-        val ch = s.read.parquet(chDir)
-        TextIndex.deleteDocs(retractOf(ch).select("doc_id"), "doc_id", tidx)
-        TextIndex.appendDocs(reingestOf(ch).select("doc_id", "text"),
-          "doc_id", "text", tidx)
       }
       val vecChain = inFlight {
         IvfIndex.buildIndex(v1, "doc_id", "embedding", nCentroids = 8, path = vidx)
-        await(feedChain)
-        val ch = s.read.parquet(chDir)
-        IvfIndex.deleteFromIndex(retractOf(ch).select("doc_id"), "doc_id", vidx)
-        IvfIndex.appendToIndex(reingestOf(ch).select("doc_id", "embedding"),
-          "doc_id", "embedding", vidx)
       }
-      await(textChain); await(vecChain)
+      await(textChain); await(vecChain); await(feedChain)
+      // ── epoch 1: the consistent v1 pair, one CAS ──
+      val epochRoot = Tables.scratch("hybrid_cdc_epoch")
+      val tm1 = TextIndex.exportManifest(s, tidx)
+      val vp1 = IvfIndex.exportPin(s, vidx)
+      IndexEpoch.publish(s, epochRoot, tm1, vp1)
+      // v1 fingerprints (integer-exact): total tf of the planted term,
+      // and the per-row rounded first embedding component — the two
+      // quantities the UPDATE commit moves in each modality
+      def textFp(df: DataFrame): Long =
+        df.agg(coalesce(sum("total_tf"), lit(0L))).head.getLong(0)
+      def vecFp(assigned: DataFrame): Long = assigned
+        .agg(coalesce(sum(round(element_at(col("embedding"), 1)
+          .cast("double") * 1000).cast("long")), lit(0L))).head.getLong(0)
+      val v1VecFp = vecFp(v1.select(col("doc_id"), col("embedding")))
+      val drillDoc = v1.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+        .agg(min("doc_id")).head.getLong(0)
+      def tfOf(df: DataFrame): Long =
+        df.filter(col("doc_id") === drillDoc).select("total_tf")
+          .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      val pinnedTf0 = tfOf(TextIndex.searchAllAsOf(s, tidx, Seq("vector"), tm1))
+      val ch = s.read.parquet(chDir)
+      // ── text index syncs and commits; vector index has NOT ──
+      TextIndex.deleteDocs(retractOf(ch).select("doc_id"), "doc_id", tidx)
+      TextIndex.appendDocs(reingestOf(ch).select("doc_id", "text"),
+        "doc_id", "text", tidx)
+      // MID-SYNC DRILL — a reader lands exactly in the crash window:
+      //  * the epoch is still 1 (nothing published the flip), so the
+      //    epoch reader serves the PINNED pair — both modalities at v1;
+      //  * the raw pair is torn (text moved: the drill doc's live tf
+      //    grew by the update's planted token; vectors did not move) —
+      //    the inconsistency the epoch hides. A crash here leaves the
+      //    epoch at 1 forever: both index commits are internally
+      //    durable, but the stack stays at the consistent v1 pair.
+      val midEpoch = IndexEpoch.current(s, epochRoot)
+      val midEpochOk = midEpoch.contains((1, tm1, vp1))
+      // the epoch reader resolves its pins FROM the epoch, then reads
+      // each index as-of — the serving path a coordinator-aware
+      // search tier runs
+      val (pinT, pinV) = midEpoch.map(e => (e._2, e._3)).getOrElse((tm1, vp1))
+      val midPinnedConsistent =
+        tfOf(TextIndex.searchAllAsOf(s, tidx, Seq("vector"), pinT)) == pinnedTf0 &&
+        vecFp(IvfIndex.loadLiveAsOf(s, vidx, "doc_id", pinV)._1) == v1VecFp
+      val midRawTorn =
+        tfOf(TextIndex.searchAll(s, tidx, Seq("vector"))) == pinnedTf0 + 1 &&
+        vecFp(IvfIndex.loadLive(s, vidx, "doc_id")._1) == v1VecFp
+      // ── vector index syncs; THEN the epoch flips both pins at once ──
+      IvfIndex.deleteFromIndex(retractOf(ch).select("doc_id"), "doc_id", vidx)
+      IvfIndex.appendToIndex(reingestOf(ch).select("doc_id", "embedding"),
+        "doc_id", "embedding", vidx)
+      val tm2 = TextIndex.exportManifest(s, tidx)
+      val vp2 = IvfIndex.exportPin(s, vidx)
+      val e2 = IndexEpoch.publish(s, epochRoot, tm2, vp2)
+      // epoch-2 reads must now equal the live reads (the flip landed)
       val (a, c) = IvfIndex.loadLive(s, vidx, "doc_id")
+      val postFlipOk = e2 == 2 &&
+        IndexEpoch.current(s, epochRoot).contains((2, tm2, vp2)) &&
+        tfOf(TextIndex.searchAllAsOf(s, tidx, Seq("vector"), tm2)) ==
+          tfOf(TextIndex.searchAll(s, tidx, Seq("vector"))) &&
+        vecFp(IvfIndex.loadLiveAsOf(s, vidx, "doc_id", vp2)._1) == vecFp(a)
+      val atomicOk = midEpochOk && midPinnedConsistent && midRawTorn && postFlipOk
       val probes = Snapshots.read(s, root).filter(col("doc_id") < 5)
         .select("doc_id", "embedding")
       HybridSearch.rrfTopK(s, tidx, a, c, probes, Seq("hash", "merge", "vector"),
           "doc_id", "embedding", n = 50, k = 10, nProbes = 8)
+        .withColumn("atomic_ok", lit(atomicOk))
         .orderBy("probe_id", "rank")
     }),
 
@@ -4159,7 +4217,7 @@ object LlmPipeline {
          |  SELECT probe_id, neighbor_id AS doc_id,
          |    CAST(1 AS DOUBLE) / CAST(60 + vrank AS DOUBLE) AS c FROM vr),
          |fused AS (SELECT probe_id, doc_id, sum(c) AS rrf FROM contrib GROUP BY 1, 2)
-         |SELECT probe_id, rank, doc_id, rrf FROM (
+         |SELECT probe_id, rank, doc_id, rrf, TRUE AS atomic_ok FROM (
          |  SELECT probe_id, doc_id, rrf,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fused)

@@ -1096,7 +1096,7 @@ class PlanSpec extends SparkSuite {
       "q_sim_ivf", "q_sim_ivf_pq", "q_sim_ivf_cdc", "q_sim_ivf_delete",
       "q_sim_ivf_incremental", "q_sim_ivf_merge", "q_sim_ivf_rebalance",
       "q_sim_ivf_skew", "q_sim_recall_curve", "q_sim_knn_join", "q_sim_label_knn",
-      "q_sim_bitext_mining",
+      "q_sim_bitext_mining", "q_sim_bitext_recall",
       "q_sim_filtered_ann", "q_sim_range_search",
       "q_sql_ann", "q_sql_hybrid", "q_hybrid_search_rrf", "q_hybrid_cdc",
       "q_forget", "q_stream_dedup_ingest", "q_stream_ivf_ingest",
