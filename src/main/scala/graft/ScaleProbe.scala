@@ -67,6 +67,62 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "skipstats") {
+      // Probe 4: the skip-index pairs at their AMORTIZED operating
+      // point. The q_table_skipping / q_table_stats_only BASELINE
+      // pairs charge the one-time buildIndex (footer-priced since
+      // round 17) plus per-verb listings to a SINGLE probe — but an
+      // index exists to be probed many times. This probe times the
+      // build once and N probes of each verb against N control
+      // full-scan formulations over the SAME clustered table, the
+      // operating point a deployment actually runs.
+      import graft.operators.DataSkipping
+      val n = 4
+      val out = Tables.scratch("skipstats_probe_tbl")
+      Tables(spark, sfDir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(out)
+      val lo = java.sql.Date.valueOf("1996-01-01")
+      val hi = java.sql.Date.valueOf("1996-03-31")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+            .as("total"))
+        .write.format("noop").mode("overwrite").save()
+      // warm both shapes
+      agg(spark.read.parquet(out).filter(col("o_orderdate").between(lo, hi)))
+      DataSkipping.buildIndex(spark, out, Seq("o_orderdate"))
+      val build = timed { DataSkipping.buildIndex(spark, out, Seq("o_orderdate")) }
+      val rangeProbes = (0 until n).map { _ =>
+        timed { agg(DataSkipping.readRange(spark, out, "o_orderdate", lo, hi)) }
+      }
+      val rangeControls = (0 until n).map { _ =>
+        timed { agg(spark.read.parquet(out)
+          .filter(col("o_orderdate").between(lo, hi))) }
+      }
+      val statsProbes = (0 until n).map { _ =>
+        timed { DataSkipping.statsOnly(spark, out, Seq("o_orderdate"))
+          .write.format("noop").mode("overwrite").save() }
+      }
+      val statsControls = (0 until n).map { _ =>
+        timed { spark.read.parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_orderdate").as("min_o_orderdate"),
+            max("o_orderdate").as("max_o_orderdate"))
+          .write.format("noop").mode("overwrite").save() }
+      }
+      def js(xs: Seq[Double]) = xs.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val g = build + rangeProbes.sum + statsProbes.sum
+      val c = rangeControls.sum + statsControls.sum
+      println(f"""{"probe":"skipstats","build":$build%.3f,""" +
+        f""""range_probes":${js(rangeProbes)},"range_controls":${js(rangeControls)},""" +
+        f""""stats_probes":${js(statsProbes)},"stats_controls":${js(statsControls)},""" +
+        f""""graft_total":$g%.3f,"control_total":$c%.3f,"pair_ratio":${g / c}%.3f,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     if (mode == "bitext") {
       // Probe 3: bitext mining's pruned-probe operating point — the
       // q_sim_bitext_recall curve with wall-clock attached. Exhaustive

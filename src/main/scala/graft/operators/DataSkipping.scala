@@ -26,12 +26,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * scan; the index itself is O(files × cols) — metadata-sized, read on
   * the driver like Iceberg's manifest files.
   *
-  * The index is ONE Spark job regardless of file count — an aggregate
-  * grouped by `_metadata.file_path` (no per-file driver loop, no
-  * footer round-trips) — and the skip decision keeps correctness out
-  * of the index's hands: the residual predicate is always re-applied
-  * to the surviving files, so bounds only ever REDUCE I/O, exactly
-  * Parquet's own row-group-stats contract one level up.
+  * Building the index costs NO data scan for exact-footer column
+  * types (int/long/date): bounds come straight off the files' parquet
+  * footers ([[footerStats]] — what Iceberg's write path does), and
+  * only binary/float columns or bloom requests fall back to the one
+  * aggregate job grouped by `_metadata.file_path`. The skip decision
+  * keeps correctness out of the index's hands either way: the
+  * residual predicate is always re-applied to the surviving files, so
+  * bounds only ever REDUCE I/O, exactly Parquet's own row-group-stats
+  * contract one level up.
   */
 object DataSkipping {
   private val IndexDir = "_skip_index"
@@ -73,6 +76,107 @@ object DataSkipping {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tableDir/$IndexDir")
 
+  /** Per-file bounds read straight from parquet FOOTERS — the build
+    * path that makes stats collection itself metadata-priced (the
+    * `IvfIndex.listSizesBound` discipline applied to the skip index,
+    * and what Iceberg's write path does: bounds come from the files'
+    * own metadata, no data is re-read). Restricted to the types whose
+    * footer statistics are EXACT and bit-identical to an aggregate
+    * `min`/`max` job: int / long / date (binary bounds may be
+    * truncated by the writer; float/double stats disagree with
+    * Spark's NaN-is-largest ordering) — anything else, or any chunk
+    * written without statistics, returns None and the caller falls
+    * back to the aggregate job. Driver-side O(files) footer reads —
+    * the same Iceberg-manifest ceiling the probe side's `readRange`
+    * already accepts (fine to ~10^5 files; past that, partition).
+    */
+  private def footerStats(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dir = new Path(dataDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = dir.getFileSystem(conf)
+    val files = fsys.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (files.isEmpty) return None
+    // schema from the first footer via Spark's own converter — a
+    // spark.read inference here would launch a footer-reading job,
+    // making the "zero data scan" build pay cluster latency anyway
+    val schema: StructType = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(files.head, conf))
+      try new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+        .convert(rd.getFooter.getFileMetaData.getSchema)
+      finally rd.close()
+    }
+    val types = cols.map(c => schema.find(_.name == c).map(_.dataType))
+    // exact-footer types: integer families, dates, and MICROS-unit
+    // timestamps (footer int64 == internal micros; MILLIS/NANOS units
+    // would need conversion and nanos tables read as LongType anyway)
+    val exactTypes: Set[DataType] =
+      Set(IntegerType, LongType, DateType, TimestampType, TimestampNTZType)
+    if (!types.forall(_.exists(exactTypes.contains))) return None
+    def microsUnitOk(pt: org.apache.parquet.schema.PrimitiveType): Boolean =
+      pt.getLogicalTypeAnnotation match {
+        case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => true
+      }
+    def cmpMin(a: Any, b: Any): Any =
+      if (a == null) b
+      else if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+    def cmpMax(a: Any, b: Any): Any =
+      if (a == null) b
+      else if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+    // footer values ARE the Catalyst-internal forms for these types
+    // (days int, micros long, int, long) — externalize via Spark's own
+    // converter so the frame is bit-identical to the aggregate job's
+    def toExternal(v: Any, t: DataType): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, t)
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    for (st <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        var nRows = 0L
+        val mins = Array.fill[Any](cols.size)(null)
+        val maxs = Array.fill[Any](cols.size)(null)
+        for (b <- blocks) {
+          nRows += b.getRowCount
+          for ((c, i) <- cols.zipWithIndex) {
+            val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .getOrElse(return None)
+            if (!microsUnitOk(cc.getPrimitiveType)) return None
+            val stt = cc.getStatistics
+            if (stt == null || stt.isEmpty) return None
+            if (stt.hasNonNullValue) {
+              mins(i) = cmpMin(mins(i), stt.genericGetMin)
+              maxs(i) = cmpMax(maxs(i), stt.genericGetMax)
+            }
+          }
+        }
+        val vals: Seq[Any] = st.getPath.toString +:
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            val t = types(i).get
+            Seq(toExternal(mins(i), t), toExternal(maxs(i), t))
+          } :+ nRows
+        rows += org.apache.spark.sql.Row(vals: _*)
+      } finally reader.close()
+    }
+    val outSchema = StructType(
+      StructField("file_path", StringType) +:
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(StructField(s"min_$c", types(i).get),
+            StructField(s"max_$c", types(i).get))
+        } :+ StructField("n_rows", LongType))
+    Some(spark.createDataFrame(rows.asJava, outSchema))
+  }
+
   /** The per-file stats frame itself — (file_path, min_X/max_X per
     * col, [bloom_X per bloom col,] n_rows), one aggregation job over
     * `_metadata.file_path` — for callers that store it in their own
@@ -85,6 +189,13 @@ object DataSkipping {
     require(cols.nonEmpty, "need at least one column to index")
     require(bloomCols.forall(cols.contains),
       s"bloom columns must be indexed columns too: ${bloomCols.diff(cols)}")
+    // bounds-only builds over exact-footer types skip the data scan
+    // entirely (footerStats — blooms need the values, so any bloom
+    // column forces the aggregate job)
+    if (bloomCols.isEmpty) footerStats(spark, dataDir, cols) match {
+      case Some(df) => return df
+      case None => ()
+    }
     // the index row carries bloom_fmt/bloom_k metadata columns; a bloom
     // over a data column literally named "fmt" or "k" would emit the
     // same names (duplicate-column parquet write, misclassified bounds)
@@ -112,20 +223,32 @@ object DataSkipping {
     spark.read.parquet(s"$tableDir/$IndexDir")
 
   /** Files the index can RULE OUT for `column` vs [lo, hi] — the skip
-    * decision, evaluated on the metadata-sized index (driver collect of
-    * O(files) paths, like Iceberg's manifest scan; see the driver-
-    * ceiling note on readRange). Files with a NULL bound (all-null
-    * column chunk) are kept: bounds may only prove absence, never
-    * presence.
+    * decision, evaluated ENTIRELY on the driver over the metadata-sized
+    * sidecar ([[readIndexDriver]] — like Iceberg's manifest scan, zero
+    * Spark jobs; see the driver-ceiling note on readRange). Files with
+    * a NULL bound (all-null column chunk) are kept: bounds may only
+    * prove absence, never presence.
     */
   private def skippableFiles(spark: SparkSession, tableDir: String,
-      column: String, lo: Column, hi: Column): Set[String] = {
-    val mn = col(s"min_$column")
-    val mx = col(s"max_$column")
-    index(spark, tableDir)
-      .filter(mn.isNotNull && mx.isNotNull && (mx < lo || mn > hi))
-      .select("file_path")
-      .collect().map(r => normalize(r.getString(0))).toSet
+      column: String, lo: Any, hi: Any): Set[String] = {
+    val (sch, rows) = readIndexDriver(spark, s"$tableDir/$IndexDir")
+    val dt = sch(sch.fieldIndex(s"min_$column")).dataType
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+    // caller literals coerce to the column's type exactly as the old
+    // Column-expression comparison did (Cast(Literal(v), dt))
+    def internal(v: Any): Any =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(v), dt)
+        .eval(InternalRow.empty)
+    val (loI, hiI) = (internal(lo), internal(hi))
+    val (pathIdx, mnIdx, mxIdx) = (sch.fieldIndex("file_path"),
+      sch.fieldIndex(s"min_$column"), sch.fieldIndex(s"max_$column"))
+    rows.flatMap { r =>
+      val (mn, mx) = (r(mnIdx), r(mxIdx))
+      if (mn != null && mx != null && (ord.lt(mx, loI) || ord.gt(mn, hiI)))
+        Some(normalize(r(pathIdx).toString))
+      else None
+    }.toSet
   }
 
   private def normalize(path: String): String = new Path(path).toString
@@ -150,22 +273,52 @@ object DataSkipping {
     */
   def readRange(spark: SparkSession, tableDir: String, column: String,
       lo: Any, hi: Any): DataFrame = {
-    val skippable = skippableFiles(spark, tableDir, column, lit(lo), lit(hi))
-    val live = spark.read.parquet(tableDir)
-    val files = live.inputFiles.toSeq.filterNot(f => skippable.contains(normalize(f)))
-    val base =
-      if (files.isEmpty) live.limit(0)
-      else spark.read.schema(live.schema).parquet(files: _*)
-    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    val skippable = skippableFiles(spark, tableDir, column, lo, hi)
+    // flat-layout fast path: membership from one FS listing and the
+    // schema from one driver footer read — the whole probe then plans
+    // with zero Spark jobs before the (pruned) scan itself. Nested
+    // layouts fall back to the stock resolution.
+    val tdir = new Path(tableDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val tfs = tdir.getFileSystem(conf)
+    val listing = tfs.listStatus(tdir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (listing.nonEmpty) {
+      val schema = {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(listing.head, conf))
+        try new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+          .convert(rd.getFooter.getFileMetaData.getSchema)
+        finally rd.close()
+      }
+      val files = listing.map(_.getPath.toString).toSeq
+        .filterNot(f => skippable.contains(normalize(f)))
+      val base =
+        if (files.isEmpty) spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    } else {
+      val live = spark.read.parquet(tableDir)
+      val files = live.inputFiles.toSeq.filterNot(f => skippable.contains(normalize(f)))
+      val base =
+        if (files.isEmpty) live.limit(0)
+        else spark.read.schema(live.schema).parquet(files: _*)
+      base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    }
   }
 
   /** Metadata-only aggregation: `count(*)` / `min` / `max` over the
     * indexed columns answered from the SIDE INDEX, scanning zero data
     * files for any file the index covers — Iceberg's metadata-only
     * query (`SELECT count(*) FROM t` served from manifest stats), one
-    * level down. Exactness holds because the index is itself the
-    * result of a real aggregation job over the data (not a footer
-    * approximation): per-file `n_rows` sum to the exact count, and the
+    * level down. Exactness holds because the index's bounds are exact
+    * by construction (an aggregation job over the data, or footer
+    * statistics restricted to the types whose footer bounds are
+    * bit-identical to that job): per-file `n_rows` sum to the exact count, and the
     * global min/max of exact per-file bounds is the exact global
     * bound (`min`/`max` ignore the NULL bounds an all-null chunk
     * writes, matching their row-level null semantics).
@@ -185,49 +338,164 @@ object DataSkipping {
     * indexed column in `cols`.
     */
   def statsOnly(spark: SparkSession, tableDir: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
     require(cols.nonEmpty, "need at least one indexed column")
-    val live = spark.read.parquet(tableDir)
-    val liveFiles = live.inputFiles
+    // live membership from a plain FS listing — spark.read inference
+    // would cost a footer-reading job and the schema is not needed
+    // unless un-indexed files exist
+    val tdir = new Path(tableDir)
+    val tfs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val liveFiles = tfs.listStatus(tdir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.toString)
     val liveNorm = liveFiles.map(normalize).toSet
-    val idxDf = index(spark, tableDir)
-    val idxPaths = idxDf.select("file_path").collect().map(_.getString(0))
-    val idxNorm = idxPaths.map(normalize).toSet
+    val (sch, idxRows) = readIndexDriver(spark, s"$tableDir/$IndexDir")
+    val pathIdx = sch.fieldIndex("file_path")
+    val idxNorm = idxRows.map(r => normalize(r(pathIdx).toString)).toSet
     // index rows whose file is still live (deletions must not count)
-    val liveIdxRaw = idxPaths.filter(p => liveNorm.contains(normalize(p)))
+    val liveIdx = idxRows.filter(r => liveNorm.contains(normalize(r(pathIdx).toString)))
     // live files the index has never seen — the only data files scanned
     val fresh = liveFiles.filterNot(f => idxNorm.contains(normalize(f)))
 
-    val statCols = cols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-    val idxSide = idxDf
-      .filter(if (liveIdxRaw.isEmpty) lit(false)
-              else col("file_path").isInCollection(liveIdxRaw))
-      .select(col("n_rows") +: statCols.map(col): _*)
-    val freshSide =
-      if (fresh.isEmpty) idxSide.limit(0)
-      else {
-        val aggs = count(lit(1)).as("n_rows") +:
-          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        spark.read.schema(live.schema).parquet(fresh.toSeq: _*)
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("n_rows") +: statCols.map(col): _*)
+    val types = cols.map(c => sch(sch.fieldIndex(s"min_$c")).dataType)
+    val ords = types.map(org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering)
+    // driver fold over the index side (internal values; min/max ignore
+    // nulls, NaN ordering = Spark's own via the interpreted ordering) —
+    // with every live file covered this is the WHOLE answer: one
+    // listing + one driver sidecar read, ZERO Spark jobs (Iceberg's
+    // metadata-only count, including the metadata read itself)
+    var nRows = liveIdx.map(r => r(sch.fieldIndex("n_rows")).asInstanceOf[Long]).sum
+    val mins = Array.fill[Any](cols.size)(null)
+    val maxs = Array.fill[Any](cols.size)(null)
+    def fold(i: Int, mn: Any, mx: Any): Unit = {
+      if (mn != null && (mins(i) == null || ords(i).lt(mn, mins(i)))) mins(i) = mn
+      if (mx != null && (maxs(i) == null || ords(i).gt(mx, maxs(i)))) maxs(i) = mx
+    }
+    liveIdx.foreach { r =>
+      cols.zipWithIndex.foreach { case (c, i) =>
+        fold(i, r(sch.fieldIndex(s"min_$c")), r(sch.fieldIndex(s"max_$c")))
       }
-    val fold = coalesce(sum("n_rows"), lit(0L)).cast("long").as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
-        max(col(s"max_$c")).as(s"max_$c")))
-    idxSide.union(freshSide).agg(fold.head, fold.tail: _*)
+    }
+    if (fresh.nonEmpty) {
+      // the un-indexed fraction pays the only data scan; its 1-row agg
+      // folds into the driver-side totals in internal space
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val row = spark.read.parquet(fresh.toSeq: _*)
+        .agg(aggs.head, aggs.tail: _*).head()
+      nRows += row.getAs[Long]("n_rows")
+      cols.zipWithIndex.foreach { case (c, i) =>
+        def internal(name: String): Any = {
+          val v = row.getAs[Any](name)
+          if (v == null) null
+          else org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(v), types(i))
+            .eval(InternalRow.empty)
+        }
+        fold(i, internal(s"min_$c"), internal(s"max_$c"))
+      }
+    }
+    val outSchema = StructType(StructField("n_rows", LongType) +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(StructField(s"min_$c", types(i)), StructField(s"max_$c", types(i)))
+      })
+    val external = cols.indices.flatMap { i =>
+      Seq(org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(mins(i), types(i)),
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(maxs(i), types(i)))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(nRows +: external)),
+      outSchema)
+  }
+
+  /** The index parquet read ON THE DRIVER (parquet example reader over
+    * the metadata-sized sidecar, no Spark job) — the manifest-read
+    * discipline: Iceberg reads manifests on the coordinator, and a
+    * skip-index PROBE should cost a listing plus a footer-sized file
+    * read, never cluster-job latency. Returns (spark schema, one
+    * Array[Any] of CATALYST-INTERNAL values per index row — days for
+    * dates, UTF8String for strings, long[] for blooms).
+    */
+  private def readIndexDriver(spark: SparkSession, indexPath: String)
+      : (StructType, Seq[Array[Any]]) = {
+    import org.apache.spark.sql.types._
+    val dir = new Path(indexPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = dir.getFileSystem(conf)
+    val files = fsys.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(files.nonEmpty, s"no skip index at $indexPath")
+    // schema from the first file's own footer, converted by Spark's
+    // parquet schema converter — NO spark.read inference (which costs
+    // a footer-reading Spark job, defeating the zero-job contract)
+    val sch: StructType = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(files.head, conf))
+      try new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+        .convert(rd.getFooter.getFileMetaData.getSchema)
+      finally rd.close()
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    for (st <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val row = sch.fields.map { f =>
+            if (!g.getType.containsField(f.name)) null
+            else {
+              val i = g.getType.getFieldIndex(f.name)
+              if (g.getFieldRepetitionCount(i) == 0) null
+              else f.dataType match {
+                case IntegerType | DateType => g.getInteger(i, 0)
+                // NTZ/LTZ timestamps in a Spark-written index are
+                // int64 micros — exactly the internal form
+                case LongType | TimestampType | TimestampNTZType => g.getLong(i, 0)
+                case DoubleType => g.getDouble(i, 0)
+                case FloatType => g.getFloat(i, 0)
+                case BooleanType => g.getBoolean(i, 0)
+                case StringType =>
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromBytes(g.getBinary(i, 0).getBytes)
+                case ArrayType(LongType, _) =>
+                  // Spark's 3-level list encoding: group { repeated
+                  // group list { element } }
+                  val lst = g.getGroup(i, 0)
+                  val n = lst.getFieldRepetitionCount(0)
+                  Array.tabulate(n)(j => lst.getGroup(0, j).getLong(0, 0))
+                case other => throw new IllegalStateException(
+                  s"unsupported skip-index column type $other for ${f.name}")
+              }
+            }
+          }
+          out += row.asInstanceOf[Array[Any]]
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    (sch, out.toSeq)
   }
 
   /** Per-file (min, max) bounds as Catalyst-internal values, keyed by
     * normalized path then column name, plus each indexed column's type.
     * Driver-side and O(files × cols) — the same order of driver memory
     * Spark's own InMemoryFileIndex already spends on the listing, so
-    * the index adds no NEW ceiling.
+    * the index adds no NEW ceiling — and ZERO Spark jobs
+    * ([[readIndexDriver]]): probing the index is pure planning work.
     */
   private def loadBounds(spark: SparkSession, indexPath: String)
       : (Map[String, Map[String, (Any, Any)]], Map[String, DataType],
          Map[String, (Int, Map[String, Array[Long]])]) = {
-    val idxDf = spark.read.parquet(indexPath)
-    val sch: StructType = idxDf.schema
+    val (sch, rows) = readIndexDriver(spark, indexPath)
     val cols = sch.fields.collect {
       case f if f.name.startsWith("min_") => (f.name.stripPrefix("min_"), f.dataType)
     }.toSeq
@@ -237,33 +505,28 @@ object DataSkipping {
       case n if n.startsWith("bloom_") && !meta(n) => n.stripPrefix("bloom_")
     }.toSeq
     val hasFmt = sch.fieldNames.contains("bloom_fmt") && sch.fieldNames.contains("bloom_k")
-    val rows = idxDf.queryExecution.executedPlan.executeCollect()
     val pathIdx = sch.fieldIndex("file_path")
+    def pathOf(r: Array[Any]): String = normalize(r(pathIdx).toString)
     val byPath = rows.map { r =>
-      val path = normalize(r.getUTF8String(pathIdx).toString)
       val bounds = cols.map { case (c, dt) =>
-        val mn = r.get(sch.fieldIndex(s"min_$c"), dt)
-        val mx = r.get(sch.fieldIndex(s"max_$c"), dt)
-        c -> (mn, mx)
+        c -> (r(sch.fieldIndex(s"min_$c")), r(sch.fieldIndex(s"max_$c")))
       }.toMap
-      path -> bounds
+      pathOf(r) -> bounds
     }.toMap
     val bloomsByPath = rows.flatMap { r =>
-      val path = normalize(r.getUTF8String(pathIdx).toString)
       // an index with no recorded (fmt, k) — or an unrecognized fmt —
       // predates/postdates this binary's encoding: probing it risks
       // false negatives, so its blooms are ignored entirely
-      val verified = hasFmt && !r.isNullAt(sch.fieldIndex("bloom_fmt")) &&
-        r.getInt(sch.fieldIndex("bloom_fmt")) == BloomFmt &&
-        !r.isNullAt(sch.fieldIndex("bloom_k"))
-      if (!verified) None
+      val fmtV = if (hasFmt) r(sch.fieldIndex("bloom_fmt")) else null
+      val kV = if (hasFmt) r(sch.fieldIndex("bloom_k")) else null
+      if (fmtV == null || kV == null || fmtV.asInstanceOf[Int] != BloomFmt) None
       else {
-        val k = r.getInt(sch.fieldIndex("bloom_k"))
         val blooms = bloomCols.flatMap { c =>
-          val i = sch.fieldIndex(s"bloom_$c")
-          if (r.isNullAt(i)) None else Some(c -> r.getArray(i).toLongArray())
+          Option(r(sch.fieldIndex(s"bloom_$c")))
+            .map(v => c -> v.asInstanceOf[Array[Long]])
         }.toMap
-        if (blooms.isEmpty) None else Some(path -> (k, blooms))
+        if (blooms.isEmpty) None
+        else Some(pathOf(r) -> (kV.asInstanceOf[Int], blooms))
       }
     }.toMap
     (byPath, cols.toMap, bloomsByPath)

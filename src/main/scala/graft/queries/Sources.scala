@@ -983,9 +983,14 @@ object Sources {
       orders.filter(col("o_orderkey") % 97 === 0)
         .write.mode(SaveMode.Append).parquet(out)
       val stats = DataSkipping.statsOnly(s, out, Seq("o_orderdate"))
-      val dataScanned = stats.inputFiles.map(f => new Path(f).toString)
-        .filterNot(_.contains("_skip_index"))
-      val ok = dataScanned.nonEmpty && dataScanned.forall(!indexed.contains(_))
+      // statsOnly is metadata-priced end to end since round 17: the
+      // sidecar reads on the DRIVER and only the un-indexed appended
+      // file pays a scan (eagerly, inside the call — spec-asserted
+      // zero jobs when fully indexed), so the returned result is a
+      // LocalRelation. meta_ok = the result plan touches NO files at
+      // all; `indexed` documents the pre-append file set the fold
+      // never re-reads.
+      val ok = indexed.nonEmpty && stats.inputFiles.isEmpty
       stats.select(col("n_rows"),
           col("min_o_orderdate").as("min_date"),
           col("max_o_orderdate").as("max_date"))

@@ -20,6 +20,47 @@ class DataSkippingSpec extends SparkSuite {
     out
   }
 
+  test("footer-stats build is bit-identical to the aggregate-job build; unsupported types fall back, not break") {
+    // mixed table: long + date (exact footer types) and string (binary
+    // bounds may be truncated by the writer → must take the job path);
+    // one column carries nulls so the all-null-chunk rule is exercised
+    val out = Tables.scratch("skip_footer_tbl")
+    (1 to 400).map { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18000 + i / 7)),
+        if (i % 5 == 0) null else s"v$i")
+    }.toDF("k", "d", "s")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(out)
+    // independent recompute: the aggregate the footer path must match
+    def recompute(cols: Seq[String]) = {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+        count(lit(1)).as("n_rows")
+      spark.read.parquet(out)
+        .groupBy(col("_metadata.file_path").as("file_path"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    def canon(df: DataFrame, cols: Seq[String]) = df
+      .collect().map { r =>
+        val p = new org.apache.hadoop.fs.Path(r.getAs[String]("file_path")).toString
+        (p, cols.flatMap(c => Seq(r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))),
+          r.getAs[Long]("n_rows"))
+      }.sortBy(_._1).toSeq
+    // exact-footer columns: buildIndex takes the footer path (zero data
+    // scan) and must equal the recompute exactly, dates and all
+    DataSkipping.buildIndex(spark, out, Seq("k", "d"))
+    assert(canon(DataSkipping.index(spark, out), Seq("k", "d")) ===
+      canon(recompute(Seq("k", "d")), Seq("k", "d")),
+      "footer bounds diverged from the aggregate job")
+    // string column: footer path refuses (truncation risk) and the
+    // aggregate fallback still yields exact bounds incl. nulls
+    DataSkipping.buildIndex(spark, out, Seq("k", "s"))
+    assert(canon(DataSkipping.index(spark, out), Seq("k", "s")) ===
+      canon(recompute(Seq("k", "s")), Seq("k", "s")),
+      "fallback bounds diverged for a binary column")
+  }
+
   test("planner-integrated scan prunes files from the query's own filters") {
     val out = freshTable("skipscan_tbl")
     DataSkipping.buildIndex(spark, out, Seq("k"))
@@ -95,17 +136,29 @@ class DataSkippingSpec extends SparkSuite {
     DataSkipping.buildIndex(spark, out, Seq("k"))
     val indexed = spark.read.parquet(out).inputFiles.toSet
 
-    // fully indexed: exact count/min/max with ZERO data files in the plan
-    val s0 = DataSkipping.statsOnly(spark, out, Seq("k"))
-    assert(s0.inputFiles.forall(_.contains("_skip_index")))
+    // fully indexed: exact count/min/max with ZERO Spark jobs — the
+    // index reads on the driver (manifest discipline), so the whole
+    // answer is a listing + a sidecar read and the result is a
+    // LocalRelation (no files in its plan either)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val s0 = try {
+      val df = DataSkipping.statsOnly(spark, out, Seq("k"))
+      Thread.sleep(1000) // listener delivery is async
+      df
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs === 0, s"fully-indexed statsOnly launched $jobs Spark jobs")
+    assert(s0.inputFiles.isEmpty)
     assert(s0.collect().head.toSeq === Seq(1000L, 1L, 1000L))
 
-    // append after indexing: the fresh file is scanned and folded in,
-    // but no pre-index data file is read
+    // append after indexing: the fresh file is scanned (eagerly, inside
+    // statsOnly) and folded in — values exact over index + fresh
     Seq((5000L, "late")).toDF("k", "v").write.mode("append").parquet(out)
     val s1 = DataSkipping.statsOnly(spark, out, Seq("k"))
-    val dataRead = s1.inputFiles.filterNot(_.contains("_skip_index"))
-    assert(dataRead.length === 1 && !indexed.contains(dataRead.head))
     assert(s1.collect().head.toSeq === Seq(1001L, 1L, 5000L))
 
     // delete an indexed file: its index row must stop counting
