@@ -44,6 +44,70 @@ object Baseline {
         .select("probe_id", "rank", "neighbor_id", "cos")
     }),
 
+    // q_embed_pca control: the stock user computes the quantized
+    // moments by PAIR EXPLODE — every row fans out to d(d+1)/2 = 2080
+    // (i, j) product rows through a self-join + shuffle aggregate —
+    // where the graft side's GramAgg folds each task's rows into ONE
+    // integer triangle buffer (partial aggregation; the shuffle
+    // carries buffers, not pairs). Same quantization, same driver
+    // iteration, same fold-ordered projection — the pair measures the
+    // moment pass alone.
+    "q_embed_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("xq"))
+        .localCheckpoint()
+      val n = q.count().toDouble
+      val px = q.select(col("vec_id"), posexplode(col("xq")).as(Seq("i", "x")))
+      val d = px.agg(max("i")).head.getInt(0) + 1
+      val s1 = px.groupBy("i").agg(sum("x").as("sx")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val s2 = px.as("a").join(px.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("b.i") >= col("a.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.x") * col("b.x")).as("sxx"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val sc = 1000.0
+      val mean = Array.tabulate(d)(i => s1(i) / n / sc)
+      val cov = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val v = s2((i, j)) / n / (sc * sc) - mean(i) * mean(j)
+        cov(i)(j) = v; cov(j)(i) = v
+      }
+      val trace = (0 until d).map(i => cov(i)(i)).sum
+      val a = cov.map(_.clone())
+      val comps = Array.ofDim[Double](2, d)
+      val lambdas = new Array[Double](2)
+      for (c <- 0 until 2) {
+        var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+        for (_ <- 0 until 30) {
+          val w = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+          val nm = math.sqrt(w.map(x => x * x).sum)
+          if (nm > 0) v = w.map(_ / nm)
+        }
+        var lam = 0.0
+        for (i <- 0 until d; j <- 0 until d) lam += v(i) * a(i)(j) * v(j)
+        comps(c) = v; lambdas(c) = lam
+        for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lam * v(i) * v(j)
+      }
+      var out = q
+      for (c <- 0 until 2) {
+        val vLit = typedlit(comps(c).toSeq)
+        val mLit = typedlit(mean.toSeq)
+        out = out.withColumn(s"pc${c + 1}",
+          aggregate(
+            zip_with(col("xq"), sequence(lit(1), lit(d)), (x, idx) =>
+              (x.cast("double") / sc - element_at(mLit, idx)) *
+                element_at(vLit, idx)),
+            lit(0.0), (acc, t2) => acc + t2))
+      }
+      for (c <- 0 until 2)
+        out = out.withColumn(s"lambda${c + 1}", lit(lambdas(c)))
+          .withColumn(s"evr${c + 1}",
+            lit(if (trace > 0) lambdas(c) / trace else 0.0))
+      out.drop("xq").orderBy("vec_id")
+    }),
+
     // q_train_curriculum control: the global-ntile formulation a stock
     // user writes for tercile staging — EVERY doc ordered through one
     // partitionless ntile(3) window (a single sort task at any scale),

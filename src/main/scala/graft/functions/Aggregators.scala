@@ -172,6 +172,52 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Long]] = ExprEnc.longArray
   }
 
+  /** EXACT integer Gram/moment accumulator — the one distributed pass
+    * behind the PCA family ([[graft.operators.Embeddings]]): input is
+    * the embedding pre-quantized to longs (x_q = rint(x·scale)), and
+    * the buffer accumulates [count, Σx_q (d), Σ x_q·x_qᵀ upper
+    * triangle (d(d+1)/2)] — ALL long sums, so the result is
+    * bit-identical regardless of partitioning/merge order and any
+    * engine replays it exactly (the q_sample_weighted integer-
+    * arithmetic discipline applied to second moments). Partial
+    * aggregation ships ONE ~d²/2-long buffer per task, never rows.
+    * Overflow headroom: |x_q| ≤ scale ⇒ each Σx²  entry ≤ n·scale²
+    * (2⁶³ admits n·10⁶ up to ~9·10¹² rows at scale 1000).
+    * Dimension is inferred from the first row; the empty buffer is a
+    * zero-length sentinel so an empty group finishes empty.
+    */
+  class GramAgg extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.empty[Long]
+    override def reduce(b0: Array[Long], x: Seq[Long]): Array[Long] = {
+      val d = x.size
+      val b = if (b0.isEmpty) new Array[Long](1 + d + d * (d + 1) / 2) else b0
+      b(0) += 1L
+      val xa = x.toArray
+      var i = 0
+      while (i < d) { b(1 + i) += xa(i); i += 1 }
+      var p = 1 + d
+      i = 0
+      while (i < d) {
+        val xi = xa(i)
+        var j = i
+        while (j < d) { b(p) += xi * xa(j); p += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+    override def outputEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+  }
+
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()

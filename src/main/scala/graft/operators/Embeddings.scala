@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine LINEAR ALGEBRA over the embedding column — PCA by power
+  * iteration (Pearson 1901 / the Mises–Pollaczek-Geiringer iteration;
+  * the dimensionality-reduction and whitening primitive an embedding
+  * pipeline runs before clustering, visualization, or
+  * drift-monitoring: SemDeDup-style cluster work gets faster AND
+  * better-conditioned in the top-variance subspace).
+  *
+  * Scale shape — the reason this is a ONE-PASS operator, not an ML-lib
+  * dependency: a d-dimensional corpus's covariance is fully determined
+  * by its first two moments, and those collapse to ONE parameter-sized
+  * partial aggregate ([[graft.functions.Aggregators.GramAgg]]): each
+  * task folds its rows into a d(d+1)/2-long EXACT integer triangle
+  * (embeddings pre-quantized x_q = rint(x·scale) — the q_sim_rerank
+  * int8 discipline applied to moments), the driver receives ONE
+  * ~2 KB-per-dim² buffer, and every eigen-iteration is then d×d driver
+  * arithmetic — zero further corpus passes. Projection back over the
+  * corpus is one codegen'd per-row array fold (left-to-right, so any
+  * engine reproduces it term for term). The integer moments make the
+  * covariance BIT-IDENTICAL across engines and partitionings (long
+  * sums commute); the iteration is then the same double arithmetic on
+  * the same matrix everywhere, so a DuckDB oracle replays the whole
+  * run — covariance, every iteration, deflation, and projection.
+  *
+  * Determinism: fixed iteration count (no convergence test — a
+  * data-dependent stop would diverge across engines at the ulp level),
+  * start vector 1/√d (deterministic; orthogonal-start degeneracy is
+  * spec-guarded on the fixture), deflation A ← A − λvvᵀ between
+  * components, eigenvalue λ = vᵀAv (Rayleigh quotient at the final
+  * iterate).
+  */
+object Embeddings {
+
+  /** Top-`k` principal components of the (centered) embedding
+    * distribution, fitted in one distributed pass + driver iteration;
+    * returns one row per input row: (idCol, pc_1..pc_k — the centered
+    * projections, λ_1..λ_k and the explained-variance ratios as
+    * constant columns). Empty corpus ⇒ empty (correctly-typed) frame.
+    */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 30, scale: Int = 1000): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val q = emb.select(col(idCol),
+      transform(col(vecCol), x =>
+        round(x.cast("double") * scale).cast("long")).as("xq"))
+    val gram = udaf(new graft.functions.Aggregators.GramAgg,
+      ExpressionEncoder[Seq[Long]]())
+    val g = q.agg(gram(col("xq")).as("g")).head.getAs[Seq[Long]]("g").toArray
+    if (g.isEmpty) {
+      // empty corpus: emit the typed spine with no rows
+      var out = emb.select(col(idCol)).limit(0)
+      (1 to k).foreach { c =>
+        out = out.withColumn(s"pc$c", lit(0.0))
+          .withColumn(s"lambda$c", lit(0.0)).withColumn(s"evr$c", lit(0.0))
+      }
+      return out
+    }
+    // solve 1 + d + d(d+1)/2 = len for d
+    val d = (((math.sqrt(9.0 + 8.0 * (g.length - 1)) - 3.0) / 2.0) + 0.5).toInt
+    val n = g(0).toDouble
+    val s = scale.toDouble
+    val mean = Array.tabulate(d)(i => g(1 + i) / n / s)
+    // covariance from the exact integer triangle: C = E[xxᵀ] − μμᵀ
+    val cov = Array.ofDim[Double](d, d)
+    var p = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = g(p) / n / (s * s) - mean(i) * mean(j)
+        cov(i)(j) = v; cov(j)(i) = v
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    // power iteration with deflation — plain double loops in ascending
+    // index order (the order the oracle's group-sums approximate to
+    // within ulps; 6dp canonicalization absorbs the difference)
+    val comps = Array.ofDim[Double](k, d)
+    val lambdas = new Array[Double](k)
+    val a = cov.map(_.clone())
+    for (c <- 0 until k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 0 until iters) {
+        val w = new Array[Double](d)
+        var i2 = 0
+        while (i2 < d) {
+          var acc = 0.0
+          var j2 = 0
+          while (j2 < d) { acc += a(i2)(j2) * v(j2); j2 += 1 }
+          w(i2) = acc; i2 += 1
+        }
+        val nm = math.sqrt(w.map(x => x * x).sum)
+        if (nm > 0) v = w.map(_ / nm)
+      }
+      var lam = 0.0
+      for (i2 <- 0 until d; j2 <- 0 until d) lam += v(i2) * a(i2)(j2) * v(j2)
+      comps(c) = v; lambdas(c) = lam
+      for (i2 <- 0 until d; j2 <- 0 until d)
+        a(i2)(j2) -= lam * v(i2) * v(j2)
+    }
+    // project: per-row LEFT fold over the array order — deterministic
+    // term order, replayed identically by the oracle's list fold
+    var out = q
+    for (c <- 0 until k) {
+      val vLit = typedlit(comps(c).toSeq)
+      val mLit = typedlit(mean.toSeq)
+      out = out.withColumn(s"pc${c + 1}",
+        aggregate(
+          zip_with(col("xq"), sequence(lit(1), lit(d)), (x, idx) =>
+            (x.cast("double") / s - element_at(mLit, idx)) *
+              element_at(vLit, idx)),
+          lit(0.0), (acc, t) => acc + t))
+    }
+    for (c <- 0 until k) {
+      out = out.withColumn(s"lambda${c + 1}", lit(lambdas(c)))
+        .withColumn(s"evr${c + 1}",
+          lit(if (trace > 0) lambdas(c) / trace else 0.0))
+    }
+    out.drop("xq")
+  }
+}

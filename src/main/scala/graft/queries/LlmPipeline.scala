@@ -84,6 +84,78 @@ object LlmPipeline {
        |SELECT src_id, tgt_id, cos, margin$extraCols FROM best WHERE rn = 1
        |ORDER BY src_id""".stripMargin
 
+  /** The q_embed_pca oracle: replays the whole PCA run — the exact
+    * integer moment pass (quantized x_q = rint(x·1000); long sums are
+    * order-independent, so engine and oracle compute the SAME
+    * covariance bit for bit), `iters` power iterations per component
+    * with the engine's 1/√d start and norm guard, Rayleigh λ,
+    * deflation, and the fold-ordered centered projections.
+    */
+  private def duckPca(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
+        |px AS MATERIALIZED (SELECT vec_id, i, xq[i] AS x
+        |  FROM (SELECT vec_id, xq, unnest(range(1, len(xq) + 1)) AS i FROM q)),
+        |s1 AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM px GROUP BY i),
+        |dd AS (SELECT CAST(max(i) AS DOUBLE) AS d FROM s1),
+        |s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxx
+        |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2),
+        |mu AS (SELECT i, sx / (SELECT n FROM nn) / 1000.0 AS m FROM s1),
+        |cov0 AS (
+        |  SELECT s2.i, s2.j,
+        |    sxx / (SELECT n FROM nn) / 1000000.0 - mi.m * mj.m AS v
+        |  FROM s2 JOIN mu mi ON s2.i = mi.i JOIN mu mj ON s2.j = mj.i),
+        |c1m AS MATERIALIZED (SELECT i, j, v FROM cov0
+        |  UNION ALL SELECT j AS i, i AS j, v FROM cov0 WHERE i <> j),
+        |tr AS (SELECT sum(v) AS t FROM c1m WHERE i = j)""".stripMargin)
+    for (c <- 1 to k) {
+      sb.append(s""",
+        |c${c}v0 AS (SELECT i, 1.0 / sqrt((SELECT d FROM dd)) AS v FROM s1)""".stripMargin)
+      for (t <- 1 to iters) {
+        sb.append(s""",
+          |c${c}w$t AS MATERIALIZED (SELECT m.i AS i, sum(m.v * pv.v) AS w
+          |  FROM c${c}m m JOIN c${c}v${t - 1} pv ON m.j = pv.i GROUP BY m.i),
+          |c${c}n$t AS (SELECT sqrt(sum(w * w)) AS nm FROM c${c}w$t),
+          |c${c}v$t AS MATERIALIZED (SELECT w.i,
+          |  CASE WHEN (SELECT nm FROM c${c}n$t) > 0
+          |       THEN w.w / (SELECT nm FROM c${c}n$t) ELSE pv.v END AS v
+          |  FROM c${c}w$t w JOIN c${c}v${t - 1} pv ON w.i = pv.i)""".stripMargin)
+      }
+      sb.append(s""",
+        |l$c AS (SELECT sum(vi.v * m.v * vj.v) AS l
+        |  FROM c${c}m m JOIN c${c}v$iters vi ON m.i = vi.i
+        |  JOIN c${c}v$iters vj ON m.j = vj.i)""".stripMargin)
+      if (c < k) sb.append(s""",
+        |c${c + 1}m AS MATERIALIZED (SELECT m.i, m.j,
+        |    m.v - (SELECT l FROM l$c) * vi.v * vj.v AS v
+        |  FROM c${c}m m JOIN c${c}v$iters vi ON m.i = vi.i
+        |  JOIN c${c}v$iters vj ON m.j = vj.i)""".stripMargin)
+    }
+    sb.append(s""",
+      |arr AS (SELECT (SELECT list(m ORDER BY i) FROM mu) AS marr""".stripMargin)
+    for (c <- 1 to k)
+      sb.append(s""",
+        |  (SELECT list(v ORDER BY i) FROM c${c}v$iters) AS varr$c""".stripMargin)
+    sb.append(")\nSELECT q.vec_id")
+    for (c <- 1 to k)
+      sb.append(s""",
+        |  list_aggregate(list_transform(q.xq, (x, i) ->
+        |    (CAST(x AS DOUBLE) / 1000.0 - arr.marr[i]) * arr.varr$c[i]), 'sum') AS pc$c""".stripMargin)
+    for (c <- 1 to k)
+      sb.append(s""",
+        |  (SELECT l FROM l$c) AS lambda$c,
+        |  CASE WHEN (SELECT t FROM tr) > 0
+        |       THEN (SELECT l FROM l$c) / (SELECT t FROM tr) ELSE 0.0 END AS evr$c""".stripMargin)
+    sb.append("\nFROM q CROSS JOIN arr ORDER BY q.vec_id")
+    sb.toString
+  }
+
   /** The q_text_bpe_train oracle, generated per merge round: chained
     * CTEs replaying Bpe.trainMerges merge for merge. The rewrite uses
     * the ISLANDS-PARITY formulation of greedy LTR non-overlapping
@@ -3107,6 +3179,23 @@ object LlmPipeline {
         .orderBy("vec_id")
     }),
 
+    // In-engine PCA over the embedding corpus (power iteration with
+    // deflation — the dimensionality-reduction/whitening primitive an
+    // embedding pipeline runs before clustering or drift monitoring).
+    // The corpus collapses to ONE parameter-sized EXACT-integer moment
+    // buffer (GramAgg: count + Σx_q + the Σx_q·x_qᵀ triangle, all long
+    // sums — bit-identical under any partitioning), the driver runs 30
+    // fixed iterations per component on the 64×64 covariance, and the
+    // projection back is one codegen'd left fold per row. Deterministic
+    // end to end ⇒ the DuckDB oracle replays the ENTIRE run: the same
+    // integer moments, all 60 iterations, the deflation, and the
+    // fold-ordered projections.
+    "q_embed_pca" -> ((s, dir) => {
+      graft.operators.Embeddings.pcaProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 2, iters = 30)
+        .orderBy("vec_id")
+    }),
+
     // Vector centroid per label via typed UDAF, exploded per dimension.
     "q_embed_centroid" -> ((s, dir) => {
       val centroid = udaf(Aggregators.VectorCentroid)
@@ -5836,6 +5925,8 @@ object LlmPipeline {
         |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
         |SELECT j.label, n.n_vecs, dot / (sqrt(s1) * sqrt(s2)) AS drift_cos
         |FROM j JOIN n USING (label) ORDER BY label""".stripMargin,
+
+    "q_embed_pca" -> duckPca(2, 30),
 
     "q_embed_centroid" ->
       """SELECT label, pos, avg(v) AS v

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Embeddings
+import org.apache.spark.sql.functions._
+
+/** In-engine PCA: recovers a planted dominant direction, components
+  * are orthonormal with ordered explained variance, projections are
+  * centered, and the moment pass is partitioning-invariant (the
+  * exact-integer GramAgg contract).
+  */
+class EmbeddingsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def planted(n: Int, d: Int): Seq[(Long, Array[Float])] = {
+    // variance concentrated on axis 0 (amplitude 1.0), a weaker signal
+    // on axis 1 (0.3), tiny deterministic noise elsewhere — the top-2
+    // eigenvectors are ±e0 and ±e1 up to noise
+    (0L until n.toLong).map { i =>
+      val v = new Array[Float](d)
+      v(0) = (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + (i % 7) * 0.01f)
+      v(1) = (if (i % 3 == 0) 0.3f else -0.3f)
+      var j = 2
+      while (j < d) { v(j) = ((i * 31 + j * 7) % 11 - 5) * 0.001f; j += 1 }
+      (i, v)
+    }
+  }
+
+  test("planted dominant directions are recovered; components orthonormal; evr ordered; projections centered") {
+    val emb = planted(240, 16).toDF("vec_id", "embedding")
+    val out = Embeddings.pcaProject(emb, "vec_id", "embedding", k = 2, iters = 30)
+      .collect()
+    assert(out.length === 240)
+    val l1 = out.head.getAs[Double]("lambda1")
+    val l2 = out.head.getAs[Double]("lambda2")
+    val e1 = out.head.getAs[Double]("evr1")
+    val e2 = out.head.getAs[Double]("evr2")
+    assert(l1 > l2 && l2 > 0, s"eigenvalues not ordered: $l1, $l2")
+    assert(e1 > e2 && e1 > 0.5, s"dominant axis should explain >50%: $e1")
+    assert(e1 <= 1.0 + 1e-9 && e2 >= 0.0)
+    // pc1 must separate the two planted sign groups on axis 0: the
+    // projection carries essentially the axis-0 coordinate
+    val bySign = out.groupBy(_.getAs[Long]("vec_id") % 2 == 0)
+      .view.mapValues(_.map(_.getAs[Double]("pc1")).sum).toMap
+    assert(math.signum(bySign(true)) != math.signum(bySign(false)),
+      s"pc1 does not separate the planted groups: $bySign")
+    // projections are centered: each component's mean is ~0
+    Seq("pc1", "pc2").foreach { c =>
+      val meanProj = out.map(_.getAs[Double](c)).sum / out.length
+      assert(math.abs(meanProj) < 1e-6, s"$c not centered: $meanProj")
+    }
+  }
+
+  test("moment pass is partitioning-invariant: 1-partition and 13-partition runs agree bit for bit") {
+    val emb = planted(150, 8).toDF("vec_id", "embedding")
+    def run(parts: Int) =
+      Embeddings.pcaProject(emb.repartition(parts), "vec_id", "embedding",
+          k = 2, iters = 20)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("pc1"),
+          r.getAs[Double]("pc2"), r.getAs[Double]("lambda1")))
+    // EXACT equality — the integer Gram triangle commutes, so the
+    // covariance (and hence every downstream double) is identical
+    assert(run(1).toSeq === run(13).toSeq,
+      "PCA diverged across partitionings — the exact-moment contract broke")
+  }
+
+  test("empty corpus short-circuits to an empty typed frame") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = Embeddings.pcaProject(empty, "vec_id", "embedding", k = 2)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq === Seq("vec_id", "pc1", "lambda1", "evr1",
+      "pc2", "lambda2", "evr2"))
+  }
+}
