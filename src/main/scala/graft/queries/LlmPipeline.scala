@@ -1721,6 +1721,11 @@ object LlmPipeline {
           expr("aggregate(transform(toks, t -> cast(length(t) as bigint)), " +
             "cast(0 as bigint), (a, v) -> a + v)").as("cl"))
         .select(col("doc_id"), col("tok"), expr("(cl * 100) div tok").as("d"))
+        // the tokenize HOF is the expensive term and BOTH phases (the
+        // 101-row histogram collect, the staged rollup) consume its
+        // 3-numeric-column output — materialize it once; the second
+        // pass then reads doc-count×24 bytes instead of re-tokenizing
+        .localCheckpoint()
       val hist = base.groupBy("d").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       val total = hist.map(_._2).sum
