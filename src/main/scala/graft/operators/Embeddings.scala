@@ -41,17 +41,52 @@ object Embeddings {
     * projections, λ_1..λ_k and the explained-variance ratios as
     * constant columns). Empty corpus ⇒ empty (correctly-typed) frame.
     */
-  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 30, scale: Int = 1000): DataFrame = {
-    require(k >= 1 && iters >= 1)
-    val spark = emb.sparkSession
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val q = emb.select(col(idCol),
+  /** The quantized corpus: (idCol, xq = rint(x·scale) as long). */
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String,
+      scale: Int): DataFrame =
+    emb.select(col(idCol),
       transform(col(vecCol), x =>
         round(x.cast("double") * scale).cast("long")).as("xq"))
+
+  /** The ONE distributed moment pass: the corpus's exact integer
+    * [count, Σx_q, Σx_q·x_qᵀ triangle] buffer. MERGEABLE — long sums
+    * commute, so buffers accumulated per micro-batch and folded with
+    * [[mergeMoments]] are bit-identical to this one-shot pass (the
+    * property the streaming PCA verb is built on). Empty corpus ⇒
+    * empty array.
+    */
+  def moments(emb: DataFrame, idCol: String, vecCol: String,
+      scale: Int = 1000): Array[Long] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val gram = udaf(new graft.functions.Aggregators.GramAgg,
       ExpressionEncoder[Seq[Long]]())
-    val g = q.agg(gram(col("xq")).as("g")).head.getAs[Seq[Long]]("g").toArray
+    quantized(emb, idCol, vecCol, scale)
+      .agg(gram(col("xq")).as("g")).head.getAs[Seq[Long]]("g").toArray
+  }
+
+  /** Exact fold of per-batch moment buffers (elementwise long adds —
+    * the [[graft.functions.Aggregators.GramAgg]] merge, exposed for
+    * driver-side folds over a persisted buffer log).
+    */
+  def mergeMoments(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else { require(a.length == b.length, "moment buffers of different dims")
+      Array.tabulate(a.length)(i => a(i) + b(i)) }
+
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 30, scale: Int = 1000): DataFrame =
+    pcaProjectFromMoments(emb, idCol, vecCol,
+      moments(emb, idCol, vecCol, scale), k, iters, scale)
+
+  /** The eigen-solve + projection over a PRE-ACCUMULATED moment buffer
+    * — the serve path of the streaming/incremental moment log (and the
+    * tail of [[pcaProject]]).
+    */
+  def pcaProjectFromMoments(emb: DataFrame, idCol: String, vecCol: String,
+      g: Array[Long], k: Int, iters: Int = 30, scale: Int = 1000): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val q = quantized(emb, idCol, vecCol, scale)
     if (g.isEmpty) {
       // empty corpus: emit the typed spine with no rows
       var out = emb.select(col(idCol)).limit(0)

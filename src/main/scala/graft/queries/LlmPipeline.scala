@@ -91,7 +91,7 @@ object LlmPipeline {
     * with the engine's 1/√d start and norm guard, Rayleigh λ,
     * deflation, and the fold-ordered centered projections.
     */
-  private def duckPca(k: Int, iters: Int): String = {
+  private def duckPca(k: Int, iters: Int, extraCols: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH q AS MATERIALIZED (
@@ -152,6 +152,7 @@ object LlmPipeline {
         |  (SELECT l FROM l$c) AS lambda$c,
         |  CASE WHEN (SELECT t FROM tr) > 0
         |       THEN (SELECT l FROM l$c) / (SELECT t FROM tr) ELSE 0.0 END AS evr$c""".stripMargin)
+    sb.append(extraCols)
     sb.append("\nFROM q CROSS JOIN arr ORDER BY q.vec_id")
     sb.toString
   }
@@ -3201,6 +3202,52 @@ object LlmPipeline {
         .orderBy("vec_id")
     }),
 
+    // STREAMING PCA — incremental moment maintenance over a paced
+    // ingest: each arriving micro-batch folds into ONE exact-integer
+    // moment buffer (GramAgg), persisted to an ingest-seq-partitioned
+    // log with per-write dynamic overwrite (retried batches replace —
+    // the gate family's idempotence contract). Long sums COMMUTE, so
+    // the drained fold is BIT-IDENTICAL to the one-shot moment pass —
+    // streaming PCA equals batch PCA exactly (engine-measured:
+    // stream_equals_batch compares the folded and one-shot buffers
+    // element for element), and the oracle is the full batch replay.
+    // This is the production shape: the corpus never re-scans when new
+    // data arrives — the covariance updates in O(batch), and the
+    // eigen-solve re-runs on the driver for free.
+    "q_stream_embed_pca" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val log = Tables.scratch("stream_pca_moments")
+      val logSchema = "g array<bigint>, ingest long"
+      Seq.empty[Array[Long]].toDF("g").withColumn("ingest", lit(-1L))
+        .write.mode("overwrite").partitionBy("ingest").parquet(log)
+      val q = graft.streaming.StreamOps
+        .tableStreamPaced(s, dir, "embeddings", "vec_id", 3)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val g = graft.operators.Embeddings.moments(batch, "vec_id", "embedding")
+          Seq(g).toDF("g").withColumn("ingest", lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest").parquet(log)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      val folded = s.read.schema(logSchema).parquet(log).select("g").collect()
+        .map(_.getAs[Seq[Long]]("g").toArray)
+        .foldLeft(Array.empty[Long])(graft.operators.Embeddings.mergeMoments)
+      val oneShot = graft.operators.Embeddings.moments(emb, "vec_id", "embedding")
+      val exactEq = folded.sameElements(oneShot)
+      graft.operators.Embeddings.pcaProjectFromMoments(
+          emb, "vec_id", "embedding", folded, k = 2, iters = 30)
+        .withColumn("multi_batch", lit(nBatches >= 3))
+        .withColumn("stream_equals_batch", lit(exactEq))
+        .orderBy("vec_id")
+    }),
+
     // Vector centroid per label via typed UDAF, exploded per dimension.
     "q_embed_centroid" -> ((s, dir) => {
       val centroid = udaf(Aggregators.VectorCentroid)
@@ -5932,6 +5979,9 @@ object LlmPipeline {
         |FROM j JOIN n USING (label) ORDER BY label""".stripMargin,
 
     "q_embed_pca" -> duckPca(2, 30),
+
+    "q_stream_embed_pca" -> duckPca(2, 30,
+      ",\n  TRUE AS multi_batch, TRUE AS stream_equals_batch"),
 
     "q_embed_centroid" ->
       """SELECT label, pos, avg(v) AS v

@@ -64,6 +64,31 @@ class EmbeddingsSpec extends SparkSuite {
       "PCA diverged across partitionings — the exact-moment contract broke")
   }
 
+  test("streamed moment fold is bit-identical to the one-shot pass; batch split points don't matter") {
+    val emb = planted(200, 12).toDF("vec_id", "embedding").localCheckpoint()
+    val oneShot = Embeddings.moments(emb, "vec_id", "embedding")
+    // two different batch partitionings of the same corpus — both folds
+    // must equal the one-shot buffer EXACTLY (long sums commute)
+    val f3 = Seq(0L, 1L, 2L).map { r =>
+      Embeddings.moments(emb.filter(col("vec_id") % 3 === r),
+        "vec_id", "embedding")
+    }.foldLeft(Array.empty[Long])(Embeddings.mergeMoments)
+    val f5 = Seq(0L, 1L, 2L, 3L, 4L).map { r =>
+      Embeddings.moments(emb.filter(col("vec_id") % 5 === r),
+        "vec_id", "embedding")
+    }.foldLeft(Array.empty[Long])(Embeddings.mergeMoments)
+    assert(f3.sameElements(oneShot) && f5.sameElements(oneShot),
+      "incremental moment folds diverged from the one-shot pass")
+    // and the projections computed from the folded buffer are the
+    // batch answer verbatim
+    val a = Embeddings.pcaProject(emb, "vec_id", "embedding", k = 2, iters = 20)
+      .orderBy("vec_id").collect().map(_.getAs[Double]("pc1")).toSeq
+    val b = Embeddings.pcaProjectFromMoments(emb, "vec_id", "embedding",
+        f5, k = 2, iters = 20)
+      .orderBy("vec_id").collect().map(_.getAs[Double]("pc1")).toSeq
+    assert(a === b)
+  }
+
   test("empty corpus short-circuits to an empty typed frame") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val out = Embeddings.pcaProject(empty, "vec_id", "embedding", k = 2)
