@@ -44,6 +44,35 @@ object Baseline {
         .select("probe_id", "rank", "neighbor_id", "cos")
     }),
 
+    // q_dedup_embedding_blocked control: the stock EXACT formulation —
+    // the all-pairs threshold self-join (id_a < id_b) with the HOF
+    // cosine, the only lossless shape stock Spark offers (LSH blocks
+    // but can miss). The pair measures what the contractive-projection
+    // grid blocking saves at equal (exact) semantics.
+    "q_dedup_embedding_blocked" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
+      val planted = emb.filter(col("vec_id") % 15 === 0)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+            / 100000.0d).cast("float")))
+        .select((col("vec_id") + maxId).as("vec_id"), col("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+        .localCheckpoint()
+      val a = corpus.select(col("vec_id").as("vid_a"), col("embedding").as("va"))
+      val b = corpus.select(col("vec_id").as("vid_b"), col("embedding").as("vb"))
+      val hofCos = expr(
+        """aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+          | / (sqrt(aggregate(va, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+          |    * sqrt(aggregate(vb, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+      a.join(b, col("vid_a") < col("vid_b"))
+        .withColumn("cos", hofCos)
+        .filter(col("cos") >= 0.95)
+        .select(col("vid_a"), col("vid_b"), col("cos"))
+        .withColumn("blocking_effective", lit(true))
+        .orderBy("vid_a", "vid_b")
+    }),
+
     // q_embed_pca control: the stock user computes the quantized
     // moments by PAIR EXPLODE — every row fans out to d(d+1)/2 = 2080
     // (i, j) product rows through a self-join + shuffle aggregate —

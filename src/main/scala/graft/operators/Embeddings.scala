@@ -74,6 +74,68 @@ object Embeddings {
     else { require(a.length == b.length, "moment buffers of different dims")
       Array.tabulate(a.length)(i => a(i) + b(i)) }
 
+  /** EXACT embedding near-dup with sub-quadratic blocking — the
+    * lossless counterpart of the LSH variant
+    * ([[Dedup.embeddingNearDups]], which can miss pairs): every pair
+    * with cosine ≥ `threshold` is returned, yet no all-pairs join ever
+    * runs. The blocker is the top-2 PCA projection, which is
+    * CONTRACTIVE on differences (projection onto a near-orthonormal
+    * basis never lengthens a vector; centering cancels in
+    * differences), so for unit-normalized x,y:
+    *   cos(x,y) ≥ τ  ⇒  ‖x−y‖ ≤ √(2−2τ)  ⇒  |pc_i(x)−pc_i(y)| ≤ √(2−2τ).
+    * Each point lands in one grid cell of side r = √(2−2τ) + slack
+    * (the slack covers quantization of the moment pass and the ~1e-13
+    * non-orthogonality of power-iteration components); any qualifying
+    * pair is then in the SAME or an ADJACENT cell — a 9-cell
+    * neighborhood equi-join, after which the exact full-dimension
+    * cosine confirms. Completeness is a theorem, so the result set is
+    * EXACTLY the threshold pair set and the oracle is a plain
+    * threshold self-join; what the blocking buys is candidate volume:
+    * O(Σ cell² ) instead of O(n²) pairs — at 100 TB the difference
+    * between a spatial join and a cartesian product. Output:
+    * (vid_a < vid_b, cos) + blocking_effective (engine-measured:
+    * candidates enumerated < all pairs).
+    */
+  def exactNearDupsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_sim
+    require(threshold > -1.0 && threshold < 1.0)
+    val nrm = emb.select(col(idCol).as("vid"), col(vecCol).as("v0"))
+      .withColumn("nm", sqrt(aggregate(col("v0"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .filter(col("nm") > 0)
+      .withColumn("v", transform(col("v0"), x => x.cast("double") / col("nm")))
+    val proj = pcaProject(nrm.select(col("vid"), col("v")), "vid", "v",
+      k = 2, iters = 30)
+    val r = math.sqrt(2.0 - 2.0 * threshold) + 0.02
+    val pts = proj.select(col("vid"), col("pc1"), col("pc2"))
+      .join(nrm.select(col("vid"), col("v0")), "vid")
+      .withColumn("cx", floor(col("pc1") / r).cast("long"))
+      .withColumn("cy", floor(col("pc2") / r).cast("long"))
+      .localCheckpoint() // both join sides + the audit read it
+    val aSide = pts.select(col("vid").as("vid_a"), col("v0").as("v_a"),
+      col("cx"), col("cy"))
+    val off = Seq(-1L, 0L, 1L).map(lit(_))
+    val bSide = pts.select(col("vid").as("vid_b"), col("v0").as("v_b"),
+        col("cx").as("bcx"), col("cy").as("bcy"))
+      .withColumn("dx", explode(array(off: _*)))
+      .withColumn("dy", explode(array(off: _*)))
+      .select(col("vid_b"), col("v_b"),
+        (col("bcx") + col("dx")).as("cx"), (col("bcy") + col("dy")).as("cy"))
+    val cands = aSide.join(bSide, Seq("cx", "cy"))
+      .filter(col("vid_a") < col("vid_b"))
+      .localCheckpoint()
+    val n = pts.count()
+    val nCands = cands.count()
+    val effective = n < 2 || nCands < n * (n - 1) / 2
+    cands
+      .withColumn("cos", cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vid_a"), col("vid_b"), col("cos"))
+      .dropDuplicates("vid_a", "vid_b")
+      .withColumn("blocking_effective", lit(effective))
+  }
+
   def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 30, scale: Int = 1000): DataFrame =
     pcaProjectFromMoments(emb, idCol, vecCol,

@@ -3202,6 +3202,31 @@ object LlmPipeline {
         .orderBy("vec_id")
     }),
 
+    // EXACT embedding near-dup with PROVABLY COMPLETE blocking — the
+    // lossless counterpart of q_dedup_embedding's LSH (which can miss
+    // pairs): unit-normalize, project to the top-2 PCs (contractive on
+    // differences), grid the plane at r = √(2−2τ)+slack, and join only
+    // the 9-cell neighborhoods — a theorem guarantees every pair with
+    // full cosine ≥ τ lands in adjacent cells, so after the exact
+    // full-dim confirm the result IS the threshold pair set (plain
+    // threshold self-join oracle over the planted fixture; every 15th
+    // vector re-enters jittered under a fresh id). The candidate
+    // volume is O(Σ cell²) instead of O(n²) — blocking_effective
+    // measures it on this corpus.
+    "q_dedup_embedding_blocked" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
+      val planted = emb.filter(col("vec_id") % 15 === 0)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + ((col("vec_id") * 31 + j * 7) % 1000 - 500).cast("double")
+            / 100000.0d).cast("float")))
+        .select((col("vec_id") + maxId).as("vec_id"), col("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+      graft.operators.Embeddings.exactNearDupsBlocked(
+          corpus, "vec_id", "embedding", threshold = 0.95)
+        .orderBy("vid_a", "vid_b")
+    }),
+
     // STREAMING PCA — incremental moment maintenance over a paced
     // ingest: each arriving micro-batch folds into ONE exact-integer
     // moment buffer (GramAgg), persisted to an ingest-seq-partitioned
@@ -5979,6 +6004,22 @@ object LlmPipeline {
         |FROM j JOIN n USING (label) ORDER BY label""".stripMargin,
 
     "q_embed_pca" -> duckPca(2, 30),
+
+    "q_dedup_embedding_blocked" ->
+      s"""WITH m AS (SELECT max(vec_id) + 1 AS mx FROM embeddings),
+         |base AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + (SELECT mx FROM m) AS id,
+         |    list_transform(embedding, (x, j) -> CAST(CAST(x AS DOUBLE)
+         |      + ((vec_id * 31 + (j - 1) * 7) % 1000 - 500) / 100000.0 AS FLOAT)) AS v
+         |  FROM embeddings WHERE vec_id % 15 = 0)
+         |SELECT a.id AS vid_a, b.id AS vid_b, ${duckCos("a.v", "b.v")} AS cos,
+         |  TRUE AS blocking_effective
+         |FROM base a JOIN base b ON a.id < b.id
+         |WHERE ${duckCos("a.v", "b.v")} >= 0.95
+         |ORDER BY vid_a, vid_b""".stripMargin,
+
 
     "q_stream_embed_pca" -> duckPca(2, 30,
       ",\n  TRUE AS multi_batch, TRUE AS stream_equals_batch"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Embeddings
+import graft.operators.{Embeddings, SimilaritySearch}
 import org.apache.spark.sql.functions._
 
 /** In-engine PCA: recovers a planted dominant direction, components
@@ -87,6 +87,38 @@ class EmbeddingsSpec extends SparkSuite {
         f5, k = 2, iters = 20)
       .orderBy("vec_id").collect().map(_.getAs[Double]("pc1")).toSeq
     assert(a === b)
+  }
+
+  test("blocked exact near-dup equals the brute-force threshold join — completeness under adversarial cell-boundary pairs") {
+    val rnd = new scala.util.Random(53)
+    val organic = (0L until 300L).map(i =>
+      (i, Array.fill(24)(rnd.nextFloat() - 0.5f)))
+    // planted near-dups: jittered clones (some pairs will straddle grid
+    // cell boundaries — the completeness theorem must carry them)
+    val clones = organic.filter(_._1 % 9 == 0).map { case (i, v) =>
+      (1000L + i, v.map(x => x + (if (i % 2 == 0) 1e-3f else -1e-3f)))
+    }
+    val emb = (organic ++ clones).toDF("vec_id", "embedding").localCheckpoint()
+    val got = Embeddings.exactNearDupsBlocked(emb, "vec_id", "embedding", 0.95)
+      .collect()
+    // brute force over the SAME corpus via the broadcast exact machinery
+    val n = emb.count().toInt
+    val brute = SimilaritySearch.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = n - 1)
+      .filter(col("cos") >= 0.95)
+      .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+        greatest(col("probe_id"), col("neighbor_id")).as("b"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val gotPairs = got.map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b")))
+      .sorted.toSeq
+    assert(gotPairs === brute,
+      s"blocked dedup diverged from brute force: got ${gotPairs.size}, want ${brute.size}")
+    // every planted clone pair surfaced
+    clones.foreach { case (cid, _) =>
+      assert(gotPairs.contains((cid - 1000L, cid)), s"planted pair for $cid missed")
+    }
+    assert(got.forall(_.getAs[Boolean]("blocking_effective")))
   }
 
   test("empty corpus short-circuits to an empty typed frame") {
