@@ -105,34 +105,76 @@ object Embeddings {
         (a, x) => a + x.cast("double") * x.cast("double"))))
       .filter(col("nm") > 0)
       .withColumn("v", transform(col("v0"), x => x.cast("double") / col("nm")))
+      .localCheckpoint() // PCA pass + projection + confirm re-join read it
     val proj = pcaProject(nrm.select(col("vid"), col("v")), "vid", "v",
-      k = 2, iters = 30)
+      k = 3, iters = 30)
     val r = math.sqrt(2.0 - 2.0 * threshold) + 0.02
-    val pts = proj.select(col("vid"), col("pc1"), col("pc2"))
-      .join(nrm.select(col("vid"), col("v0")), "vid")
-      .withColumn("cx", floor(col("pc1") / r).cast("long"))
-      .withColumn("cy", floor(col("pc2") / r).cast("long"))
+    // candidate enumeration carries IDS AND CELLS ONLY (24 bytes/row):
+    // the 27-neighborhood join's volume is its row count — shipping the
+    // vectors through it would multiply the shuffle by the embedding
+    // width, which is what breaks first on a degenerate (isotropic)
+    // corpus where linear projections concentrate. Vectors re-join
+    // AFTER candidacy, against the (small, AQE-broadcastable) vector
+    // table, and the fat rows exist only inside the confirm stage's
+    // pipeline — never in a shuffle file.
+    val pts = proj.select(col("vid"),
+        floor(col("pc1") / r).cast("long").as("cx"),
+        floor(col("pc2") / r).cast("long").as("cy"),
+        floor(col("pc3") / r).cast("long").as("cz"))
       .localCheckpoint() // both join sides + the audit read it
-    val aSide = pts.select(col("vid").as("vid_a"), col("v0").as("v_a"),
-      col("cx"), col("cy"))
-    val off = Seq(-1L, 0L, 1L).map(lit(_))
-    val bSide = pts.select(col("vid").as("vid_b"), col("v0").as("v_b"),
-        col("cx").as("bcx"), col("cy").as("bcy"))
-      .withColumn("dx", explode(array(off: _*)))
-      .withColumn("dy", explode(array(off: _*)))
-      .select(col("vid_b"), col("v_b"),
-        (col("bcx") + col("dx")).as("cx"), (col("bcy") + col("dy")).as("cy"))
-    val cands = aSide.join(bSide, Seq("cx", "cy"))
+    // each unordered pair is enumerated ONCE: same-cell pairs by id
+    // order, cross-cell pairs at exactly one of the 13 lexicographically
+    // POSITIVE offsets (the (p,q)/(q,p) symmetry means only half the
+    // 26-neighborhood needs joining — halves the candidate volume)
+    val aSide = pts.select(col("vid").as("vid_a"),
+      col("cx"), col("cy"), col("cz"))
+    val bRaw = pts.select(col("vid").as("vid_b"),
+      col("cx").as("bcx"), col("cy").as("bcy"), col("cz").as("bcz"))
+    val sameCell = aSide.join(
+        bRaw.select(col("vid_b"), col("bcx").as("cx"), col("bcy").as("cy"),
+          col("bcz").as("cz")),
+        Seq("cx", "cy", "cz"))
       .filter(col("vid_a") < col("vid_b"))
-      .localCheckpoint()
-    val n = pts.count()
-    val nCands = cands.count()
-    val effective = n < 2 || nCands < n * (n - 1) / 2
+      .select("vid_a", "vid_b")
+    val deltas = for {
+      dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+      if dx > 0 || (dx == 0 && (dy > 0 || (dy == 0 && dz > 0)))
+    } yield (dx, dy, dz)
+    val deltaLit = array(deltas.map { case (x, y, z) =>
+      struct(lit(x.toLong).as("dx"), lit(y.toLong).as("dy"),
+        lit(z.toLong).as("dz")) }: _*)
+    val crossCell = aSide.join(
+        bRaw.withColumn("d", explode(deltaLit))
+          .select(col("vid_b"), (col("bcx") - col("d.dx")).as("cx"),
+            (col("bcy") - col("d.dy")).as("cy"),
+            (col("bcz") - col("d.dz")).as("cz")),
+        Seq("cx", "cy", "cz"))
+      .select(least(col("vid_a"), col("vid_b")).as("vid_a"),
+        greatest(col("vid_a"), col("vid_b")).as("vid_b"))
+    val cands = sameCell.unionByName(crossCell)
+    // candidates stream through ONE pass — the audit count rides it as
+    // an observe() metric (a count job or checkpoint here would
+    // re-enumerate or materialize the candidate volume, the dominant
+    // term on a degenerate corpus)
+    val obs = new org.apache.spark.sql.Observation(
+      s"blocked_cands_${java.util.UUID.randomUUID}")
+    val vecs = nrm.select(col("vid"), col("v0"))
+    val outDir = graft.Tables.scratch(
+      s"blocked_dedup_${System.nanoTime()}")
     cands
+      .observe(obs, count(lit(1)).as("n_cands"))
+      .join(vecs.select(col("vid").as("vid_a"), col("v0").as("v_a")), Seq("vid_a"))
+      .join(vecs.select(col("vid").as("vid_b"), col("v0").as("v_b")), Seq("vid_b"))
       .withColumn("cos", cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("vid_a"), col("vid_b"), col("cos"))
       .dropDuplicates("vid_a", "vid_b")
+      .write.mode("overwrite").parquet(outDir)
+    val n = pts.count()
+    val nCands = scala.util.Try(obs.get("n_cands").asInstanceOf[Long])
+      .getOrElse(Long.MaxValue)
+    val effective = n < 2 || nCands < n * (n - 1) / 2
+    nrm.sparkSession.read.parquet(outDir)
       .withColumn("blocking_effective", lit(effective))
   }
 
