@@ -44,6 +44,44 @@ object Baseline {
         .select("probe_id", "rank", "neighbor_id", "cos")
     }),
 
+    // q_dedup_semantic_pca control: the RAW-SPACE quantizer (stock
+    // MLlib k-means over the full d-dim vectors + in-cluster exact
+    // cosine — exactly q_dedup_semantic's shape) on the identical
+    // planted fixture with the identical recheck/output contract. The
+    // pair isolates what the top-8 PCA conditioning of the quantizer
+    // costs or saves at equal semantics.
+    "q_dedup_semantic_pca" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + maxId)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + (pmod(hash(col("vec_id"), j), lit(1000)) - 500)
+            .cast("double") / 100000.0d).cast("float")))
+      val corpus = emb.unionByName(planted).localCheckpoint()
+      val removed = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 16).localCheckpoint()
+      val byA = corpus.select(col("vec_id").as("rid"), col("embedding").as("rv"))
+      val byB = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"))
+      val recheck = removed
+        .join(byA, col("vec_id") === col("rid"))
+        .join(byB, col("dup_of") === col("did"))
+        .select((graft.functions.VectorExpressions.cosine_sim(col("rv"), col("dv")) >= 0.99 &&
+          col("dup_of") < col("vec_id")).as("ok"), col("vec_id").as("remid"))
+      val nPlanted = planted.count()
+      val nRemovedPlanted = removed.filter(col("vec_id") >= maxId).count()
+      recheck.agg(
+          count(lit(1)).as("n_removed_rechecked"),
+          coalesce(min(when(col("ok"), 1L).otherwise(0L)), lit(1L)).as("all_ok"))
+        .select(
+          (lit(nPlanted) + emb.count()).as("n_corpus"),
+          lit(nPlanted).as("n_planted"),
+          (col("all_ok") === 1L &&
+            col("n_removed_rechecked") === lit(removed.count())).as("precision_ok"),
+          (lit(nRemovedPlanted) >= lit(math.ceil(nPlanted * 0.9).toLong)).as("recall_ok"))
+    }),
+
     // q_dedup_embedding_blocked control: the stock EXACT formulation —
     // the all-pairs threshold self-join (id_a < id_b) with the HOF
     // cosine, the only lossless shape stock Spark offers (LSH blocks
@@ -58,6 +96,10 @@ object Baseline {
             / 100000.0d).cast("float")))
         .select((col("vec_id") + maxId).as("vec_id"), col("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+        // zero-norm guard, mirroring the engine and the oracle: an
+        // all-pairs cosine would emit NaN rows for zero-norm vectors
+        .filter(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) > 0"))
         .localCheckpoint()
       val a = corpus.select(col("vec_id").as("vid_a"), col("embedding").as("va"))
       val b = corpus.select(col("vec_id").as("vid_b"), col("embedding").as("vb"))
@@ -70,6 +112,8 @@ object Baseline {
         .filter(col("cos") >= 0.95)
         .select(col("vid_a"), col("vid_b"), col("cos"))
         .withColumn("blocking_effective", lit(true))
+        .withColumn("blocking_advised", lit(true))
+        .withColumn("grid_pcs", lit(3))
         .orderBy("vid_a", "vid_b")
     }),
 

@@ -408,6 +408,34 @@ object GraftHash {
     }
   }
 
+  /** Greedy LEFT-TO-RIGHT NON-OVERLAPPING BPE pair rewrite of one
+    * symbol array: every (a, b) adjacency becomes `ab`, consuming both
+    * symbols before the scan continues ("aaa" under (a,a) → [aa, a]).
+    * O(len) with ONE output buffer — the kernel behind
+    * [[graft.functions.VectorExpressions.bpe_merge]], replacing the
+    * HOF fold whose per-position accumulator concat copied the prefix
+    * every step (O(len²) per word — latent for no-delimiter corpora
+    * where a "word" is the whole document). Output strings are
+    * references into the input array, consumed row-locally by the
+    * projection that copies them out.
+    */
+  def bpeMerge(syms: ArrayData, a: UTF8String, b: UTF8String,
+      ab: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && a.equals(cur) && b.equals(syms.getUTF8String(i + 1))) {
+        out(m) = ab; m += 1; i += 2
+      } else {
+        out(m) = cur; m += 1; i += 1
+      }
+    }
+    new GenericArrayData(if (m == n) out else out.take(m))
+  }
+
   /** Membership probe: false ⇒ the element was NEVER added. */
   def bloomMightContain(words: Array[Long], h: Long, k: Int): Boolean = {
     val nBits = words.length.toLong * 64L

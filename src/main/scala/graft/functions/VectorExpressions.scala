@@ -147,6 +147,44 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Greedy LTR non-overlapping BPE pair-merge rewrite (a, b) → ab
+    * over a symbol array — O(len), single output buffer (the kernel
+    * loop the O(len²) `aggregate` fold could not express: the greedy
+    * skip-after-merge is a sequential recurrence, so it belongs in a
+    * native expression, not a per-position HOF whose accumulator
+    * copies the prefix each step). `a`/`b` are driver constants per
+    * training round, baked in as codegen references.
+    */
+  case class BpeMerge(child: Expression, a: String, b: String)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"bpe_merge expects array<string>, got ${other.sql}")
+      }
+    @transient private lazy val ua =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+    @transient private lazy val ub =
+      org.apache.spark.unsafe.types.UTF8String.fromString(b)
+    @transient private lazy val uab =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a + b)
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.bpeMerge(v.asInstanceOf[ArrayData], ua, ub, uab)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = "org.apache.spark.unsafe.types.UTF8String"
+      val aRef = ctx.addReferenceObj("bpeA", ua, cls)
+      val bRef = ctx.addReferenceObj("bpeB", ub, cls)
+      val abRef = ctx.addReferenceObj("bpeAb", uab, cls)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.bpeMerge($c, $aRef, $bRef, $abRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector; `table`
     * selects an independent plane set (multi-table LSH).
     */
@@ -181,6 +219,8 @@ object VectorExpressions {
     toCol(HyperplaneBucket(toExpr(v), nBits, table))
   def hyperplane_probes(v: Column, nBits: Int, table: Int, nFlips: Int): Column =
     toCol(HyperplaneProbes(toExpr(v), nBits, table, nFlips))
+  def bpe_merge(syms: Column, a: String, b: String): Column =
+    toCol(BpeMerge(toExpr(syms), a, b))
 
   /** Exact jaccard over token sets, composed from codegen'd built-ins. */
   def jaccard_tokens(a: Column, b: Column): Column = {

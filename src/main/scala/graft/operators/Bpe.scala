@@ -46,29 +46,15 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Greedy LTR non-overlapping single-merge rewrite of one symbol
-    * array: fold over positions with a skip-next flag. `get` (0-based)
-    * is null past the end, so the lookahead at the last symbol
-    * compares against null and falls through to the keep branch.
+    * array — the native O(len) kernel
+    * ([[graft.functions.VectorExpressions.BpeMerge]]). The former HOF
+    * fold was semantically identical but concat-copied its accumulator
+    * at every position (O(len²) per word per round — bounded by word
+    * length under the \\W+ splitter, latent for no-delimiter corpora
+    * where one "word" is the whole document).
     */
-  private[graft] def applyMerge(syms: Column, a: String, b: String): Column = {
-    val emptyAcc = array().cast("array<string>")
-    aggregate(
-      sequence(lit(0), size(syms) - 1),
-      struct(emptyAcc.as("acc"), lit(false).as("skip")),
-      (st, i) => {
-        val cur = get(syms, i)
-        val nxt = get(syms, i + 1)
-        when(st.getField("skip"),
-          struct(st.getField("acc").as("acc"), lit(false).as("skip")))
-          .when(cur === lit(a) && nxt === lit(b),
-            struct(concat(st.getField("acc"), array(lit(a + b))).as("acc"),
-              lit(true).as("skip")))
-          .otherwise(
-            struct(concat(st.getField("acc"), array(cur)).as("acc"),
-              lit(false).as("skip")))
-      },
-      st => st.getField("acc"))
-  }
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
+    graft.functions.VectorExpressions.bpe_merge(syms, a, b)
 
   /** Corpus → word-frequency table with initial character-level symbol
     * sequences: (word, cnt, syms). The one corpus-sized pass.

@@ -72,9 +72,32 @@ object DataSkipping {
     */
   def buildIndex(spark: SparkSession, tableDir: String, cols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomWords: Int = 1024): Unit =
-    fileStats(spark, tableDir, cols, bloomCols, bloomWords)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$tableDir/$IndexDir")
+    writeIndexSidecar(spark,
+      fileStats(spark, tableDir, cols, bloomCols, bloomWords),
+      s"$tableDir/$IndexDir")
+
+  /** Persist the stats frame as the side index. TIMESTAMP bounds force
+    * an INT64-micros parquet encoding: Spark's session default (INT96)
+    * writes a physical type the zero-job driver probe
+    * ([[readIndexDriver]]) cannot read as the internal micros form —
+    * the write goes through a conf-isolated `newSession` (same
+    * SparkContext, own SQLConf) so no concurrent writer's session
+    * state is touched, and the index rows pass through the driver
+    * (O(files) — the sidecar is metadata-sized by contract).
+    */
+  private def writeIndexSidecar(spark: SparkSession, stats: DataFrame,
+      indexPath: String): Unit = {
+    import org.apache.spark.sql.types.TimestampType
+    if (!stats.schema.exists(_.dataType == TimestampType))
+      stats.coalesce(1).write.mode("overwrite").parquet(indexPath)
+    else {
+      val rows = stats.collect()
+      val w = spark.newSession()
+      w.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      w.createDataFrame(java.util.Arrays.asList(rows: _*), stats.schema)
+        .coalesce(1).write.mode("overwrite").parquet(indexPath)
+    }
+  }
 
   /** Per-file bounds read straight from parquet FOOTERS — the build
     * path that makes stats collection itself metadata-priced (the
@@ -86,12 +109,15 @@ object DataSkipping {
     * truncated by the writer; float/double stats disagree with
     * Spark's NaN-is-largest ordering) — anything else, or any chunk
     * written without statistics, returns None and the caller falls
-    * back to the aggregate job. Driver-side O(files) footer reads —
-    * the same Iceberg-manifest ceiling the probe side's `readRange`
-    * already accepts (fine to ~10^5 files; past that, partition).
+    * back to the aggregate job. Driver-side footer reads fan out over
+    * a bounded thread pool (the Iceberg manifest-scan discipline:
+    * footer reads are independent metadata I/O, and serializing them
+    * on the driver turns a 10^5-file build into 10^5 sequential
+    * round-trips); results keep listing order, so the built index is
+    * byte-identical at any `parallelism`, including 1.
     */
-  private def footerStats(spark: SparkSession, dataDir: String,
-      cols: Seq[String]): Option[DataFrame] = {
+  private[graft] def footerStats(spark: SparkSession, dataDir: String,
+      cols: Seq[String], parallelism: Int = 16): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val dir = new Path(dataDir)
@@ -137,8 +163,11 @@ object DataSkipping {
     // converter so the frame is bit-identical to the aggregate job's
     def toExternal(v: Any, t: DataType): Any =
       org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, t)
-    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
-    for (st <- files) {
+    // one file's footer → Some(index row), or None when any chunk
+    // lacks exact stats (the whole build then falls back to the
+    // aggregate job — per-file mixing would silently under-index)
+    def oneFile(st: org.apache.hadoop.fs.FileStatus)
+        : Option[org.apache.spark.sql.Row] = {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
       try {
@@ -151,6 +180,15 @@ object DataSkipping {
           for ((c, i) <- cols.zipWithIndex) {
             val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
               .getOrElse(return None)
+            // physical type must be the plain integer form the spark
+            // type maps to — an INT96-written timestamp (Spark's
+            // session default) has converter-ignored footer stats and
+            // a non-micros layout, so it takes the aggregate job path
+            val prim = cc.getPrimitiveType.getPrimitiveTypeName
+            if (prim != org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT32 &&
+                prim != org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT64) return None
             if (!microsUnitOk(cc.getPrimitiveType)) return None
             val stt = cc.getStatistics
             if (stt == null || stt.isEmpty) return None
@@ -165,9 +203,28 @@ object DataSkipping {
             val t = types(i).get
             Seq(toExternal(mins(i), t), toExternal(maxs(i), t))
           } :+ nRows
-        rows += org.apache.spark.sql.Row(vals: _*)
+        Some(org.apache.spark.sql.Row(vals: _*))
       } finally reader.close()
     }
+    // bounded fan-out, order-preserving: submit all, await in listing
+    // order. Footer reads are independent; any unsupported file fails
+    // the whole build over to the aggregate job exactly as before.
+    val nThreads = math.max(1, math.min(parallelism, files.length))
+    val perFile: Seq[Option[org.apache.spark.sql.Row]] =
+      if (nThreads <= 1) files.toSeq.map(oneFile)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+        try {
+          val futs = files.toSeq.map { st =>
+            pool.submit(new java.util.concurrent.Callable[Option[org.apache.spark.sql.Row]] {
+              override def call(): Option[org.apache.spark.sql.Row] = oneFile(st)
+            })
+          }
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    if (perFile.exists(_.isEmpty)) return None
+    val rows = perFile.flatten
     val outSchema = StructType(
       StructField("file_path", StringType) +:
         cols.zipWithIndex.flatMap { case (c, i) =>
@@ -235,10 +292,13 @@ object DataSkipping {
     val dt = sch(sch.fieldIndex(s"min_$column")).dataType
     val ord = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
     // caller literals coerce to the column's type exactly as the old
-    // Column-expression comparison did (Cast(Literal(v), dt))
+    // Column-expression comparison did — WITH the session timezone,
+    // which a string-vs-timestamp coercion needs (a zone-less Cast
+    // throws at eval for timezone-aware conversions)
     def internal(v: Any): Any =
       org.apache.spark.sql.catalyst.expressions.Cast(
-        org.apache.spark.sql.catalyst.expressions.Literal(v), dt)
+        org.apache.spark.sql.catalyst.expressions.Literal(v), dt,
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
         .eval(InternalRow.empty)
     val (loI, hiI) = (internal(lo), internal(hi))
     val (pathIdx, mnIdx, mxIdx) = (sch.fieldIndex("file_path"),
@@ -252,6 +312,25 @@ object DataSkipping {
   }
 
   private def normalize(path: String): String = new Path(path).toString
+
+  /** Top-level listing of a table dir: (data files, whether non-hidden
+    * SUBDIRECTORIES exist). The zero-job flat fast paths are valid only
+    * when files exist and no subdirectory does — a partitioned/nested
+    * table lists empty (or mixed) at the top level, and treating that
+    * listing as the live set would silently drop every nested data
+    * file; such layouts fall back to the recursive `spark.read`
+    * resolution instead.
+    */
+  private def topLevel(spark: SparkSession, tableDir: String)
+      : (Seq[org.apache.hadoop.fs.FileStatus], Boolean) = {
+    val tdir = new Path(tableDir)
+    val tfs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = tfs.listStatus(tdir).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    (entries.filter(_.isFile).toSeq, entries.exists(_.isDirectory))
+  }
 
   /** Read `tableDir` restricted to rows with `column` in [lo, hi],
     * scanning only the files the index cannot rule out. The index is
@@ -277,15 +356,12 @@ object DataSkipping {
     // flat-layout fast path: membership from one FS listing and the
     // schema from one driver footer read — the whole probe then plans
     // with zero Spark jobs before the (pruned) scan itself. Nested
-    // layouts fall back to the stock resolution.
-    val tdir = new Path(tableDir)
+    // layouts — including MIXED ones (top-level files next to
+    // partition subdirectories) — fall back to the stock resolution:
+    // the fast path must never treat a partial listing as the table.
     val conf = spark.sessionState.newHadoopConf()
-    val tfs = tdir.getFileSystem(conf)
-    val listing = tfs.listStatus(tdir).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (listing.nonEmpty) {
+    val (listing, nestedDirs) = topLevel(spark, tableDir)
+    if (listing.nonEmpty && !nestedDirs) {
       val schema = {
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(listing.head, conf))
@@ -306,7 +382,10 @@ object DataSkipping {
       val files = live.inputFiles.toSeq.filterNot(f => skippable.contains(normalize(f)))
       val base =
         if (files.isEmpty) live.limit(0)
-        else spark.read.schema(live.schema).parquet(files: _*)
+        // basePath re-derives partition-directory columns from the
+        // surviving file paths — a bare file-list read would null them
+        else spark.read.option("basePath", tableDir)
+          .schema(live.schema).parquet(files: _*)
       base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
     }
   }
@@ -340,15 +419,16 @@ object DataSkipping {
   def statsOnly(spark: SparkSession, tableDir: String, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     require(cols.nonEmpty, "need at least one indexed column")
-    // live membership from a plain FS listing — spark.read inference
-    // would cost a footer-reading job and the schema is not needed
-    // unless un-indexed files exist
-    val tdir = new Path(tableDir)
-    val tfs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
-    val liveFiles = tfs.listStatus(tdir).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getPath.toString)
+    // live membership from a plain FS listing when the layout is flat
+    // (spark.read inference would cost a footer-reading job, and the
+    // schema is not needed unless un-indexed files exist); a nested/
+    // partitioned layout pays the recursive resolution instead —
+    // treating its (empty or partial) top-level listing as the live
+    // set would report n_rows=0 / NULL bounds for a populated table
+    val (topFiles, nestedDirs) = topLevel(spark, tableDir)
+    val liveFiles: Seq[String] =
+      if (!nestedDirs) topFiles.map(_.getPath.toString)
+      else spark.read.parquet(tableDir).inputFiles.toSeq
     val liveNorm = liveFiles.map(normalize).toSet
     val (sch, idxRows) = readIndexDriver(spark, s"$tableDir/$IndexDir")
     val pathIdx = sch.fieldIndex("file_path")
@@ -383,7 +463,8 @@ object DataSkipping {
       // folds into the driver-side totals in internal space
       val aggs = count(lit(1)).as("n_rows") +:
         cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      val row = spark.read.parquet(fresh.toSeq: _*)
+      val row = spark.read.option("basePath", tableDir)
+        .parquet(fresh.toSeq: _*)
         .agg(aggs.head, aggs.tail: _*).head()
       nRows += row.getAs[Long]("n_rows")
       cols.zipWithIndex.foreach { case (c, i) =>
@@ -391,7 +472,8 @@ object DataSkipping {
           val v = row.getAs[Any](name)
           if (v == null) null
           else org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.catalyst.expressions.Literal(v), types(i))
+            org.apache.spark.sql.catalyst.expressions.Literal(v), types(i),
+            Some(spark.sessionState.conf.sessionLocalTimeZone))
             .eval(InternalRow.empty)
         }
         fold(i, internal(s"min_$c"), internal(s"max_$c"))

@@ -551,6 +551,51 @@ object Dedup {
       .agg(min("vid_a").as("dup_of"), max("cos").as("max_cos"))
   }
 
+  /** [[semanticDedup]] with the blocking QUANTIZER fit in the top-`pcaK`
+    * PCA subspace — SemDeDup's clustering is better-conditioned in the
+    * top-variance subspace ([[Embeddings]]'s own scaladoc claim, now
+    * wired): the k-means trains and assigns on pcaK-dim projections
+    * (one exact-integer moment pass + a d→pcaK projection), which cuts
+    * the fit/assign arithmetic by d/pcaK AND denoises the blocking
+    * metric (low-variance axes contribute noise to centroid distances,
+    * not signal). The in-cluster confirmation stays the EXACT
+    * full-dimension cosine — conditioning changes only WHICH pairs get
+    * compared, never what a duplicate means — so precision is exact by
+    * construction and only recall (cluster-boundary splits) can move.
+    * Output contract identical to [[semanticDedup]].
+    */
+  def semanticDedupPca(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int, pcaK: Int,
+      seed: Long = 42L): DataFrame = {
+    if (df.isEmpty)
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("dup_of",
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("max_cos",
+            org.apache.spark.sql.types.DoubleType))))
+    val proj = Embeddings.pcaProject(df.select(col(idCol), col(vecCol)),
+        idCol, vecCol, k = pcaK, iters = 30)
+      .select(col(idCol),
+        array((1 to pcaK).map(i => col(s"pc$i").cast("float")): _*).as("__pv"))
+    val withProj = df.select(col(idCol), col(vecCol)).join(proj, Seq(idCol))
+    val (assigned, _) = IvfIndex.fit(withProj, idCol, "__pv", nClusters, seed)
+    val a = assigned.select(col("cluster"), col(idCol).as("vid_a"),
+      col(vecCol).as("v_a"))
+    val b = assigned.select(col("cluster"), col(idCol).as("vid_b"),
+      col(vecCol).as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vid_a") < col("vid_b"))
+      .withColumn("cos", cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vid_b").as(idCol))
+      .agg(min("vid_a").as("dup_of"), max("cos").as("max_cos"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space twin of the n-gram
     * decontaminate family: flag every corpus row whose embedding is
     * `threshold`-close (exact cosine) to ANY benchmark/test-set vector.

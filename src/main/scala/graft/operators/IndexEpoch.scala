@@ -25,14 +25,64 @@ import org.apache.spark.sql.SparkSession
   * syncs are seq-scoped, and the publish CAS simply lands at the next
   * epoch).
   *
-  * Pin lifetime: epoch pins survive seq-scoped maintenance (append /
-  * delete — old rows stay readable under their seq ceilings) but not
-  * LAYOUT maintenance (compaction, rebalance, vacuum physically
-  * rewrite rows), exactly as a table snapshot does not survive
-  * expire — a deployment runs layout maintenance only after advancing
-  * the epoch past the pins it retires.
+  * Pin lifetime — ENFORCED, not conventional: epoch pins survive
+  * seq-scoped maintenance (append / delete — old rows stay readable
+  * under their seq ceilings) AND layout maintenance, provided the
+  * epoch root is REGISTERED (`graft.epoch.roots` session conf,
+  * comma-separated roots — what a deployment sets once per stack).
+  * [[TextIndex.compactIndex]]/[[TextIndex.vacuumIndex]] and
+  * [[IvfIndex.compactLists]]/[[IvfIndex.rebalanceIndex]]/
+  * [[IvfIndex.vacuumIndex]] consult every live epoch of every
+  * registered root and retain whatever those pins still resolve:
+  * pinned generation directories, pinned tombstone files, and (IVF,
+  * whose row store rewrites in place) the rows any pin still serves —
+  * the [[Snapshots]] branch-ref shield (`q_table_branch`) lifted to
+  * the index-stack level. Dropping an epoch ([[expire]]) releases its
+  * pins; the next layout-maintenance pass reclaims. An UNREGISTERED
+  * root keeps the old convention (pins die at layout maintenance) —
+  * retention must be opt-in, or an abandoned epoch root would pin a
+  * production index's garbage forever without anyone having asked.
   */
 object IndexEpoch {
+
+  /** Registered epoch roots — `graft.epoch.roots`, comma-separated. */
+  private def registeredRoots(spark: SparkSession): Seq[String] =
+    spark.conf.getOption("graft.epoch.roots")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Every pin of every LIVE epoch across the registered roots, split
+    * by modality: (text pins, vector pins). One small FS read per live
+    * epoch manifest, no Spark job — the retention input the layout-
+    * maintenance verbs consult. Pins from a sibling stack sharing the
+    * conf only ever OVER-retain (a generation number or tombstone file
+    * name that does not exist here is a no-op) — never under.
+    */
+  def livePins(spark: SparkSession): (Seq[Seq[String]], Seq[Seq[String]]) = {
+    val all = for {
+      root <- registeredRoots(spark)
+      seq <- Snapshots.manifestSeqs(spark, root)
+    } yield Snapshots.readManifestLines(spark, root, seq)
+    (all.map(_.filter(_.startsWith("t:")).map(_.stripPrefix("t:")))
+       .filter(_.nonEmpty),
+     all.map(_.filter(_.startsWith("v:")).map(_.stripPrefix("v:")))
+       .filter(_.nonEmpty))
+  }
+
+  /** Drop every epoch manifest STRICTLY BELOW `keepFrom`, releasing
+    * their pins — the retention-release half of the enforced-pin
+    * contract (Snapshots.expire at the stack level). Returns the
+    * dropped epoch numbers; the next layout-maintenance pass on each
+    * index reclaims what only those pins were holding.
+    */
+  def expire(spark: SparkSession, root: String, keepFrom: Int): Seq[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = Snapshots.manifestSeqs(spark, root).filter(_ < keepFrom)
+    dropped.foreach(s => fs.delete(
+      new org.apache.hadoop.fs.Path(root, Snapshots.ManifestPrefix + s), false))
+    dropped
+  }
 
   /** Atomically publish an epoch pinning both index states verbatim
     * (a [[TextIndex.exportManifest]] export and an

@@ -304,7 +304,12 @@ object IvfIndex {
       if (!fsOf(spark, path).exists(tombDir)) Seq.empty[String]
       else fsOf(spark, path).listStatus(tombDir).map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq.sorted
-    s"seq=$seq" +: tombFiles.map("tombfile:" + _)
+    // the CENTROID GENERATION is part of the pin: after a rebalance the
+    // live generation's lists double-hold moved rows (retired dir +
+    // new sub-lists, until vacuum), and only the pinned generation's
+    // cluster set reads each row exactly once
+    Seq(s"seq=$seq", s"cgen=${liveCentroidGen(spark, path)}") ++
+      tombFiles.map("tombfile:" + _)
   }
 
   /** [[loadLive]] AT A PIN ([[exportPin]]) — the epoch-coordinated
@@ -312,10 +317,12 @@ object IvfIndex {
     * seq (minus crashed reservations), and the tombstone horizon is
     * exactly the pin's file list — an append or delete committed
     * AFTER the pin is invisible, so the epoch reader sees the index
-    * exactly as it was when the pin published. Valid while the pinned
-    * rows and files exist physically — i.e. until layout maintenance
-    * (compaction/rebalance/vacuum) rewrites them, the documented
-    * epoch-pin lifetime.
+    * exactly as it was when the pin published. With the epoch root
+    * REGISTERED (`graft.epoch.roots`), layout maintenance retains the
+    * pinned rows, tombstone files, and centroid generation
+    * ([[IndexEpoch]] — enforced retention), so the read stays valid
+    * until the epoch is expired; unregistered pins keep the old
+    * until-layout-maintenance lifetime.
     */
   def loadLiveAsOf(spark: SparkSession, path: String, idCol: String,
       pin: Seq[String]): (DataFrame, DataFrame) = {
@@ -324,8 +331,21 @@ object IvfIndex {
     }.getOrElse(sys.error("IVF pin missing seq"))
     val tombFiles = pin.filter(_.startsWith("tombfile:"))
       .map(n => s"$path/$TombstonesDir/${n.stripPrefix("tombfile:")}")
+    // the pinned centroid GENERATION scopes the read: its cluster set
+    // is the partition filter (a rebalance since the pin double-holds
+    // moved rows across retired + new lists — only the pinned
+    // generation's clusters read each row exactly once), and its
+    // centroid table is what searches against this view must probe.
+    // Pins predating the cgen line fall back to the live generation.
+    val pinGen = pin.collectFirst {
+      case l if l.startsWith("cgen=") => l.stripPrefix("cgen=").toInt
+    }.getOrElse(liveCentroidGen(spark, path))
+    val pinCentroids = spark.read.parquet(centroidsGenPath(path, pinGen))
+    val pinClusters = pinCentroids.select("centroid_id")
+      .collect().map(_.getInt(0)).toSeq
     val (_, reserved) = seqMarkers(spark, path)
     val raw = spark.read.parquet(s"$path/assigned")
+      .filter(col("cluster").isin(pinClusters: _*))
       .filter(col("ingest_seq") <= asOfSeq)
     val visible =
       if (reserved.isEmpty) raw
@@ -345,7 +365,7 @@ object IvfIndex {
             visible("ingest_seq") <= pinned("del_seq"),
           "left_anti")
       }
-    (masked, liveCentroids(spark, path))
+    (masked, pinCentroids)
   }
 
   /** Incremental maintenance: assign NEW vectors to the EXISTING
@@ -593,6 +613,41 @@ object IvfIndex {
   private def tombstonesExist(spark: SparkSession, path: String): Boolean =
     fsOf(spark, path).exists(new Path(s"$path/$TombstonesDir"))
 
+  /** Pinned vector-index states across every live epoch of every
+    * registered epoch root ([[IndexEpoch.livePins]]): (pinned seq,
+    * pinned tombstone file names, pinned centroid generation) — what
+    * the layout-maintenance verbs must RETAIN. Pins predating the
+    * cgen line pin generation 0; pins from a sibling stack sharing
+    * the conf only over-retain.
+    */
+  private def epochPinnedVec(spark: SparkSession): Seq[(Long, Seq[String], Int)] =
+    IndexEpoch.livePins(spark)._2.flatMap { pin =>
+      pin.collectFirst {
+        case l if l.startsWith("seq=") => l.stripPrefix("seq=").toLong
+      }.map { seq =>
+        (seq,
+          pin.filter(_.startsWith("tombfile:")).map(_.stripPrefix("tombfile:")),
+          pin.collectFirst {
+            case l if l.startsWith("cgen=") => l.stripPrefix("cgen=").toInt
+          }.getOrElse(0))
+      }
+    }
+
+  /** Cluster ids of every epoch-pinned centroid generation that exists
+    * on disk — lists [[purgeUnreferencedLists]] must treat as
+    * referenced whatever the live generation says.
+    */
+  private def epochPinnedClusterIds(spark: SparkSession, path: String): Set[Int] = {
+    val fs = fsOf(spark, path)
+    epochPinnedVec(spark).map(_._3).distinct.flatMap { g =>
+      val p = centroidsGenPath(path, g)
+      if (fs.exists(new Path(p)))
+        spark.read.parquet(p).select("centroid_id")
+          .collect().map(_.getInt(0)).toSeq
+      else Seq.empty
+    }.toSet
+  }
+
   /** Anti-join the tombstone horizon out of an index frame: a row dies
     * only when a tombstone for its id is AT OR ABOVE the row's ingest
     * seq — re-ingested rows carry a higher seq and pass. Identity when
@@ -630,9 +685,54 @@ object IvfIndex {
     // tombstone necessarily sits STRICTLY below maxC (its re-ingest
     // committed a higher seq), so the squashed row still clears the
     // horizon; fully-dead ids have no rows left to mask.
-    val kept = maskDeleted(spark, path,
-        assigned.filter(col("cluster").isin(live: _*)), idCol)
-      .withColumn("ingest_seq", lit(maxC))
+    //
+    // ENFORCED EPOCH-PIN RETENTION: with live epoch pins registered
+    // (graft.epoch.roots), the fold keeps every row ANY pin still
+    // serves (ingest_seq ≤ pin seq and not masked under the pin's own
+    // tombstone files), seqs are NOT squashed (the pins' ceilings must
+    // keep partitioning rows), and the tombstone sidecar is retained
+    // in full (pinned files are opened by path by the as-of reads;
+    // unpinned files still mask the kept-but-dead rows for live
+    // readers — re-applying either against purged rows is a no-op).
+    // Compaction still reclaims everything dead to live AND every pin;
+    // expiring the epoch releases the rest to the next pass.
+    val pins = epochPinnedVec(spark)
+    val base = assigned.filter(col("cluster").isin(live: _*))
+    val kept =
+      if (pins.isEmpty)
+        maskDeleted(spark, path, base, idCol)
+          .withColumn("ingest_seq", lit(maxC))
+      else {
+        val idT = base.schema(idCol).dataType
+        var df = tombstonesOf(spark, path, idT) match {
+          case Some(liveT) => base.join(broadcast(liveT),
+            base(idCol) === liveT("del_id") &&
+              base("ingest_seq") <= liveT("del_seq"), "left_outer")
+          case None => base.withColumn("del_seq", lit(null).cast("long"))
+        }
+        var keepCond = col("del_seq").isNull // not dead to live readers
+        pins.zipWithIndex.foreach { case ((pseq, ptombs, _), j) =>
+          val visibleToPin =
+            if (ptombs.isEmpty) col("ingest_seq") <= lit(pseq)
+            else {
+              val schema = org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("del_id", idT),
+                org.apache.spark.sql.types.StructField("del_seq",
+                  org.apache.spark.sql.types.LongType)))
+              val ph = spark.read.schema(schema)
+                .parquet(ptombs.map(n => s"$path/$TombstonesDir/$n"): _*)
+                .groupBy("del_id").agg(max("del_seq").as("del_seq"))
+                .select(col("del_id").as(s"pdel_id_$j"),
+                  col("del_seq").as(s"pdel_seq_$j"))
+              df = df.join(broadcast(ph),
+                df(idCol) === ph(s"pdel_id_$j") &&
+                  df("ingest_seq") <= ph(s"pdel_seq_$j"), "left_outer")
+              col("ingest_seq") <= lit(pseq) && col(s"pdel_seq_$j").isNull
+            }
+          keepCond = keepCond || visibleToPin
+        }
+        df.filter(keepCond).select(base.columns.map(col): _*)
+      }
     // which lists still have rows once the mask applies — observed ON
     // the rewrite job itself: a dir the dynamic overwrite never
     // touches still holds its stale rows (post-write state can't
@@ -702,7 +802,12 @@ object IvfIndex {
     // fewer job in the compaction path)
     purgeUnreferencedLists(spark, path, olderThanMs = 0L, keepSpare = false,
       knownReferenced = Some(live.toSet))
-    fs.delete(new Path(s"$path/$TombstonesDir"), true)
+    // the sidecar clears only with NO live pins: pinned files are read
+    // by path by the as-of reads, and unpinned files mask the retained
+    // pin-visible dead rows for live readers (see the retention note
+    // on the rewrite above)
+    if (pins.isEmpty)
+      fs.delete(new Path(s"$path/$TombstonesDir"), true): Unit
     // marker hygiene, LAST: every surviving row now sits at maxC, so
     // finals below maxC and crashed reservations (whose orphan rows
     // this rewrite just dropped) can retire. Partial deletion here is
@@ -912,7 +1017,11 @@ object IvfIndex {
     // commit above was) — re-assert ownership before deleting what an
     // in-flight successor might still be reading as ITS spare
     MaintenanceLock.assertHeld(spark, path, token)
-    (1 until gen).foreach { g =>
+    // epoch-pinned centroid generations survive the sweep: a live
+    // pin's as-of read resolves its generation's centroid table and
+    // cluster set directly (enforced retention)
+    val pinnedCg = epochPinnedVec(spark).map(_._3).toSet
+    (1 until gen).filterNot(pinnedCg.contains).foreach { g =>
       fs.delete(new Path(centroidsGenPath(path, g)), true)
       fs.delete(new Path(s"$path/$CGenPrefix$g"), false)
     }
@@ -943,7 +1052,9 @@ object IvfIndex {
     val refGens =
       if (keepSpare) math.max(0, gen - 1) to gen else gen to gen
     // callers that already hold the live set (compactLists) pass it in;
-    // only valid when the reference set is exactly the live generation
+    // only valid when the reference set is exactly the live generation.
+    // Lists any EPOCH-PINNED generation references are always retained
+    // on top — the enforced-retention contract (IndexEpoch).
     val referenced = knownReferenced.filter(_ => !keepSpare).getOrElse {
       refGens.flatMap { g =>
         val p = centroidsGenPath(path, g)
@@ -952,7 +1063,7 @@ object IvfIndex {
             .collect().map(_.getInt(0)).toSeq
         else Seq.empty
       }.toSet
-    }
+    } ++ epochPinnedClusterIds(spark, path)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dirs = fs.listStatus(new Path(s"$path/assigned")).toSeq
       .filter { st =>

@@ -33,7 +33,7 @@ import java.nio.charset.StandardCharsets
   * granularity changes.
   */
 object Snapshots {
-  private val ManifestPrefix = "_manifest.v_"
+  private[operators] val ManifestPrefix = "_manifest.v_"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())

@@ -279,14 +279,45 @@ object TextIndex {
     * as the in-flight readers' spare — the Snapshots recovery-spare
     * rule applied to data dirs). A crash here only leaks directories.
     */
+  /** Pinned index states across every live epoch of every registered
+    * epoch root ([[IndexEpoch.livePins]]): (parsed state, pinned
+    * tombstone file names) — what generation sweeps and the
+    * compaction's tombstone clear must RETAIN. A pin this binary's
+    * format cannot parse is skipped (it could not be served anyway);
+    * pins from a sibling stack sharing the conf only over-retain.
+    */
+  private def epochPinnedText(spark: SparkSession)
+      : Seq[(IndexState, Seq[String])] =
+    IndexEpoch.livePins(spark)._1.flatMap { pin =>
+      scala.util.Try(parseState(pin, 0)).toOption.map(st =>
+        (st, pin.filter(_.startsWith("tombfile:"))
+          .map(_.stripPrefix("tombfile:"))))
+    }
+
+  /** The generation numbers live epoch pins hold for `prefix` — the
+    * enforced-retention set [[sweepGens]] and [[vacuumIndex]] exclude.
+    */
+  private def epochPinnedGens(spark: SparkSession, prefix: String): Set[Int] =
+    epochPinnedText(spark).map { case (st, _) =>
+      prefix match {
+        case PostingsPrefix => st.gens.postings
+        case StatsPrefix => st.gens.stats
+        case _ => st.gens.docs
+      }
+    }.toSet
+
   private def sweepGens(spark: SparkSession, path: String, prefix: String,
       keepFloor: Int): Unit = {
     val fs = fsOf(spark, path)
+    // generations a live epoch pins are NOT swept, whatever their age:
+    // the pin's as-of read resolves them directly (the branch-ref
+    // shield lifted from Snapshots.vacuum)
+    val pinned = epochPinnedGens(spark, prefix)
     fs.listStatus(new Path(path))
       .filter(_.getPath.getName.startsWith(prefix))
       .filter { s =>
         scala.util.Try(s.getPath.getName.stripPrefix(prefix).toInt)
-          .toOption.exists(_ < keepFloor)
+          .toOption.exists(g => g < keepFloor && !pinned.contains(g))
       }
       .foreach(s => fs.delete(s.getPath, true))
   }
@@ -609,10 +640,11 @@ object TextIndex {
     * from the pinned manifest CONTENT (an [[exportManifest]] export —
     * embedded in the epoch, so it survives the manifest-file sweep),
     * so postings appended after the pin are invisible and docs
-    * deleted after the pin still serve. Valid while the pinned
-    * generations exist on disk — i.e. until layout maintenance
-    * (compaction/vacuum) retires them, the documented epoch-pin
-    * lifetime.
+    * deleted after the pin still serve. With the epoch root REGISTERED
+    * (`graft.epoch.roots`), layout maintenance retains the pinned
+    * generations and tombstone files ([[IndexEpoch]] — enforced
+    * retention), so the read stays valid until the epoch is expired;
+    * unregistered pins keep the old until-layout-maintenance lifetime.
     */
   def searchAllAsOf(spark: SparkSession, path: String,
       terms: Seq[String], manifest: Seq[String]): DataFrame = {
@@ -1017,9 +1049,19 @@ object TextIndex {
     commitState(spark, path, next)
     // tombstones are folded into the new generations; re-applying them
     // against data they no longer match is a no-op, so a crash between
-    // the commit and this delete costs nothing
-    if (tomb.nonEmpty)
-      fsOf(spark, path).delete(new Path(s"$path/$TombstonesDir"), true): Unit
+    // the commit and this delete costs nothing. Files a live epoch pin
+    // LISTS are retained: the pin's as-of read opens them by path (its
+    // delete-file tracking), and against the pinned OLD generation they
+    // still carry meaning — only the unpinned files clear.
+    if (tomb.nonEmpty) {
+      val fs = fsOf(spark, path)
+      val tombDir = new Path(s"$path/$TombstonesDir")
+      val pinnedTombs = epochPinnedText(spark).flatMap(_._2).toSet
+      if (pinnedTombs.isEmpty) fs.delete(tombDir, true): Unit
+      else fs.listStatus(tombDir)
+        .filter(f => f.isFile && !pinnedTombs.contains(f.getPath.getName))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
     sweepGens(spark, path, PostingsPrefix, keepFloor = gens.postings)
     if (tomb.nonEmpty) {
       sweepGens(spark, path, StatsPrefix, keepFloor = gens.stats)
@@ -1060,10 +1102,14 @@ object TextIndex {
         st0.seq, olderThanMs) ++
       purgeOrphanFiles(fs, new Path(docStatsPath(path, gens.docs)),
         st0.seq, olderThanMs)
+    val pinnedByPrefix = Seq(PostingsPrefix, StatsPrefix, DocStatsPrefix)
+      .map(p => p -> epochPinnedGens(spark, p)).toMap
     def leakedGen(name: String, prefix: String, live: Int) =
       name.startsWith(prefix) &&
         scala.util.Try(name.stripPrefix(prefix).toInt).toOption
-          .exists(_ < live - 1)
+          // epoch-pinned generations are never orphans: a live pin's
+          // as-of read still resolves them (enforced retention)
+          .exists(g => g < live - 1 && !pinnedByPrefix(prefix).contains(g))
     val orphans = fs.listStatus(new Path(path)).toSeq.filter { st =>
       val n = st.getPath.getName
       val leaked = leakedGen(n, PostingsPrefix, gens.postings) ||

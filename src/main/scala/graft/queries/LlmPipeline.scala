@@ -1404,6 +1404,97 @@ object LlmPipeline {
         .orderBy("probe_id", "rank")
     }),
 
+    // ENFORCED EPOCH-PIN RETENTION — the round-18 close of the one
+    // epoch residue: pins used to survive only seq-scoped maintenance
+    // (layout maintenance physically retired pinned rows, a documented
+    // convention). With the epoch root REGISTERED (graft.epoch.roots),
+    // compaction/vacuum on BOTH indexes now RETAIN whatever live pins
+    // resolve — pinned text generations + tombstone files, pinned
+    // vector rows/centroid generation — the Snapshots branch-ref
+    // shield lifted to the stack level. The verb: build both indexes,
+    // delete (pre-pin), pin+publish, mutate (post-pin delete+append),
+    // run FULL layout maintenance on both, and serve the pinned text
+    // search — which must equal the pin-time state exactly (the
+    // oracle recomputes it corpus-side). Audits ride as booleans:
+    // pinned_stable_* = the pinned reads bit-match their
+    // pre-maintenance captures; reclaimed = after IndexEpoch.expire
+    // releases the pin, the next compaction physically purges the
+    // post-pin-deleted rows and clears the sidecar.
+    "q_epoch_retention" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .localCheckpoint()
+      val tidx = Tables.scratch("epoch_ret_tidx")
+      val vidx = Tables.scratch("epoch_ret_vidx")
+      val root = Tables.scratch("epoch_ret_root")
+      val tChain = inFlight {
+        TextIndex.buildIndex(corpus, "doc_id", "text", tidx) }
+      val vChain = inFlight {
+        IvfIndex.buildIndex(corpus, "doc_id", "embedding",
+          nCentroids = 8, path = vidx) }
+      await(tChain); await(vChain)
+      // pre-pin delete: the pin must carry its tombstone FILE list
+      val prePin = corpus.filter(col("doc_id") % 17 === 3).select("doc_id")
+      TextIndex.deleteDocs(prePin, "doc_id", tidx)
+      IvfIndex.deleteFromIndex(prePin, "doc_id", vidx)
+      val tPin = TextIndex.exportManifest(s, tidx)
+      val vPin = IvfIndex.exportPin(s, vidx)
+      IndexEpoch.publish(s, root, tPin, vPin)
+      s.conf.set("graft.epoch.roots", root)
+      try {
+        def textFp() = TextIndex.searchAllAsOf(s, tidx, Seq("vector"), tPin)
+          .agg(coalesce(sum("total_tf"), lit(0L)), count(lit(1))).head()
+        def vecFp() = IvfIndex.loadLiveAsOf(s, vidx, "doc_id", vPin)._1
+          .agg(coalesce(sum(round(element_at(col("embedding"), 1)
+            .cast("double") * 1000).cast("long")), lit(0L)),
+            count(lit(1))).head()
+        val (t0, v0) = (textFp(), vecFp())
+        // post-pin mutations: retract-only (%13) and update (%11)
+        val gone = corpus.filter(col("doc_id") % 13 === 0).select("doc_id")
+        // %143 overlap stays retract-only, so the reclaim audit can
+        // assert every %13 row is physically gone after the expire
+        val upd = corpus.filter(col("doc_id") % 11 === 0 &&
+          col("doc_id") % 13 =!= 0)
+        TextIndex.deleteDocs(gone.unionByName(upd.select("doc_id")),
+          "doc_id", tidx)
+        TextIndex.appendDocs(upd.select(col("doc_id"),
+          concat(col("text"), lit(" vector")).as("text")), "doc_id", "text", tidx)
+        IvfIndex.deleteFromIndex(gone.unionByName(upd.select("doc_id")),
+          "doc_id", vidx)
+        IvfIndex.appendToIndex(upd.select(col("doc_id"),
+          reverse(col("embedding")).as("embedding")),
+          "doc_id", "embedding", vidx)
+        // FULL layout maintenance on both indexes — what used to
+        // retire the pin (text compacts twice: the second pass sweeps
+        // past the reader spare, the case generation retention exists
+        // for)
+        TextIndex.compactIndex(s, tidx)
+        TextIndex.compactIndex(s, tidx)
+        TextIndex.vacuumIndex(s, tidx, olderThanMs = 0L)
+        IvfIndex.compactLists(s, vidx, "doc_id")
+        IvfIndex.vacuumIndex(s, vidx, olderThanMs = 0L)
+        val pinnedStableText = textFp() == t0
+        val pinnedStableVec = vecFp() == v0
+        // release the pin → the next compaction reclaims physically
+        IndexEpoch.expire(s, root, keepFrom =
+          IndexEpoch.current(s, root).map(_._1 + 1).getOrElse(1))
+        IvfIndex.compactLists(s, vidx, "doc_id")
+        val reclaimed = s.read.parquet(s"$vidx/assigned")
+          .filter(col("doc_id") % 13 === 0).isEmpty &&
+          !new org.apache.hadoop.fs.Path(vidx)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(s"$vidx/tombstones"))
+        // deliverable: the pinned text search — the pin-time state,
+        // recomputable corpus-side by the oracle
+        TextIndex.searchAllAsOf(s, tidx, Seq("vector"), tPin)
+          .withColumn("pinned_stable_text", lit(pinnedStableText))
+          .withColumn("pinned_stable_vec", lit(pinnedStableVec))
+          .withColumn("reclaimed", lit(reclaimed))
+          .orderBy("doc_id")
+      } finally s.conf.unset("graft.epoch.roots")
+    }),
+
     // RIGHT-TO-BE-FORGOTTEN across the whole stack — the GDPR erasure
     // verb no single layer provides alone. A snapshot DELETE is not
     // forgetting (time travel still serves the rows); an index
@@ -2318,6 +2409,47 @@ object LlmPipeline {
           (lit(nRemovedPlanted) >= lit(math.ceil(nPlanted * 0.9).toLong)).as("recall_ok"))
     }),
 
+    // PCA-CONDITIONED semantic dedup — q_dedup_semantic's planted
+    // fixture through Dedup.semanticDedupPca: the k-means quantizer
+    // fits in the top-8 PCA subspace (one exact-integer moment pass;
+    // d→8 cuts fit/assign arithmetic 8× at d=64 and denoises the
+    // blocking metric), while the in-cluster confirmation stays the
+    // exact full-dim cosine — precision is exact by construction, so
+    // the same end-to-end recheck booleans gate it, and recall on the
+    // planted clones must still clear 90% (the paired BENCH row
+    // measures what the conditioning costs/saves vs the raw-space
+    // form).
+    "q_dedup_semantic_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + maxId)
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x + (pmod(hash(col("vec_id"), j), lit(1000)) - 500)
+            .cast("double") / 100000.0d).cast("float")))
+      val corpus = emb.unionByName(planted).localCheckpoint()
+      val removed = Dedup.semanticDedupPca(corpus, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 16, pcaK = 8).localCheckpoint()
+      val byA = corpus.select(col("vec_id").as("rid"), col("embedding").as("rv"))
+      val byB = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"))
+      val recheck = removed
+        .join(byA, col("vec_id") === col("rid"))
+        .join(byB, col("dup_of") === col("did"))
+        .select((VectorExpressions.cosine_sim(col("rv"), col("dv")) >= 0.99 &&
+          col("dup_of") < col("vec_id")).as("ok"), col("vec_id").as("remid"))
+      val nPlanted = planted.count()
+      val nRemovedPlanted = removed.filter(col("vec_id") >= maxId).count()
+      recheck.agg(
+          count(lit(1)).as("n_removed_rechecked"),
+          coalesce(min(when(col("ok"), 1L).otherwise(0L)), lit(1L)).as("all_ok"))
+        .select(
+          (lit(nPlanted) + emb.count()).as("n_corpus"),
+          lit(nPlanted).as("n_planted"),
+          (col("all_ok") === 1L &&
+            col("n_removed_rechecked") === lit(removed.count())).as("precision_ok"),
+          (lit(nRemovedPlanted) >= lit(math.ceil(nPlanted * 0.9).toLong)).as("recall_ok"))
+    }),
+
     // Edit-distance-VERIFIED near-dup pairs: gram-jaccard candidates
     // from the exact prefix-filtering join, then character-level
     // levenshtein confirmation (≤ 10% of the longer text) — the
@@ -3204,15 +3336,21 @@ object LlmPipeline {
 
     // EXACT embedding near-dup with PROVABLY COMPLETE blocking — the
     // lossless counterpart of q_dedup_embedding's LSH (which can miss
-    // pairs): unit-normalize, project to the top-2 PCs (contractive on
-    // differences), grid the plane at r = √(2−2τ)+slack, and join only
-    // the 9-cell neighborhoods — a theorem guarantees every pair with
-    // full cosine ≥ τ lands in adjacent cells, so after the exact
-    // full-dim confirm the result IS the threshold pair set (plain
-    // threshold self-join oracle over the planted fixture; every 15th
-    // vector re-enters jittered under a fresh id). The candidate
-    // volume is O(Σ cell²) instead of O(n²) — blocking_effective
-    // measures it on this corpus.
+    // pairs): unit-normalize, project onto the top PCs (contractive on
+    // differences), grid at r = √(2−2τ) + a DIMENSION-SCALED slack
+    // (quantization error grows as √d/scale — a fixed slack breaks
+    // exactness at production dims), and join only the 3^k-cell
+    // neighborhoods — a theorem guarantees every pair with full cosine
+    // ≥ τ lands in adjacent cells; candidates then pass the JOINT
+    // projected-ball filter (Σ Δpc² ≤ R²+slack, a second necessary
+    // condition the per-axis boxes miss) before the exact full-dim
+    // confirm, so the result IS the threshold pair set (plain threshold
+    // self-join oracle over the planted fixture; every 15th vector
+    // re-enters jittered under a fresh id; zero-norm vectors excluded
+    // on both sides). Candidate volume is O(Σ cell²) instead of O(n²)
+    // — blocking_effective measures it on this corpus, and the PRE-JOIN
+    // Σcell² histogram guard (blocking_advised / grid_pcs) flags a
+    // degenerate corpus before the join is ever enumerated.
     "q_dedup_embedding_blocked" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val maxId = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
@@ -4785,6 +4923,15 @@ object LlmPipeline {
         |  TRUE AS precision_ok, TRUE AS recall_ok
         |FROM base, p""".stripMargin,
 
+    // same planted fixture and recheck contract; only the quantizer's
+    // feature space differs (top-8 PCA), which precision/recall gate
+    "q_dedup_semantic_pca" ->
+      """WITH base AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT count(*) AS np FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT base.n + p.np AS n_corpus, p.np AS n_planted,
+        |  TRUE AS precision_ok, TRUE AS recall_ok
+        |FROM base, p""".stripMargin,
+
     "q_train_shuffle" ->
       """WITH e AS (
         |  SELECT 1 AS epoch, doc_id, n_chars,
@@ -6003,19 +6150,47 @@ object LlmPipeline {
         |SELECT j.label, n.n_vecs, dot / (sqrt(s1) * sqrt(s2)) AS drift_cos
         |FROM j JOIN n USING (label) ORDER BY label""".stripMargin,
 
+    // the pin-time state recomputed corpus-side: the pinned corpus is
+    // documents ∩ embeddings minus the pre-pin %17 deletes; post-pin
+    // mutations and all layout maintenance must be invisible to it
+    "q_epoch_retention" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.doc_id % 17 <> 3),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0)) AS w
+        |  FROM corpus)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tf,
+        |  TRUE AS pinned_stable_text, TRUE AS pinned_stable_vec,
+        |  TRUE AS reclaimed
+        |FROM tok WHERE w = 'vector'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_embed_pca" -> duckPca(2, 30),
 
     "q_dedup_embedding_blocked" ->
       s"""WITH m AS (SELECT max(vec_id) + 1 AS mx FROM embeddings),
-         |base AS (
+         |base0 AS (
          |  SELECT vec_id AS id, embedding AS v FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + (SELECT mx FROM m) AS id,
          |    list_transform(embedding, (x, j) -> CAST(CAST(x AS DOUBLE)
          |      + ((vec_id * 31 + (j - 1) * 7) % 1000 - 500) / 100000.0 AS FLOAT)) AS v
-         |  FROM embeddings WHERE vec_id % 15 = 0)
+         |  FROM embeddings WHERE vec_id % 15 = 0),
+         |base AS (
+         |  -- zero-norm vectors are excluded on BOTH sides: the engine
+         |  -- drops them before pairing, and an all-pairs cosine here
+         |  -- would emit NaN rows for them instead
+         |  SELECT id, v FROM base0
+         |  WHERE list_aggregate(list_transform(v,
+         |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum') > 0)
          |SELECT a.id AS vid_a, b.id AS vid_b, ${duckCos("a.v", "b.v")} AS cos,
-         |  TRUE AS blocking_effective
+         |  TRUE AS blocking_effective, TRUE AS blocking_advised,
+         |  3 AS grid_pcs
          |FROM base a JOIN base b ON a.id < b.id
          |WHERE ${duckCos("a.v", "b.v")} >= 0.95
          |ORDER BY vid_a, vid_b""".stripMargin,

@@ -30,6 +30,48 @@ class BpeSpec extends SparkSuite {
       (3, "aa", "a", 1L, 5L)), s"merge sequence diverged: $got")
   }
 
+  test("applyMerge kernel: greedy LTR rewrite exact against a reference fold, incl. a 512-char single-token word") {
+    // reference implementation: the definitionally-greedy scalar loop
+    def ref(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a"),            // odd run: [aa, a], never [a, aa]
+      (Seq("a", "a", "a", "a"), "a", "a"),       // even run: [aa, aa]
+      (Seq("a", "b", "a", "b"), "a", "b"),       // disjoint matches
+      (Seq("x", "a", "b", "b", "a"), "a", "b"),  // interior match
+      (Seq("a"), "a", "a"),                      // single symbol
+      (Seq.empty[String], "a", "b"),             // empty array
+      (Seq("ab", "c", "ab", "c"), "ab", "c"))    // multi-char symbols
+    cases.foreach { case (syms, a, b) =>
+      val got = Seq(syms).toDF("syms")
+        .select(graft.operators.Bpe.applyMerge(col("syms"), a, b).as("r"))
+        .head.getAs[scala.collection.Seq[String]]("r").toSeq
+      assert(got === ref(syms, a, b), s"applyMerge($syms, $a, $b)")
+    }
+    // the carried watch item: a no-delimiter 512-char token — one word
+    // whose symbol array is corpus-length; the O(len) kernel rewrites
+    // it without the quadratic accumulator copy, and the training loop
+    // converges on it (9 doubling merges collapse 512 a's to 1 symbol)
+    val long = "a" * 512
+    val syms512 = long.map(_.toString)
+    val got512 = Seq(syms512).toDF("syms")
+      .select(graft.operators.Bpe.applyMerge(col("syms"), "a", "a").as("r"))
+      .head.getAs[scala.collection.Seq[String]]("r").toSeq
+    assert(got512 === ref(syms512, "a", "a") && got512.length === 256)
+    val merges = Bpe.trainMerges(Seq(long).toDF("text"), "text", nMerges = 12)
+      .collect().sortBy(_.getAs[Int]("merge_rank"))
+    assert(merges.length === 9, "512 = 2^9 doubling merges then exhaustion")
+    assert(merges.last.getAs[Long]("tokens_after") === 1L)
+  }
+
   test("an all-single-symbol corpus yields zero merges; empty corpus yields zero merges") {
     val singles = Seq("a b c", "a b").toDF("text")
     assert(Bpe.trainMerges(singles, "text", nMerges = 3).count() === 0L)

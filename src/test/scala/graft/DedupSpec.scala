@@ -273,6 +273,36 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("PCA-conditioned semantic dedup: recall matches the raw-space form on planted clones; precision stays exact") {
+    // the q_dedup_semantic fixture shape, judged against the raw-space
+    // run: conditioning the quantizer in the top-8 PCA subspace must
+    // not lose clone recall (a jittered clone projects next to its
+    // source in ANY linear subspace), and can never lose precision
+    // (the in-cluster confirm is the exact full-dim cosine either way)
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 300L).map(i => (i, Array.fill(32)(rnd.nextFloat() - 0.5f)))
+    val clones = (0L until 30L).map { i =>
+      val src = base(i.toInt * 10)._2
+      (1000L + i, src.map(x => x + (rnd.nextFloat() - 0.5f) * 0.004f))
+    }
+    val corpus = (base ++ clones).toDF("vec_id", "embedding").localCheckpoint()
+    def audit(removed: Array[org.apache.spark.sql.Row]): Int = {
+      val ids = removed.map(_.getLong(0)).toSet
+      assert(ids.forall(_ >= 1000L), s"an original was removed: ${ids.filter(_ < 1000L)}")
+      removed.foreach { r =>
+        assert(r.getLong(1) < r.getLong(0) && r.getDouble(2) >= 0.99)
+      }
+      ids.size
+    }
+    val rawN = audit(Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.99, nClusters = 8).collect())
+    val pcaN = audit(Dedup.semanticDedupPca(corpus, "vec_id", "embedding",
+      threshold = 0.99, nClusters = 8, pcaK = 8).collect())
+    assert(pcaN >= 27, s"PCA-conditioned recall too low: $pcaN/30")
+    assert(pcaN >= rawN - 2,
+      s"conditioning lost recall vs raw space: $pcaN vs $rawN")
+  }
+
   test("approx aggregates are within tolerance of exact (SURVEY §5.2.2)") {
     val li = Tables(spark, sf, "lineitem")
     val row = li.agg(

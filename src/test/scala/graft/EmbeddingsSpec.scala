@@ -121,11 +121,128 @@ class EmbeddingsSpec extends SparkSuite {
     assert(got.forall(_.getAs[Boolean]("blocking_effective")))
   }
 
-  test("empty corpus short-circuits to an empty typed frame") {
+  test("empty corpus short-circuits to an empty typed frame with the NON-EMPTY path's column order") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val out = Embeddings.pcaProject(empty, "vec_id", "embedding", k = 2)
     assert(out.isEmpty)
-    assert(out.columns.toSeq === Seq("vec_id", "pc1", "lambda1", "evr1",
-      "pc2", "lambda2", "evr2"))
+    // same order as a populated run: all pc columns, then lambda/evr
+    // pairs — positional consumers and unions across the two paths
+    val populated = Embeddings.pcaProject(
+      planted(10, 4).toDF("vec_id", "embedding"), "vec_id", "embedding", k = 2)
+    assert(out.columns.toSeq === populated.columns.toSeq)
+    assert(out.columns.toSeq === Seq("vec_id", "pc1", "pc2",
+      "lambda1", "evr1", "lambda2", "evr2"))
+    // blocked near-dup's empty short-circuit keeps its full schema too
+    val blockedEmpty = Embeddings.exactNearDupsBlocked(
+      empty, "vec_id", "embedding", 0.95)
+    assert(blockedEmpty.isEmpty)
+    assert(blockedEmpty.columns.toSeq === Seq("vid_a", "vid_b", "cos",
+      "blocking_effective", "blocking_advised", "grid_pcs"))
+  }
+
+  /** `nFam` families of `perFam` near-identical unit vectors, every
+    * family pointing (mostly) the same way: pairwise cosine within a
+    * family ≈ 1, across families ≤ ~0.94 (sparse two-coordinate noise
+    * directions with overlap ≤ 0.5) — yet all PCA projections
+    * CONCENTRATE (the common direction centers out; what remains is
+    * ε-scaled), so the grid degenerates by construction: the planted
+    * isotropic fixture of the r17 verdict.
+    */
+  private def isotropicFamilies(nFam: Int, perFam: Int, d: Int)
+      : Seq[(Long, Array[Float])] = {
+    val eps = 0.35f
+    val base = math.sqrt(1.0 - eps * eps).toFloat
+    val combos = (for { a <- 1 until d; b <- a + 1 until d } yield (a, b))
+    require(combos.length >= nFam, s"need d with C(d-1,2) >= $nFam")
+    (0 until nFam).flatMap { f =>
+      val (ca, cb) = combos(f)
+      (0 until perFam).map { j =>
+        val v = new Array[Float](d)
+        v(0) = base
+        val w = (eps / math.sqrt(2.0)).toFloat
+        v(ca) = w; v(cb) = w
+        // tiny intra-family jitter keeps clones distinct but ≥ 0.999 cos
+        v(if (j % 2 == 0) ca else cb) += (j - 1) * 1e-3f
+        (f.toLong * 10L + j, v)
+      }
+    }
+  }
+
+  test("isotropy guard: a grid-degenerate corpus is flagged BEFORE the join (blocking_advised=false) and the result stays exact") {
+    val emb = isotropicFamilies(nFam = 120, perFam = 3, d = 64)
+      .toDF("vec_id", "embedding").localCheckpoint()
+    // pin the advisory cap low enough for a spec-sized corpus: 360
+    // points in a handful of cells → Σcell² far above 2000
+    spark.conf.set("graft.blocked.dedup.cap", "2000")
+    try {
+      val got = Embeddings.exactNearDupsBlocked(emb, "vec_id", "embedding", 0.95)
+        .collect()
+      assert(got.nonEmpty)
+      assert(got.forall(!_.getAs[Boolean]("blocking_advised")),
+        "a degenerate grid must be flagged inadvisable")
+      // escalation must NOT fire: the tail eigenvalues are ε-scaled
+      // (√λ ≪ r/2), so a finer grid would only pay the 3^k fan-out
+      assert(got.forall(_.getAs[Int]("grid_pcs") === 3))
+      // exactness holds regardless: exactly the within-family pairs
+      val gotPairs = got.map(r =>
+        (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b"))).sorted.toSeq
+      val want = (0 until 120).flatMap { f =>
+        val ids = (0 until 3).map(j => f.toLong * 10L + j)
+        for { i <- ids.indices; j <- i + 1 until ids.length }
+          yield (ids(i), ids(j))
+      }.sorted
+      assert(gotPairs === want,
+        s"guarded run lost exactness: got ${gotPairs.size}, want ${want.size}")
+    } finally spark.conf.unset("graft.blocked.dedup.cap")
+  }
+
+  test("escalation: when the tail axes discriminate, the grid widens to 6 PCs and stays exact") {
+    // unit-normalized lattice points spread over SIX axes (6 levels
+    // each): any 3-PC grid leaves Σcell² over the cap (the remaining
+    // axes fold ~5 cells each into every grid cell), but axes 4..6
+    // carry the same large spread (√λ > r/2) and resolve >27× more
+    // cells — exactly the regime where the 3^k fan-out pays, so the
+    // guard escalates instead of just flagging
+    val levels = Array(-2.5f, -1.5f, -0.5f, 0.5f, 1.5f, 2.5f)
+    val rnd = new scala.util.Random(71)
+    val pts = (0L until 1500L).map { i =>
+      val v = new Array[Float](8)
+      val h = i * 2654435761L
+      (0 until 6).foreach { ax =>
+        v(ax) = levels(((h >>> (ax * 7)) % 6).toInt.abs)
+      }
+      v(6) = (rnd.nextFloat() - 0.5f) * 0.01f
+      v(7) = (rnd.nextFloat() - 0.5f) * 0.01f
+      (i, v)
+    }
+    // plant clone pairs so the output is non-empty and checkable
+    val clones = pts.filter(_._1 % 30 == 0).map { case (i, v) =>
+      (10000L + i, v.map(_ + 1e-4f))
+    }
+    val emb = (pts ++ clones).toDF("vec_id", "embedding").localCheckpoint()
+    spark.conf.set("graft.blocked.dedup.cap", "10000")
+    try {
+      val got = Embeddings.exactNearDupsBlocked(emb, "vec_id", "embedding", 0.95)
+        .collect()
+      assert(got.forall(_.getAs[Int]("grid_pcs") === 6),
+        "spread tail axes should have escalated the grid")
+      val gotPairs = got.map(r =>
+        (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b"))).toSet
+      clones.foreach { case (cid, _) =>
+        assert(gotPairs.contains((cid - 10000L, cid)),
+          s"planted pair for $cid missed after escalation")
+      }
+      // exactness cross-check against brute force over the same corpus
+      val n = emb.count().toInt
+      val brute = SimilaritySearch.bruteForceTopK(emb, emb, "vec_id",
+          "embedding", k = n - 1)
+        .filter(col("cos") >= 0.95)
+        .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+          greatest(col("probe_id"), col("neighbor_id")).as("b"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs === brute,
+        s"escalated run diverged from brute force: got ${gotPairs.size}, want ${brute.size}")
+    } finally spark.conf.unset("graft.blocked.dedup.cap")
   }
 }

@@ -1099,6 +1099,7 @@ class PlanSpec extends SparkSuite {
       "q_sim_bitext_mining", "q_sim_bitext_recall",
       "q_sim_filtered_ann", "q_sim_range_search",
       "q_sql_ann", "q_sql_hybrid", "q_hybrid_search_rrf", "q_hybrid_cdc",
+      "q_epoch_retention",
       "q_forget", "q_stream_dedup_ingest", "q_stream_ivf_ingest",
       "q_stream_ivf_autorepair", "q_stream_decontaminate")
     val b9 = (graft.queries.LlmPipeline.queries.keys.toSeq ++
