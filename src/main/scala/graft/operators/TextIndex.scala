@@ -649,34 +649,71 @@ object TextIndex {
   def searchAllAsOf(spark: SparkSession, path: String,
       terms: Seq[String], manifest: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAllAsOf needs at least one term")
-    val st = parseState(manifest, 0)
     val distinctTerms = terms.distinct
+    pinnedPrunedPostings(spark, path, distinctTerms, parseState(manifest, 0),
+        manifest)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .filter(col("n_terms") === distinctTerms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** The pinned-manifest counterpart of [[prunedPostings]]: the query
+    * terms' bucket partitions of the PINNED postings generation, under
+    * the pinned seq ceiling and the pinned tombstone FILE LIST — a
+    * delete committed after the pin lives in a file the pin never
+    * listed, so it cannot reach back (the delete-file tracking that
+    * makes the pin a true snapshot). Shared by every as-of read.
+    */
+  private def pinnedPrunedPostings(spark: SparkSession, path: String,
+      distinctTerms: Seq[String], st: IndexState,
+      manifest: Seq[String]): DataFrame = {
     val raw = spark.read.schema(PostingsSchema)
       .parquet(postingsPath(path, st.gens.postings))
       .filter(col("bucket").isin(distinctTerms.map(bucketIdOf(_, st.nBuckets)): _*))
       .filter(col("term").isin(distinctTerms: _*))
       .filter(col("seq") <= st.seq)
-    // the pinned tombstone horizon is exactly the pin's FILE LIST —
-    // a delete committed after the pin lives in a file the pin never
-    // listed, so it cannot reach back (the delete-file tracking that
-    // makes the pin a true snapshot)
     val tombFiles = manifest.filter(_.startsWith("tombfile:"))
       .map(n => s"$path/$TombstonesDir/${n.stripPrefix("tombfile:")}")
-    val masked =
-      if (tombFiles.isEmpty) raw
-      else {
-        val pinned = spark.read.schema(TombSchema).parquet(tombFiles: _*)
-          .groupBy(col("doc_id").as("del_doc_id"))
-          .agg(max("seq").as("del_seq"))
-        raw.join(broadcast(pinned),
-          col("doc_id") === col("del_doc_id") && col("seq") <= col("del_seq"),
-          "left_anti")
-      }
-    masked
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
-      .filter(col("n_terms") === distinctTerms.size)
-      .select(col("doc_id"), col("total_tf"))
+    if (tombFiles.isEmpty) raw
+    else {
+      val pinned = spark.read.schema(TombSchema).parquet(tombFiles: _*)
+        .groupBy(col("doc_id").as("del_doc_id"))
+        .agg(max("seq").as("del_seq"))
+      raw.join(broadcast(pinned),
+        col("doc_id") === col("del_doc_id") && col("seq") <= col("del_seq"),
+        "left_anti")
+    }
+  }
+
+  /** [[bm25]] AT A PINNED MANIFEST — the epoch-coordinated RANKED read
+    * that completes the as-of surface (searchAllAsOf serves raw tf;
+    * ranking needs the corpus scalars too): generations, seq ceiling,
+    * tombstone horizon AND n_docs/avgdl all resolve from the pinned
+    * manifest CONTENT, and per-term df aggregates from the same pinned
+    * masked rows — so a coordinator-pinned search tier serves the
+    * IDENTICAL BM25 ranking before and after post-pin mutation and
+    * (with the epoch root registered) layout maintenance. Same formula,
+    * constants, and integer inputs as [[bm25]].
+    */
+  def bm25AsOf(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int, manifest: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25AsOf needs at least one term")
+    val st = parseState(manifest, 0)
+    val nDocs = st.nDocs.toDouble
+    val avgdl = if (st.nDocs == 0) 0.0 else st.sumDl.toDouble / st.nDocs.toDouble
+    val tf = pinnedPrunedPostings(spark, path, terms.distinct, st, manifest)
+      .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"),
+        col("dl").cast("double").as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfT), "term")
+      .withColumn("contrib",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** Disjunctive (OR) search: documents containing ANY of `terms`,

@@ -1495,6 +1495,49 @@ object LlmPipeline {
       } finally s.conf.unset("graft.epoch.roots")
     }),
 
+    // EPOCH-PINNED BM25 — the RANKED as-of read that completes the
+    // pinned surface (searchAllAsOf serves raw tf; a serving tier
+    // needs the full ranking): generations, seq ceiling, tombstone
+    // horizon AND the corpus scalars (n_docs, avgdl) all resolve from
+    // the pinned manifest content, and per-term df aggregates from the
+    // same pinned masked rows — so the pinned ranking is BIT-STABLE
+    // under post-pin mutation and (with the root registered) full
+    // layout maintenance, which the verb drills: pin → delete+append →
+    // compact twice under enforced retention → the pinned top-20 must
+    // equal its pre-maintenance capture row for row (ranking_stable).
+    // Oracle: the q_text_bm25 replay over the pin-time corpus state.
+    "q_text_bm25_asof" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tidx = Tables.scratch("bm25_asof_tidx")
+      val root = Tables.scratch("bm25_asof_root")
+      val terms = Seq("hash", "merge", "vector")
+      TextIndex.buildIndex(docs, "doc_id", "text", tidx)
+      // pre-pin delete: the pinned corpus is documents minus %17==3,
+      // carried by the pin's tombstone file list
+      TextIndex.deleteDocs(docs.filter(col("doc_id") % 17 === 3)
+        .select("doc_id"), "doc_id", tidx)
+      val pin = TextIndex.exportManifest(s, tidx)
+      IndexEpoch.publish(s, root, pin, Seq("seq=0", "cgen=0"))
+      s.conf.set("graft.epoch.roots", root)
+      try {
+        def ranked() = TextIndex.bm25AsOf(s, tidx, terms, k = 20, pin)
+        val before = ranked().collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+        TextIndex.deleteDocs(docs.filter(col("doc_id") % 13 === 0)
+          .select("doc_id"), "doc_id", tidx)
+        TextIndex.appendDocs(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select(col("doc_id"), concat(col("text"), lit(" vector")).as("text")),
+          "doc_id", "text", tidx)
+        TextIndex.compactIndex(s, tidx)
+        TextIndex.compactIndex(s, tidx) // 2nd: sweeps past the reader spare
+        val after = ranked().collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+        ranked().withColumn("ranking_stable", lit(before == after))
+          .orderBy(col("score").desc, col("doc_id").asc)
+      } finally s.conf.unset("graft.epoch.roots")
+    }),
+
     // RIGHT-TO-BE-FORGOTTEN across the whole stack — the GDPR erasure
     // verb no single layer provides alone. A snapshot DELETE is not
     // forgetting (time travel still serves the rows); an index
@@ -6149,6 +6192,28 @@ object LlmPipeline {
         |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
         |SELECT j.label, n.n_vecs, dot / (sqrt(s1) * sqrt(s2)) AS drift_cos
         |FROM j JOIN n USING (label) ORDER BY label""".stripMargin,
+
+    // the q_text_bm25 replay over the PIN-TIME corpus state (documents
+    // minus the pre-pin %17 deletes) — post-pin mutations and layout
+    // maintenance must be invisible to the pinned ranking
+    "q_text_bm25_asof" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'), t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w)
+        |SELECT tf.doc_id,
+        |  sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS score,
+        |  TRUE AS ranking_stable
+        |FROM tf, df, s WHERE tf.w = df.w
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // the pin-time state recomputed corpus-side: the pinned corpus is
     // documents ∩ embeddings minus the pre-pin %17 deletes; post-pin
