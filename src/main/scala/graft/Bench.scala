@@ -7,9 +7,113 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune most of the work), and prints one JSON line.
   */
 object Bench {
+
+  // ── anchor-binary box gauge ───────────────────────────────────────
+  // Absolute seconds are only cross-round comparable if the BOX hasn't
+  // drifted — the round-18 forensic burned a session proving a +15%
+  // sweep was environmental (the r16 binary no longer achieved its own
+  // recorded numbers). Institutionalized: a FROZEN jar built from the
+  // round-16 tree (anchor/graft-anchor-r16.jar, commit e072fc0) runs 5
+  // fixed queries at sf0.1 in its own JVM before every full sweep;
+  // box_factor = median(now / freeze-time reference) against
+  // anchor/ANCHOR.json. Mover tables key off factor-normalized ratios
+  // instead of re-litigating drift per round. The 5 queries span the
+  // subsystems (hash-shuffle dedup, tokenize CPU, BM25 index
+  // build+search, IVF build+search, editdist CPU) and were the most
+  // stable non-streaming rows across the five r16 closing sweeps.
+  private val AnchorQueries = Seq("q_dedup_exact", "q_text_quality",
+    "q_text_bm25", "q_sim_ivf", "q_dedup_editdist")
+
+  private def parseQueryTimes(json: String): Map[String, Double] =
+    "\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Run the frozen jar's own Bench main restricted to the anchor
+    * queries; returns its per-query seconds. None when the jar or the
+    * reference file is absent (targeted/debug checkouts), the
+    * subprocess fails, or it exceeds the 20-minute hard cap — a sweep
+    * must degrade to factor-less rather than hang.
+    */
+  private def measureAnchor(): Option[Map[String, Double]] = {
+    val root = Seq(".", "/root/repo").map(new java.io.File(_)).find(d =>
+      new java.io.File(d, "anchor/graft-anchor-r16.jar").isFile &&
+        new java.io.File(d, "anchor/ANCHOR.json").isFile)
+    root.flatMap { d =>
+      val jar = new java.io.File(d, "anchor/graft-anchor-r16.jar").getAbsolutePath
+      val opens = (Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util",
+        "java.util.concurrent", "java.util.concurrent.atomic",
+        "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+        "sun.util.calendar"))
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val cmd = (Seq("java") ++ opens ++ Seq(
+        "-Xmx" + sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"),
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", jar + ":/opt/spark/jars/*", "graft.Bench") ++ AnchorQueries)
+      try {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        pb.environment().put("SPARK_GRAFT_CPUS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val stdout = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        // drain stderr on a daemon thread so the subprocess can't
+        // block on a full pipe
+        val errDrain = new Thread(() => {
+          val b = new Array[Byte](8192)
+          val in = proc.getErrorStream
+          while (in.read(b) >= 0) {}
+        })
+        errDrain.setDaemon(true); errDrain.start()
+        val lines = Iterator.continually(stdout.readLine())
+          .takeWhile(_ != null).toSeq
+        val done = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); None }
+        else lines.reverseIterator.find(_.contains("\"queries\""))
+          .map(parseQueryTimes)
+          .filter(m => AnchorQueries.forall(m.contains))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** (box_factor, anchor readings) — median of per-query now/reference
+    * ratios vs the freeze-time readings in anchor/ANCHOR.json.
+    */
+  private def boxFactor(): Option[(Double, Map[String, Double])] = {
+    val refFile = Seq(".", "/root/repo")
+      .map(d => new java.io.File(d, "anchor/ANCHOR.json")).find(_.isFile)
+    for {
+      f <- refFile
+      txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // scope the parse to the "queries" object — the file also holds
+      // an r16_recorded context block whose keys must NOT win
+      qStart = txt.indexOf("\"queries\"") if qStart >= 0
+      ref = parseQueryTimes(txt.substring(qStart, txt.indexOf('}', qStart) + 1))
+      now <- measureAnchor()
+      ratios = AnchorQueries.flatMap(q =>
+        for { r <- ref.get(q); n <- now.get(q) if r > 0 } yield n / r)
+      if ratios.nonEmpty
+    } yield {
+      val s = ratios.sorted
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      (med, now)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // box gauge BEFORE the sweep (full sweeps only — targeted runs and
+    // SPARK_GRAFT_NO_ANCHOR=1 skip it): the frozen r16 jar in its own
+    // JVM, so the reading is independent of this tree's code
+    val gauge =
+      if (sys.env.get("SPARK_GRAFT_FORCE_ANCHOR").contains("1")) boxFactor()
+      else if (args.nonEmpty ||
+        sys.env.get("SPARK_GRAFT_NO_ANCHOR").contains("1")) None
+      else boxFactor()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -92,7 +196,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val anchorJson = gauge.map { case (f, now) =>
+      val aq = AnchorQueries.map(q => "\"" + q + "\":" + now(q))
+        .mkString("{", ",", "}")
+      s""","box_factor":$f,"anchor":$aq"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$anchorJson}""")
     spark.stop()
   }
 }

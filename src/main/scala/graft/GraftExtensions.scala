@@ -139,6 +139,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "'terms ...', n, k, nProbes) - RRF-fused hybrid top-k"),
       GraftExtensions.hybridSearchTvfBuilder))
 
+    // The epoch surface in SQL — pinned fused retrieval:
+    //   SELECT * FROM graft_hybrid_search_asof(epochRoot, textIdx,
+    //     vecIdx, probes, 'terms ...', n, k, nProbes[, epoch])
+    // resolves the pin from the epoch root's manifest CONTENT (max
+    // committed epoch unless named) and serves rrfTopKAsOf's plan —
+    // the same ranking a coordinator-pinned tier returns, stable
+    // under post-pin mutation and (root registered) maintenance.
+    ext.injectTableFunction((FunctionIdentifier("graft_hybrid_search_asof"),
+      info("graft_hybrid_search_asof",
+        "graft_hybrid_search_asof(epochRoot, textIndexPath, vecIndexPath, " +
+          "probesPath, 'terms ...', n, k, nProbes[, epoch]) - pinned fused top-k"),
+      GraftExtensions.hybridSearchAsOfTvfBuilder))
+
     // SQL surface for the change feed (Delta's table_changes):
     //   SELECT * FROM graft_table_changes('/path/to/table', 1, 3, 'key')
     // Resolves to Snapshots.changes' analyzed plan — the one
@@ -332,6 +345,49 @@ object GraftExtensions {
       // stats-into-CBO: the fused output is at most probes × k rows
       // (one fused top-k per probe) — footer-derived probe count, no
       // job; a hybrid TVF leg joined to a fact table broadcasts cold
+      graft.plans.ManifestSized.bounded(plan,
+        graft.plans.ManifestSized.parquetRowCount(s, probes) * k)
+    }
+
+  /** The graft_hybrid_search_asof TVF: the PINNED fused hybrid read
+    * ([[graft.operators.HybridSearch.rrfTopKAsOf]]) as a
+    * SQL-composable relation — the epoch surface in SQL, the
+    * q_sql_timetravel/q_sql_branch discipline applied to the index
+    * stack. The pin resolves from the epoch ROOT's manifest content
+    * (max committed epoch, or the explicit trailing epoch number), so
+    * a SQL reader names a coordinate, never an index generation.
+    */
+  val hybridSearchAsOfTvfBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    (es: Seq[Expression]) => {
+      if (es.length != 8 && es.length != 9) throw new IllegalArgumentException(
+        "graft_hybrid_search_asof expects (epochRoot, textIndexPath, " +
+          "vecIndexPath, probesPath, terms, n, k, nProbes[, epoch]); " +
+          s"got ${es.length} args")
+      val root = strArg(es.head, "graft_hybrid_search_asof epochRoot")
+      val tidx = strArg(es(1), "graft_hybrid_search_asof textIndexPath")
+      val vidx = strArg(es(2), "graft_hybrid_search_asof vecIndexPath")
+      val probes = strArg(es(3), "graft_hybrid_search_asof probesPath")
+      val terms = strArg(es(4), "graft_hybrid_search_asof terms")
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      val n = intArg(es(5), "graft_hybrid_search_asof n")
+      val k = intArg(es(6), "graft_hybrid_search_asof k")
+      val nProbes = intArg(es(7), "graft_hybrid_search_asof nProbes")
+      val s = SparkSession.active
+      val (tPin, vPin) = es.lift(8) match {
+        case Some(e) =>
+          val ep = intArg(e, "graft_hybrid_search_asof epoch")
+          graft.operators.IndexEpoch.at(s, root, ep).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft_hybrid_search_asof: epoch $ep not committed at $root"))
+        case None => graft.operators.IndexEpoch.current(s, root)
+          .map { case (_, t, v) => (t, v) }
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft_hybrid_search_asof: no committed epoch at $root"))
+      }
+      val plan = graft.operators.HybridSearch.rrfTopKAsOf(s, tidx, vidx,
+          s.read.parquet(probes), terms, "vec_id", "embedding", n, k,
+          nProbes, tPin, vPin)
+        .queryExecution.analyzed
       graft.plans.ManifestSized.bounded(plan,
         graft.plans.ManifestSized.parquetRowCount(s, probes) * k)
     }

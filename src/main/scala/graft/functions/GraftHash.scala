@@ -426,11 +426,19 @@ object GraftHash {
     var i = 0
     var m = 0
     while (i < n) {
-      val cur = syms.getUTF8String(i)
-      if (i + 1 < n && a.equals(cur) && b.equals(syms.getUTF8String(i + 1))) {
-        out(m) = ab; m += 1; i += 2
+      // null elements pass through untouched (a null never equals the
+      // merge pair); the explicit isNullAt guards matter because an
+      // UnsafeArrayData's getUTF8String does not null-check
+      if (syms.isNullAt(i)) {
+        out(m) = null; m += 1; i += 1
       } else {
-        out(m) = cur; m += 1; i += 1
+        val cur = syms.getUTF8String(i)
+        if (i + 1 < n && !syms.isNullAt(i + 1) && a.equals(cur) &&
+            b.equals(syms.getUTF8String(i + 1))) {
+          out(m) = ab; m += 1; i += 2
+        } else {
+          out(m) = cur; m += 1; i += 1
+        }
       }
     }
     new GenericArrayData(if (m == n) out else out.take(m))

@@ -157,7 +157,15 @@ object VectorExpressions {
     */
   case class BpeMerge(child: Expression, a: String, b: String)
       extends UnaryExpression {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // the kernel passes input null ELEMENTS straight through (a null
+    // never equals the merge pair), so the output's element
+    // nullability is exactly the child's — declaring containsNull =
+    // false unconditionally would hand codegen consumers a schema
+    // promise a nullable-element input silently breaks
+    override def dataType: DataType = child.dataType match {
+      case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+      case _ => ArrayType(StringType, containsNull = false)
+    }
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
         case ArrayType(StringType, _) =>

@@ -220,7 +220,17 @@ object DataSkipping {
               override def call(): Option[org.apache.spark.sql.Row] = oneFile(st)
             })
           }
-          futs.map(_.get())
+          try futs.map(_.get())
+          catch {
+            // surface the worker's own exception (the serial path's
+            // contract — callers match on IOException, not the pool
+            // wrapper) and cancel the outstanding footer reads: a
+            // plain shutdown() would let every queued task run to
+            // completion after the build has already failed
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              throw Option(e.getCause).getOrElse(e)
+          }
         } finally pool.shutdown()
       }
     if (perFile.exists(_.isEmpty)) return None

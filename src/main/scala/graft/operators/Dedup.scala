@@ -578,10 +578,18 @@ object Dedup {
             df.schema(idCol).dataType),
           org.apache.spark.sql.types.StructField("max_cos",
             org.apache.spark.sql.types.DoubleType))))
+    // clamp to the embedding dimension: past d the deflated residual
+    // is numerical noise, and "components" solved from it would
+    // silently degrade the k-means blocking space (the same min(·, d)
+    // guard exactNearDupsBlocked applies)
+    val dim = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .limit(1).collect()
+      .headOption.map(_.getSeq[Any](0).length).getOrElse(pcaK)
+    val k = math.min(pcaK, dim)
     val proj = Embeddings.pcaProject(df.select(col(idCol), col(vecCol)),
-        idCol, vecCol, k = pcaK, iters = 30)
+        idCol, vecCol, k = k, iters = 30)
       .select(col(idCol),
-        array((1 to pcaK).map(i => col(s"pc$i").cast("float")): _*).as("__pv"))
+        array((1 to k).map(i => col(s"pc$i").cast("float")): _*).as("__pv"))
     val withProj = df.select(col(idCol), col(vecCol)).join(proj, Seq(idCol))
     val (assigned, _) = IvfIndex.fit(withProj, idCol, "__pv", nClusters, seed)
     val a = assigned.select(col("cluster"), col(idCol).as("vid_a"),

@@ -83,7 +83,10 @@ object Embeddings {
     * lengthens a vector; centering cancels in differences), so for
     * unit-normalized x, y and any component set:
     *   cos(x,y) ≥ τ ⇒ ‖x−y‖ ≤ R = √(2−2τ)
-    *     ⇒ |pc_i(x)−pc_i(y)| ≤ R per axis  AND  Σ_i Δpc_i² ≤ R² jointly.
+    *     ⇒ |pc_i(x)−pc_i(y)| ≤ R per axis (unit rows suffice)  AND
+    *       Σ_i Δpc_i² ≤ λmax(VVᵀ)·R² jointly (the measured spectral
+    *       norm of the solved components' Gram covers their imperfect
+    *       pairwise orthogonality — see the orthoInfl block).
     * Each point lands in one grid cell of side r = R + slack; any
     * qualifying pair is then in the SAME or an ADJACENT cell — a
     * 3^k-neighborhood equi-join, after which the exact full-dimension
@@ -155,6 +158,40 @@ object Embeddings {
     val bigR = math.sqrt(2.0 - 2.0 * threshold)
     val gridSlack = math.sqrt(d.toDouble) / scale + 1e-6
     val ballSlack = math.sqrt(kF.toDouble) * math.sqrt(d.toDouble) / scale + 1e-6
+    // ── ball soundness under imperfect orthogonality ────────────────
+    // The joint bound Σ_i (v_i·δ)² ≤ ‖δ‖² needs an ORTHONORMAL row set;
+    // the fixed-iteration power solve guarantees unit rows but not
+    // pairwise orthogonality — on a near-degenerate spectrum (λ_i ≈
+    // λ_j, exactly the isotropic corpora the kF = 6 escalation
+    // targets) v_i·v_j can reach ~1e-2, and then Σ Δpc² = δᵀVᵀVδ can
+    // exceed ‖δ‖² for a true pair at the threshold boundary — a
+    // silent drop that breaks the EXACT contract. The exact inflation
+    // is the spectral norm: δᵀVᵀVδ ≤ λmax(VVᵀ)·‖δ‖², and VVᵀ is a
+    // kF×kF driver matrix — measure λmax (fixed-iteration power
+    // method, deterministic) and widen the ball radius by √λmax. The
+    // per-axis grid cells need only unit rows and stay un-widened.
+    val orthoInfl = {
+      val gram = Array.tabulate(kF, kF) { (i, j) =>
+        var acc = 0.0
+        var t = 0
+        while (t < d) { acc += comps(i)(t) * comps(j)(t); t += 1 }
+        acc
+      }
+      var v = Array.fill(kF)(1.0 / math.sqrt(kF.toDouble))
+      for (_ <- 0 until 64) {
+        val w = Array.tabulate(kF)(i =>
+          (0 until kF).map(j => gram(i)(j) * v(j)).sum)
+        val nm = math.sqrt(w.map(x => x * x).sum)
+        if (nm > 0) v = w.map(_ / nm)
+      }
+      val lam = (for (i <- 0 until kF; j <- 0 until kF)
+        yield v(i) * gram(i)(j) * v(j)).sum
+      // λmax of a Gram matrix is ≥ 0; guard against a ulp under 1 so
+      // the perfectly-orthonormal case stays bit-compatible, and pad
+      // the measured value by one part in 1e9 (the power method
+      // converges from below on the dominant eigenvalue)
+      math.sqrt(math.max(1.0, lam * (1.0 + 1e-9)))
+    }
     val r = bigR + gridSlack
     // vid + the kF projected coordinates — computed ONCE, read by the
     // histogram, both join sides, and the audit
@@ -244,7 +281,7 @@ object Embeddings {
         (1 to kF).map(i => col(s"p$i").as(s"p${i}_$tag")): _*)
     val aSide = side("a")
     val cellNames = (1 to kGrid).map(i => s"c$i")
-    val ballSq = (bigR + ballSlack) * (bigR + ballSlack)
+    val ballSq = (orthoInfl * bigR + ballSlack) * (orthoInfl * bigR + ballSlack)
     def ballFilter(df: DataFrame): DataFrame = df.filter(
       (1 to kF).map(i => (col(s"p${i}_a") - col(s"p${i}_b")) *
         (col(s"p${i}_a") - col(s"p${i}_b"))).reduce(_ + _) <= lit(ballSq))

@@ -50,17 +50,62 @@ object HybridSearch {
     // family (one synthetic group key — the leg has no probe notion),
     // so the whole fused plan is WINDOW-FREE: no single-partition
     // WindowExec anywhere, not even an n-bounded one
-    val textTop = SimilaritySearch.heapTopK(
-        TextIndex.bm25(spark, textIndexPath, terms, n)
-          .select(lit(0L).as("probe_id"), col("doc_id").as("neighbor_id"),
-            col("score")),
-        "score", n)
-      .select(col("neighbor_id").as("doc_id"), col("rank").as("leg_rank"))
+    val textTop = legRank(TextIndex.bm25(spark, textIndexPath, terms, n), n)
     // vector leg: IVF search (partition-pruned lists, heap cut)
     val vecTop = IvfIndex.searchTopK(assigned, centroids, probes,
         idCol, vecCol, n, nProbes)
       .select(col("probe_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("leg_rank"))
+    fuse(textTop, vecTop, probes, idCol, k, k0)
+  }
+
+  /** [[rrfTopK]] AT AN EPOCH PIN — the fused as-of read that completes
+    * the pinned serving stack ([[IndexEpoch]] pins both index states
+    * in one CAS; each leg already serves ranked as-of reads, but the
+    * fused RRF ranking is the deliverable a coordinator-pinned tier
+    * actually returns): the lexical leg is [[TextIndex.bm25AsOf]]
+    * (generations, seq ceiling, tombstone horizon AND n_docs/avgdl
+    * from the pinned manifest content), the vector leg is
+    * [[IvfIndex.searchTopK]] over [[IvfIndex.loadLiveAsOf]]'s masked
+    * rows probing the pin's `cgen` centroid table — so the probed
+    * cluster set, the candidate rows, and the corpus scalars are ALL
+    * pin-resolved, and the fused ranking is bit-stable under post-pin
+    * mutation and (root registered) full layout maintenance. Same
+    * fusion plan as the live verb — union + groupBy + heap cut,
+    * window-free, nothing corpus-sized broadcast.
+    */
+  def rrfTopKAsOf(spark: SparkSession, textIndexPath: String,
+      vecIndexPath: String, probes: DataFrame, terms: Seq[String],
+      idCol: String, vecCol: String, n: Int, k: Int, nProbes: Int,
+      textPin: Seq[String], vecPin: Seq[String], k0: Int = 60): DataFrame = {
+    val textTop = legRank(
+      TextIndex.bm25AsOf(spark, textIndexPath, terms, n, textPin), n)
+    val (masked, pinCentroids) =
+      IvfIndex.loadLiveAsOf(spark, vecIndexPath, idCol, vecPin)
+    val vecTop = IvfIndex.searchTopK(masked, pinCentroids, probes,
+        idCol, vecCol, n, nProbes)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("leg_rank"))
+    fuse(textTop, vecTop, probes, idCol, k, k0)
+  }
+
+  /** The lexical leg's rank: the bounded-heap cut over an already
+    * `limit(n)`-ed (doc_id, score) frame — ≤ n driver-bounded rows,
+    * one synthetic group key, no window.
+    */
+  private def legRank(bm: DataFrame, n: Int): DataFrame =
+    SimilaritySearch.heapTopK(
+        bm.select(lit(0L).as("probe_id"), col("doc_id").as("neighbor_id"),
+          col("score")),
+        "score", n)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("leg_rank"))
+
+  /** The shared fusion tail (live and as-of verbs): replicate the
+    * probe-free text leg to probes by broadcast crossJoin of an ≤ n-row
+    * frame, union the per-leg contributions, one groupBy, heap cut.
+    */
+  private def fuse(textTop: DataFrame, vecTop: DataFrame, probes: DataFrame,
+      idCol: String, k: Int, k0: Int): DataFrame = {
     val pid = probes.select(col(idCol).as("probe_id"))
     val contrib = pid.crossJoin(broadcast(textTop))
       .unionByName(vecTop)

@@ -45,6 +45,25 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexEpoch {
 
+  /** Register `root` for the duration of `body` WITHOUT clobbering any
+    * pre-registered deployment roots: the root is APPENDED to the
+    * existing `graft.epoch.roots` value (an extra root only ever
+    * OVER-retains — see [[livePins]]) and the prior value, including
+    * its absence, is restored on exit — so a scoped registration
+    * composes with a session whose deployment set the conf once at
+    * startup instead of silently un-registering its stacks.
+    */
+  def withRegisteredRoot[T](spark: SparkSession, root: String)(body: => T): T = {
+    val prev = spark.conf.getOption("graft.epoch.roots")
+    spark.conf.set("graft.epoch.roots",
+      prev.filter(_.nonEmpty).map(_ + "," + root).getOrElse(root))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("graft.epoch.roots", v)
+      case None    => spark.conf.unset("graft.epoch.roots")
+    }
+  }
+
   /** Registered epoch roots — `graft.epoch.roots`, comma-separated. */
   private def registeredRoots(spark: SparkSession): Seq[String] =
     spark.conf.getOption("graft.epoch.roots")
@@ -102,6 +121,20 @@ object IndexEpoch {
       textPin.map("t:" + _) ++ vecPin.map("v:" + _),
       sweep = false, expectedNext = Some(next))
   }
+
+  /** A NAMED committed epoch's pinned pair: (pinned text state,
+    * pinned vector state) — the time-travel read of the epoch log
+    * (the `graft_snapshot(root, version)` discipline at the stack
+    * level). None if that epoch was never published or was expired.
+    */
+  def at(spark: SparkSession, root: String, epoch: Int)
+      : Option[(Seq[String], Seq[String])] =
+    if (!Snapshots.manifestSeqs(spark, root).contains(epoch)) None
+    else {
+      val lines = Snapshots.readManifestLines(spark, root, epoch)
+      Some((lines.filter(_.startsWith("t:")).map(_.stripPrefix("t:")),
+        lines.filter(_.startsWith("v:")).map(_.stripPrefix("v:"))))
+    }
 
   /** The current committed epoch: (epoch number, pinned text state,
     * pinned vector state) — one small FS read, no Spark job (the same

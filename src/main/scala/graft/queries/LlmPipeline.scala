@@ -975,6 +975,51 @@ object LlmPipeline {
            |ORDER BY h.probe_id, h.rank""".stripMargin)
     }),
 
+    // The epoch surface in SQL: graft_hybrid_search_asof resolves the
+    // pin from the epoch ROOT's manifest content — here the explicit
+    // epoch number, the graft_snapshot(root, version) time-travel
+    // discipline lifted to the index stack — and plain SQL composes
+    // on top (rank filter + join back to documents). Post-pin
+    // mutation of BOTH indexes is invisible to the pinned relation.
+    "q_sql_hybrid_asof" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val tidx = Tables.scratch("hybrid_sqlasof_tidx")
+      val vidx = Tables.scratch("hybrid_sqlasof_vidx")
+      val probes = Tables.scratch("hybrid_sqlasof_probes")
+      val root = Tables.scratch("hybrid_sqlasof_root")
+      TextIndex.buildIndex(docs, "doc_id", "text", tidx)
+      IvfIndex.buildIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, path = vidx)
+      emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(probes)
+      // pre-pin deletes define the pin-time corpus
+      TextIndex.deleteDocs(docs.filter(col("doc_id") % 17 === 3)
+        .select("doc_id"), "doc_id", tidx)
+      IvfIndex.deleteFromIndex(emb.filter(col("vec_id") % 17 === 3)
+        .select("vec_id"), "vec_id", vidx)
+      val epoch = IndexEpoch.publish(s, root,
+        TextIndex.exportManifest(s, tidx), IvfIndex.exportPin(s, vidx))
+      // post-pin mutation on both modalities — invisible to the pin
+      TextIndex.deleteDocs(docs.filter(col("doc_id") % 13 === 0)
+        .select("doc_id"), "doc_id", tidx)
+      TextIndex.appendDocs(
+        docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), concat(col("text"), lit(" vector")).as("text")),
+        "doc_id", "text", tidx)
+      IvfIndex.deleteFromIndex(emb.filter(col("vec_id") % 13 === 0)
+        .select("vec_id"), "vec_id", vidx)
+      docs.select("doc_id", "source")
+        .createOrReplaceTempView("hybrid_sqlasof_docs")
+      s.sql(
+        s"""SELECT h.probe_id, h.rank, h.doc_id, h.rrf, d.source
+           |FROM graft_hybrid_search_asof('$root', '$tidx', '$vidx',
+           |    '$probes', 'hash merge vector', 50, 10, 16, $epoch) h
+           |JOIN hybrid_sqlasof_docs d ON h.doc_id = d.doc_id
+           |WHERE h.rank <= 5
+           |ORDER BY h.probe_id, h.rank""".stripMargin)
+    }),
+
     // Exact phrase search from the positional postings — consecutive
     // token offsets, occurrence-counted, corpus never read at query
     // time. The same persisted index serves conjunctive, BM25, and
@@ -1441,8 +1486,7 @@ object LlmPipeline {
       val tPin = TextIndex.exportManifest(s, tidx)
       val vPin = IvfIndex.exportPin(s, vidx)
       IndexEpoch.publish(s, root, tPin, vPin)
-      s.conf.set("graft.epoch.roots", root)
-      try {
+      IndexEpoch.withRegisteredRoot(s, root) {
         def textFp() = TextIndex.searchAllAsOf(s, tidx, Seq("vector"), tPin)
           .agg(coalesce(sum("total_tf"), lit(0L)), count(lit(1))).head()
         def vecFp() = IvfIndex.loadLiveAsOf(s, vidx, "doc_id", vPin)._1
@@ -1492,7 +1536,7 @@ object LlmPipeline {
           .withColumn("pinned_stable_vec", lit(pinnedStableVec))
           .withColumn("reclaimed", lit(reclaimed))
           .orderBy("doc_id")
-      } finally s.conf.unset("graft.epoch.roots")
+      }
     }),
 
     // EPOCH-PINNED BM25 — the RANKED as-of read that completes the
@@ -1518,8 +1562,7 @@ object LlmPipeline {
         .select("doc_id"), "doc_id", tidx)
       val pin = TextIndex.exportManifest(s, tidx)
       IndexEpoch.publish(s, root, pin, Seq("seq=0", "cgen=0"))
-      s.conf.set("graft.epoch.roots", root)
-      try {
+      IndexEpoch.withRegisteredRoot(s, root) {
         def ranked() = TextIndex.bm25AsOf(s, tidx, terms, k = 20, pin)
         val before = ranked().collect()
           .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
@@ -1535,7 +1578,83 @@ object LlmPipeline {
           .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
         ranked().withColumn("ranking_stable", lit(before == after))
           .orderBy(col("score").desc, col("doc_id").asc)
-      } finally s.conf.unset("graft.epoch.roots")
+      }
+    }),
+
+    // PINNED HYBRID SEARCH — the fused as-of read that completes the
+    // epoch stack: the manifest pins BOTH index states in one CAS, and
+    // the serving deliverable a coordinator-pinned tier returns is the
+    // FUSED RRF ranking, not each leg alone. rrfTopKAsOf composes the
+    // pinned legs under the SAME fusion plan as the live verb: BM25
+    // from the pinned manifest content (generations, seq ceiling,
+    // tombstone horizon, n_docs/avgdl), the vector leg probing the
+    // pin's cgen centroid table over loadLiveAsOf's masked rows.
+    // Drill: publish → mutate BOTH modalities → rebalance + compact +
+    // vacuum both indexes under enforced retention → the pinned fused
+    // top-k must equal its pre-maintenance capture row for row
+    // (fused_stable). Exhaustive probing makes the vector leg exact,
+    // so the oracle is the q_hybrid_search_rrf replay over the
+    // PIN-TIME corpus (minus the pre-pin %17 deletes).
+    "q_hybrid_asof" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val tidx = Tables.scratch("hybrid_asof_tidx")
+      val vidx = Tables.scratch("hybrid_asof_vidx")
+      val root = Tables.scratch("hybrid_asof_root")
+      val terms = Seq("hash", "merge", "vector")
+      val probes = emb.filter(col("vec_id") < 5).localCheckpoint()
+      val tChain = inFlight {
+        TextIndex.buildIndex(docs, "doc_id", "text", tidx) }
+      val vChain = inFlight {
+        IvfIndex.buildIndex(emb, "vec_id", "embedding",
+          nCentroids = 16, path = vidx) }
+      await(tChain); await(vChain)
+      // pre-pin delete on BOTH modalities: each pin must carry its
+      // index's tombstone file list
+      TextIndex.deleteDocs(docs.filter(col("doc_id") % 17 === 3)
+        .select("doc_id"), "doc_id", tidx)
+      IvfIndex.deleteFromIndex(emb.filter(col("vec_id") % 17 === 3)
+        .select("vec_id"), "vec_id", vidx)
+      val tPin = TextIndex.exportManifest(s, tidx)
+      val vPin = IvfIndex.exportPin(s, vidx)
+      IndexEpoch.publish(s, root, tPin, vPin)
+      IndexEpoch.withRegisteredRoot(s, root) {
+        def fused() = HybridSearch.rrfTopKAsOf(s, tidx, vidx, probes,
+          terms, "vec_id", "embedding", n = 50, k = 10, nProbes = 16,
+          tPin, vPin).orderBy("probe_id", "rank")
+        def capture() = fused().collect().map(r =>
+          (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+            r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+        val before = capture()
+        // post-pin mutation on BOTH modalities: retract-only (%13)
+        // and update (%11 — text gains a term, embedding reverses)
+        TextIndex.deleteDocs(docs.filter(col("doc_id") % 13 === 0)
+          .select("doc_id"), "doc_id", tidx)
+        TextIndex.appendDocs(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+            .select(col("doc_id"), concat(col("text"), lit(" vector")).as("text")),
+          "doc_id", "text", tidx)
+        IvfIndex.deleteFromIndex(emb.filter(col("vec_id") % 13 === 0)
+          .select("vec_id"), "vec_id", vidx)
+        IvfIndex.appendToIndex(
+          emb.filter(col("vec_id") % 11 === 0 && col("vec_id") % 13 =!= 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", vidx)
+        // FULL layout maintenance on both indexes under enforced
+        // retention — incl. a rebalance pass, so a centroid-generation
+        // flip (if the appends skewed a list past the factor) rides
+        // the drill: the pinned read must keep probing the pin's cgen
+        TextIndex.compactIndex(s, tidx)
+        TextIndex.compactIndex(s, tidx) // 2nd: sweeps past the reader spare
+        TextIndex.vacuumIndex(s, tidx, olderThanMs = 0L)
+        IvfIndex.rebalanceIndex(s, vidx, "vec_id", "embedding",
+          maxListFactor = 1.25)
+        IvfIndex.compactLists(s, vidx, "vec_id")
+        IvfIndex.vacuumIndex(s, vidx, olderThanMs = 0L)
+        val after = capture()
+        fused().withColumn("fused_stable", lit(before == after))
+          .orderBy("probe_id", "rank")
+      }
     }),
 
     // RIGHT-TO-BE-FORGOTTEN across the whole stack — the GDPR erasure
@@ -4653,6 +4772,53 @@ object LlmPipeline {
          |WHERE h.rank <= 5
          |ORDER BY h.probe_id, h.rank""".stripMargin,
 
+    // the q_sql_hybrid replay over the PIN-TIME corpus (both legs
+    // minus the pre-pin %17 deletes); the post-pin index mutations
+    // must be invisible to the pinned TVF relation
+    "q_sql_hybrid_asof" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS toks
+         |  FROM documents WHERE doc_id % 17 <> 3),
+         |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |bm_scores AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln((st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM tf, dfs, st WHERE tf.w = dfs.w GROUP BY tf.doc_id),
+         |bm AS (SELECT doc_id, trank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
+         |  FROM bm_scores) WHERE trank <= 50),
+         |vr AS (SELECT probe_id, neighbor_id, vrank FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS vrank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         |    AND c.vec_id % 17 <> 3) WHERE vrank <= 50),
+         |contrib AS (
+         |  SELECT probes.probe_id, bm.doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + bm.trank AS DOUBLE) AS c
+         |  FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5) probes, bm
+         |  UNION ALL
+         |  SELECT probe_id, neighbor_id AS doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + vrank AS DOUBLE) AS c FROM vr),
+         |fused AS (SELECT probe_id, doc_id, sum(c) AS rrf FROM contrib GROUP BY 1, 2),
+         |hybrid AS (
+         |  SELECT probe_id, rank, doc_id, rrf FROM (
+         |    SELECT probe_id, doc_id, rrf,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
+         |    FROM fused))
+         |SELECT h.probe_id, h.rank, h.doc_id, h.rrf, dd.source
+         |FROM hybrid h JOIN documents dd ON h.doc_id = dd.doc_id
+         |WHERE h.rank <= 5
+         |ORDER BY h.probe_id, h.rank""".stripMargin,
+
     "q_text_bm25" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -6214,6 +6380,50 @@ object LlmPipeline {
         |FROM tf, df, s WHERE tf.w = df.w
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the q_hybrid_search_rrf replay over the PIN-TIME corpus: both
+    // legs recomputed from documents/embeddings minus the pre-pin %17
+    // deletes — post-pin mutation and all layout maintenance on both
+    // indexes must be invisible to the fused pinned ranking
+    "q_hybrid_asof" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\W+'), t -> len(t) > 0) AS toks
+         |  FROM documents WHERE doc_id % 17 <> 3),
+         |l AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM l),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM l),
+         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE w IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         |bm_scores AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln((st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+         |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+         |  FROM tf, dfs, st WHERE tf.w = dfs.w GROUP BY tf.doc_id),
+         |bm AS (SELECT doc_id, trank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
+         |  FROM bm_scores) WHERE trank <= 50),
+         |vr AS (SELECT probe_id, neighbor_id, vrank FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${duckCos("p.embedding", "c.embedding")} DESC, c.vec_id ASC) AS vrank
+         |  FROM embeddings p, embeddings c
+         |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         |    AND c.vec_id % 17 <> 3) WHERE vrank <= 50),
+         |contrib AS (
+         |  SELECT probes.probe_id, bm.doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + bm.trank AS DOUBLE) AS c
+         |  FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5) probes, bm
+         |  UNION ALL
+         |  SELECT probe_id, neighbor_id AS doc_id,
+         |    CAST(1 AS DOUBLE) / CAST(60 + vrank AS DOUBLE) AS c FROM vr),
+         |fused AS (SELECT probe_id, doc_id, sum(c) AS rrf FROM contrib GROUP BY 1, 2)
+         |SELECT probe_id, rank, doc_id, rrf, TRUE AS fused_stable FROM (
+         |  SELECT probe_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
     // the pin-time state recomputed corpus-side: the pinned corpus is
     // documents ∩ embeddings minus the pre-pin %17 deletes; post-pin

@@ -56,6 +56,25 @@ class BpeSpec extends SparkSuite {
         .head.getAs[scala.collection.Seq[String]]("r").toSeq
       assert(got === ref(syms, a, b), s"applyMerge($syms, $a, $b)")
     }
+    // null elements: pass through untouched, and the OUTPUT schema
+    // mirrors the child's element nullability — an unconditional
+    // containsNull=false would promise codegen consumers a null-free
+    // array this very row violates
+    val nullDf = Seq(Seq("a", null, "a", "b", null)).toDF("syms")
+      .select(graft.operators.Bpe.applyMerge(col("syms"), "a", "b").as("r"))
+    val rType = nullDf.schema("r").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(rType.containsNull, "nullable input elements must stay declared")
+    assert(nullDf.head.getAs[scala.collection.Seq[String]]("r").toSeq ===
+      Seq("a", null, "ab", null))
+    // and a null-free input (array() of literals) keeps the tight
+    // containsNull=false schema
+    val tight = spark.range(1)
+      .select(graft.operators.Bpe.applyMerge(
+        array(lit("a"), lit("b")), "a", "b").as("r"))
+      .schema("r").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(!tight.containsNull)
+
     // the carried watch item: a no-delimiter 512-char token — one word
     // whose symbol array is corpus-length; the O(len) kernel rewrites
     // it without the quadratic accumulator copy, and the training loop

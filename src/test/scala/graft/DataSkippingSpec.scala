@@ -351,4 +351,26 @@ class DataSkippingSpec extends SparkSuite {
     assert(speedup >= 2.0,
       f"parallel footer build only ${speedup}%.1fx faster than sequential")
   }
+
+  test("pooled footer build surfaces the worker's own exception, not the pool wrapper") {
+    val out = Tables.scratch("skipscan_corrupt")
+    (1 to 100).map(i => (i.toLong, i * 2L)).toDF("k", "w")
+      .repartition(8).write.mode("overwrite").parquet(out)
+    // corrupt ONE data file, named to sort after the clean ones so the
+    // schema probe (files.head) still succeeds and the failure lands
+    // inside the pooled per-file reads
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bad = new org.apache.hadoop.fs.Path(out, "zzz-corrupt.parquet")
+    val os = fs.create(bad, true)
+    os.write("not a parquet file".getBytes("UTF-8")); os.close()
+    val e = intercept[Exception] {
+      DataSkipping.footerStats(spark, out, Seq("k", "w"), parallelism = 16)
+    }
+    // the serial path's contract: callers see the reader's raw
+    // exception type (an IOException/RuntimeException), never the
+    // pool's ExecutionException wrapper
+    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException],
+      s"pool wrapper leaked: ${e.getClass.getName}")
+  }
 }

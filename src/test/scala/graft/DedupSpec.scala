@@ -301,6 +301,14 @@ class DedupSpec extends SparkSuite {
     assert(pcaN >= 27, s"PCA-conditioned recall too low: $pcaN/30")
     assert(pcaN >= rawN - 2,
       s"conditioning lost recall vs raw space: $pcaN vs $rawN")
+    // pcaK past the embedding dimension clamps to d (components
+    // deflated past d are numerical residue, not blocking signal):
+    // the run must behave exactly like the k = d run
+    val clampedN = audit(Dedup.semanticDedupPca(corpus, "vec_id", "embedding",
+      threshold = 0.99, nClusters = 8, pcaK = 64).collect())
+    val atD = audit(Dedup.semanticDedupPca(corpus, "vec_id", "embedding",
+      threshold = 0.99, nClusters = 8, pcaK = 32).collect())
+    assert(clampedN === atD, s"pcaK>d run diverged from k=d: $clampedN vs $atD")
   }
 
   test("approx aggregates are within tolerance of exact (SURVEY §5.2.2)") {
@@ -1389,6 +1397,70 @@ class DedupSpec extends SparkSuite {
     if (tied.nonEmpty) {
       val gotTied = got.filter(g => tied.exists(_._1 == g._1)).map(_._1)
       assert(gotTied == gotTied.sorted, s"tie order not by doc id: $gotTied")
+    }
+  }
+
+  test("pinned hybrid fusion: rrfTopKAsOf equals the pin-time live ranking and survives mutation + maintenance on both indexes") {
+    import graft.operators.IndexEpoch
+    val docs = (0L to 7L).map { i =>
+      val lex = if (i <= 3) ("hash " * (4 - i).toInt) + "merge filler"
+                else "plain filler text"
+      (i, lex)
+    }.toDF("doc_id", "text")
+    val vecs = (0L to 7L).map { i =>
+      val x = if (i >= 4) 1.0f else 0.1f * i
+      (i, Array(x, 1.0f - x, 0.3f))
+    }.toDF("vec_id", "embedding")
+    val tidx = Tables.scratch("hybrid_asof_spec_tidx")
+    val vidx = Tables.scratch("hybrid_asof_spec_vidx")
+    val root = Tables.scratch("hybrid_asof_spec_root")
+    TextIndex.buildIndex(docs, "doc_id", "text", tidx)
+    IvfIndex.buildIndex(vecs, "vec_id", "embedding", nCentroids = 2, path = vidx)
+    val probes = vecs.filter(col("vec_id") === 0L)
+    val tPin = TextIndex.exportManifest(spark, tidx)
+    val vPin = IvfIndex.exportPin(spark, vidx)
+    IndexEpoch.publish(spark, root, tPin, vPin)
+    def pinned() = HybridSearch.rrfTopKAsOf(spark, tidx, vidx, probes,
+        Seq("hash", "merge"), "vec_id", "embedding", n = 4, k = 8,
+        nProbes = 2, tPin, vPin)
+      .orderBy("rank").select("doc_id", "rrf").as[(Long, Double)]
+      .collect().toSeq
+    // at pin time the pinned read IS the live read
+    val (assigned, centroids) = IvfIndex.loadIndex(spark, vidx)
+    val live0 = HybridSearch.rrfTopK(spark, tidx, assigned, centroids,
+        probes, Seq("hash", "merge"), "vec_id", "embedding",
+        n = 4, k = 8, nProbes = 2)
+      .orderBy("rank").select("doc_id", "rrf").as[(Long, Double)]
+      .collect().toSeq
+    val before = pinned()
+    assert(before === live0, "pinned and live diverge at pin time")
+    IndexEpoch.withRegisteredRoot(spark, root) {
+      // mutate BOTH modalities: retract the strongest lexical doc,
+      // retract a vector-leg member, append a stronger doc on each
+      // side — then full layout maintenance under enforced retention
+      TextIndex.deleteDocs(Seq(0L).toDF("doc_id"), "doc_id", tidx)
+      TextIndex.appendDocs(
+        Seq((50L, "hash hash hash hash hash merge")).toDF("doc_id", "text"),
+        "doc_id", "text", tidx)
+      IvfIndex.deleteFromIndex(Seq(7L).toDF("vec_id"), "vec_id", vidx)
+      IvfIndex.appendToIndex(
+        Seq((51L, Array(0.05f, 0.95f, 0.3f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", vidx)
+      TextIndex.compactIndex(spark, tidx)
+      TextIndex.compactIndex(spark, tidx) // 2nd: past the reader spare
+      TextIndex.vacuumIndex(spark, tidx, olderThanMs = 0L)
+      IvfIndex.compactLists(spark, vidx, "vec_id")
+      IvfIndex.vacuumIndex(spark, vidx, olderThanMs = 0L)
+      assert(pinned() === before,
+        "pinned fused ranking moved under post-pin mutation + maintenance")
+      // the drill is non-vacuous: the LIVE fused ranking did move
+      val (a2, c2) = IvfIndex.loadLive(spark, vidx, "vec_id")
+      val live2 = HybridSearch.rrfTopK(spark, tidx, a2, c2, probes,
+          Seq("hash", "merge"), "vec_id", "embedding",
+          n = 4, k = 8, nProbes = 2)
+        .orderBy("rank").select("doc_id", "rrf").as[(Long, Double)]
+        .collect().toSeq
+      assert(live2 !== before, "mutation failed to change the live ranking")
     }
   }
 

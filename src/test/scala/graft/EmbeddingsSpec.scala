@@ -245,4 +245,54 @@ class EmbeddingsSpec extends SparkSuite {
         s"escalated run diverged from brute force: got ${gotPairs.size}, want ${brute.size}")
     } finally spark.conf.unset("graft.blocked.dedup.cap")
   }
+
+  test("joint ball stays exact on a near-degenerate spectrum with threshold-boundary pairs (ortho inflation)") {
+    // isotropic cloud: all eigenvalues near-equal, so the fixed-
+    // iteration power solve is NOT guaranteed pairwise-orthogonal
+    // components (λi/λj ≈ 1 stalls deflation separation) — the regime
+    // where an un-inflated Σ Δpc² ≤ R² ball could silently drop a
+    // TRUE pair sitting at the threshold boundary. Pairs are planted
+    // at cos = τ + 1e-4..9e-4, as close to the cut as float inputs
+    // keep stable, and the whole result must still equal brute force.
+    val d = 32
+    val tau = 0.95
+    val rnd = new scala.util.Random(97)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nm)
+    }
+    val base = (0L until 400L).map(i =>
+      (i, unit(Array.fill(d)(rnd.nextDouble() - 0.5))))
+    val boundary = base.filter(_._1 % 8 == 0).map { case (i, u) =>
+      val cosT = tau + 1e-4 * ((i % 9) + 1)
+      val w0 = Array.fill(d)(rnd.nextDouble() - 0.5)
+      val du = w0.zip(u).map { case (a, b) => a * b }.sum
+      val w = unit(w0.zip(u).map { case (a, b) => a - du * b })
+      val sinT = math.sqrt(1.0 - cosT * cosT)
+      (2000L + i, u.zip(w).map { case (a, b) => cosT * a + sinT * b })
+    }
+    val emb = (base ++ boundary)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val got = Embeddings.exactNearDupsBlocked(emb, "vec_id", "embedding", tau)
+      .collect()
+    val gotPairs = got.map(r =>
+      (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b"))).sorted.toSeq
+    val n = emb.count().toInt
+    val brute = SimilaritySearch.bruteForceTopK(emb, emb, "vec_id",
+        "embedding", k = n - 1)
+      .filter(col("cos") >= tau)
+      .select(least(col("probe_id"), col("neighbor_id")).as("a"),
+        greatest(col("probe_id"), col("neighbor_id")).as("b"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotPairs === brute,
+      s"boundary-pair run diverged from brute force: got ${gotPairs.size}, want ${brute.size}")
+    // the float quantization of the planted vectors can push an
+    // individual pair a hair under τ — brute force is the arbiter —
+    // but the bulk of the planted set must have survived at the
+    // boundary, or the fixture stopped testing anything
+    assert(brute.count(_._2 >= 2000L) > boundary.size / 2,
+      "fixture degenerated: boundary pairs fell below the threshold")
+  }
 }

@@ -198,4 +198,22 @@ class IndexEpochSpec extends SparkSuite {
     assert(IndexEpoch.current(spark, root)
       .contains((2, Seq("fmt=5", "seq=2"), Seq("seq=1"))))
   }
+
+  test("withRegisteredRoot appends to pre-registered deployment roots and restores on exit — including absence") {
+    spark.conf.set("graft.epoch.roots", "/deploy/stackA")
+    try {
+      IndexEpoch.withRegisteredRoot(spark, "/scoped/r1") {
+        // a scoped registration must not un-register the deployment's
+        // stacks (clobbering would let concurrent maintenance reclaim
+        // their pinned generations mid-query)
+        assert(spark.conf.get("graft.epoch.roots") ===
+          "/deploy/stackA,/scoped/r1")
+      }
+      assert(spark.conf.get("graft.epoch.roots") === "/deploy/stackA")
+    } finally spark.conf.unset("graft.epoch.roots")
+    IndexEpoch.withRegisteredRoot(spark, "/scoped/r2") {
+      assert(spark.conf.get("graft.epoch.roots") === "/scoped/r2")
+    }
+    assert(spark.conf.getOption("graft.epoch.roots").isEmpty)
+  }
 }
