@@ -26,6 +26,23 @@ object Baseline {
 
   /** Stock-Spark re-expressions of custom-kernel queries. */
   val controls: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q_window_range_frame control: the NAIVE range-frame window over
+    // the raw rows — one n/3-row window partition per returnflag, frame
+    // state O(rows-in-frame). The graft side pre-aggregates to the
+    // (flag, quantity) frame granularity so its window is domain-sized;
+    // this pair measures what that rewrite saves at equal output.
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").asc)
+        .rangeBetween(-5L, 0L)
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          count(lit(1)).over(w).as("n_within_5"),
+          sum("l_quantity").over(w).as("qty_within_5"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    }),
+
     // q_sim_topk control: cosine via higher-order functions instead of
     // the codegen'd CosineSim expression.
     "q_sim_topk" -> ((s, dir) => {

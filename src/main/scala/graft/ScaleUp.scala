@@ -36,7 +36,63 @@ object ScaleUp {
   private def offsetBy(df: DataFrame, col0: String, step: Long, i: Int): DataFrame =
     df.withColumn(col0, col(col0) + lit(step * i))
 
+  /** `widen` mode: a PRODUCTION-DIMENSION embeddings fixture — the
+    * base table's d=64 vectors lifted to `dOut` dims (optionally
+    * replicated `factor`×), for measuring dimension-sensitive pairs
+    * (the semantic-dedup PCA-conditioning claim is d-arithmetic; both
+    * of its fixture points were d=64). Construction: output dim j
+    * reads input dim (37j+11) mod d_in (a unit-stride-free mixing so
+    * the widened covariance isn't block-diagonal), scaled by a
+    * 1/(1+j/32) decay (production embedding spectra decay; a flat
+    * tile would make every direction equally informative, flattering
+    * PCA), plus deterministic per-(vec_id, j) noise of ±0.03 — wide
+    * enough that replicas of one base vector sit at cosine ≈ 0.92,
+    * clearly OUTSIDE a 0.99 dedup threshold (the main-mode rule:
+    * replicas must not be near-dups of each other, or the fixture
+    * inflates candidate pairs and measures the data, not the engine),
+    * while the queries' own planted clones (±0.005 on top) stay
+    * clearly inside it (cos ≈ 0.998). Signal rank stays d_in; the
+    * noise floor makes the tail eigenvalues nonzero, which is exactly
+    * the production shape the top-k subspace claim is about.
+    *
+    * Usage: scripts/run.sh graft.ScaleUp widen <baseDir> <outDir> <dOut> [factor]
+    */
+  private def widen(spark: SparkSession, baseDir: String, outDir: String,
+      dOut: Int, factor: Int): Unit = {
+    val emb = spark.read.parquet(Tables.path(baseDir, "embeddings"))
+    val dIn = emb.select(col("embedding")).limit(1).collect()
+      .head.getSeq[Any](0).length
+    val vecStep = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val widened = (0 until factor).map { i =>
+      offsetBy(emb, "vec_id", vecStep, i)
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dOut - 1)), j =>
+            (element_at(col("embedding"), pmod(j * 37 + 11, lit(dIn)) + 1)
+                .cast("double") / (lit(1.0) + j.cast("double") / lit(32.0))
+              + (pmod(hash(col("vec_id"), j, lit(7919)), lit(1000)) - 500)
+                .cast("double") * 0.00006).cast("float")))
+    }.reduce(_ unionByName _)
+    widened.write.mode(SaveMode.Overwrite)
+      .parquet(Tables.path(outDir, "embeddings"))
+    println(s"[scaleup] embeddings widened d=$dIn -> d=$dOut x$factor " +
+      s"-> ${Tables.path(outDir, "embeddings")}")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("widen")) {
+      val Array(_, baseDir, outDir, dS) = args.take(4)
+      val factor = args.lift(4).map(_.toInt).getOrElse(1)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      widen(spark, baseDir, outDir, dS.toInt, factor)
+      spark.stop(); sys.exit(0)
+    }
     val Array(baseDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

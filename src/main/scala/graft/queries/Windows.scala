@@ -69,15 +69,42 @@ object Windows {
     }),
 
     // RANGE frame on a numeric order key: peers within a value band.
+    //
+    // NOT the naive window over the raw rows — that form is a scale
+    // trap on both axes: l_returnflag has 3 values, so each window
+    // partition is n/3 rows sorted and scanned by ONE task, and the
+    // frame's aggregation state is O(rows-in-frame) where
+    // rows-in-frame grows with the corpus (every quantity's tie group
+    // is corpus-sized/|domain|) — the round-18 sf1 sweep clocked it at
+    // 4.8x for 10x data. The saving fact: a RANGE frame's membership
+    // depends only on the row's ORDER-KEY VALUE, so when every frame
+    // aggregate is a function of the order key alone (count(*),
+    // sum(order key) here), all rows sharing (flag, quantity) share
+    // one identical frame and one identical answer. So: pre-aggregate
+    // to that granularity (parallel hash agg), run the window over the
+    // DISTINCT values — ≤ |value domain| rows per flag (50 here),
+    // bounded by the domain, NOT by data size — and broadcast-join the
+    // per-value answers back. Identical output (the per-value partials
+    // re-sum to the same exact doubles: quantities are integers, sums
+    // stay < 2^53), and the only window left is domain-sized. The
+    // rewrite requires a bounded order-key domain to pay off; on a
+    // continuous key, bucket the key first or accept the naive form's
+    // per-key bound. Control pair: the naive window (Baseline).
     "q_window_range_frame" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perVal = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("__cnt"), sum("l_quantity").as("__qty"))
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_quantity").asc)
         .rangeBetween(-5L, 0L)
-      t(s, dir, "lineitem")
+      val frames = perVal.select(col("l_returnflag"), col("l_quantity"),
+        sum("__cnt").over(w).as("n_within_5"),
+        sum("__qty").over(w).as("qty_within_5"))
+      li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .join(broadcast(frames), Seq("l_returnflag", "l_quantity"))
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
-          count(lit(1)).over(w).as("n_within_5"),
-          sum("l_quantity").over(w).as("qty_within_5"))
+          col("n_within_5"), col("qty_within_5"))
         // (l_orderkey, l_linenumber) is NOT unique in this data — order
         // by every projected dimension so ties are identical rows
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")

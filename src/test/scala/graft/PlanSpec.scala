@@ -319,6 +319,22 @@ class PlanSpec extends SparkSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("range-frame window runs at frame granularity and matches the naive form row for row") {
+    val got = SparkEntry.queries("q_window_range_frame")(spark, sf)
+    // the per-value frame table joins back as a broadcast — the only
+    // window in the plan is domain-sized (≤ |quantity domain| rows per
+    // flag), never a corpus-sized single-task partition
+    val plan = planOf(got)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // exactness of the rewrite: frame membership depends only on the
+    // order-key value, so per-(flag, quantity) answers reproduce the
+    // naive window's output exactly (the Baseline control)
+    val naive = Baseline.controls("q_window_range_frame")(spark, sf)
+    assert(got.schema.map(f => (f.name, f.dataType)) ===
+      naive.schema.map(f => (f.name, f.dataType)))
+    assert(got.collect().toSeq === naive.collect().toSeq)
+  }
+
   test("q1 aggregation is a two-phase hash aggregate") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
     assert(plan.contains("HashAggregate"), plan.take(2000))
@@ -1099,7 +1115,7 @@ class PlanSpec extends SparkSuite {
       "q_sim_bitext_mining", "q_sim_bitext_recall",
       "q_sim_filtered_ann", "q_sim_range_search",
       "q_sql_ann", "q_sql_hybrid", "q_hybrid_search_rrf", "q_hybrid_cdc",
-      "q_epoch_retention",
+      "q_epoch_retention", "q_hybrid_asof", "q_sql_hybrid_asof",
       "q_forget", "q_stream_dedup_ingest", "q_stream_ivf_ingest",
       "q_stream_ivf_autorepair", "q_stream_decontaminate")
     val b9 = (graft.queries.LlmPipeline.queries.keys.toSeq ++
