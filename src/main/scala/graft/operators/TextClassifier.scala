@@ -148,6 +148,16 @@ object TextClassifier {
       .agg(count(lit(1)).cast("double").as("cnt"))
       .unionByName(docs.select(col(idCol).as("did"),
         label.cast("double").as("y"), lit(-1).as("f"), lit(1.0).as("cnt")))
+      // NOT pre-partitioned by did: localCheckpoint preserves
+      // outputPartitioning, and a did-partitioned checkpoint does make
+      // every step's per-doc aggregate and residual join exchange-free —
+      // but removing the exchange also removes the shuffle stats AQE
+      // needs to convert the per-step residual join to a runtime
+      // broadcast, pinning it as a SortMergeJoin that re-sorts the
+      // feature table every step. Measured (sf0.1, isolated):
+      // filter 8.46→9.38, minibatch 9.84→11.21, score 6.62→8.14 —
+      // reverted. On a corpus where the residual cannot broadcast the
+      // balance flips; that layout choice belongs to the deployment.
       .localCheckpoint()
     val w = scala.collection.mutable.Map[Int, Double](
       ((-1 +: vocab.indices.toArray).map(_ -> 0.0)): _*)

@@ -1574,9 +1574,19 @@ object LlmPipeline {
           "doc_id", "text", tidx)
         TextIndex.compactIndex(s, tidx)
         TextIndex.compactIndex(s, tidx) // 2nd: sweeps past the reader spare
-        val after = ranked().collect()
+        // the post-maintenance pinned ranking is BOTH the stability
+        // probe and the deliverable — materialize it ONCE (the
+        // q_text_index_compact rule; a second bm25AsOf run re-prices
+        // the whole pruned-postings + df + heap-cut plan)
+        val afterDir = Tables.scratch("bm25_asof_after")
+        ranked().write.mode("overwrite").parquet(afterDir)
+        val afterDf = s.read.parquet(afterDir)
+        // re-apply bm25AsOf's emit order: parquet read-back order is
+        // not contractual, and the stability capture compares sequences
+        val after = afterDf.orderBy(col("score").desc, col("doc_id").asc)
+          .collect()
           .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
-        ranked().withColumn("ranking_stable", lit(before == after))
+        afterDf.withColumn("ranking_stable", lit(before == after))
           .orderBy(col("score").desc, col("doc_id").asc)
       }
     }),
@@ -1651,8 +1661,19 @@ object LlmPipeline {
           maxListFactor = 1.25)
         IvfIndex.compactLists(s, vidx, "vec_id")
         IvfIndex.vacuumIndex(s, vidx, olderThanMs = 0L)
-        val after = capture()
-        fused().withColumn("fused_stable", lit(before == after))
+        // the post-maintenance fused ranking is BOTH the stability
+        // probe and the deliverable — materialize it ONCE (the
+        // q_text_index_compact rule; a third rrfTopKAsOf run re-prices
+        // both pinned legs and the fusion)
+        val afterDir = Tables.scratch("hybrid_asof_after")
+        fused().write.mode("overwrite").parquet(afterDir)
+        val afterDf = s.read.parquet(afterDir)
+        // re-apply fused()'s emit order: parquet read-back order is
+        // not contractual, and the stability capture compares sequences
+        val after = afterDf.orderBy("probe_id", "rank").collect().map(r =>
+          (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+            r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+        afterDf.withColumn("fused_stable", lit(before == after))
           .orderBy("probe_id", "rank")
       }
     }),
