@@ -98,13 +98,24 @@ object SimilaritySearch {
     }
     val c = bucketed(corpus, "neighbor_id", "neighbor_vec", flips = 0)
     val p = bucketed(probes, "probe_id", "probe_vec", flips = nFlips)
+    // score BEFORE the pair dedup (the Dedup.embeddingNearDups rule):
+    // cosine is identical across a pair's duplicate (table, bucket)
+    // hits, so deduping the scored narrow rows keeps the result
+    // bit-identical while the dedup exchange carries (ids, cos) — 3
+    // flat columns through a codegen'd HashAggregate — instead of two
+    // d-wide vectors through first(array) SortAggregates (plan before:
+    // Sort + SortAggregate on both sides of the pair exchange with the
+    // vectors in the shuffle; the re-scored duplicate hits are ≤
+    // nTables× flops on candidate rows only, cheap next to shuffling
+    // and sorting the payload at any d)
     val cands = c.join(broadcast(p), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cos", cosine_sim(col("probe_vec"), col("neighbor_vec")))
+      .select("probe_id", "neighbor_id", "cos")
+      .dropDuplicates("probe_id", "neighbor_id")
     // bounded-heap cut: a hot probe (or a skewed bucket) never piles
     // its whole candidate set into one window-sort task
-    heapTopK(cands.select("probe_id", "neighbor_id", "cos"), "cos", k)
+    heapTopK(cands, "cos", k)
   }
 
   /** Two-stage quantized re-rank: a coarse pass scores EVERY corpus
@@ -232,7 +243,12 @@ object SimilaritySearch {
       marginThreshold: Double): DataFrame = {
     val srcRows = srcAssigned.select(col(idCol), col(vecCol))
     val tgtRows = tgtAssigned.select(col(idCol), col(vecCol))
-    // src → tgt: every src vector probes the tgt index (and vice versa)
+    // src → tgt: every src vector probes the tgt index (and vice versa).
+    // Each direction's kNN feeds two consumers (knn-average + mutual
+    // join); NOT checkpointed — AQE's exchange reuse already computes
+    // the shared heap-cut shuffle once at runtime (measured: adding
+    // localCheckpoint here read 4.75 s vs 4.01 s pristine at sf0.1 —
+    // the eager materialization costs more than the reuse it replaces).
     val fwd = IvfIndex.knnJoin(tgtAssigned, tgtCentroids, srcRows,
       idCol, vecCol, k, nProbes)
     val rev = IvfIndex.knnJoin(srcAssigned, srcCentroids, tgtRows,
