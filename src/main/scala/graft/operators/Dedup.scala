@@ -563,6 +563,17 @@ object Dedup {
     * compared, never what a duplicate means — so precision is exact by
     * construction and only recall (cluster-boundary splits) can move.
     * Output contract identical to [[semanticDedup]].
+    *
+    * ADVISORY (round-19 measured): the wall-clock claim does NOT hold
+    * on this workload shape at any measured dimension — paired against
+    * the raw-space form the ratio is 1.45 at d=64, 1.79 at d=256 and
+    * 3.31 at d=768 (n≈85k, k=16). The O(n·d²/2) moment pass grows
+    * QUADRATICALLY in d while the assign arithmetic it saves is only
+    * O(n·iters·k·d) — linear — so widening d moves the pair AWAY from
+    * parity, not toward it. Use the verb for its conditioning/recall
+    * properties, or when the moment pass amortizes across many dedup
+    * runs over one corpus, or at iters·k ≫ d/2 (many clusters); for
+    * one-shot wall-clock, [[semanticDedup]] wins at every d measured.
     */
   def semanticDedupPca(
       df: DataFrame, idCol: String, vecCol: String,
