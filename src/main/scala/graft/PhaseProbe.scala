@@ -4,7 +4,14 @@ import graft.operators.{HybridSearch, IndexEpoch, IvfIndex, TextIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY round-19 probe: phase timings inside q_hybrid_asof. */
+/** Phase timings INSIDE the pinned-hybrid drill (q_hybrid_asof) — the
+  * [[ScaleProbe]] discipline applied to the round-19 top-of-bill query:
+  * the per-query Bench can say the drill costs ~14 s but not which of
+  * its 12 maintenance verbs the seconds sit in. Two rounds (cold, then
+  * warm) so JIT/codegen effects are visible instead of folded in.
+  *
+  * Usage: scripts/run.sh graft.PhaseProbe [sfDir]
+  */
 object PhaseProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -247,6 +247,44 @@ class DedupSpec extends SparkSuite {
       s"2-table multi-probe recall $multi below 4-table single-probe $fourTables")
   }
 
+  test("lsh ann: score-then-dedup keeps pairs exact and the payload off the shuffle") {
+    // round-19 rewrite: candidates are scored BEFORE the (probe,
+    // neighbor) dedup, so duplicate (table, bucket) hits collapse over
+    // narrow (ids, cos) rows instead of carrying the vectors through a
+    // first(array) SortAggregate. Fixture: identical vectors collide in
+    // EVERY table, guaranteeing multi-hit duplicate pairs.
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val withDups = base ++ base.take(5).map { case (i, v) => (100L + i, v.clone) }
+    val corpus = withDups.toDF("vec_id", "embedding")
+    val probeDf = corpus.filter(col("vec_id") >= 100L)
+    val ann = SimilaritySearch.lshTopK(corpus, probeDf, "vec_id", "embedding",
+      k = 3, nBits = 4, nTables = 6)
+    val rows = ann.select("probe_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    // exactly one row per returned pair (the dedup is real)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // every returned score equals the exact cosine of that pair — the
+    // per-duplicate re-scoring introduced by the rewrite changes nothing
+    val vecs = withDups.toMap
+    rows.foreach { case (p, n, cos) =>
+      val (a, b) = (vecs(p), vecs(n))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exact = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+      assert(math.abs(cos - exact) < 1e-6, s"pair ($p,$n): $cos vs $exact")
+    }
+    // each probe's top hit is its planted identical twin at cos ≈ 1
+    val top1 = rows.filter(_._2 >= 0).groupBy(_._1).map { case (p, rs) =>
+      p -> rs.minBy(r => -r._3) }
+    (0L until 5L).foreach { i =>
+      assert(top1(100L + i)._2 == i, s"probe ${100 + i} top hit not its twin") }
+    // structural claim: no sort-based aggregate anywhere in the plan
+    val sortAggs = ann.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s }
+    assert(sortAggs.isEmpty, "pair dedup fell back to SortAggregate")
+  }
+
   test("semantic dedup removes planted near-identical vectors, keeps the rest") {
     // 300 random corpus vectors + 30 jittered clones (cos ≥ 0.9999 to
     // their sources). SemDeDup must remove (almost all of) the clones —
