@@ -711,7 +711,16 @@ object IvfIndex {
           case None => base.withColumn("del_seq", lit(null).cast("long"))
         }
         var keepCond = col("del_seq").isNull // not dead to live readers
-        pins.zipWithIndex.foreach { case ((pseq, ptombs, _), j) =>
+        // a pinned tombstone file that no longer EXISTS is a no-op —
+        // the livePins over-retention contract: a pin can outlive its
+        // index incarnation (a rebuild clears the sidecar while an old
+        // epoch still names its files; a sibling stack can share the
+        // conf), and reading a dangling name would abort the whole
+        // compaction instead of simply not masking for that pin
+        val tombFs = fsOf(spark, path)
+        pins.zipWithIndex.foreach { case ((pseq, ptombs0, _), j) =>
+          val ptombs = ptombs0.filter(n =>
+            tombFs.exists(new Path(s"$path/$TombstonesDir/$n")))
           val visibleToPin =
             if (ptombs.isEmpty) col("ingest_seq") <= lit(pseq)
             else {

@@ -988,6 +988,15 @@ object LlmPipeline {
       val vidx = Tables.scratch("hybrid_sqlasof_vidx")
       val probes = Tables.scratch("hybrid_sqlasof_probes")
       val root = Tables.scratch("hybrid_sqlasof_root")
+      // fresh epoch root per run: scratch paths are per-JVM-stable, so
+      // a prior run of this query in the SAME JVM (bench warm-up pass,
+      // min-of-2 retime) leaves live epochs pinning files the rebuilt
+      // indexes no longer hold — the maintenance verbs would then
+      // over-retain against a dead incarnation's pins (and the drill
+      // would no longer measure a single-epoch stack)
+      val __rootP = new org.apache.hadoop.fs.Path(root)
+      __rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(__rootP, true): Unit
       TextIndex.buildIndex(docs, "doc_id", "text", tidx)
       IvfIndex.buildIndex(emb, "vec_id", "embedding",
         nCentroids = 16, path = vidx)
@@ -1473,6 +1482,15 @@ object LlmPipeline {
       val tidx = Tables.scratch("epoch_ret_tidx")
       val vidx = Tables.scratch("epoch_ret_vidx")
       val root = Tables.scratch("epoch_ret_root")
+      // fresh epoch root per run: scratch paths are per-JVM-stable, so
+      // a prior run of this query in the SAME JVM (bench warm-up pass,
+      // min-of-2 retime) leaves live epochs pinning files the rebuilt
+      // indexes no longer hold — the maintenance verbs would then
+      // over-retain against a dead incarnation's pins (and the drill
+      // would no longer measure a single-epoch stack)
+      val __rootP = new org.apache.hadoop.fs.Path(root)
+      __rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(__rootP, true): Unit
       val tChain = inFlight {
         TextIndex.buildIndex(corpus, "doc_id", "text", tidx) }
       val vChain = inFlight {
@@ -1554,6 +1572,15 @@ object LlmPipeline {
       val docs = t(s, dir, "documents")
       val tidx = Tables.scratch("bm25_asof_tidx")
       val root = Tables.scratch("bm25_asof_root")
+      // fresh epoch root per run: scratch paths are per-JVM-stable, so
+      // a prior run of this query in the SAME JVM (bench warm-up pass,
+      // min-of-2 retime) leaves live epochs pinning files the rebuilt
+      // indexes no longer hold — the maintenance verbs would then
+      // over-retain against a dead incarnation's pins (and the drill
+      // would no longer measure a single-epoch stack)
+      val __rootP = new org.apache.hadoop.fs.Path(root)
+      __rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(__rootP, true): Unit
       val terms = Seq("hash", "merge", "vector")
       TextIndex.buildIndex(docs, "doc_id", "text", tidx)
       // pre-pin delete: the pinned corpus is documents minus %17==3,
@@ -1611,6 +1638,15 @@ object LlmPipeline {
       val tidx = Tables.scratch("hybrid_asof_tidx")
       val vidx = Tables.scratch("hybrid_asof_vidx")
       val root = Tables.scratch("hybrid_asof_root")
+      // fresh epoch root per run: scratch paths are per-JVM-stable, so
+      // a prior run of this query in the SAME JVM (bench warm-up pass,
+      // min-of-2 retime) leaves live epochs pinning files the rebuilt
+      // indexes no longer hold — the maintenance verbs would then
+      // over-retain against a dead incarnation's pins (and the drill
+      // would no longer measure a single-epoch stack)
+      val __rootP = new org.apache.hadoop.fs.Path(root)
+      __rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(__rootP, true): Unit
       val terms = Seq("hash", "merge", "vector")
       val probes = emb.filter(col("vec_id") < 5).localCheckpoint()
       val tChain = inFlight {

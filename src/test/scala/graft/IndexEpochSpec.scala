@@ -199,6 +199,39 @@ class IndexEpochSpec extends SparkSuite {
       .contains((2, Seq("fmt=5", "seq=2"), Seq("seq=1"))))
   }
 
+  test("a DANGLING pin (dead incarnation's tombstone files) is a no-op for IVF compaction, not an abort") {
+    // the livePins over-retention contract: a registered epoch can
+    // outlive its index INCARNATION — a rebuild clears the tombstone
+    // sidecar while the old epoch still names its files. Layout
+    // maintenance must treat the dangling names as absent (retain
+    // nothing for them) instead of aborting on the missing read —
+    // the round-19 bench caught exactly this: every warm-up pass left
+    // a stale epoch and the timed q_hybrid_asof run's compactLists
+    // died on PATH_NOT_FOUND.
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f)), (4L, Array(0.2f, 0.8f)))
+      .toDF("doc_id", "embedding")
+    val vidx = Tables.scratch("epoch_dangling_vidx")
+    val root = Tables.scratch("epoch_dangling_root")
+    // incarnation 1: build, delete (tombstone file F), pin F, publish
+    IvfIndex.buildIndex(emb, "doc_id", "embedding", nCentroids = 2, path = vidx)
+    IvfIndex.deleteFromIndex(Seq(2L).toDF("doc_id"), "doc_id", vidx)
+    IndexEpoch.publish(spark, root,
+      Seq("fmt=5"), IvfIndex.exportPin(spark, vidx))
+    // incarnation 2: REBUILD at the same path — clears the sidecar, so
+    // the epoch's tombfile names now dangle — then a fresh delete
+    IvfIndex.buildIndex(emb, "doc_id", "embedding", nCentroids = 2, path = vidx)
+    IvfIndex.deleteFromIndex(Seq(3L).toDF("doc_id"), "doc_id", vidx)
+    IndexEpoch.withRegisteredRoot(spark, root) {
+      // must complete (not throw PATH_NOT_FOUND) and fold the LIVE
+      // tombstone physically
+      IvfIndex.compactLists(spark, vidx, "doc_id")
+    }
+    val liveIds = IvfIndex.loadLive(spark, vidx, "doc_id")._1
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(liveIds === Seq(1L, 2L, 4L), s"post-compaction live rows: $liveIds")
+  }
+
   test("withRegisteredRoot appends to pre-registered deployment roots and restores on exit — including absence") {
     spark.conf.set("graft.epoch.roots", "/deploy/stackA")
     try {
