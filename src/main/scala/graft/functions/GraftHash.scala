@@ -215,6 +215,25 @@ object GraftHash {
   @inline private def elemAt(a: ArrayData, i: Int, isDouble: Boolean): Double =
     if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
 
+  /** Order-preserving bit image of a double: `x < y` (in Spark SQL's
+    * double ordering — NaN greatest, `-0.0 == 0.0`) iff
+    * `doubleSortBits(x) < doubleSortBits(y)` as signed longs. The
+    * standard IEEE-754 sortable-bits map (negatives flip their
+    * magnitude bits), with both zeros collapsed to 0L so the image
+    * respects SQL's `-0.0 == 0.0`, and `doubleToLongBits`' canonical
+    * NaN landing above +Inf exactly as SQL orders it. Lets a
+    * lexicographic (double, id) aggregation ordering pack into one
+    * numeric — the HashAggregate-friendly encoding of a `max_by`
+    * struct ordering (struct-typed aggregation buffers are not
+    * UnsafeRow-mutable, so they demote the whole aggregate to
+    * SortAggregate).
+    */
+  def doubleSortBits(d: Double): Long = {
+    if (d == 0.0) return 0L
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b < 0) b ^ 0x7fffffffffffffffL else b
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = dot(a, b, false, false)
 
   def dot(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {

@@ -212,6 +212,28 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Order-preserving long image of a double ([[GraftHash.doubleSortBits]]):
+    * monotone in Spark SQL's double ordering (NaN greatest, -0.0 == 0.0).
+    * Building block for packing a lexicographic (double, id) aggregation
+    * ordering into one numeric so `max_by`/`min_by` stay hash-aggregatable
+    * (a struct-typed ordering demotes the aggregate to SortAggregate —
+    * struct buffers are not UnsafeRow-mutable).
+    */
+  case class DoubleSortBits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"double_sort_bits expects double, got ${child.dataType.sql}")
+    override def nullSafeEval(v: Any): Any =
+      GraftHash.doubleSortBits(v.asInstanceOf[Double])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftHash.doubleSortBits($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column API (Spark 4: Column no longer wraps Expression; use the
   // classic bridge) ----
   import org.apache.spark.sql.graft.bridge.{toColumn => toCol, toExpression => toExpr}
@@ -229,6 +251,25 @@ object VectorExpressions {
     toCol(HyperplaneProbes(toExpr(v), nBits, table, nFlips))
   def bpe_merge(syms: Column, a: String, b: String): Column =
     toCol(BpeMerge(toExpr(syms), a, b))
+  def double_sort_bits(x: Column): Column = toCol(DoubleSortBits(toExpr(x)))
+
+  /** Pack a lexicographic two-component aggregation ordering into ONE
+    * decimal(38,0): `major * 2^63 + minor`. Monotone in (major, minor)
+    * lexicographic order for any signed-long `major` and `minor` in
+    * [0, 2^63) — |major|·2^63 + minor < 2^126 < 10^38, so the decimal
+    * arithmetic is exact and never overflows. The point: a decimal
+    * ordering keeps `max_by`/`min_by` inside HashAggregate (decimal
+    * aggregation buffers are UnsafeRow-mutable at every precision),
+    * where a struct(major, minor) ordering demotes the whole aggregate
+    * to SortAggregate — a per-task sort of the full input at scale.
+    * Descending minors encode as `lit(Long.MaxValue) - id` (id ≥ 0),
+    * the same comparisons as struct(major, -id). Doubles enter through
+    * [[double_sort_bits]].
+    */
+  def pack_ord(major: Column, minorNonNeg: Column): Column = {
+    val b63 = lit(new java.math.BigDecimal("9223372036854775808")) // 2^63
+    major.cast(DecimalType(38, 0)) * b63 + minorNonNeg.cast(DecimalType(38, 0))
+  }
 
   /** Exact jaccard over token sets, composed from codegen'd built-ins. */
   def jaccard_tokens(a: Column, b: Column): Column = {

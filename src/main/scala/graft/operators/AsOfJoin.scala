@@ -27,7 +27,9 @@ object AsOfJoin {
     * @param leftId   unique left row key (group identity after the join)
     * @param pickCols right columns to carry (null when no match)
     * @param tieBreak right column making the max_by pick deterministic
-    *                 when right timestamps tie
+    *                 when right timestamps tie — a NON-NEGATIVE
+    *                 integral column (it packs into the aggregation
+    *                 ordering's low half, see below)
     */
   def latestBefore(
       left: DataFrame, right: DataFrame,
@@ -35,6 +37,7 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       leftId: String, pickCols: Seq[String],
       tieBreak: String): DataFrame = {
+    import graft.functions.VectorExpressions.pack_ord
     // only (id, key, ts) rides through the fan-out join + aggregate;
     // grouping by every left column would shuffle full-width rows
     // multiplied by the per-key join fan-out. The remaining left columns
@@ -45,7 +48,22 @@ object AsOfJoin {
       right,
       probe(leftKey) === right(rightKey) && right(rightTs) <= probe(leftTs),
       "left_outer")
-    val ord = struct(right(rightTs), right(tieBreak))
+    // the (rightTs, tieBreak) ordering packs into one decimal so every
+    // pick's max_by buffer is UnsafeRow-mutable and the aggregate stays
+    // a HashAggregate — the former struct ordering demoted it to a
+    // SortAggregate, a per-task sort of the full |left|·fanout join
+    // output. Timestamps enter as exact epoch micros; unmatched rows'
+    // all-null ordering keeps returning all-null picks (a matched
+    // group never contains a null-ordering row under left_outer).
+    val tsAsLong = right.schema(rightTs).dataType match {
+      // NTZ routes through an instant cast — exact and monotone under
+      // the engine-wide pinned UTC session zone
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(right(rightTs).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => right(rightTs).cast("long")
+    }
+    val ord = pack_ord(tsAsLong, right(tieBreak))
     val picks = pickCols.map(c => max_by(right(c), ord).as(c))
     val picked = joined.groupBy(probe(leftId)).agg(picks.head, picks.tail: _*)
     left.join(picked, Seq(leftId), "left_outer")

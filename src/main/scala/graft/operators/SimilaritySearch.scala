@@ -225,16 +225,31 @@ object SimilaritySearch {
     * best-margin tgt survives (the paper's "max" strategy; ties →
     * lowest tgt id).
     *
-    * Scale shape: both directions are [[IvfIndex.knnJoin]]s — shuffle
+    * Scale shape: with pruned probing (nProbes < nLists, the corpus-
+    * scale recall/cost knob, auditable with q_sim_recall_curve's
+    * machinery) both directions are [[IvfIndex.knnJoin]]s — shuffle
     * joins on the pruned list id with bounded-heap cuts (probe tables
     * here are corpus-sized, so searchTopK's broadcast would be fatal);
     * the per-vector kNN averages are partial aggregates over k rows
     * each; the mutual check and both average attachments are keyed
     * hash joins on pair/vector ids, O(n·k) rows end to end. No window,
-    * no cartesian. With exhaustive probing (verify scale) the result
-    * is exact → brute-force DuckDB oracle; at corpus scale nProbes <
-    * nLists is the documented recall/cost knob, auditable with
-    * q_sim_recall_curve's machinery.
+    * no cartesian.
+    *
+    * With EXHAUSTIVE probing (nProbes ≥ both sides' list counts — the
+    * verify-scale operating point, where the result is exact → brute-
+    * force DuckDB oracle) the two knnJoins would score the SAME
+    * |src|×|tgt| pair set twice (cosine is bit-for-bit symmetric:
+    * every kernel accumulation is a commutative multiply), through an
+    * equi-join whose only key is the list id — nLists distinct values,
+    * so at scale nLists tasks carry the whole O(n²) candidate volume
+    * no matter how many cores exist. The exhaustive branch instead
+    * scores each cross pair ONCE through a deterministic R×R block
+    * join (pmod(xxhash64(id), R) blocks; R² keys spread the pair
+    * volume over the full task grid, guide §2.5's many-keys rule) and
+    * emits each scored pair in both probe roles (a 2-element inline —
+    * one pass, no dual consumer of the n² subtree), so both
+    * directions' bounded-heap cuts aggregate one stream: half the
+    * cosine flops and full-width parallelism, bit-identical results.
     */
   def marginMutualKnn(
       srcAssigned: DataFrame, srcCentroids: DataFrame,
@@ -243,16 +258,29 @@ object SimilaritySearch {
       marginThreshold: Double): DataFrame = {
     val srcRows = srcAssigned.select(col(idCol), col(vecCol))
     val tgtRows = tgtAssigned.select(col(idCol), col(vecCol))
-    // src → tgt: every src vector probes the tgt index (and vice versa).
-    // Each direction's kNN feeds two consumers (knn-average + mutual
-    // join); NOT checkpointed — AQE's exchange reuse already computes
-    // the shared heap-cut shuffle once at runtime (measured: adding
-    // localCheckpoint here read 4.75 s vs 4.01 s pristine at sf0.1 —
-    // the eager materialization costs more than the reuse it replaces).
-    val fwd = IvfIndex.knnJoin(tgtAssigned, tgtCentroids, srcRows,
-      idCol, vecCol, k, nProbes)
-    val rev = IvfIndex.knnJoin(srcAssigned, srcCentroids, tgtRows,
-      idCol, vecCol, k, nProbes)
+    // centroid tables are parameter-sized by construction (the
+    // IvfIndex driver-cache contract) — collecting the live list ids
+    // is a tiny job, and the exhaustive branch needs exactly these ids
+    def liveIds(centroids: DataFrame): Seq[Int] =
+      centroids.select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val liveS = liveIds(srcCentroids)
+    val liveT = liveIds(tgtCentroids)
+    val (fwd, rev) =
+      if (nProbes >= liveS.size && nProbes >= liveT.size)
+        exhaustiveMutualTopK(srcAssigned, liveS, tgtAssigned, liveT,
+          idCol, vecCol, k)
+      else
+        // src → tgt: every src vector probes the tgt index (and vice
+        // versa). Each direction's kNN feeds two consumers
+        // (knn-average + mutual join); NOT checkpointed — AQE's
+        // exchange reuse already computes the shared heap-cut shuffle
+        // once at runtime (measured: adding localCheckpoint here read
+        // 4.75 s vs 4.01 s pristine at sf0.1 — the eager
+        // materialization costs more than the reuse it replaces).
+        (IvfIndex.knnJoin(tgtAssigned, tgtCentroids, srcRows,
+            idCol, vecCol, k, nProbes),
+          IvfIndex.knnJoin(srcAssigned, srcCentroids, tgtRows,
+            idCol, vecCol, k, nProbes))
     val fAvg = fwd.groupBy(col("probe_id").as("src_id"))
       .agg(avg("cos").as("src_knn_avg"))
     val rAvg = rev.groupBy(col("probe_id").as("tgt_id"))
@@ -262,6 +290,15 @@ object SimilaritySearch {
         col("cos"))
       .join(rev.select(col("probe_id").as("tgt_id"),
         col("neighbor_id").as("src_id")), Seq("src_id", "tgt_id"))
+    // per-src best pick: the (margin desc, tgt_id asc) ordering packs
+    // into one decimal ([[VectorExpressions.pack_ord]] — margin > 0
+    // past the threshold, tgt ids are non-negative), so all three
+    // max_by buffers are UnsafeRow-mutable and the aggregate stays a
+    // HashAggregate; the former struct ordering demoted it to a
+    // SortAggregate. The pack embeds tgt_id, so the ordering is unique
+    // within a group and the three picks land on the same row.
+    val bestOrd = pack_ord(double_sort_bits(col("margin")),
+      lit(Long.MaxValue) - col("tgt_id"))
     mutual
       .join(fAvg, Seq("src_id"))
       .join(rAvg, Seq("tgt_id"))
@@ -269,9 +306,88 @@ object SimilaritySearch {
         col("cos") / ((col("src_knn_avg") + col("tgt_knn_avg")) / 2))
       .filter(col("margin") >= marginThreshold)
       .groupBy("src_id")
-      .agg(max_by(struct(col("tgt_id"), col("cos"), col("margin")),
-        struct(col("margin"), negate(col("tgt_id")))).as("best"))
-      .select(col("src_id"), col("best.tgt_id").as("tgt_id"),
-        col("best.cos").as("cos"), col("best.margin").as("margin"))
+      .agg(max_by(col("tgt_id"), bestOrd).as("tgt_id"),
+        max_by(col("cos"), bestOrd).as("cos"),
+        max_by(col("margin"), bestOrd).as("margin"))
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+  }
+
+  /** Both directions of an EXHAUSTIVE cross-set kNN (the
+    * [[marginMutualKnn]] exhaustive branch; see its scaladoc for why).
+    * Returns (fwd, rev) with [[heapTopK]]'s output shape —
+    * bit-identical to two exhaustive [[IvfIndex.knnJoin]]s: the same
+    * pair sets (candidates filtered to each side's live clusters,
+    * probes unfiltered, self-pairs excluded), the same cosine kernel,
+    * the same bounded-heap cut with the same ascending-id tie rule.
+    *
+    * Each direction is one codegen pipeline — block join → cosine →
+    * narrow projection → partial heap aggregation — with NO per-pair
+    * generator: a shared-scoring variant that emitted both probe roles
+    * from one pass (half the cosine flops) measured 3.5× SLOWER at sf1
+    * (25.5 → 90.6 s), because its per-pair `explode(array(struct…))`
+    * put two allocations and a generator row on every one of the n²
+    * pairs — per-pair allocation beats per-pair flops at any d. The
+    * heap cut's exchange caps each direction's n² subtree, so AQE
+    * exchange reuse runs it once for its two downstream consumers
+    * (knn-average + mutual join), exactly as on the pruned path.
+    */
+  private def exhaustiveMutualTopK(
+      srcAssigned: DataFrame, liveSrc: Seq[Int],
+      tgtAssigned: DataFrame, liveTgt: Seq[Int],
+      idCol: String, vecCol: String, k: Int): (DataFrame, DataFrame) = {
+    val spark = srcAssigned.sparkSession
+    // R×R deterministic blocks: R² join keys over the task grid. The
+    // pruned path's list-id join key has only nLists distinct values,
+    // so at exhaustive probing nLists tasks carry the whole O(n²)
+    // candidate volume no matter how many cores exist; R² keys spread
+    // it (guide §2.5's many-keys rule). Replication factor R per side
+    // is the standard block-nested cost, scale-adaptive via the
+    // session's shuffle partitioning. Results are R-independent — the
+    // pair SET is the full cross product whatever the blocking.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val r = math.max(4L, math.ceil(math.sqrt(parts * 4.0)).toLong)
+    def oneDirection(assigned: DataFrame, live: Seq[Int],
+        probes: DataFrame): DataFrame = {
+      // numbered repartition on BOTH sides: the shuffled bytes are tiny
+      // relative to the join's n² OUTPUT, so AQE's byte-sized partition
+      // coalescing would fold the block grid back into a handful of
+      // tasks (it cannot see the output explosion); an explicit
+      // partition count is strict under AQE. Skew-splitting is not
+      // being given up — the blocks are uniform by construction
+      // (xxhash64 of the id), unlike the hot-list cluster key the
+      // pruned path must leave splittable.
+      // norms are per-VECTOR invariants: computed once per row here (the
+      // same double accumulation chain as the cosine kernel's na/nb, so
+      // sqrt comes out bit-identical), the per-pair work drops from 3d
+      // flops (the kernel re-accumulates both norms every pair) to the
+      // d-flop dot product plus one multiply+divide — with the exact
+      // kernel arithmetic: denom = sqrt(na)·sqrt(nb), cos = dp/denom,
+      // zero denom → 0.0.
+      def norm(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sqrt(aggregate(v, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val c = assigned.filter(col("cluster").isin(live: _*))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+        .withColumn("n_norm", norm(col("neighbor_vec")))
+        .withColumn("cb", pmod(xxhash64(col("neighbor_id")), lit(r)))
+        .withColumn("pb", explode(sequence(lit(0L), lit(r - 1))))
+        .repartition(parts, col("pb"), col("cb"))
+      val p = probes
+        .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+        .withColumn("p_norm", norm(col("probe_vec")))
+        .withColumn("pb", pmod(xxhash64(col("probe_id")), lit(r)))
+        .withColumn("cb", explode(sequence(lit(0L), lit(r - 1))))
+        .repartition(parts, col("pb"), col("cb"))
+      val cands = c.join(p, Seq("pb", "cb"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("denom", col("p_norm") * col("n_norm"))
+        .withColumn("cos", when(col("denom") === 0.0, lit(0.0))
+          .otherwise(dot_product(col("probe_vec"), col("neighbor_vec")) / col("denom")))
+      heapTopK(cands.select("probe_id", "neighbor_id", "cos"), "cos", k)
+    }
+    (oneDirection(tgtAssigned, liveTgt,
+        srcAssigned.select(col(idCol), col(vecCol))),
+      oneDirection(srcAssigned, liveSrc,
+        tgtAssigned.select(col(idCol), col(vecCol))))
   }
 }

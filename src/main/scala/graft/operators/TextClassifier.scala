@@ -186,8 +186,17 @@ object TextClassifier {
           (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("r"))
       // ONE job per step: the F+1-row gradient collect (each row also
       // carries its group's row count — the f=-1 group's count IS the
-      // step's sample size, since the bias row appears once per doc)
-      val gradRows = stepFeats.join(resid, "did")
+      // step's sample size, since the bias row appears once per doc).
+      // The residual side is broadcast EXPLICITLY: AQE converts this
+      // join to a runtime broadcast anyway (the residual is one narrow
+      // (did, r) row per doc), but only after planning a full exchange
+      // of the feature table and inferring from its shuffle stats —
+      // per step. The hint pins the conversion at plan time, so no
+      // step stages a feature-table exchange for the join. Scale
+      // caveat: on a corpus whose per-doc residual cannot broadcast
+      // the hint must come out — that layout choice belongs to the
+      // deployment, as with the did-partitioned checkpoint (above).
+      val gradRows = stepFeats.join(broadcast(resid), "did")
         .groupBy("f").agg(sum(col("r") * col("cnt")).as("g"),
           count(lit(1)).as("m"))
         .collect()

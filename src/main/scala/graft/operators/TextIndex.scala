@@ -1003,13 +1003,20 @@ object TextIndex {
       .filter(col("pos") >= col("start") && col("pos") < col("start") + width)
       .groupBy("doc_id", "start")
       .agg(count(lit(1)).as("n_hits"))
-    // best window per doc: most hits, earliest start on ties —
-    // a max_by over the (n_hits, -start) order, no window sort
+    // best window per doc: most hits, earliest start on ties — a
+    // max_by over the (n_hits, -start) order, no window sort. The
+    // ordering packs into one decimal (pack_ord; starts are
+    // non-negative positions, so Long.MaxValue - start encodes the
+    // descending tiebreak), keeping both picks inside a HashAggregate
+    // — a struct ordering would demote the aggregate to SortAggregate.
+    // The pack embeds start, so it is unique per (doc_id, start) row
+    // and both picks land on the same window.
+    val bestOrd = graft.functions.VectorExpressions.pack_ord(
+      col("n_hits"), lit(Long.MaxValue) - col("start"))
     windowed.groupBy("doc_id")
-      .agg(max_by(struct(col("start"), col("n_hits")),
-        struct(col("n_hits"), -col("start"))).as("best"))
-      .select(col("doc_id"), col("best.start").as("snip_start"),
-        col("best.n_hits").as("snip_hits"))
+      .agg(max_by(col("start"), bestOrd).as("snip_start"),
+        max_by(col("n_hits"), bestOrd).as("snip_hits"))
+      .select(col("doc_id"), col("snip_start"), col("snip_hits"))
   }
 
   /** Compact the posting files: each `appendDocs` batch adds files to

@@ -154,15 +154,23 @@ object Aggregates {
         lit(subset).as("is_subset"))
     }),
 
-    // Order-sensitive: min_by/max_by with unique tiebreak.
+    // Order-sensitive: min_by/max_by with unique tiebreak. The
+    // (l_extendedprice, l_orderkey) ordering packs into one decimal
+    // (VectorExpressions.pack_ord over the price's order-preserving
+    // bits; orderkeys are non-negative), so both picks stay inside a
+    // HashAggregate — the former struct ordering demoted the whole
+    // aggregate to a SortAggregate, a per-task sort of all of lineitem.
+    // The struct's third component (l_linenumber) only disambiguated
+    // rows already tied on (price, orderkey), which return the same
+    // orderkey either way — the result is unchanged.
     "q_agg_minmax_by" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.{double_sort_bits, pack_ord}
+      val ord = pack_ord(double_sort_bits(col("l_extendedprice")), col("l_orderkey"))
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          max_by(col("l_orderkey"),
-            struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("top_price_order"),
-          min_by(col("l_orderkey"),
-            struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("bot_price_order"))
+          max_by(col("l_orderkey"), ord).as("top_price_order"),
+          min_by(col("l_orderkey"), ord).as("bot_price_order"))
         .orderBy("l_returnflag")
     }),
 

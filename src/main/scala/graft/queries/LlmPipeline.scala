@@ -528,8 +528,12 @@ object LlmPipeline {
       val labels = Dedup.duplicateClusters(pairs)
       val sized = labels
         .join(docs.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+      // (n_chars, -doc) keeper ordering packed into one decimal
+      // (pack_ord; doc ids non-negative) — HashAggregate, not the
+      // struct ordering's SortAggregate
       val keepers = sized.groupBy("label")
-        .agg(max_by(col("doc"), struct(col("n_chars"), -col("doc"))).as("keeper"),
+        .agg(max_by(col("doc"), VectorExpressions.pack_ord(
+            col("n_chars"), lit(Long.MaxValue) - col("doc"))).as("keeper"),
           count(lit(1)).as("n_members"))
       sized.join(keepers, "label")
         .select(col("doc"), col("label"), col("keeper"),
@@ -2845,10 +2849,16 @@ object LlmPipeline {
           "neighbor_id")
         .groupBy("probe_id", "label")
         .agg(count(lit(1)).as("votes"))
+      // the (votes, -label) winner ordering packs into one decimal
+      // (pack_ord; labels are non-negative ints) so both picks stay in
+      // a HashAggregate — a struct-ordered max would demote to
+      // SortAggregate. The pack embeds label (unique per vote row), so
+      // the two picks land on the same (votes, label) row.
+      val winOrd = VectorExpressions.pack_ord(
+        col("votes"), lit(Long.MaxValue) - col("label"))
       votes.groupBy("probe_id")
-        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
-        .select(col("probe_id"), (-col("m.nl")).as("pred_label"),
-          col("m.votes").as("n_votes"))
+        .agg(max_by(col("label"), winOrd).as("pred_label"),
+          max_by(col("votes"), winOrd).as("n_votes"))
         .join(probes.select(col("vec_id").as("probe_id"),
           col("label").as("true_label")), "probe_id")
         .withColumn("correct", col("pred_label") === col("true_label"))

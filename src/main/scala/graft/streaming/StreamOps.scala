@@ -31,9 +31,28 @@ object StreamOps {
     * provider, and no query's timing is skewed by a leaked flip from
     * an earlier one.
     */
-  def ensureRocksDbStateStore(spark: SparkSession): Unit =
+  def ensureRocksDbStateStore(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Per-micro-batch commit machinery, not semantics (results are
+    // checkpoint-format-independent):
+    //  - changelog checkpointing commits each batch as the batch's
+    //    CHANGES (an O(updates) changelog file) instead of uploading a
+    //    full RocksDB snapshot per store per batch; snapshots move to
+    //    the background maintenance thread. At scale the per-batch
+    //    durability cost becomes O(state updated), not O(state held) —
+    //    and the state source (q_stream_state_reader) replays
+    //    changelogs on read, so re-reading checkpoints is unchanged.
+    //  - trackTotalNumberOfRows=false drops the read-before-write each
+    //    put/delete pays to maintain the numRowsTotal METRIC; no query
+    //    reads that metric.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
+  }
 
   /** Pin part-file mtimes to their (range-ordered) name order.
     * FileStreamSource picks files oldest (modification time, path)
