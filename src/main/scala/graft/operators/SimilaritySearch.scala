@@ -237,19 +237,15 @@ object SimilaritySearch {
     *
     * With EXHAUSTIVE probing (nProbes ≥ both sides' list counts — the
     * verify-scale operating point, where the result is exact → brute-
-    * force DuckDB oracle) the two knnJoins would score the SAME
-    * |src|×|tgt| pair set twice (cosine is bit-for-bit symmetric:
-    * every kernel accumulation is a commutative multiply), through an
-    * equi-join whose only key is the list id — nLists distinct values,
-    * so at scale nLists tasks carry the whole O(n²) candidate volume
-    * no matter how many cores exist. The exhaustive branch instead
-    * scores each cross pair ONCE through a deterministic R×R block
-    * join (pmod(xxhash64(id), R) blocks; R² keys spread the pair
-    * volume over the full task grid, guide §2.5's many-keys rule) and
-    * emits each scored pair in both probe roles (a 2-element inline —
-    * one pass, no dual consumer of the n² subtree), so both
-    * directions' bounded-heap cuts aggregate one stream: half the
-    * cosine flops and full-width parallelism, bit-identical results.
+    * force DuckDB oracle) the knnJoin shape degrades: its equi-join's
+    * only key is the list id — nLists distinct values, so nLists tasks
+    * carry the whole O(n²) candidate volume no matter how many cores
+    * exist, and the cosine kernel re-accumulates both operands' norms
+    * on every pair. The exhaustive branch ([[exhaustiveMutualTopK]])
+    * runs each direction through a deterministic R×R block join
+    * instead (R² keys spread the pair volume over the full task grid)
+    * with per-row factored norms — bit-identical results, full-width
+    * parallelism, d-flop pairs.
     */
   def marginMutualKnn(
       srcAssigned: DataFrame, srcCentroids: DataFrame,
